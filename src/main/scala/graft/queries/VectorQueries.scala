@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftVector._
+import graft.Tables.load
+
+/** Vector-core query surface: the Spark re-expression of the reference's
+  * search/insert semantics (/root/reference/include/engine.h,
+  * proto/vector_search.proto). Each entry has a DuckDB oracle in
+  * [[VectorQueries.oracles]] unless inherently non-SQL.
+  *
+  * Scale notes:
+  *  - kNN never materializes the cross join: queries are broadcast, the
+  *    base table is scanned once, and [[graft.operators.TopKByScore]]
+  *    keeps per-(query,partition) heaps bounded at k before the shuffle.
+  *  - range search is a broadcast-nested-loop filter — a scan, not a join
+  *    shuffle; at 100 TB it is embarrassingly parallel over base splits.
+  */
+object VectorQueries {
+
+  /** Deterministic query set: the first 8 vectors play "search requests"
+    * (stand-in for SearchRequest.query_vector). */
+  private val NumQueries = 8
+  private val K = 10
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v_l2_distance" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val e = load(s, d, "embeddings")
+      val a = e.select($"vec_id", $"embedding".as("va"))
+      val b = e.select(($"vec_id" - 1).as("vec_id"), $"embedding".as("vb"))
+      a.join(b, "vec_id")
+        .select($"vec_id", round(l2($"va", $"vb"), 4).as("dist"))
+        .orderBy("vec_id")
+    }),
+
+    "v_dot_product" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val e = load(s, d, "embeddings")
+      val a = e.select($"vec_id", $"embedding".as("va"))
+      val b = e.select(($"vec_id" - 1).as("vec_id"), $"embedding".as("vb"))
+      a.join(b, "vec_id")
+        .select($"vec_id", round(dot($"va", $"vb"), 4).as("dp"))
+        .orderBy("vec_id")
+    }),
+
+    "v_cosine_sim" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val e = load(s, d, "embeddings")
+      val a = e.select($"vec_id", $"embedding".as("va"))
+      val b = e.select(($"vec_id" - 1).as("vec_id"), $"embedding".as("vb"))
+      a.join(b, "vec_id")
+        .select($"vec_id", round(cosine($"va", $"vb"), 4).as("cos_sim"))
+        .orderBy("vec_id")
+    }),
+
+    "v_norm" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      load(s, d, "embeddings")
+        .select($"vec_id", round(norm($"embedding"), 4).as("l2_norm"))
+        .orderBy("vec_id")
+    }),
+
+    // Exact top-k per query over the full collection — the brute-force /
+    // recall-ground-truth path of engine.h:search_knn. Broadcast queries,
+    // single base scan, bounded-heap partial agg.
+    "v_knn_bruteforce" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val e = load(s, d, "embeddings")
+      val q = e.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      e.crossJoin(broadcast(q))
+        .groupBy($"query_id")
+        .agg(topK(l2($"embedding", $"qv"), $"vec_id", K).as("nn"))
+        .select($"query_id", posexplode($"nn"))
+        .select(
+          $"query_id",
+          $"col.id".as("neighbor_id"),
+          ($"pos" + 1).cast("long").as("rnk"),
+          round($"col.score", 4).as("dist"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    // All neighbors within radius r of each query vector.
+    "v_range_search" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val e = load(s, d, "embeddings")
+      val q = e.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      e.crossJoin(broadcast(q))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("neighbor_id"),
+          round(l2($"embedding", $"qv"), 4).as("dist"))
+        .filter($"dist" < 1.2)
+        .orderBy("query_id", "neighbor_id")
+    }),
+
+    // Upsert merge: base ∪ delta, latest write wins per id — the batch
+    // analog of engine.h insert() + background flush compaction.
+    "v_insert_merge" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val e = load(s, d, "embeddings")
+      val base = e.select($"vec_id", $"label".cast("long").as("label"),
+        lit(0).as("pri"))
+      val delta = e.filter($"vec_id" % 7 === 0)
+        .select($"vec_id", ($"label" + 1000).cast("long").as("label"),
+          lit(1).as("pri"))
+      base.unionAll(delta)
+        .groupBy($"vec_id")
+        .agg(max_by($"label", $"pri").as("label"))
+        .orderBy("vec_id")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "v_l2_distance" ->
+      """SELECT a.vec_id AS vec_id,
+        |  round(list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS dist
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |ORDER BY vec_id""".stripMargin,
+
+    "v_dot_product" ->
+      """SELECT a.vec_id AS vec_id,
+        |  round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS dp
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |ORDER BY vec_id""".stripMargin,
+
+    "v_cosine_sim" ->
+      """SELECT a.vec_id AS vec_id,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |ORDER BY vec_id""".stripMargin,
+
+    "v_norm" ->
+      """SELECT vec_id,
+        |  round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS l2_norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "v_knn_bruteforce" ->
+      """SELECT query_id, neighbor_id, rnk, dist FROM (
+        |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_distance(b.embedding::DOUBLE[], q.embedding::DOUBLE[]), b.vec_id) AS rnk,
+        |    round(list_distance(b.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS dist
+        |  FROM embeddings b CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q
+        |) WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    "v_range_search" ->
+      """SELECT query_id, neighbor_id, dist FROM (
+        |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    round(list_distance(b.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS dist
+        |  FROM embeddings b CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q
+        |  WHERE b.vec_id != q.vec_id
+        |) WHERE dist < 1.2 ORDER BY query_id, neighbor_id""".stripMargin,
+
+    "v_insert_merge" ->
+      """WITH u AS (
+        |  SELECT vec_id, label::BIGINT AS label, 0 AS pri FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id, (label + 1000)::BIGINT AS label, 1 AS pri
+        |  FROM embeddings WHERE vec_id % 7 = 0
+        |)
+        |SELECT vec_id, max_by(label, pri) AS label FROM u
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  )
+}

@@ -1,0 +1,25 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Thin bridge into Spark's `private[sql]` Column <-> Expression APIs.
+  * Lives under `org.apache.spark.sql` so the compiler grants package
+  * access; everything else in the library stays in `graft.*` and goes
+  * through this object only.
+  */
+object Shims {
+  /** Wrap a raw Catalyst expression as a user-facing Column. */
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Extract the Catalyst expression backing a Column. */
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a temp SQL function builder on a live session (so
+    * `expr("graft_l2(a,b)")` / spark.sql work without extensions). */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
+}
