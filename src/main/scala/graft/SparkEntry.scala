@@ -12,9 +12,9 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    VectorQueries.all
+    VectorQueries.all ++ AnalyticsQueries.all
 
   /** DuckDB oracle SQL per query key (omitted ⇒ rows-only check). */
   def oracleSql: Map[String, String] =
-    VectorQueries.oracles
+    VectorQueries.oracles ++ AnalyticsQueries.oracles
 }

@@ -1,0 +1,252 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+
+/** General analytics surface over the TPC-H-ish tables: shuffled fact
+  * joins with broadcast dims, windowing, sessionization, as-of join.
+  *
+  * Scale notes:
+  *  - dims (region, nation) are always broadcast; fact-fact joins shuffle
+  *    on their join keys and rely on AQE for skew handling.
+  *  - sessionization / as-of are single-shuffle designs: one exchange on
+  *    the entity key, then sort within partition — no self-join blowup.
+  */
+object AnalyticsQueries {
+
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss"
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 flavor: single wide scan-agg, fully map-side combinable.
+    "q1_pricing_summary" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      load(s, d, "lineitem")
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          round(sum($"l_quantity"), 2).as("sum_qty"),
+          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
+          round(sum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax")), 2).as("sum_charge"),
+          round(avg($"l_quantity"), 4).as("avg_qty"),
+          round(avg($"l_extendedprice"), 4).as("avg_price"),
+          round(avg($"l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // TPC-H Q3 flavor: two fact joins + top-10 by revenue.
+    "q3_shipping_priority" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val cust = load(s, d, "customer").filter($"c_mktsegment" === "BUILDING")
+      val ord = load(s, d, "orders")
+        .filter($"o_orderdate" < lit("1998-06-01").cast("timestamp"))
+      val li = load(s, d, "lineitem")
+        .filter($"l_shipdate" > lit("1998-06-01").cast("timestamp"))
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+        .select($"l_orderkey", $"revenue",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"),
+          $"o_orderpriority")
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    }),
+
+    // TPC-H Q5 flavor: 5-way join, broadcast region+nation dims.
+    "q5_local_supplier" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val asia = broadcast(load(s, d, "region").filter($"r_name" === "ASIA"))
+      val nat = broadcast(load(s, d, "nation"))
+      val cust = load(s, d, "customer")
+      val ord = load(s, d, "orders")
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp"))
+        .filter($"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+      val li = load(s, d, "lineitem")
+      val sup = load(s, d, "supplier")
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
+        .join(sup, $"l_suppkey" === $"s_suppkey" &&
+          $"c_nationkey" === $"s_nationkey")
+        .join(nat, $"s_nationkey" === $"n_nationkey")
+        .join(asia, $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+        .orderBy($"n_name")
+    }),
+
+    // Top-3 parts by revenue within each brand (rank window after agg;
+    // ordering key uses the ROUNDED revenue so rank is FP-stable).
+    "q_topk_per_group" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val li = load(s, d, "lineitem")
+      val part = load(s, d, "part")
+      val rev = li.join(part, $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand", $"l_partkey")
+        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+      val w = Window.partitionBy($"p_brand")
+        .orderBy($"revenue".desc, $"l_partkey")
+      rev.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter($"rnk" <= 3)
+        .select($"p_brand", $"l_partkey", $"revenue", $"rnk")
+        .orderBy($"p_brand", $"rnk")
+    }),
+
+    // Tumbling 1-hour windows per event type.
+    "q_event_window_agg" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      load(s, d, "events")
+        .groupBy(
+          date_format(date_trunc("hour", $"ts"), TsFmt).as("hour_start"),
+          $"event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum($"value"), 2).as("sum_value"),
+          round(avg($"value"), 4).as("avg_value"))
+        .orderBy($"hour_start", $"event_type")
+    }),
+
+    // Sessionization: 30-min inactivity gap, exact integer micros math.
+    "q_sessionize" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val gapUs = 1800L * 1000000L
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val cum = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      load(s, d, "events")
+        .withColumn("us", unix_micros($"ts"))
+        .withColumn("prev_us", lag($"us", 1).over(byUser))
+        .withColumn("new_sess",
+          when($"prev_us".isNull || $"us" - $"prev_us" > gapUs, 1L).otherwise(0L))
+        .withColumn("session_id", sum($"new_sess").over(cum))
+        .groupBy($"user_id", $"session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min($"us").as("start_us"),
+          max($"us").as("end_us"))
+        .select($"user_id", $"session_id", $"n_events",
+          ($"end_us" - $"start_us").as("duration_us"))
+        .orderBy($"user_id", $"session_id")
+    }),
+
+    // As-of join: each event picks the user's latest order at-or-before
+    // its timestamp (ties on date broken by max orderkey). Implemented as
+    // a tagged union + one window pass: a single shuffle on user_id, no
+    // per-event probe join — the sort-merge as-of pattern.
+    "q_asof_join" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val ev = load(s, d, "events").select(
+        $"user_id", $"ts", $"event_id",
+        lit(null).cast("long").as("okey"), lit(1).as("tag"))
+      val od = load(s, d, "orders").select(
+        $"o_custkey".as("user_id"), $"o_orderdate".as("ts"),
+        lit(null).cast("long").as("event_id"),
+        $"o_orderkey".as("okey"), lit(0).as("tag"))
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts", $"tag", coalesce($"okey", lit(-1L)))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.unionByName(od)
+        .withColumn("last_okey", last($"okey", ignoreNulls = true).over(w))
+        .filter($"tag" === 1)
+        .select($"event_id", $"user_id", $"last_okey")
+        .orderBy($"event_id")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l.l_orderkey AS l_orderkey,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        |  strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  o.o_orderpriority AS o_orderpriority
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n.n_name AS n_name,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n.n_name ORDER BY n_name""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT p_brand, l_partkey, revenue, rnk FROM (
+        |  SELECT p_brand, l_partkey, revenue,
+        |    row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY revenue DESC, l_partkey) AS rnk
+        |  FROM (
+        |    SELECT p.p_brand AS p_brand, l.l_partkey AS l_partkey,
+        |      round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |    GROUP BY p.p_brand, l.l_partkey)
+        |) WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin,
+
+    "q_event_window_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  event_type,
+        |  count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value,
+        |  round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, event_id, us,
+        |    sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
+        |  FROM t
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  (max(us) - min(us)) AS duration_us
+        |FROM m GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, NULL::BIGINT AS okey, 1 AS tag FROM events
+        |  UNION ALL
+        |  SELECT o_custkey, o_orderdate, NULL::BIGINT, o_orderkey, 0 FROM orders
+        |)
+        |SELECT event_id, user_id,
+        |  last_value(okey IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts, tag, coalesce(okey, -1)
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_okey
+        |FROM u QUALIFY tag = 1 ORDER BY event_id""".stripMargin
+  )
+}
