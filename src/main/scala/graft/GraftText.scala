@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.Shims
+import graft.functions._
+
+/** Column API over graft's native text-hashing expressions. */
+object GraftText {
+  def minhashSignature(tokens: Column, shingleWidth: Int = 3,
+      numHashes: Int = 64): Column =
+    Shims.column(MinHashSignature(Shims.expression(tokens), shingleWidth, numHashes))
+
+  def minhashBands(tokens: Column, shingleWidth: Int = 3,
+      numHashes: Int = 64, numBands: Int = 16): Column =
+    Shims.column(MinHashBands(Shims.expression(tokens), shingleWidth, numHashes, numBands))
+
+  def simhash64(tokens: Column): Column =
+    Shims.column(SimHash64(Shims.expression(tokens)))
+
+  def rollingHash64(text: Column): Column =
+    Shims.column(RollingHash64(Shims.expression(text)))
+}

@@ -12,9 +12,9 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    VectorQueries.all ++ AnalyticsQueries.all
+    VectorQueries.all ++ AnalyticsQueries.all ++ TextQueries.all ++ DedupQueries.all
 
   /** DuckDB oracle SQL per query key (omitted ⇒ rows-only check). */
   def oracleSql: Map[String, String] =
-    VectorQueries.oracles ++ AnalyticsQueries.oracles
+    VectorQueries.oracles ++ AnalyticsQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles
 }

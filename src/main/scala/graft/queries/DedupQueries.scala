@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftText, GraftVector}
+import graft.GraftVector._
+import graft.Tables.load
+
+/** Deduplication operators over `documents` / `embeddings` — the dedup
+  * stage of a training-data pipeline, at four fidelity levels:
+  * exact (content signature), exact-pairwise (word-set Jaccard),
+  * MinHash+LSH (sub-quadratic candidate generation), SimHash
+  * (Hamming-ball banding), and embedding-cosine near-dup.
+  *
+  * Scale notes:
+  *  - exact dedup shuffles on a bounded-width signature string, never on
+  *    raw text.
+  *  - MinHash/SimHash candidate generation joins only within LSH buckets:
+  *    shuffle keys are (band_id, band_hash) — cost scales with bucket
+  *    collision counts, not n². The exact `d_jaccard_pairs` is
+  *    deliberately length/lang-banded and exists as the verification
+  *    oracle for the approximate paths.
+  */
+object DedupQueries {
+
+  private def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup on a canonical bag-of-words signature.
+    "d_dedup_exact" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      load(s, d, "documents")
+        .select($"doc_id",
+          concat_ws(" ", sort_array(array_distinct(toks($"text")))).as("sig"))
+        .groupBy($"sig")
+        .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_dups"))
+        .select($"doc_id", $"n_dups")
+        .orderBy("doc_id")
+    }),
+
+    // Exact pairwise word-set Jaccard within a language band.
+    "d_jaccard_pairs" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val docs = load(s, d, "documents")
+        .select($"doc_id", $"lang", array_distinct(toks($"text")).as("ws"))
+      val a = docs.select($"doc_id".as("doc_a"), $"lang", $"ws".as("wa"))
+      val b = docs.select($"doc_id".as("doc_b"), $"lang", $"ws".as("wb"))
+      a.join(b, "lang")
+        .filter($"doc_a" < $"doc_b")
+        .withColumn("jaccard",
+          size(array_intersect($"wa", $"wb")).cast("double") /
+            size(array_union($"wa", $"wb")))
+        .filter($"jaccard" >= 0.8)
+        .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // MinHash + LSH near-dup candidates, verified by true Jaccard.
+    // 64 minhash permutations, 16 bands × 4 rows, all computed in one
+    // pass per row by the native MinHashBands expression. The LSH bucket
+    // join carries doc ids only; word sets are re-joined for verification
+    // — the shape that survives wide payloads at scale.
+    "d_dedup_minhash" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val docs = load(s, d, "documents")
+        .select($"doc_id", array_distinct(toks($"text")).as("ws"))
+      val buckets = docs
+        .select($"doc_id",
+          posexplode(GraftText.minhashBands($"ws", 3, 64, 16))
+            .as(Seq("band_id", "bh")))
+      val cand = buckets.as("x").join(buckets.as("y"),
+          $"x.band_id" === $"y.band_id" && $"x.bh" === $"y.bh" &&
+            $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+      cand
+        .join(docs.select($"doc_id".as("doc_a"), $"ws".as("wa")), "doc_a")
+        .join(docs.select($"doc_id".as("doc_b"), $"ws".as("wb")), "doc_b")
+        .withColumn("jaccard",
+          size(array_intersect($"wa", $"wb")).cast("double") /
+            size(array_union($"wa", $"wb")))
+        .filter($"jaccard" >= 0.7)
+        .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash fingerprints + banded Hamming-distance near-dup pairs.
+    // 4 × 16-bit chunk bands: any pair within Hamming distance 3 of the
+    // 64-bit fingerprint shares at least one exact chunk.
+    "d_dedup_simhash" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val docs = load(s, d, "documents")
+        .select($"doc_id", GraftText.simhash64(toks($"text")).as("fp"))
+      val chunkCols = (0 until 4).map { c =>
+        shiftright($"fp", c * 16).bitwiseAND(lit(65535L))
+      }
+      val buckets = docs
+        .select($"doc_id", $"fp",
+          posexplode(array(chunkCols: _*)).as(Seq("chunk_id", "cv")))
+      buckets.as("x").join(buckets.as("y"),
+          $"x.chunk_id" === $"y.chunk_id" && $"x.cv" === $"y.cv" &&
+            $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
+          bit_count($"x.fp".bitwiseXOR($"y.fp")).cast("long").as("hamming"))
+        .dropDuplicates("doc_a", "doc_b")
+        .filter($"hamming" <= 6)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Embedding-cosine near-dup pairs within a label partition.
+    "d_embed_neardup" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val e = load(s, d, "embeddings")
+      val a = e.select($"vec_id".as("vec_a"), $"label", $"embedding".as("va"))
+      val b = e.select($"vec_id".as("vec_b"), $"label", $"embedding".as("vb"))
+      a.join(b, "label")
+        .filter($"vec_a" < $"vec_b")
+        .withColumn("cos_sim", cosine($"va", $"vb"))
+        .filter($"cos_sim" > 0.4)
+        .select($"vec_a", $"vec_b", round($"cos_sim", 4).as("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "d_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+        |FROM (SELECT doc_id,
+        |        array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))), ' ') AS sig
+        |      FROM documents)
+        |GROUP BY sig ORDER BY doc_id""".stripMargin,
+
+    "d_jaccard_pairs" ->
+      """SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.ws, b.ws))::DOUBLE /
+        |      len(list_distinct(list_concat(a.ws, b.ws))) AS jaccard
+        |  FROM (SELECT doc_id, lang, list_distinct(regexp_split_to_array(trim(text), '\s+')) ws FROM documents) a
+        |  JOIN (SELECT doc_id, lang, list_distinct(regexp_split_to_array(trim(text), '\s+')) ws FROM documents) b
+        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |) WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d_embed_neardup" ->
+      """SELECT vec_a, vec_b, round(cos_sim, 4) AS cos_sim FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos_sim
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |) WHERE cos_sim > 0.4 ORDER BY vec_a, vec_b""".stripMargin
+    // d_dedup_minhash / d_dedup_simhash: LSH bucketing is seeded-hash
+    // specific — rows-only gate here, property specs in DedupSpec.
+  )
+}

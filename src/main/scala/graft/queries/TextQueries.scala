@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+
+/** Text-analysis operators over `documents` — the quality/filter stage of
+  * a large-scale training-data pipeline. Everything here is a pure
+  * scan-side projection (codegen'd string/array builtins, no UDFs, no
+  * shuffle except final sort), so it streams at whatever rate the
+  * parquet scan sustains.
+  */
+object TextQueries {
+
+  private def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  private val StopEn = Seq("the", "and", "of", "to", "a", "in", "is")
+  private val StopDe = Seq("der", "die", "das", "und", "ist")
+  private val StopFr = Seq("le", "la", "les", "et", "est")
+  private val StopEs = Seq("el", "los", "las", "y", "es")
+
+  private def stopCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+      .cast("long")
+
+  private def sqlStopCount(set: Seq[String]): String =
+    s"len(list_filter(toks, t -> list_contains([${set.map(w => s"'$w'").mkString(",")}], t)))::BIGINT"
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_token_count" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      load(s, d, "documents")
+        .select($"doc_id",
+          size(tokens($"text")).cast("long").as("n_tokens"),
+          length($"text").cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    "t_quality_score" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val toks = tokens($"text")
+      load(s, d, "documents")
+        .select($"doc_id", $"text", toks.as("toks"))
+        .select(
+          $"doc_id",
+          size($"toks").cast("long").as("n_tokens"),
+          round(
+            aggregate($"toks", lit(0L), (acc, t) => acc + length(t))
+              .cast("double") / size($"toks"), 4).as("avg_token_len"),
+          round(stopCount($"toks", StopEn).cast("double") / size($"toks"), 4)
+            .as("stopword_ratio"),
+          round((length($"text") -
+            length(regexp_replace($"text", "[.,!?;:]", ""))).cast("double") /
+            length($"text"), 4).as("punct_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprint: FNV-1a 64 over raw text (rows-only check —
+    // the exact hash family is library-defined; properties in TextSpec).
+    "t_fingerprint" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      load(s, d, "documents")
+        .select($"doc_id", graft.GraftText.rollingHash64($"text").as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // Stopword-profile language ID. The fixed tie-break cascade
+    // (en > de > fr > es > unknown) makes it deterministic.
+    "t_lang_id" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val toks = tokens($"text")
+      load(s, d, "documents")
+        .select($"doc_id", toks.as("toks"))
+        .select($"doc_id",
+          stopCount($"toks", StopEn).as("c_en"),
+          stopCount($"toks", StopDe).as("c_de"),
+          stopCount($"toks", StopFr).as("c_fr"),
+          stopCount($"toks", StopEs).as("c_es"))
+        .select($"doc_id",
+          when(greatest($"c_en", $"c_de", $"c_fr", $"c_es") === 0, "unknown")
+            .when($"c_en" >= greatest($"c_de", $"c_fr", $"c_es"), "en")
+            .when($"c_de" >= greatest($"c_fr", $"c_es"), "de")
+            .when($"c_fr" >= $"c_es", "fr")
+            .otherwise("es").as("lang_pred"))
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "t_token_count" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens,
+        |  length(text)::BIGINT AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t_quality_score" ->
+      """SELECT doc_id,
+        |  len(toks)::BIGINT AS n_tokens,
+        |  round(list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks), 4) AS avg_token_len,
+        |  round(len(list_filter(toks, t -> list_contains(['the','and','of','to','a','in','is'], t)))::DOUBLE / len(toks), 4) AS stopword_ratio,
+        |  round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text), 4) AS punct_ratio
+        |FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "t_lang_id" -> {
+      val cEn = sqlStopCount(StopEn); val cDe = sqlStopCount(StopDe)
+      val cFr = sqlStopCount(StopFr); val cEs = sqlStopCount(StopEs)
+      s"""SELECT doc_id,
+         |  CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'unknown'
+         |       WHEN c_en >= greatest(c_de, c_fr, c_es) THEN 'en'
+         |       WHEN c_de >= greatest(c_fr, c_es) THEN 'de'
+         |       WHEN c_fr >= c_es THEN 'fr'
+         |       ELSE 'es' END AS lang_pred
+         |FROM (
+         |  SELECT doc_id, $cEn AS c_en, $cDe AS c_de, $cFr AS c_fr, $cEs AS c_es
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)
+         |) ORDER BY doc_id""".stripMargin
+    }
+  )
+}
