@@ -12,9 +12,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    VectorQueries.all ++ AnalyticsQueries.all ++ TextQueries.all ++ DedupQueries.all
+    VectorQueries.all ++ AnalyticsQueries.all ++ TextQueries.all ++
+      DedupQueries.all ++ IndexQueries.all ++ PipelineQueries.all
 
   /** DuckDB oracle SQL per query key (omitted ⇒ rows-only check). */
   def oracleSql: Map[String, String] =
-    VectorQueries.oracles ++ AnalyticsQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles
+    VectorQueries.oracles ++ AnalyticsQueries.oracles ++ TextQueries.oracles ++
+      DedupQueries.oracles ++ IndexQueries.oracles ++ PipelineQueries.oracles
 }

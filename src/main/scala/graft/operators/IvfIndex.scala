@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftVector._
+
+/** IVF (inverted-file) coarse index over an embedding column — the
+  * batch-Spark re-expression of the reference's ANN index build + search
+  * (/root/reference/include/hnsw_index.h). An HNSW graph is a pointer-
+  * chasing, shared-memory structure that cannot be traversed efficiently
+  * across executors; the Spark-native equivalent of "don't scan
+  * everything" is coarse quantization + partition pruning:
+  *
+  *  - build: MLlib KMeans (seeded) fits k centroids; every vector is
+  *    assigned to its nearest centroid. At scale the assignment table is
+  *    written `partitionBy(cluster_id)`, so a probe reads only matching
+  *    partitions — predicate pushdown for vectors.
+  *  - search: queries are assigned to their `nprobe` nearest centroids
+  *    (tiny broadcast cross join), then candidates are fetched by
+  *    cluster-id equi-join and ranked with the bounded top-k aggregate.
+  *
+  * ef_search ↔ nprobe: both trade recall for probe width.
+  */
+object IvfIndex {
+
+  /** Fit centroids + assignments. Returns (centroids, assignments):
+    * centroids(cluster_id int, centroid array<float>),
+    * assignments = input columns + cluster_id.
+    */
+  def build(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, maxIter: Int = 10, seed: Long = 42L)
+      : (DataFrame, DataFrame) = {
+    val spark = embeddings.sparkSession
+    val ds = embeddings.withColumn("__features", array_to_vector(col(vecCol)))
+    val model = new KMeans()
+      .setK(k).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("__features").setPredictionCol("cluster_id")
+      .fit(ds)
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (v, i) => (i, v.toArray.map(_.toFloat).toSeq) }
+      .toDF("cluster_id", "centroid")
+    val assignments = model.transform(ds).drop("__features")
+    (centroids, assignments)
+  }
+
+  /** ANN top-k: probe the nprobe nearest clusters per query. */
+  def search(centroids: DataFrame, assignments: DataFrame,
+      queries: DataFrame, // (query_id, qv array<float>)
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val spark = assignments.sparkSession
+    import spark.implicits._
+    // 1. query → nprobe nearest centroids (both sides tiny: broadcast)
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("cdist", l2Sq($"qv", $"centroid"))
+      .withColumn("crnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"query_id").orderBy($"cdist", $"cluster_id")))
+      .filter($"crnk" <= nprobe)
+      .select($"query_id", $"qv", $"cluster_id")
+    // 2. fetch candidates by cluster id (partition-pruned read at scale),
+    //    rank with the bounded heap.
+    assignments.join(broadcast(probes), "cluster_id")
+      .groupBy($"query_id")
+      .agg(topK(l2(col(vecCol), $"qv"), col(idCol), k).as("nn"))
+      .select($"query_id", posexplode($"nn"))
+      .select($"query_id", $"col.id".as("neighbor_id"),
+        ($"pos" + 1).cast("long").as("rnk"),
+        round($"col.score", 4).as("dist"))
+  }
+}

@@ -57,8 +57,10 @@ object DedupQueries {
     }),
 
     // MinHash + LSH near-dup candidates, verified by true Jaccard.
-    // 64 minhash permutations, 16 bands × 4 rows, all computed in one
-    // pass per row by the native MinHashBands expression. The LSH bucket
+    // Word-level minhash (shingle width 1) estimates word-SET Jaccard —
+    // the same measure d_jaccard_pairs computes exactly. 64 permutations,
+    // 16 bands × 4 rows (≈99% candidate recall at j=0.7), one pass per
+    // row via the native MinHashBands expression. The LSH bucket
     // join carries doc ids only; word sets are re-joined for verification
     // — the shape that survives wide payloads at scale.
     "d_dedup_minhash" -> ((s: SparkSession, d: String) => {
@@ -67,7 +69,7 @@ object DedupQueries {
         .select($"doc_id", array_distinct(toks($"text")).as("ws"))
       val buckets = docs
         .select($"doc_id",
-          posexplode(GraftText.minhashBands($"ws", 3, 64, 16))
+          posexplode(GraftText.minhashBands($"ws", 1, 64, 16))
             .as(Seq("band_id", "bh")))
       val cand = buckets.as("x").join(buckets.as("y"),
           $"x.band_id" === $"y.band_id" && $"x.bh" === $"y.bh" &&

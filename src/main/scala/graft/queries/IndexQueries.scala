@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftVector._
+import graft.Tables.load
+import graft.operators.{IvfIndex, LshBuckets}
+
+/** ANN-index surface: IVF build/search, LSH bucketing, recall evaluation
+  * (the recall_bench.cpp analog). IVF/LSH outputs depend on seeded
+  * training/hashing, so they are rows-only gated with property specs;
+  * recall@k and LSH histograms are exactly replicable in SQL.
+  */
+object IndexQueries {
+
+  private val NumQueries = 8
+  private val K = 10
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // IVF index build: centroid histogram (k=16, seeded).
+    "v_ivf_build" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val e = load(s, d, "embeddings")
+      val (_, assign) = IvfIndex.build(e, "vec_id", "embedding", k = 16)
+      assign.groupBy($"cluster_id")
+        .agg(count(lit(1)).as("n_vectors"))
+        .select($"cluster_id".cast("long").as("cluster_id"), $"n_vectors")
+        .orderBy("cluster_id")
+    }),
+
+    // IVF ANN search: k=10, nprobe=4 of 16 clusters.
+    "v_ivf_search" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val e = load(s, d, "embeddings")
+      val (cent, assign) = IvfIndex.build(e, "vec_id", "embedding", k = 16)
+      val q = e.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      IvfIndex.search(cent, assign, q, "vec_id", "embedding", K, nprobe = 4)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // LSH bucket histogram (8 seeded hyperplanes → 256 buckets).
+    "v_lsh_bucket" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      load(s, d, "embeddings")
+        .select(LshBuckets.bucket($"embedding", 64, 8).as("bucket"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_vectors"))
+        .orderBy("bucket")
+    }),
+
+    // recall@10 of inner-product ranking vs true-L2 ground truth — the
+    // Spark analog of benchmark/recall_bench.cpp's hit counting.
+    "v_recall_at_k" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val e = load(s, d, "embeddings")
+      val q = e.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      val pairs = e.crossJoin(broadcast(q))
+      val gt = pairs.groupBy($"query_id")
+        .agg(topK(l2($"embedding", $"qv"), $"vec_id", K).as("gt"))
+      val ap = pairs.groupBy($"query_id")
+        .agg(topK(-dot($"embedding", $"qv"), $"vec_id", K).as("ap"))
+      gt.join(ap, "query_id")
+        .select($"query_id",
+          round(
+            size(array_intersect(
+              transform($"gt", x => x.getField("id")),
+              transform($"ap", x => x.getField("id")))).cast("double") / K,
+            4).as("recall"))
+        .orderBy("query_id")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "v_lsh_bucket" -> {
+      val b = LshBuckets.bucketSql("embedding", 64, 8)
+      s"""SELECT $b AS bucket, count(*) AS n_vectors
+         |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
+
+    "v_recall_at_k" ->
+      """WITH ranked AS (
+        |  SELECT q.vec_id AS query_id, b.vec_id AS nid,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_distance(b.embedding::DOUBLE[], q.embedding::DOUBLE[]), b.vec_id) AS r_l2,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY -list_inner_product(b.embedding::DOUBLE[], q.embedding::DOUBLE[]), b.vec_id) AS r_dp
+        |  FROM embeddings b CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q
+        |)
+        |SELECT query_id,
+        |  round(len(list_intersect(
+        |    list(nid) FILTER (r_l2 <= 10),
+        |    list(nid) FILTER (r_dp <= 10)))::DOUBLE / 10, 4) AS recall
+        |FROM ranked GROUP BY query_id ORDER BY query_id""".stripMargin
+    // v_ivf_build / v_ivf_search: seeded-KMeans dependent → rows-only;
+    // recall property enforced in IvfIndexSpec.
+  )
+}
