@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.DedupQueries
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhash LSH candidates cover all exact j>=0.8 pairs") {
+    val mh = DedupQueries.all("d_dedup_minhash")(spark, sfDir)
+      .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = DedupQueries.all("d_jaccard_pairs")(spark, sfDir)
+      .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = (mh & exact).size.toDouble / exact.size
+    assert(recall >= 0.95, s"minhash candidate recall $recall < 0.95")
+  }
+
+  test("simhash of identical token lists is identical; small edit stays close") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox leaps over the lazy dog again and again"),
+      (4L, "completely unrelated text about spark query optimization engines")
+    ).toDF("id", "text")
+      .select($"id", GraftText.simhash64(split($"text", " ")).as("fp"))
+    val fp = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) === fp(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(3L)) <= 16)
+    assert(ham(fp(1L), fp(4L)) > ham(fp(1L), fp(3L)))
+  }
+
+  test("rolling hash fingerprint is deterministic and text-sensitive") {
+    val a = Seq(("x", 1)).toDF("t", "i")
+      .select(GraftText.rollingHash64(lit("hello world")).as("fp")).head().getLong(0)
+    val b = Seq(("x", 1)).toDF("t", "i")
+      .select(GraftText.rollingHash64(lit("hello world")).as("fp")).head().getLong(0)
+    val c = Seq(("x", 1)).toDF("t", "i")
+      .select(GraftText.rollingHash64(lit("hello world!")).as("fp")).head().getLong(0)
+    assert(a === b)
+    assert(a !== c)
+  }
+
+  test("minhash signature estimates jaccard") {
+    // two 200-word sets with 50% overlap → sig agreement ≈ 0.5 ± noise
+    val w1 = (0 until 200).map(i => s"w$i")
+    val w2 = (100 until 300).map(i => s"w$i")
+    val df = Seq((1L, w1), (2L, w2)).toDF("id", "ws")
+      .select($"id", GraftText.minhashSignature($"ws", 1, 256).as("sig"))
+    val sigs = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val agree = sigs(1L).zip(sigs(2L)).count { case (a, b) => a == b } / 256.0
+    val trueJ = 100.0 / 300.0
+    assert(math.abs(agree - trueJ) < 0.1, s"minhash estimate $agree vs $trueJ")
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftVector._
+import graft.operators.IvfIndex
+
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val e = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+  private lazy val q = e.filter($"vec_id" < 8)
+    .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+
+  private def bruteForce(k: Int): Map[Long, Seq[Long]] =
+    e.crossJoin(broadcast(q))
+      .groupBy($"query_id")
+      .agg(topK(l2($"embedding", $"qv"), $"vec_id", k).as("nn"))
+      .select($"query_id", transform($"nn", x => x.getField("id")).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+
+  test("IVF probing all clusters is exact (recall 1.0)") {
+    val (cent, assign) = IvfIndex.build(e, "vec_id", "embedding", k = 8)
+    val res = IvfIndex.search(cent, assign, q, "vec_id", "embedding", 10, nprobe = 8)
+      .groupBy($"query_id").agg(collect_list($"neighbor_id").as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val gt = bruteForce(10)
+    gt.foreach { case (qid, ids) =>
+      assert(res(qid) === ids.toSet, s"query $qid mismatch at full probe")
+    }
+  }
+
+  test("IVF partial probe trades recall for work but stays useful") {
+    val (cent, assign) = IvfIndex.build(e, "vec_id", "embedding", k = 8)
+    val res = IvfIndex.search(cent, assign, q, "vec_id", "embedding", 10, nprobe = 3)
+      .groupBy($"query_id").agg(collect_list($"neighbor_id").as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val gt = bruteForce(10)
+    val recall = gt.map { case (qid, ids) =>
+      (res.getOrElse(qid, Set.empty) & ids.toSet).size.toDouble / ids.size
+    }.sum / gt.size
+    // uniform-random 64-d vectors are ANN-hostile; still must beat the
+    // 3/8 random-cluster baseline clearly
+    assert(recall >= 0.5, s"IVF nprobe=3/8 recall $recall < 0.5")
+  }
+
+  test("build assigns every vector to exactly one of k clusters") {
+    val (cent, assign) = IvfIndex.build(e, "vec_id", "embedding", k = 8)
+    assert(cent.count() === 8)
+    assert(assign.count() === e.count())
+    val ids = assign.select("cluster_id").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(ids.subsetOf((0 until 8).toSet))
+  }
+}

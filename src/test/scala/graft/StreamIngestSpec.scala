@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamIngest
+import graft.streaming.StreamIngest.Upsert
+
+class StreamIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming latest-per-key state equals batch merge semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Upsert]
+    val query = StreamIngest.latestPerKey(stream.toDS())
+      .writeStream.format("memory").queryName("ingest_state")
+      .outputMode(OutputMode.Update()).start()
+
+    // micro-batch 1: initial writes (the "active buffer" fills)
+    stream.addData(Upsert(1L, 1L, 10.0), Upsert(2L, 1L, 20.0), Upsert(3L, 1L, 30.0))
+    query.processAllAvailable()
+    // micro-batch 2: overwrites + a late (stale) write that must lose
+    stream.addData(Upsert(1L, 3L, 11.0), Upsert(2L, 2L, 21.0), Upsert(1L, 2L, 99.0))
+    query.processAllAvailable()
+
+    val state = spark.table("ingest_state")
+      .groupBy($"key").agg(max_by($"value", $"seq").as("value"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    query.stop()
+    assert(state === Map(1L -> 11.0, 2L -> 21.0, 3L -> 30.0))
+  }
+
+  test("foreachBatch-style mergeBatch: newest seq wins") {
+    val base = Seq((1L, 1L, 10.0), (2L, 1L, 20.0)).toDF("key", "seq", "value")
+    val delta = Seq((1L, 2L, 11.0), (3L, 1L, 30.0)).toDF("key", "seq", "value")
+    val merged = StreamIngest.mergeBatch(base, delta, "key", "seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(merged === Set((1L, 2L, 11.0), (2L, 1L, 20.0), (3L, 1L, 30.0)))
+  }
+
+  test("streaming file-source ingest of vector batches unions with base") {
+    // batch-mode check of the union-view read path used for streamed
+    // vector inserts: base ∪ delta with id dedup (engine.h hybrid search
+    // over graph + buffers).
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding", lit(0L).as("seq"))
+    val delta = base.filter($"vec_id" % 50 === 0)
+      .select($"vec_id", $"embedding", lit(1L).as("seq"))
+    val merged = StreamIngest.mergeBatch(base, delta, "vec_id", "seq")
+    assert(merged.count() === base.count())
+    assert(merged.filter($"seq" === 1L).count() === delta.count())
+  }
+}
