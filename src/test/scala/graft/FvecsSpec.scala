@@ -1,0 +1,40 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Fvecs
+
+class FvecsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fvecs round-trip: write then read preserves vectors and order") {
+    val dir = Files.createDirectories(Paths.get("target/tmp-fvecs"))
+    val f = dir.resolve("sample.fvecs").toString
+    val src = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .orderBy("vec_id").limit(100)
+      .select($"vec_id".as("id"), $"embedding".as("vector"))
+    Fvecs.writeFvecs(src, f)
+
+    val back = Fvecs.readFvecs(spark, f)
+    assert(back.count() === 100)
+    val orig = src.collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val got = back.orderBy("id").collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+    // file ids are positional 0..99; original vec_ids are 0..99 ordered
+    orig.zip(got).foreach { case ((_, v0), (_, v1)) => assert(v0 === v1) }
+  }
+
+  test("ivecs reader parses int lists") {
+    val dir = Files.createDirectories(Paths.get("target/tmp-fvecs"))
+    val f = dir.resolve("gt.ivecs")
+    val bb = java.nio.ByteBuffer.allocate(2 * (4 + 3 * 4))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(3).putInt(7).putInt(8).putInt(9)
+    bb.putInt(3).putInt(1).putInt(2).putInt(3)
+    Files.write(f, bb.array())
+    val got = Fvecs.readIvecs(spark, f.toString).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+    assert(got === Array((0L, Seq(7, 8, 9)), (1L, Seq(1, 2, 3))))
+  }
+}
