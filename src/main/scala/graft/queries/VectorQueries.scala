@@ -97,6 +97,22 @@ object VectorQueries {
         .orderBy("query_id", "neighbor_id")
     }),
 
+    // All-pairs near-neighbor self-join (dist < r). Exact quadratic form
+    // here (the oracle); at scale the identical semantics run behind the
+    // LSH bucket prefilter (LshBuckets) — compare only within buckets.
+    "v_knn_self_pairs" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val e = load(s, d, "embeddings")
+      val a = e.select($"vec_id".as("vec_a"), $"embedding".as("va"))
+      val b = e.select($"vec_id".as("vec_b"), $"embedding".as("vb"))
+      a.crossJoin(b)
+        .filter($"vec_a" < $"vec_b")
+        .withColumn("dist", round(l2($"va", $"vb"), 4))
+        .filter($"dist" < 1.1)
+        .select($"vec_a", $"vec_b", $"dist")
+        .orderBy("vec_a", "vec_b")
+    }),
+
     // Upsert merge: base ∪ delta, latest write wins per id — the batch
     // analog of engine.h insert() + background flush compaction.
     "v_insert_merge" -> ((s: SparkSession, d: String) => {
@@ -154,6 +170,13 @@ object VectorQueries {
         |  FROM embeddings b CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q
         |  WHERE b.vec_id != q.vec_id
         |) WHERE dist < 1.2 ORDER BY query_id, neighbor_id""".stripMargin,
+
+    "v_knn_self_pairs" ->
+      """SELECT vec_a, vec_b, dist FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS dist
+        |  FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id < b.vec_id
+        |) WHERE dist < 1.1 ORDER BY vec_a, vec_b""".stripMargin,
 
     "v_insert_merge" ->
       """WITH u AS (
