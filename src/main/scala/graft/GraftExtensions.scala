@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** SparkSessionExtensions entry point: registers every graft SQL function
+  * so the library plugs into any session via
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`), mirroring how the reference
+  * exposes its engine behind a service interface
+  * (/root/reference/proto/vector_search.proto) — here the "service
+  * surface" is SQL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def reg(name: String, usage: String)(b: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), b))
+
+    reg("graft_l2", "graft_l2(a, b) - Euclidean distance between float vectors") {
+      es => L2Distance(es(0), es(1)) }
+    reg("graft_l2sq", "graft_l2sq(a, b) - squared L2 distance") {
+      es => L2SqDistance(es(0), es(1)) }
+    reg("graft_dot", "graft_dot(a, b) - inner product") {
+      es => DotProduct(es(0), es(1)) }
+    reg("graft_cosine", "graft_cosine(a, b) - cosine similarity") {
+      es => CosineSimilarity(es(0), es(1)) }
+    reg("graft_norm", "graft_norm(a) - L2 norm") {
+      es => VectorNorm(es(0)) }
+    reg("graft_simhash", "graft_simhash(tokens) - 64-bit simhash") {
+      es => SimHash64(es(0)) }
+    reg("graft_fingerprint", "graft_fingerprint(text) - FNV-1a 64 fingerprint") {
+      es => RollingHash64(es(0)) }
+    reg("graft_minhash", "graft_minhash(tokens, width, n) - minhash signature") {
+      es => MinHashSignature(es(0),
+        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int]) }
+    reg("graft_minhash_bands", "graft_minhash_bands(tokens, width, n, bands) - LSH band keys") {
+      es => MinHashBands(es(0), es(1).eval().asInstanceOf[Int],
+        es(2).eval().asInstanceOf[Int], es(3).eval().asInstanceOf[Int]) }
+  }
+}

@@ -22,4 +22,15 @@ object Shims {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Apply an extensions object's injected functions to a LIVE session —
+    * `withExtensions` only takes effect for newly built sessions, so this
+    * is the path for attaching to an existing one (and for testing the
+    * extension registrations without tearing down the shared context). */
+  def applyFunctionExtensions(spark: SparkSession,
+      f: org.apache.spark.sql.SparkSessionExtensions => Unit): Unit = {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    f(ext)
+    ext.registerFunctions(spark.sessionState.functionRegistry)
+  }
 }

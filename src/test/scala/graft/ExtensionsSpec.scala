@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.graft.Shims
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("GraftExtensions SQL functions work end-to-end") {
+    Shims.applyFunctionExtensions(spark, new GraftExtensions)
+    val r = spark.sql(
+      """SELECT graft_l2sq(array(1.0f, 2.0f), array(1.0f, 4.0f)) AS d,
+        |       graft_l2(array(0.0f, 3.0f), array(4.0f, 0.0f)) AS e,
+        |       graft_dot(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS dp,
+        |       graft_cosine(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS c,
+        |       graft_norm(array(3.0f, 4.0f)) AS n,
+        |       graft_simhash(array('a', 'b')) AS s,
+        |       graft_fingerprint('hello') AS f,
+        |       graft_minhash(array('a', 'b', 'c'), 1, 8) AS m,
+        |       graft_minhash_bands(array('a', 'b', 'c'), 1, 8, 4) AS mb
+        |""".stripMargin).head()
+    assert(r.getDouble(0) === 4.0)
+    assert(r.getDouble(1) === 5.0)
+    assert(r.getDouble(2) === 11.0)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
+    assert(r.getDouble(4) === 5.0)
+    assert(r.getSeq[Long](7).length === 8)
+    assert(r.getSeq[Long](8).length === 4)
+  }
+
+  test("identical token sets give identical minhash via SQL and Column API") {
+    Shims.applyFunctionExtensions(spark, new GraftExtensions)
+    import spark.implicits._
+    val viaSql = spark.sql(
+      "SELECT graft_minhash(array('x','y','z'), 1, 16) AS m").head().getSeq[Long](0)
+    val viaCol = Seq(Seq("x", "y", "z")).toDF("t")
+      .select(GraftText.minhashSignature($"t", 1, 16)).head().getSeq[Long](0)
+    assert(viaSql === viaCol)
+  }
+}
