@@ -96,6 +96,34 @@ object AnalyticsQueries {
         .orderBy($"p_brand", $"rnk")
     }),
 
+    // Hierarchical rollup totals (grouping-sets family).
+    "q_rollup_revenue" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      load(s, d, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+          $"revenue", $"n_items")
+        .orderBy("returnflag", "linestatus")
+    }),
+
+    // Distribution stats per event type: exact interpolated percentiles
+    // + exact distinct users.
+    "q_percentiles" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      load(s, d, "events")
+        .groupBy($"event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"),
+          countDistinct($"user_id").as("n_users"))
+        .orderBy("event_type")
+    }),
+
     // Tumbling 1-hour windows per event type.
     "q_event_window_agg" -> ((s: SparkSession, d: String) => {
       import s.implicits._
@@ -211,6 +239,23 @@ object AnalyticsQueries {
         |    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |    GROUP BY p.p_brand, l.l_partkey)
         |) WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin,
+
+    "q_rollup_revenue" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(quantile_cont(value, 0.99), 4) AS p99,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_event_window_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,

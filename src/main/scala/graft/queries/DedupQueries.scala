@@ -128,6 +128,24 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Edit-distance near-dup pairs on short documents (levenshtein is
+    // O(len²) per pair, so the operator is length-gated by contract —
+    // the n-gram/minhash paths handle long docs).
+    "d_edit_distance" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val short = load(s, d, "documents")
+        .filter($"n_chars" < 120)
+        .select($"doc_id", $"lang", $"text")
+      val a = short.select($"doc_id".as("doc_a"), $"lang", $"text".as("ta"))
+      val b = short.select($"doc_id".as("doc_b"), $"lang", $"text".as("tb"))
+      a.join(b, "lang")
+        .filter($"doc_a" < $"doc_b")
+        .withColumn("edit_dist", levenshtein($"ta", $"tb").cast("long"))
+        .filter($"edit_dist" <= 40)
+        .select($"doc_a", $"doc_b", $"edit_dist")
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Embedding-cosine near-dup pairs within a label partition.
     "d_embed_neardup" -> ((s: SparkSession, d: String) => {
       import s.implicits._
@@ -166,6 +184,15 @@ object DedupQueries {
         |    AND a.doc_id < b.doc_id
         |    AND 5 * least(a.nw, b.nw) >= 4 * greatest(a.nw, b.nw)
         |) WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d_edit_distance" ->
+      """SELECT doc_a, doc_b, edit_dist FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    levenshtein(a.text, b.text)::BIGINT AS edit_dist
+        |  FROM documents a JOIN documents b
+        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE a.n_chars < 120 AND b.n_chars < 120
+        |) WHERE edit_dist <= 40 ORDER BY doc_a, doc_b""".stripMargin,
 
     "d_embed_neardup" ->
       """SELECT vec_a, vec_b, round(cos_sim, 4) AS cos_sim FROM (
