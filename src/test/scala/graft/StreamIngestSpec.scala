@@ -39,6 +39,38 @@ class StreamIngestSpec extends SparkSpec {
     assert(merged === Set((1L, 2L, 11.0), (2L, 1L, 20.0), (3L, 1L, 30.0)))
   }
 
+  test("file-source readStream + foreachBatch merge reaches batch state") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = "target/tmp-stream/in"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("target/tmp-stream"))
+    Files.createDirectories(Paths.get(dir))
+    // two delta files = two micro-batches of vector upserts
+    Seq((1L, 1L, 10.0), (2L, 1L, 20.0)).toDF("key", "seq", "value")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq((1L, 2L, 11.0), (3L, 1L, 30.0)).toDF("key", "seq", "value")
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    var state = Seq.empty[(Long, Long, Double)].toDF("key", "seq", "value")
+    val q = spark.readStream
+      .schema("key LONG, seq LONG, value DOUBLE")
+      .option("maxFilesPerTrigger", "1") // one "immutable buffer" per flush
+      .parquet(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        state = StreamIngest.mergeBatch(state, batch.toDF(), "key", "seq")
+          .localCheckpoint(true)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", "target/tmp-stream/ckpt")
+      .start()
+    q.awaitTermination(60000)
+
+    val got = state.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set((1L, 2L, 11.0), (2L, 1L, 20.0), (3L, 1L, 30.0)))
+  }
+
   test("streaming file-source ingest of vector batches unions with base") {
     // batch-mode check of the union-view read path used for streamed
     // vector inserts: base ∪ delta with id dedup (engine.h hybrid search
