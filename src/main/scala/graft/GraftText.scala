@@ -19,4 +19,8 @@ object GraftText {
 
   def rollingHash64(text: Column): Column =
     Shims.column(RollingHash64(Shims.expression(text)))
+
+  /** Jaccard of two SORTED distinct string arrays (merge scan). */
+  def jaccardSorted(a: Column, b: Column): Column =
+    Shims.column(JaccardSorted(Shims.expression(a), Shims.expression(b)))
 }

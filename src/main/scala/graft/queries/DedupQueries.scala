@@ -49,7 +49,8 @@ object DedupQueries {
     "d_jaccard_pairs" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       val docs = load(s, d, "documents")
-        .select($"doc_id", $"lang", array_distinct(toks($"text")).as("ws"))
+        .select($"doc_id", $"lang",
+          sort_array(array_distinct(toks($"text"))).as("ws"))
         .withColumn("nw", size($"ws").cast("long"))
         .withColumn("band", ($"nw" / 25).cast("long"))
       val a = docs.select($"doc_id".as("doc_a"), $"lang", $"band",
@@ -59,9 +60,7 @@ object DedupQueries {
       a.join(b, Seq("lang", "band"))
         .filter($"doc_a" < $"doc_b" &&
           lit(5) * least($"na", $"nb") >= lit(4) * greatest($"na", $"nb"))
-        .withColumn("jaccard",
-          size(array_intersect($"wa", $"wb")).cast("double") /
-            size(array_union($"wa", $"wb")))
+        .withColumn("jaccard", GraftText.jaccardSorted($"wa", $"wb"))
         .filter($"jaccard" >= 0.8)
         .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
         .orderBy("doc_a", "doc_b")
@@ -79,7 +78,7 @@ object DedupQueries {
     "d_dedup_minhash" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       val docs = load(s, d, "documents")
-        .select($"doc_id", array_distinct(toks($"text")).as("ws"))
+        .select($"doc_id", sort_array(array_distinct(toks($"text"))).as("ws"))
       val buckets = docs
         .select($"doc_id",
           posexplode(GraftText.minhashBands($"ws", 1, 64, 16))
@@ -93,9 +92,7 @@ object DedupQueries {
       val verified = edges
         .join(docs.select($"doc_id", $"ws".as("wa")), "doc_id")
         .join(docs.select($"doc_id".as("rep"), $"ws".as("wb")), "rep")
-        .filter(
-          size(array_intersect($"wa", $"wb")).cast("double") /
-            size(array_union($"wa", $"wb")) >= 0.7)
+        .filter(GraftText.jaccardSorted($"wa", $"wb") >= 0.7)
         .groupBy($"doc_id")
         .agg(min($"rep").as("keeper"))
       docs.join(verified, Seq("doc_id"), "left")

@@ -113,6 +113,35 @@ object VectorQueries {
         .orderBy("vec_a", "vec_b")
     }),
 
+    // Hybrid search (engine.h:search_knn): the reference fans a query out
+    // over un-flushed write buffers AND the static index, merging one
+    // top-k heap. Spark-natively: resolve latest-wins state (base ∪
+    // delta), then kNN over the merged view — same result contract, one
+    // declarative plan. Delta here: every 5th vector is "re-inserted"
+    // with its successor's embedding.
+    "v_hybrid_search" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val e = load(s, d, "embeddings")
+      val delta = e.as("x")
+        .join(e.select(($"vec_id" - 1).as("vec_id"), $"embedding".as("emb2")), "vec_id")
+        .filter($"vec_id" % 5 === 0)
+        .select($"vec_id", $"emb2".as("embedding"), lit(1).as("pri"))
+      val merged = e.select($"vec_id", $"embedding", lit(0).as("pri"))
+        .unionByName(delta)
+        .groupBy($"vec_id")
+        .agg(max_by($"embedding", $"pri").as("embedding"))
+      val q = merged.filter($"vec_id" < 8)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      merged.crossJoin(broadcast(q))
+        .groupBy($"query_id")
+        .agg(topK(l2($"embedding", $"qv"), $"vec_id", K).as("nn"))
+        .select($"query_id", posexplode($"nn"))
+        .select($"query_id", $"col.id".as("neighbor_id"),
+          ($"pos" + 1).cast("long").as("rnk"),
+          round($"col.score", 4).as("dist"))
+        .orderBy("query_id", "rnk")
+    }),
+
     // Upsert merge: base ∪ delta, latest write wins per id — the batch
     // analog of engine.h insert() + background flush compaction.
     "v_insert_merge" -> ((s: SparkSession, d: String) => {
@@ -177,6 +206,25 @@ object VectorQueries {
         |    round(list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS dist
         |  FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id < b.vec_id
         |) WHERE dist < 1.1 ORDER BY vec_a, vec_b""".stripMargin,
+
+    "v_hybrid_search" ->
+      """WITH delta AS (
+        |  SELECT x.vec_id, y.embedding, 1 AS pri
+        |  FROM embeddings x JOIN embeddings y ON y.vec_id = x.vec_id + 1
+        |  WHERE x.vec_id % 5 = 0
+        |), m AS (
+        |  SELECT vec_id, max_by(embedding, pri) AS embedding FROM (
+        |    SELECT vec_id, embedding, 0 AS pri FROM embeddings
+        |    UNION ALL SELECT vec_id, embedding, pri FROM delta
+        |  ) GROUP BY vec_id
+        |), q AS (SELECT vec_id AS query_id, embedding AS qv FROM m WHERE vec_id < 8)
+        |SELECT query_id, neighbor_id, rnk, dist FROM (
+        |  SELECT q.query_id, b.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_distance(b.embedding::DOUBLE[], q.qv::DOUBLE[]), b.vec_id) AS rnk,
+        |    round(list_distance(b.embedding::DOUBLE[], q.qv::DOUBLE[]), 4) AS dist
+        |  FROM m b CROSS JOIN q
+        |) WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
 
     "v_insert_merge" ->
       """WITH u AS (

@@ -1,0 +1,46 @@
+package graft
+
+import graft.queries.{AnalyticsQueries, VectorQueries}
+
+/** Physical-plan regression guards: the properties that make these
+  * operators scale must stay visible in the plan, not just hold by luck.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(block: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame],
+      name: String): String =
+    block(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("kNN: broadcast queries + map-side partial top-k, no window-over-crossjoin") {
+    val p = planOf(VectorQueries.all, "v_knn_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin"), "queries must broadcast")
+    assert(p.contains("partial_v_top_k"), "top-k must partial-aggregate map-side")
+    assert(!p.contains("Window"), "kNN must not rank a materialized cross join")
+  }
+
+  test("kNN: query-set filter is pushed to the parquet scan") {
+    val p = planOf(VectorQueries.all, "v_knn_bruteforce")
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,8)]"),
+      s"filter not pushed:\n${p.linesIterator.filter(_.contains("Pushed")).mkString("\n")}")
+  }
+
+  test("q5: dimension joins broadcast (no shuffle join for region/nation)") {
+    val p = planOf(AnalyticsQueries.all, "q5_local_supplier")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q1: aggregation has a partial (map-side) phase") {
+    val p = planOf(AnalyticsQueries.all, "q1_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      "q1 must map-side combine")
+    // column pruning: only the 7 needed lineitem columns are read
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_orderkey"), s"unneeded column read: $read")
+  }
+
+  test("sessionize: single exchange on user_id feeds both window and agg") {
+    val p = planOf(AnalyticsQueries.all, "q_sessionize")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange hashpartitioning(user_id"))
+    assert(exchanges <= 1, s"sessionization should shuffle on user_id once:\n$p")
+  }
+}
