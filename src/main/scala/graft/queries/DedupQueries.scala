@@ -132,11 +132,14 @@ object DedupQueries {
       import s.implicits._
       val short = load(s, d, "documents")
         .filter($"n_chars" < 120)
-        .select($"doc_id", $"lang", $"text")
-      val a = short.select($"doc_id".as("doc_a"), $"lang", $"text".as("ta"))
-      val b = short.select($"doc_id".as("doc_b"), $"lang", $"text".as("tb"))
+        .select($"doc_id", $"lang", $"text", $"n_chars")
+      val a = short.select($"doc_id".as("doc_a"), $"lang", $"text".as("ta"),
+        $"n_chars".as("ca"))
+      val b = short.select($"doc_id".as("doc_b"), $"lang", $"text".as("tb"),
+        $"n_chars".as("cb"))
       a.join(b, "lang")
-        .filter($"doc_a" < $"doc_b")
+        // |len diff| is a levenshtein lower bound: lossless prefilter
+        .filter($"doc_a" < $"doc_b" && abs($"ca" - $"cb") <= 40)
         .withColumn("edit_dist", levenshtein($"ta", $"tb").cast("long"))
         .filter($"edit_dist" <= 40)
         .select($"doc_a", $"doc_b", $"edit_dist")
@@ -189,6 +192,7 @@ object DedupQueries {
         |  FROM documents a JOIN documents b
         |    ON a.lang = b.lang AND a.doc_id < b.doc_id
         |  WHERE a.n_chars < 120 AND b.n_chars < 120
+        |    AND abs(a.n_chars - b.n_chars) <= 40
         |) WHERE edit_dist <= 40 ORDER BY doc_a, doc_b""".stripMargin,
 
     "d_embed_neardup" ->
