@@ -8,8 +8,12 @@ import graft.queries.{AnalyticsQueries, VectorQueries}
 class PlanSpec extends SparkSpec {
 
   private def planOf(block: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame],
-      name: String): String =
+      name: String): String = {
+    // other suites may have cached the same parquet relations, which
+    // swaps scans for InMemoryTableScan and hides pushdown info
+    spark.catalog.clearCache()
     block(name)(spark, sfDir).queryExecution.executedPlan.toString
+  }
 
   test("kNN: broadcast queries + map-side partial top-k, no window-over-crossjoin") {
     val p = planOf(VectorQueries.all, "v_knn_bruteforce")
