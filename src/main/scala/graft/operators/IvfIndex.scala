@@ -65,10 +65,10 @@ object IvfIndex {
     //    rank with the bounded heap.
     assignments.join(broadcast(probes), "cluster_id")
       .groupBy($"query_id")
-      .agg(topK(l2(col(vecCol), $"qv"), col(idCol), k).as("nn"))
+      .agg(topK(l2Sq(col(vecCol), $"qv"), col(idCol), k).as("nn"))
       .select($"query_id", posexplode($"nn"))
       .select($"query_id", $"col.id".as("neighbor_id"),
         ($"pos" + 1).cast("long").as("rnk"),
-        round($"col.score", 4).as("dist"))
+        round(sqrt($"col.score"), 4).as("dist"))
   }
 }

@@ -73,13 +73,16 @@ object VectorQueries {
         .select($"vec_id".as("query_id"), $"embedding".as("qv"))
       e.crossJoin(broadcast(q))
         .groupBy($"query_id")
-        .agg(topK(l2($"embedding", $"qv"), $"vec_id", K).as("nn"))
+        // rank by squared distance — sqrt is monotone, so the top-k set
+        // and order are identical; the sqrt is paid on k rows, not N
+        // (distance.cpp pulls the same trick by never rooting sums)
+        .agg(topK(l2Sq($"embedding", $"qv"), $"vec_id", K).as("nn"))
         .select($"query_id", posexplode($"nn"))
         .select(
           $"query_id",
           $"col.id".as("neighbor_id"),
           ($"pos" + 1).cast("long").as("rnk"),
-          round($"col.score", 4).as("dist"))
+          round(sqrt($"col.score"), 4).as("dist"))
         .orderBy("query_id", "rnk")
     }),
 
@@ -134,11 +137,11 @@ object VectorQueries {
         .select($"vec_id".as("query_id"), $"embedding".as("qv"))
       merged.crossJoin(broadcast(q))
         .groupBy($"query_id")
-        .agg(topK(l2($"embedding", $"qv"), $"vec_id", K).as("nn"))
+        .agg(topK(l2Sq($"embedding", $"qv"), $"vec_id", K).as("nn"))
         .select($"query_id", posexplode($"nn"))
         .select($"query_id", $"col.id".as("neighbor_id"),
           ($"pos" + 1).cast("long").as("rnk"),
-          round($"col.score", 4).as("dist"))
+          round(sqrt($"col.score"), 4).as("dist"))
         .orderBy("query_id", "rnk")
     }),
 
