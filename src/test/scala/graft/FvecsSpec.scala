@@ -25,6 +25,25 @@ class FvecsSpec extends SparkSpec {
     orig.zip(got).foreach { case ((_, v0), (_, v1)) => assert(v0 === v1) }
   }
 
+  test("DataSource V2: spark.read.format(\"fvecs\") matches the RDD reader") {
+    val dir = Files.createDirectories(Paths.get("target/tmp-fvecs"))
+    val f = dir.resolve("sample.fvecs").toString
+    if (!Files.exists(Paths.get(f))) {
+      val src = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .orderBy("vec_id").limit(100)
+        .select($"vec_id".as("id"), $"embedding".as("vector"))
+      Fvecs.writeFvecs(src, f)
+    }
+    val v2 = spark.read.format("fvecs").load(f)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(1), r.getSeq[Float](2)))
+    val rdd = Fvecs.readFvecs(spark, f)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    assert(v2.length === 100)
+    assert(v2 === rdd)
+  }
+
   test("ivecs reader parses int lists") {
     val dir = Files.createDirectories(Paths.get("target/tmp-fvecs"))
     val f = dir.resolve("gt.ivecs")
