@@ -56,6 +56,22 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Corpus-level token frequencies: top-10 tokens per language
+    // (explode → count → windowed top-k; count ties broken by token).
+    "t_top_tokens" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"n".desc, $"token")
+      load(s, d, "documents")
+        .select($"lang", explode(tokens($"text")).as("token"))
+        .groupBy($"lang", $"token")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter($"rnk" <= 10)
+        .select($"lang", $"token", $"n", $"rnk")
+        .orderBy("lang", "rnk")
+    }),
+
     // Document fingerprint: FNV-1a 64 over raw text (rows-only check —
     // the exact hash family is library-defined; properties in TextSpec).
     "t_fingerprint" -> ((s: SparkSession, d: String) => {
@@ -102,6 +118,17 @@ object TextQueries {
         |  round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text), 4) AS punct_ratio
         |FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "t_top_tokens" ->
+      """SELECT lang, token, n, rnk FROM (
+        |  SELECT lang, token, n,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rnk
+        |  FROM (
+        |    SELECT lang, token, count(*) AS n FROM (
+        |      SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |      FROM documents)
+        |    GROUP BY lang, token)
+        |) WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
 
     "t_lang_id" -> {
       val cEn = sqlStopCount(StopEn); val cDe = sqlStopCount(StopDe)
