@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.GraftVector._
 import graft.Tables.load
-import graft.operators.{IvfIndex, LshBuckets}
+import graft.operators.{IvfIndex, LshBuckets, PqIndex}
 
 /** ANN-index surface: IVF build/search, LSH bucketing, recall evaluation
   * (the recall_bench.cpp analog). IVF/LSH outputs depend on seeded
@@ -37,6 +37,19 @@ object IndexQueries {
       val q = e.filter($"vec_id" < NumQueries)
         .select($"vec_id".as("query_id"), $"embedding".as("qv"))
       IvfIndex.search(cent, assign, q, "vec_id", "embedding", K, nprobe = 4)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // Product-quantization ANN: 8×16 codebooks (32× compression),
+    // asymmetric-distance top-k as a join-aggregate.
+    "v_pq_search" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val e = load(s, d, "embeddings")
+      val (books, codes) = PqIndex.build(e, "vec_id", "embedding",
+        dim = 64, numSub = 8, codebookSize = 16)
+      val q = e.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      PqIndex.search(books, codes, q, "vec_id", dim = 64, numSub = 8, k = K)
         .orderBy("query_id", "rnk")
     }),
 
