@@ -36,6 +36,11 @@ object GraftVector {
       TopKByScore(Shims.expression(score), Shims.expression(id), k)
         .toAggregateExpression())
 
+  /** Element-wise mean of a float-vector column (centroid aggregate). */
+  def vectorAvg(vec: Column): Column =
+    Shims.column(
+      graft.operators.VectorAvg(Shims.expression(vec)).toAggregateExpression())
+
   /** Register SQL names (graft_l2 etc.) on a session. */
   def register(spark: SparkSession): Unit = {
     Shims.registerFunction(spark, "graft_l2", es => L2Distance(es(0), es(1)))

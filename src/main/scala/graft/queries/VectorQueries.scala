@@ -145,6 +145,19 @@ object VectorQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // Per-label centroids via the distributive VectorAvg aggregate
+    // (exploded to scalar rows for the oracle).
+    "v_centroids" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      load(s, d, "embeddings")
+        .groupBy($"label")
+        .agg(vectorAvg($"embedding").as("c"))
+        .select($"label", posexplode($"c"))
+        .select($"label", $"pos".cast("long").as("idx"),
+          round($"col", 4).as("v"))
+        .orderBy("label", "idx")
+    }),
+
     // Upsert merge: base ∪ delta, latest write wins per id — the batch
     // analog of engine.h insert() + background flush compaction.
     "v_insert_merge" -> ((s: SparkSession, d: String) => {
@@ -228,6 +241,11 @@ object VectorQueries {
         |    round(list_distance(b.embedding::DOUBLE[], q.qv::DOUBLE[]), 4) AS dist
         |  FROM m b CROSS JOIN q
         |) WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    "v_centroids" ->
+      """SELECT label, i - 1 AS idx, round(avg(embedding[i]), 4) AS v
+        |FROM embeddings, range(1, 65) t(i)
+        |GROUP BY label, i ORDER BY label, idx""".stripMargin,
 
     "v_insert_merge" ->
       """WITH u AS (
