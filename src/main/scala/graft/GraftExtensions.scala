@@ -45,5 +45,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("graft_minhash_bands", "graft_minhash_bands(tokens, width, n, bands) - LSH band keys") {
       es => MinHashBands(es(0), es(1).eval().asInstanceOf[Int],
         es(2).eval().asInstanceOf[Int], es(3).eval().asInstanceOf[Int]) }
+    reg("graft_jaccard", "graft_jaccard(a, b) - Jaccard of sorted distinct string arrays") {
+      es => JaccardSorted(es(0), es(1)) }
+    // aggregates
+    reg("graft_topk", "graft_topk(score, id, k) - k smallest (score,id) pairs") {
+      es => graft.operators.TopKByScore(es(0), es(1),
+        es(2).eval().asInstanceOf[Int]) }
+    reg("graft_vector_avg", "graft_vector_avg(vec) - element-wise mean") {
+      es => graft.operators.VectorAvg(es(0)) }
   }
 }

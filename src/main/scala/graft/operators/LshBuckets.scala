@@ -7,7 +7,11 @@ import org.apache.spark.sql.functions._
 
 import graft.GraftVector._
 
-/** Signed-random-projection LSH for embeddings: `nPlanes` Gaussian
+/** Signed-random-projection LSH for embeddings — an ANN pre-filter
+  * playing the role of the reference's graph traversal pruning
+  * (/root/reference/include/hnsw_index.h:search_layer narrows candidates
+  * structurally; LSH narrows them probabilistically, which distributes):
+  * `nPlanes` Gaussian
   * hyperplanes (seeded, regenerated identically everywhere — no state to
   * ship), bucket id = sign-bit vector of the projections. Near vectors
   * (cosine) collide with probability 1 - θ/π per bit. This is the

@@ -3,7 +3,10 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal column plumbing: media payloads ride as opaque `binary`
+/** Multimodal column plumbing (beyond the reference's float-vector-only
+  * data model — /root/reference/proto/vector_search.proto carries
+  * `repeated float`; a training-data pipeline also moves the raw media
+  * the vectors describe): media payloads ride as opaque `binary`
   * columns with a typed metadata struct; feature extraction runs as a
   * typed `mapPartitions` (the Scala analog of `mapInPandas` batch UDFs) so
   * heavyweight decoders initialize once per partition, not per row.

@@ -26,6 +26,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getSeq[Long](8).length === 4)
   }
 
+  test("SQL aggregates: graft_topk and graft_vector_avg") {
+    Shims.applyFunctionExtensions(spark, new GraftExtensions)
+    import spark.implicits._
+    Seq((1L, 5.0, 10L), (1L, 1.0, 11L), (1L, 3.0, 12L))
+      .toDF("g", "s", "id").createOrReplaceTempView("t_agg")
+    val top = spark.sql(
+      "SELECT graft_topk(s, id, 2) AS t FROM t_agg GROUP BY g")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(top === Seq((1.0, 11L), (3.0, 12L)))
+    Seq((1L, Seq(1f, 3f)), (1L, Seq(3f, 5f))).toDF("g", "v")
+      .createOrReplaceTempView("t_vec_agg")
+    val avg = spark.sql(
+      "SELECT graft_vector_avg(v) AS c FROM t_vec_agg GROUP BY g")
+      .head().getSeq[Double](0)
+    assert(avg === Seq(2.0, 4.0))
+  }
+
   test("identical token sets give identical minhash via SQL and Column API") {
     Shims.applyFunctionExtensions(spark, new GraftExtensions)
     import spark.implicits._
