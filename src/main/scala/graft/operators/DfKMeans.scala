@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftVector._
+
+/** DataFrame-native Lloyd's k-means, batched over independent GROUPS:
+  * one invocation fits a separate codebook for every `group` value in the
+  * input (e.g. all 8 PQ subspaces at once) — per-iteration cost is two
+  * shuffles TOTAL, not two per group, which is what makes PQ codebook
+  * training cheap. Centroid recomputation is the [[VectorAvg]]
+  * distributive aggregate; assignment is an argmin over broadcast
+  * centroids. Deterministic: init takes each group's first k vectors in
+  * id order (no RNG), and ties break on centroid code.
+  *
+  * This is the "index build" computation of the reference
+  * (/root/reference/include/hnsw_index.h builds a graph; a quantizer
+  * builds codebooks) expressed as pure Catalyst — no MLlib, no driver
+  * loops over data.
+  */
+object DfKMeans {
+
+  /** points: (group int, id long, vec array<float>).
+    * Returns (group, code int, centroid array<float>). */
+  def fit(points: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+
+    val byGroup = Window.partitionBy($"group").orderBy($"id")
+    var cent = points
+      .withColumn("rn", row_number().over(byGroup))
+      .filter($"rn" <= k)
+      .select($"group", ($"rn" - 1).cast("int").as("code"),
+        $"vec".as("centroid"))
+      .cache()
+
+    var i = 0
+    while (i < iters) {
+      val assigned = points.join(broadcast(cent), "group")
+        .withColumn("d", l2Sq($"vec", $"centroid"))
+        .groupBy($"group", $"id")
+        .agg(min_by($"code", struct($"d", $"code")).as("code"),
+          first($"vec").as("vec"))
+      val recomputed = assigned.groupBy($"group", $"code")
+        .agg(vectorAvg($"vec").as("cd"))
+        .select($"group", $"code",
+          transform($"cd", x => x.cast("float")).as("newCentroid"))
+      // keep the previous centroid for clusters that went empty
+      val next = cent.join(recomputed, Seq("group", "code"), "left")
+        .select($"group", $"code",
+          coalesce($"newCentroid", $"centroid").as("centroid"))
+        .cache()
+      next.count() // materialize before unpersisting the parent
+      cent.unpersist()
+      cent = next
+      i += 1
+    }
+    cent
+  }
+
+  /** Assign each point to its nearest centroid → (group, id, code). */
+  def assign(points: DataFrame, cent: DataFrame): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points.join(broadcast(cent), "group")
+      .withColumn("d", l2Sq($"vec", $"centroid"))
+      .groupBy($"group", $"id")
+      .agg(min_by($"code", struct($"d", $"code")).as("code"))
+  }
+}

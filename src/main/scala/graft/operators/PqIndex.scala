@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -29,29 +27,31 @@ object PqIndex {
     */
   def build(embeddings: DataFrame, idCol: String, vecCol: String,
       dim: Int, numSub: Int = 8, codebookSize: Int = 16,
-      seed: Long = 42L): (DataFrame, DataFrame) = {
+      iters: Int = 5): (DataFrame, DataFrame) = {
     require(dim % numSub == 0, "numSub must divide dim")
     val subDim = dim / numSub
     val spark = embeddings.sparkSession
     import spark.implicits._
 
-    var codes = embeddings.select(col(idCol), col(vecCol).as("__vec"))
-    val books = (0 until numSub).map { s =>
-      val sliced = codes.withColumn("__sub",
-        array_to_vector(slice(col("__vec"), s * subDim + 1, subDim)))
-      val model = new KMeans()
-        .setK(codebookSize).setSeed(seed + s).setMaxIter(8)
-        .setFeaturesCol("__sub").setPredictionCol(s"__c$s")
-        .fit(sliced)
-      codes = model.transform(sliced).drop("__sub")
-      model.clusterCenters.zipWithIndex.map { case (v, c) =>
-        (s, c, v.toArray.map(_.toFloat).toSeq)
-      }
-    }
-    val codebooks = books.flatten.toDF("sub", "code", "centroid")
-    val codeArr = codes.select(col(idCol),
-      array((0 until numSub).map(s => col(s"__c$s")): _*).as("codes"))
-    (codebooks, codeArr)
+    // every subspace becomes a k-means GROUP: all codebooks train in one
+    // batched DfKMeans run (two shuffles per iteration total, not per sub)
+    val src = embeddings.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("__vec"))
+    val pts = src.select($"id",
+        posexplode(lit((0 until numSub).toArray)).as(Seq("pos", "group")),
+        $"__vec")
+      .select($"group", $"id",
+        slice($"__vec", $"group" * subDim + 1, lit(subDim)).as("vec"))
+
+    val codebooks = DfKMeans.fit(pts, codebookSize, iters)
+      .select($"group".as("sub"), $"code", $"centroid")
+    val codes = DfKMeans.assign(pts,
+        codebooks.select($"sub".as("group"), $"code", $"centroid"))
+      .groupBy($"id")
+      .agg(transform(array_sort(collect_list(struct($"group", $"code"))),
+        x => x.getField("code")).as("codes"))
+      .select($"id".as(idCol), $"codes")
+    (codebooks, codes)
   }
 
   /** ADC top-k: queries(query_id, qv array<float>) → (query_id,
