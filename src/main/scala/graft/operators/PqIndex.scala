@@ -25,26 +25,45 @@ object PqIndex {
     *  - codebooks(sub int, code int, centroid array<float>)
     *  - codes(idCol, codes array<int> of length numSub)
     */
+  /** Codebooks train on a bounded deterministic SAMPLE, driver-side —
+    * the standard PQ practice (training needs thousands of examples per
+    * subspace, not the full corpus; at 100 TB you could not afford, and
+    * do not need, Lloyd iterations over everything). Sampling is a top-N
+    * by id (a bounded heap on the cluster); the Lloyd loop on ≤
+    * `sampleSize` × dim floats is microseconds of driver flops; encoding
+    * of the FULL corpus stays distributed (broadcast codebooks, argmin
+    * per row, one aggregation).
+    */
   def build(embeddings: DataFrame, idCol: String, vecCol: String,
       dim: Int, numSub: Int = 8, codebookSize: Int = 16,
-      iters: Int = 5): (DataFrame, DataFrame) = {
+      iters: Int = 10, sampleSize: Int = 10000): (DataFrame, DataFrame) = {
     require(dim % numSub == 0, "numSub must divide dim")
     val subDim = dim / numSub
     val spark = embeddings.sparkSession
     import spark.implicits._
 
-    // every subspace becomes a k-means GROUP: all codebooks train in one
-    // batched DfKMeans run (two shuffles per iteration total, not per sub)
-    val src = embeddings.select(col(idCol).cast("long").as("id"),
-      col(vecCol).as("__vec"))
-    val pts = src.select($"id",
+    val sample = embeddings
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .orderBy("id").limit(sampleSize)
+      .collect().map(_.getSeq[Float](1).toArray)
+
+    val books = (0 until numSub).flatMap { s =>
+      val subVecs = sample.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+      lloyd(subVecs, codebookSize, iters).zipWithIndex.map {
+        case (c, code) => (s, code, c.toSeq)
+      }
+    }
+    val codebooks = books.toDF("sub", "code", "centroid")
+
+    // distributed encoding: explode per subspace, argmin over broadcast
+    // codebooks, regroup to a code array — one shuffle on id
+    val pts = embeddings
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("__vec"))
+      .select($"id",
         posexplode(lit((0 until numSub).toArray)).as(Seq("pos", "group")),
         $"__vec")
       .select($"group", $"id",
         slice($"__vec", $"group" * subDim + 1, lit(subDim)).as("vec"))
-
-    val codebooks = DfKMeans.fit(pts, codebookSize, iters)
-      .select($"group".as("sub"), $"code", $"centroid")
     val codes = DfKMeans.assign(pts,
         codebooks.select($"sub".as("group"), $"code", $"centroid"))
       .groupBy($"id")
@@ -52,6 +71,52 @@ object PqIndex {
         x => x.getField("code")).as("codes"))
       .select($"id".as(idCol), $"codes")
     (codebooks, codes)
+  }
+
+  /** Plain Lloyd's on the driver over a sample; deterministic init
+    * (first k points), empty clusters keep their previous centroid. */
+  private def lloyd(points: Array[Array[Float]], k: Int, iters: Int)
+      : Array[Array[Float]] = {
+    val d = points.head.length
+    val cent = Array.tabulate(math.min(k, points.length))(i => points(i).clone())
+    val assignments = new Array[Int](points.length)
+    var it = 0
+    while (it < iters) {
+      var p = 0
+      while (p < points.length) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cent.length) {
+          var s = 0.0; var j = 0
+          while (j < d) {
+            val diff = points(p)(j) - cent(c)(j); s += diff * diff; j += 1
+          }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        assignments(p) = best
+        p += 1
+      }
+      val sums = Array.fill(cent.length)(new Array[Double](d))
+      val counts = new Array[Long](cent.length)
+      p = 0
+      while (p < points.length) {
+        val a = assignments(p); counts(a) += 1
+        var j = 0
+        while (j < d) { sums(a)(j) += points(p)(j); j += 1 }
+        p += 1
+      }
+      var c = 0
+      while (c < cent.length) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < d) { cent(c)(j) = (sums(c)(j) / counts(c)).toFloat; j += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    cent
   }
 
   /** ADC top-k: queries(query_id, qv array<float>) → (query_id,
