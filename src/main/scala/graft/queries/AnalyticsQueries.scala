@@ -96,16 +96,16 @@ object AnalyticsQueries {
         .orderBy($"p_brand", $"rnk")
     }),
 
-    // Semi/anti-join surface: customers with orders in H2-1997 but no
-    // orders in 1998+ (semi ∧ anti on the same fact table).
+    // Semi/anti-join surface: customers active in 1996-97 who churned
+    // before 2000 (semi ∧ anti on the same fact table).
     "q_semi_anti" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       val cust = load(s, d, "customer")
       val ord = load(s, d, "orders")
       val active = ord
-        .filter($"o_orderdate" >= lit("1997-06-01").cast("timestamp"))
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp"))
         .filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
-      val later = ord.filter($"o_orderdate" >= lit("1998-01-01").cast("timestamp"))
+      val later = ord.filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp"))
       cust
         .join(active, $"c_custkey" === active("o_custkey"), "left_semi")
         .join(later, $"c_custkey" === later("o_custkey"), "left_anti")
@@ -261,11 +261,11 @@ object AnalyticsQueries {
       """SELECT c_custkey, c_mktsegment FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey
-        |    AND o.o_orderdate >= TIMESTAMP '1997-06-01'
+        |    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
         |    AND o.o_orderdate < TIMESTAMP '1998-01-01')
         |  AND NOT EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey
-        |    AND o.o_orderdate >= TIMESTAMP '1998-01-01')
+        |    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
         |ORDER BY c_custkey""".stripMargin,
 
     "q_rollup_revenue" ->
