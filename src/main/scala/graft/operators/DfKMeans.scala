@@ -69,4 +69,51 @@ object DfKMeans {
       .groupBy($"group", $"id")
       .agg(min_by($"code", struct($"d", $"code")).as("code"))
   }
+
+  /** Plain Lloyd's on the driver over a sample; deterministic init
+    * (first k points), empty clusters keep their previous centroid. */
+  def localLloyd(points: Array[Array[Float]], k: Int, iters: Int)
+      : Array[Array[Float]] = {
+    val d = points.head.length
+    val cent = Array.tabulate(math.min(k, points.length))(i => points(i).clone())
+    val assignments = new Array[Int](points.length)
+    var it = 0
+    while (it < iters) {
+      var p = 0
+      while (p < points.length) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cent.length) {
+          var s = 0.0; var j = 0
+          while (j < d) {
+            val diff = points(p)(j) - cent(c)(j); s += diff * diff; j += 1
+          }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        assignments(p) = best
+        p += 1
+      }
+      val sums = Array.fill(cent.length)(new Array[Double](d))
+      val counts = new Array[Long](cent.length)
+      p = 0
+      while (p < points.length) {
+        val a = assignments(p); counts(a) += 1
+        var j = 0
+        while (j < d) { sums(a)(j) += points(p)(j); j += 1 }
+        p += 1
+      }
+      var c = 0
+      while (c < cent.length) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < d) { cent(c)(j) = (sums(c)(j) / counts(c)).toFloat; j += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    cent
+  }
+
 }

@@ -47,6 +47,35 @@ object IvfIndex {
     (centroids, assignments)
   }
 
+  /** 100 TB-path build: centroids from a bounded deterministic sample
+    * (driver Lloyd — same trainer as PQ), assignment distributed. MLlib's
+    * full-corpus fit above is right for moderate sizes; at extreme scale
+    * coarse centroids don't improve past ~10⁵ training points, so paying
+    * full passes per Lloyd iteration is waste. */
+  def buildSampled(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 10, sampleSize: Int = 10000)
+      : (DataFrame, DataFrame) = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val sample = embeddings
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .orderBy("id").limit(sampleSize)
+      .collect().map(_.getSeq[Float](1).toArray)
+    val centroids = DfKMeans.localLloyd(sample, k, iters).zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster_id", "centroid")
+    val pts = embeddings.select(lit(0).as("group"),
+      col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val assignments = DfKMeans.assign(pts,
+        centroids.select(lit(0).as("group"),
+          $"cluster_id".as("code"), $"centroid"))
+      .select($"id".as(idCol), $"code".as("cluster_id"))
+      .join(embeddings.withColumnRenamed(idCol, "__id"),
+        col(idCol) === col("__id"))
+      .drop("__id")
+    (centroids, assignments)
+  }
+
   /** ANN top-k: probe the nprobe nearest clusters per query. */
   def search(centroids: DataFrame, assignments: DataFrame,
       queries: DataFrame, // (query_id, qv array<float>)

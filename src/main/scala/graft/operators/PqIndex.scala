@@ -24,8 +24,8 @@ object PqIndex {
     * Returns (codebooks, codes):
     *  - codebooks(sub int, code int, centroid array<float>)
     *  - codes(idCol, codes array<int> of length numSub)
-    */
-  /** Codebooks train on a bounded deterministic SAMPLE, driver-side —
+    *
+    * Codebooks train on a bounded deterministic SAMPLE, driver-side —
     * the standard PQ practice (training needs thousands of examples per
     * subspace, not the full corpus; at 100 TB you could not afford, and
     * do not need, Lloyd iterations over everything). Sampling is a top-N
@@ -49,7 +49,7 @@ object PqIndex {
 
     val books = (0 until numSub).flatMap { s =>
       val subVecs = sample.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
-      lloyd(subVecs, codebookSize, iters).zipWithIndex.map {
+      DfKMeans.localLloyd(subVecs, codebookSize, iters).zipWithIndex.map {
         case (c, code) => (s, code, c.toSeq)
       }
     }
@@ -71,52 +71,6 @@ object PqIndex {
         x => x.getField("code")).as("codes"))
       .select($"id".as(idCol), $"codes")
     (codebooks, codes)
-  }
-
-  /** Plain Lloyd's on the driver over a sample; deterministic init
-    * (first k points), empty clusters keep their previous centroid. */
-  private def lloyd(points: Array[Array[Float]], k: Int, iters: Int)
-      : Array[Array[Float]] = {
-    val d = points.head.length
-    val cent = Array.tabulate(math.min(k, points.length))(i => points(i).clone())
-    val assignments = new Array[Int](points.length)
-    var it = 0
-    while (it < iters) {
-      var p = 0
-      while (p < points.length) {
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < cent.length) {
-          var s = 0.0; var j = 0
-          while (j < d) {
-            val diff = points(p)(j) - cent(c)(j); s += diff * diff; j += 1
-          }
-          if (s < bestD) { bestD = s; best = c }
-          c += 1
-        }
-        assignments(p) = best
-        p += 1
-      }
-      val sums = Array.fill(cent.length)(new Array[Double](d))
-      val counts = new Array[Long](cent.length)
-      p = 0
-      while (p < points.length) {
-        val a = assignments(p); counts(a) += 1
-        var j = 0
-        while (j < d) { sums(a)(j) += points(p)(j); j += 1 }
-        p += 1
-      }
-      var c = 0
-      while (c < cent.length) {
-        if (counts(c) > 0) {
-          var j = 0
-          while (j < d) { cent(c)(j) = (sums(c)(j) / counts(c)).toFloat; j += 1 }
-        }
-        c += 1
-      }
-      it += 1
-    }
-    cent
   }
 
   /** ADC top-k: queries(query_id, qv array<float>) → (query_id,

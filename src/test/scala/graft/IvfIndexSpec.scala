@@ -44,6 +44,17 @@ class IvfIndexSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF nprobe=3/8 recall $recall < 0.5")
   }
 
+  test("sampled build matches MLlib build contract and full probe stays exact") {
+    val (cent, assign) = IvfIndex.buildSampled(e, "vec_id", "embedding", k = 8)
+    assert(cent.count() === 8)
+    assert(assign.count() === e.count())
+    val res = IvfIndex.search(cent, assign, q, "vec_id", "embedding", 10, nprobe = 8)
+      .groupBy($"query_id").agg(collect_list($"neighbor_id").as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val gt = bruteForce(10)
+    gt.foreach { case (qid, ids) => assert(res(qid) === ids.toSet) }
+  }
+
   test("build assigns every vector to exactly one of k clusters") {
     val (cent, assign) = IvfIndex.build(e, "vec_id", "embedding", k = 8)
     assert(cent.count() === 8)
