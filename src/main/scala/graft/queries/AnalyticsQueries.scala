@@ -178,6 +178,20 @@ object AnalyticsQueries {
         .orderBy($"user_id", $"session_id")
     }),
 
+    // Sessionize via the BUILT-IN session_window operator (streaming-
+    // capable form of q_sessionize; same 30-min-gap semantics, session
+    // identified by its start timestamp instead of an ordinal).
+    "q_session_builtin" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      load(s, d, "events")
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id",
+          date_format($"session_window.start", TsFmt).as("session_start"),
+          $"n_events")
+        .orderBy("user_id", "session_start")
+    }),
+
     // As-of join: each event picks the user's latest order at-or-before
     // its timestamp (ties on date broken by max orderkey). Implemented as
     // a tagged union + one window pass: a single shuffle on user_id, no
@@ -309,6 +323,27 @@ object AnalyticsQueries {
         |  (max(us) - min(us)) AS duration_us
         |FROM m GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_session_builtin" ->
+      """WITH t AS (
+        |  SELECT user_id, ts,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us,
+        |    epoch_us(ts) AS us
+        |  FROM events
+        |), m AS (
+        |  -- session_window semantics: windows are [ts, ts+gap), so a gap
+        |  -- of EXACTLY 30 min starts a new session (>=, not >)
+        |  SELECT user_id, ts,
+        |    sum(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM t
+        |)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  count(*) AS n_events
+        |FROM m GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q_asof_join" ->
       """WITH u AS (

@@ -146,6 +146,24 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Deterministic stratified sampling: 20 docs per language, picked in
+    // a pseudo-random but fully reproducible order (Knuth multiplicative
+    // hash on doc_id — integer math, replicated exactly in the oracle).
+    // The balanced-subset primitive of training-data curation: no rand(),
+    // so stage retries and the SQL oracle see identical samples.
+    "d_stratified_sample" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"shuffle_key", $"doc_id")
+      load(s, d, "documents")
+        .withColumn("shuffle_key",
+          pmod($"doc_id" * lit(2654435761L), lit(4294967296L)))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter($"rnk" <= 20)
+        .select($"lang", $"doc_id", $"rnk")
+        .orderBy("lang", "rnk")
+    }),
+
     // Embedding-cosine near-dup pairs within a label partition.
     "d_embed_neardup" -> ((s: SparkSession, d: String) => {
       import s.implicits._
@@ -194,6 +212,14 @@ object DedupQueries {
         |  WHERE a.n_chars < 120 AND b.n_chars < 120
         |    AND abs(a.n_chars - b.n_chars) <= 40
         |) WHERE edit_dist <= 40 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d_stratified_sample" ->
+      """SELECT lang, doc_id, rnk FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rnk
+        |  FROM documents
+        |) WHERE rnk <= 20 ORDER BY lang, rnk""".stripMargin,
 
     "d_embed_neardup" ->
       """SELECT vec_a, vec_b, round(cos_sim, 4) AS cos_sim FROM (
