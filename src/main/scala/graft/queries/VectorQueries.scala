@@ -145,6 +145,26 @@ object VectorQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // Filtered vector search: top-k restricted to a metadata predicate
+    // (label ∈ {1,2,3}) — the filter lands on the scan BEFORE any
+    // distance work (pre-filtering, not post-filtering, so k results
+    // always come back and non-matching vectors cost nothing).
+    "v_filtered_knn" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val e = load(s, d, "embeddings")
+      val q = e.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      e.filter($"label".isin(1, 2, 3))
+        .crossJoin(broadcast(q))
+        .groupBy($"query_id")
+        .agg(topK(l2Sq($"embedding", $"qv"), $"vec_id", K).as("nn"))
+        .select($"query_id", posexplode($"nn"))
+        .select($"query_id", $"col.id".as("neighbor_id"),
+          ($"pos" + 1).cast("long").as("rnk"),
+          round(sqrt($"col.score"), 4).as("dist"))
+        .orderBy("query_id", "rnk")
+    }),
+
     // Per-label centroids via the distributive VectorAvg aggregate
     // (exploded to scalar rows for the oracle).
     "v_centroids" -> ((s: SparkSession, d: String) => {
@@ -240,6 +260,16 @@ object VectorQueries {
         |      ORDER BY list_distance(b.embedding::DOUBLE[], q.qv::DOUBLE[]), b.vec_id) AS rnk,
         |    round(list_distance(b.embedding::DOUBLE[], q.qv::DOUBLE[]), 4) AS dist
         |  FROM m b CROSS JOIN q
+        |) WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    "v_filtered_knn" ->
+      """SELECT query_id, neighbor_id, rnk, dist FROM (
+        |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_distance(b.embedding::DOUBLE[], q.embedding::DOUBLE[]), b.vec_id) AS rnk,
+        |    round(list_distance(b.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS dist
+        |  FROM (SELECT * FROM embeddings WHERE label IN (1, 2, 3)) b
+        |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q
         |) WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
 
     "v_centroids" ->

@@ -43,6 +43,21 @@ class PqIndexSpec extends SparkSpec {
     assert(recall >= 0.4, s"PQ recall@(10 in 50) $recall < 0.4")
   }
 
+  test("index persists to parquet and searches identically after reload") {
+    val (books, codes) = PqIndex.build(e, "vec_id", "embedding", dim = 64,
+      numSub = 8, codebookSize = 16)
+    val dir = "target/tmp-pq"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    books.write.parquet(s"$dir/books")
+    codes.write.parquet(s"$dir/codes")
+    val booksBack = spark.read.parquet(s"$dir/books")
+    val codesBack = spark.read.parquet(s"$dir/codes")
+    def run(b: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) =
+      PqIndex.search(b, c, q, "vec_id", dim = 64, numSub = 8, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(booksBack, codesBack) === run(books, codes))
+  }
+
   test("a vector's own quantized distance is smallest-ish: self in top-5") {
     val (books, codes) = PqIndex.build(e, "vec_id", "embedding", dim = 64,
       numSub = 8, codebookSize = 16)
