@@ -31,6 +31,29 @@ object LshBuckets {
       when(dot(vec, typedlit(p)) > 0d, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Multi-table LSH band keys for near-dup candidate generation:
+    * `nTables` independent tables of `bitsPerTable` hyperplanes each.
+    * Recall comes from OR-ing tables, precision from bits per table: at
+    * 16×8 a true near-dup (cos ≥ 0.9) collides somewhere with P≈0.995
+    * while a random near-orthogonal pair collides with P≈0.06 — the
+    * knob pair is the cosine analog of minhash band/row counts.
+    * Returns array<bigint> of per-table keys
+    * (table_id * 2^bits + signBits); explode + equi-join on the key =
+    * the sub-quadratic near-dup candidate join.
+    */
+  def bucketBands(vec: Column, dim: Int, nTables: Int = 16,
+      bitsPerTable: Int = 8, seed: Long = 42L): Column = {
+    val all = planes(dim, nTables * bitsPerTable, seed)
+    val keys = (0 until nTables).map { t =>
+      val tableKey = (0 until bitsPerTable).map { b =>
+        val p = all(t * bitsPerTable + b)
+        when(dot(vec, typedlit(p)) > 0d, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      (tableKey + lit(t.toLong * (1L << bitsPerTable))).as(s"t$t")
+    }
+    array(keys: _*)
+  }
+
   /** DuckDB-equivalent bucket expression (double literals printed with
     * full round-trip precision so both engines compute identical dots). */
   def bucketSql(vecSql: String, dim: Int, nPlanes: Int, seed: Long = 42L): String =

@@ -164,6 +164,30 @@ object DedupQueries {
         .orderBy("lang", "rnk")
     }),
 
+    // Embedding-cosine near-dup via multi-table LSH: candidates only
+    // from bucket collisions (16 tables × 4 bits), verified by exact
+    // cosine — the sub-quadratic scale path for d_embed_neardup, which
+    // at 100 TB replaces its label-banded quadratic join entirely.
+    "d_embed_lsh" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val e = load(s, d, "embeddings")
+      val buckets = e.select($"vec_id",
+        posexplode(graft.operators.LshBuckets.bucketBands($"embedding", 64))
+          .as(Seq("t", "bk")))
+        .select($"vec_id", $"bk")
+      val cand = buckets.as("x").join(buckets.as("y"),
+          $"x.bk" === $"y.bk" && $"x.vec_id" < $"y.vec_id")
+        .select($"x.vec_id".as("vec_a"), $"y.vec_id".as("vec_b"))
+        .distinct()
+      cand
+        .join(e.select($"vec_id".as("vec_a"), $"embedding".as("va")), "vec_a")
+        .join(e.select($"vec_id".as("vec_b"), $"embedding".as("vb")), "vec_b")
+        .withColumn("cos_sim", cosine($"va", $"vb"))
+        .filter($"cos_sim" > 0.4)
+        .select($"vec_a", $"vec_b", round($"cos_sim", 4).as("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    }),
+
     // Embedding-cosine near-dup pairs within a label partition.
     "d_embed_neardup" -> ((s: SparkSession, d: String) => {
       import s.implicits._
