@@ -28,6 +28,13 @@ class PlanSpec extends SparkSpec {
       s"filter not pushed:\n${p.linesIterator.filter(_.contains("Pushed")).mkString("\n")}")
   }
 
+  test("filtered kNN: metadata predicate reaches the parquet scan (pre-filter)") {
+    val p = planOf(VectorQueries.all, "v_filtered_knn")
+    assert(p.contains("In(label, [1,2,3])"),
+      s"label filter not pushed:\n${p.linesIterator.filter(_.contains("Pushed")).mkString("\n")}")
+    assert(p.contains("partial_v_top_k"))
+  }
+
   test("q5: dimension joins broadcast (no shuffle join for region/nation)") {
     val p = planOf(AnalyticsQueries.all, "q5_local_supplier")
     assert(p.contains("BroadcastHashJoin"))
