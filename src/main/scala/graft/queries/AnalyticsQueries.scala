@@ -96,6 +96,36 @@ object AnalyticsQueries {
         .orderBy($"p_brand", $"rnk")
     }),
 
+    // TPC-H Q17 flavor: correlated scalar subquery (orders far below
+    // their part's average quantity) — Catalyst decorrelates this into
+    // an aggregate + join; per-part averages never materialize per row.
+    "q17_small_quantity" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val li = load(s, d, "lineitem")
+      val partAvg = li.groupBy($"l_partkey".as("pk"))
+        .agg((avg($"l_quantity") * 0.4).as("threshold"))
+      li.join(partAvg, $"l_partkey" === $"pk")
+        .filter($"l_quantity" < $"threshold")
+        .agg(round(sum($"l_extendedprice"), 2).as("total_price"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // Window-function breadth on events: lag deltas, running totals,
+    // rank/ntile distribution per user.
+    "q_window_funcs" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      load(s, d, "events")
+        .filter($"user_id" < 10)
+        .select($"user_id", $"event_id",
+          round($"value" - lag($"value", 1, 0.0).over(w), 4).as("delta"),
+          round(sum($"value").over(wr), 2).as("running_sum"),
+          row_number().over(w).cast("long").as("seq"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy("user_id", "seq")
+    }),
+
     // Semi/anti-join surface: customers active in 1996-97 who churned
     // before 2000 (semi ∧ anti on the same fact table).
     "q_semi_anti" -> ((s: SparkSession, d: String) => {
@@ -270,6 +300,26 @@ object AnalyticsQueries {
         |    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |    GROUP BY p.p_brand, l.l_partkey)
         |) WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin,
+
+    "q17_small_quantity" ->
+      """SELECT round(sum(l.l_extendedprice), 2) AS total_price,
+        |  count(*) AS n_items
+        |FROM lineitem l JOIN (
+        |  SELECT l_partkey AS pk, avg(l_quantity) * 0.4 AS threshold
+        |  FROM lineitem GROUP BY l_partkey
+        |) p ON l.l_partkey = p.pk
+        |WHERE l.l_quantity < p.threshold""".stripMargin,
+
+    "q_window_funcs" ->
+      """SELECT user_id, event_id,
+        |  round(value - lag(value, 1, 0.0) OVER w, 4) AS delta,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum,
+        |  row_number() OVER w AS seq,
+        |  ntile(4) OVER w AS quartile
+        |FROM events WHERE user_id < 10
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, seq""".stripMargin,
 
     "q_semi_anti" ->
       """SELECT c_custkey, c_mktsegment FROM customer c
