@@ -143,6 +143,22 @@ object AnalyticsQueries {
         .orderBy("c_custkey")
     }),
 
+    // Set operators at (user, hour) granularity: hours where a user
+    // purchased AND clicked but reported no error.
+    "q_set_ops" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val ev = load(s, d, "events")
+      def slots(t: String) =
+        ev.filter($"event_type" === t)
+          .select($"user_id",
+            date_format(date_trunc("hour", $"ts"), TsFmt).as("hour_slot"))
+          .distinct()
+      slots("purchase")
+        .intersect(slots("click"))
+        .except(slots("error"))
+        .orderBy("user_id", "hour_slot")
+    }),
+
     // Hierarchical rollup totals (grouping-sets family).
     "q_rollup_revenue" -> ((s: SparkSession, d: String) => {
       import s.implicits._
@@ -331,6 +347,18 @@ object AnalyticsQueries {
         |  WHERE o.o_custkey = c.c_custkey
         |    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT user_id, hour_slot FROM (
+        |  SELECT DISTINCT user_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_slot
+        |  FROM events WHERE event_type = 'purchase'
+        |  INTERSECT
+        |  SELECT DISTINCT user_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |  FROM events WHERE event_type = 'click'
+        |  EXCEPT
+        |  SELECT DISTINCT user_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |  FROM events WHERE event_type = 'error'
+        |) ORDER BY user_id, hour_slot""".stripMargin,
 
     "q_rollup_revenue" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
