@@ -1,13 +1,26 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Per-round benchmark: times every SparkEntry query at the given scale
   * factor and emits one JSON line. A warm-up pass on the flagship query
   * absorbs one-time session/codegen costs so per-query numbers reflect
   * steady-state execution.
+  *
+  * Measurement: each query is written to the `noop` sink, which executes
+  * the COMPLETE plan — every projection expression, aggregation and sort —
+  * and discards rows. A bare `count()` would let Catalyst prune all
+  * columns, so projection-only queries (token counting, fingerprints,
+  * norms) would be timed as empty scans. Failures are NOT swallowed:
+  * the query records -1 and its error lands in the `errors` JSON field,
+  * so a broken query can never masquerade as a fast green number.
   */
 object Bench {
+
+  /** Force full evaluation of a DataFrame without collecting it. */
+  def exhaust(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -20,18 +33,35 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // warm-up: JVM + codegen + parquet footer caches
-    try SparkEntry.queries("v_knn_bruteforce")(spark, sfDir).count()
+    try exhaust(SparkEntry.queries("v_knn_bruteforce")(spark, sfDir))
     catch { case _: Throwable => () }
 
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> math.rint((System.nanoTime() - t0) / 1e6) / 1e3
+      val ok =
+        try { exhaust(fn(spark, sfDir)); true }
+        catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.take(1).mkString.take(200)
+            false
+        }
+      val sec = math.rint((System.nanoTime() - t0) / 1e6) / 1e3
+      name -> (if (ok) sec else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = math.rint(results.map(_._2).sum * 1000) / 1000
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
+    val total = math.rint(results.map(_._2).filter(_ >= 0).sum * 1000) / 1000
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

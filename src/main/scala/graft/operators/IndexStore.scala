@@ -1,0 +1,77 @@
+package graft.operators
+
+import java.io.File
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Build-once persistence for the ANN indexes — the separation the
+  * reference enforces structurally (an HNSW graph is built by inserts and
+  * then SERVES queries — /root/reference/include/engine.h never re-builds
+  * per search). Re-fitting KMeans/codebooks inside every query entry made
+  * round-1 "search" numbers ~90 % build cost; at scale build-per-query is
+  * nonsense. Index layout:
+  *
+  *   <tmp>/graft-index/<sfKey>/ivf16/centroids/            (k rows)
+  *   <tmp>/graft-index/<sfKey>/ivf16/assignments/cluster_id=N/…
+  *   <tmp>/graft-index/<sfKey>/pq8x16/codebooks/           (sub×code rows)
+  *   <tmp>/graft-index/<sfKey>/pq8x16/codes/               (one row/vector)
+  *
+  * Assignments are written `partitionBy(cluster_id)` so an nprobe search
+  * is a physically pruned scan (the IvfPartitionPruningSpec pattern, now
+  * wired into the real operator). `sfKey` folds in the source file's
+  * mtime/size so a regenerated dataset can never serve a stale index.
+  */
+object IndexStore {
+
+  def root: String = sys.props.getOrElse("graft.index.dir",
+    new File(sys.props("java.io.tmpdir"), "graft-index").getPath)
+
+  private def sfKey(sfDir: String): String = {
+    val src = new File(sfDir, "embeddings.parquet")
+    val stamp = Option(src.listFiles()).map(_.map(f => f.lastModified ^ f.length)
+      .foldLeft(0L)(_ ^ _)).getOrElse(src.lastModified ^ src.length)
+    sfDir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + java.lang.Long.toHexString(stamp)
+  }
+
+  private val lock = new Object
+  private def done(dir: String, parts: String*): Boolean =
+    parts.forall(p => new File(s"$dir/$p/_SUCCESS").exists)
+
+  /** Ensure the IVF index for `sfDir` exists on disk; returns its path.
+    * Build is the sampled-Lloyd 100 TB path (coarse centroids saturate at
+    * ~10⁴ training points; full-corpus Lloyd passes are waste). */
+  def ivf(spark: SparkSession, sfDir: String, k: Int = 16): String =
+    lock.synchronized {
+      val dir = s"$root/${sfKey(sfDir)}/ivf$k"
+      if (!done(dir, "centroids", "assignments")) {
+        val e = Tables.load(spark, sfDir, "embeddings")
+        val (cent, assign) = IvfIndex.buildSampled(e, "vec_id", "embedding", k)
+        cent.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+        // one shuffle on cluster_id before the partitioned write — without
+        // it every task writes a file per cluster (tasks × k tiny files)
+        assign.select("vec_id", "embedding", "cluster_id")
+          .repartition(col("cluster_id"))
+          .write.partitionBy("cluster_id").mode("overwrite")
+          .parquet(s"$dir/assignments")
+      }
+      dir
+    }
+
+  /** Ensure the PQ index (codebooks + per-vector codes) exists on disk. */
+  def pq(spark: SparkSession, sfDir: String, dim: Int = 64,
+      numSub: Int = 8, codebookSize: Int = 16): String =
+    lock.synchronized {
+      val dir = s"$root/${sfKey(sfDir)}/pq${numSub}x$codebookSize"
+      if (!done(dir, "codebooks", "codes")) {
+        val e = Tables.load(spark, sfDir, "embeddings")
+        val (books, codes) = PqIndex.build(e, "vec_id", "embedding",
+          dim = dim, numSub = numSub, codebookSize = codebookSize)
+        books.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+        codes.write.mode("overwrite").parquet(s"$dir/codes")
+      }
+      dir
+    }
+}

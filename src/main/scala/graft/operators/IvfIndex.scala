@@ -76,6 +76,40 @@ object IvfIndex {
     (centroids, assignments)
   }
 
+  /** ANN top-k against a PERSISTED index directory (see [[IndexStore]]):
+    * the nprobe cluster ids are resolved first (a bounded
+    * |queries| × nprobe set, collected like the reference resolves its
+    * entry points before traversal — hnsw_index.h search touches a
+    * neighborhood, never the whole index), then pushed into the
+    * partitioned assignments scan as a LITERAL `isin` filter, so the read
+    * is file-level partition-pruned: nprobe/k of the data comes off disk.
+    */
+  def searchPruned(spark: SparkSession, indexDir: String, queries: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("cdist", l2Sq($"qv", $"centroid"))
+      .withColumn("crnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"query_id").orderBy($"cdist", $"cluster_id")))
+      .filter($"crnk" <= nprobe)
+      .select($"query_id", $"qv", $"cluster_id")
+    // bounded collect: ≤ |queries| × nprobe ints — the probe set must be
+    // driver-side to become a static partition filter on the scan
+    val probeIds = probes.select($"cluster_id").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val candidates = spark.read.parquet(s"$indexDir/assignments")
+      .filter($"cluster_id".isin(probeIds.map(i => i: Any): _*))
+    candidates.join(broadcast(probes), "cluster_id")
+      .groupBy($"query_id")
+      .agg(topK(l2Sq($"embedding", $"qv"), $"vec_id", k).as("nn"))
+      .select($"query_id", posexplode($"nn"))
+      .select($"query_id", $"col.id".as("neighbor_id"),
+        ($"pos" + 1).cast("long").as("rnk"),
+        round(sqrt($"col.score"), 4).as("dist"))
+  }
+
   /** ANN top-k: probe the nprobe nearest clusters per query. */
   def search(centroids: DataFrame, assignments: DataFrame,
       queries: DataFrame, // (query_id, qv array<float>)

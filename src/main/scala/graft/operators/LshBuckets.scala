@@ -1,35 +1,35 @@
 package graft.operators
 
-import scala.util.Random
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.Shims
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions._
-
-import graft.GraftVector._
+import graft.functions.{LshBands, LshMath}
 
 /** Signed-random-projection LSH for embeddings — an ANN pre-filter
   * playing the role of the reference's graph traversal pruning
   * (/root/reference/include/hnsw_index.h:search_layer narrows candidates
   * structurally; LSH narrows them probabilistically, which distributes):
-  * `nPlanes` Gaussian
-  * hyperplanes (seeded, regenerated identically everywhere — no state to
-  * ship), bucket id = sign-bit vector of the projections. Near vectors
-  * (cosine) collide with probability 1 - θ/π per bit. This is the
-  * pre-filter that makes embedding near-dup joins sub-quadratic at scale:
-  * shuffle on bucket id, compare only within buckets.
+  * `nPlanes` Gaussian hyperplanes (seeded, regenerated identically
+  * everywhere — no state to ship), bucket id = sign-bit vector of the
+  * projections. Near vectors (cosine) collide with probability 1 - θ/π
+  * per bit. This is the pre-filter that makes embedding near-dup joins
+  * sub-quadratic at scale: shuffle on bucket id, compare only within
+  * buckets.
+  *
+  * All hashing runs through the one-pass native [[graft.functions.LshBands]]
+  * expression; plane generation lives in [[graft.functions.LshMath]] so the
+  * Spark path and the DuckDB oracle SQL below share one seed → plane → key
+  * derivation.
   */
 object LshBuckets {
 
-  def planes(dim: Int, nPlanes: Int, seed: Long = 42L): Seq[Seq[Float]] = {
-    val rnd = new Random(seed)
-    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian().toFloat))
-  }
+  def planes(dim: Int, nPlanes: Int, seed: Long = 42L): Seq[Seq[Float]] =
+    LshMath.planes(dim, nPlanes, seed).map(_.toSeq).toSeq
 
-  /** Bucket id column for a vector column. */
+  /** Bucket id column for a vector column (single table of nPlanes bits). */
   def bucket(vec: Column, dim: Int, nPlanes: Int, seed: Long = 42L): Column =
-    planes(dim, nPlanes, seed).zipWithIndex.map { case (p, i) =>
-      when(dot(vec, typedlit(p)) > 0d, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    Shims.column(LshBands(Shims.expression(vec), dim, 1, nPlanes, seed))
+      .getItem(0)
 
   /** Multi-table LSH band keys for near-dup candidate generation:
     * `nTables` independent tables of `bitsPerTable` hyperplanes each.
@@ -42,23 +42,32 @@ object LshBuckets {
     * the sub-quadratic near-dup candidate join.
     */
   def bucketBands(vec: Column, dim: Int, nTables: Int = 16,
-      bitsPerTable: Int = 8, seed: Long = 42L): Column = {
-    val all = planes(dim, nTables * bitsPerTable, seed)
-    val keys = (0 until nTables).map { t =>
-      val tableKey = (0 until bitsPerTable).map { b =>
-        val p = all(t * bitsPerTable + b)
-        when(dot(vec, typedlit(p)) > 0d, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      (tableKey + lit(t.toLong * (1L << bitsPerTable))).as(s"t$t")
-    }
-    array(keys: _*)
-  }
+      bitsPerTable: Int = 8, seed: Long = 42L): Column =
+    Shims.column(LshBands(Shims.expression(vec), dim, nTables, bitsPerTable, seed))
 
   /** DuckDB-equivalent bucket expression (double literals printed with
     * full round-trip precision so both engines compute identical dots). */
   def bucketSql(vecSql: String, dim: Int, nPlanes: Int, seed: Long = 42L): String =
-    planes(dim, nPlanes, seed).zipWithIndex.map { case (p, i) =>
+    LshMath.planes(dim, nPlanes, seed).zipWithIndex.map { case (p, i) =>
       val arr = p.map(f => f.toDouble.toString).mkString("[", ",", "]")
       s"(CASE WHEN list_inner_product($vecSql::DOUBLE[], $arr::DOUBLE[]) > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")::BIGINT")
+
+  /** DuckDB-equivalent of [[bucketBands]]: a SQL list literal of per-table
+    * band keys, replicating seed, plane order, and offset math exactly —
+    * lets the multi-table LSH near-dup operator be gated by the full
+    * DuckDB hash oracle instead of a rows-only check. */
+  def bandsSql(vecSql: String, dim: Int, nTables: Int = 16,
+      bitsPerTable: Int = 8, seed: Long = 42L): String = {
+    val all = LshMath.planes(dim, nTables * bitsPerTable, seed)
+    val tables = (0 until nTables).map { t =>
+      val bits = (0 until bitsPerTable).map { b =>
+        val arr = all(t * bitsPerTable + b)
+          .map(f => f.toDouble.toString).mkString("[", ",", "]")
+        s"(CASE WHEN list_inner_product($vecSql::DOUBLE[], $arr::DOUBLE[]) > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+      s"($bits + ${t.toLong * (1L << bitsPerTable)})::BIGINT"
+    }
+    tables.mkString("[", ", ", "]")
+  }
 }

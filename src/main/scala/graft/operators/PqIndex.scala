@@ -74,22 +74,37 @@ object PqIndex {
   }
 
   /** ADC top-k: queries(query_id, qv array<float>) → (query_id,
-    * neighbor_id, rnk, adist). Distances are approximate (quantized). */
+    * neighbor_id, rnk, adist). Distances are approximate (quantized).
+    *
+    * The distance table (|queries| × numSub × codebookSize entries —
+    * bounded and tiny) is folded into ONE flat lookup array per query and
+    * broadcast; each code row computes adist with `numSub` array lookups.
+    * This is textbook ADC (a table lookup per subspace) and the
+    * scale-correct plan: the only shuffle is the bounded top-k partial
+    * aggregate. The earlier join-on-(sub,code) formulation shuffled
+    * |codes| × numSub × |queries| rows through a (query, vector) group-by
+    * — ~8× the input — where this streams the codes table once.
+    */
   def search(codebooks: DataFrame, codes: DataFrame, queries: DataFrame,
       idCol: String, dim: Int, numSub: Int, k: Int): DataFrame = {
     val subDim = dim / numSub
     val spark = codes.sparkSession
     import spark.implicits._
-    // distance table: |queries| × numSub × codebookSize rows (tiny)
+    // per-query flat lookup array, ordered by (sub, code):
+    // dtab[sub * codebookSize + code] = ||q_sub - centroid(sub, code)||²
     val dtab = queries.crossJoin(broadcast(codebooks))
       .select($"query_id", $"sub", $"code",
         l2Sq(slice($"qv", $"sub" * subDim + 1, lit(subDim)), $"centroid").as("d"))
-    // exploded codes join the table on the bounded (sub, code) key space
-    val exploded = codes.select(col(idCol).as("neighbor_id"),
-      posexplode($"codes").as(Seq("sub", "code")))
-    exploded.join(broadcast(dtab), Seq("sub", "code"))
-      .groupBy($"query_id", $"neighbor_id")
-      .agg(sum($"d").as("adist"))
+      .groupBy($"query_id")
+      .agg(transform(array_sort(collect_list(struct($"sub", $"code", $"d"))),
+        x => x.getField("d")).as("dtab"))
+    val csize = (size($"dtab") / numSub).cast("int") // codebookSize
+    codes.select(col(idCol).as("neighbor_id"), $"codes")
+      .crossJoin(broadcast(dtab))
+      .withColumn("adist",
+        aggregate(sequence(lit(0), lit(numSub - 1)), lit(0.0d),
+          (acc, s) => acc + element_at($"dtab",
+            (s * csize + element_at($"codes", s + 1) + 1).cast("int"))))
       .groupBy($"query_id")
       .agg(topK($"adist", $"neighbor_id", k).as("nn"))
       .select($"query_id", posexplode($"nn"))

@@ -34,4 +34,30 @@ class IvfPartitionPruningSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSet
     assert(clusters.subsetOf(Set(1, 3)))
   }
+
+  test("v_ivf_search operator itself runs partition-pruned against the persisted index") {
+    // hermetic store location for the test
+    val prev = sys.props.get("graft.index.dir")
+    sys.props("graft.index.dir") = "target/tmp-ivf-store"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("target/tmp-ivf-store"))
+    try {
+      val df = graft.queries.IndexQueries.all("v_ivf_search")(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      // the probed cluster ids must appear as literal partition filters on
+      // the assignments scan — file-level pruning, not a post-scan join
+      assert(plan.contains("PartitionFilters"), s"no partition filters:\n$plan")
+      assert(plan.linesIterator.exists(l =>
+          l.contains("PartitionFilters") && l.contains("cluster_id")),
+        s"cluster_id not in partition filters:\n$plan")
+      // k results per query, properly ranked
+      val rows = df.collect()
+      assert(rows.length === 8 * 10)
+      assert(rows.map(_.getLong(0)).distinct.length === 8)
+    } finally {
+      prev match {
+        case Some(p) => sys.props("graft.index.dir") = p
+        case None => sys.props.remove("graft.index.dir")
+      }
+    }
+  }
 }
