@@ -26,6 +26,36 @@ object DedupQueries {
 
   private def toks(c: Column): Column = split(trim(c), "\\s+")
 
+  /** Banded Hamming-ball pairs over (doc_id, fp bigint): explode each
+    * fingerprint into `nChunks` equal bit chunks, equi-join on
+    * (chunk_id, chunk value), verify true Hamming on candidates.
+    * Pigeonhole guarantee: hamming(a,b) <= nChunks - 1 implies a and b
+    * agree on at least one whole chunk, so the result is COMPLETE for
+    * any `maxHamming < nChunks`. Shuffle keys are chunk values, never
+    * text — candidate cost scales with chunk-collision counts, not n².
+    */
+  def simhashBandedPairs(docs: DataFrame, maxHamming: Int,
+      nChunks: Int = 8): DataFrame = {
+    require(maxHamming < nChunks, "banding only guarantees recall below nChunks")
+    val s = docs.sparkSession
+    import s.implicits._
+    val bits = 64 / nChunks
+    val mask = (1L << bits) - 1
+    val chunkCols = (0 until nChunks).map { c =>
+      shiftright($"fp", c * bits).bitwiseAND(lit(mask))
+    }
+    val buckets = docs
+      .select($"doc_id", $"fp",
+        posexplode(array(chunkCols: _*)).as(Seq("chunk_id", "cv")))
+    buckets.as("x").join(buckets.as("y"),
+        $"x.chunk_id" === $"y.chunk_id" && $"x.cv" === $"y.cv" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
+        bit_count($"x.fp".bitwiseXOR($"y.fp")).cast("long").as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter($"hamming" <= maxHamming)
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup on a canonical bag-of-words signature.
     "d_dedup_exact" -> ((s: SparkSession, d: String) => {
@@ -103,25 +133,16 @@ object DedupQueries {
     }),
 
     // SimHash fingerprints + banded Hamming-distance near-dup pairs.
-    // 4 × 16-bit chunk bands: any pair within Hamming distance 3 of the
-    // 64-bit fingerprint shares at least one exact chunk.
+    // 8 × 8-bit chunk bands: by pigeonhole, any pair within Hamming
+    // distance 7 of the 64-bit fingerprint shares at least one exact
+    // chunk, so the `hamming <= 6` output filter is COMPLETE (every
+    // qualifying pair is a band candidate) — guaranteed recall at the
+    // declared radius, asserted on planted fingerprints in DedupSpec.
     "d_dedup_simhash" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       val docs = load(s, d, "documents")
         .select($"doc_id", GraftText.simhash64(toks($"text")).as("fp"))
-      val chunkCols = (0 until 4).map { c =>
-        shiftright($"fp", c * 16).bitwiseAND(lit(65535L))
-      }
-      val buckets = docs
-        .select($"doc_id", $"fp",
-          posexplode(array(chunkCols: _*)).as(Seq("chunk_id", "cv")))
-      buckets.as("x").join(buckets.as("y"),
-          $"x.chunk_id" === $"y.chunk_id" && $"x.cv" === $"y.cv" &&
-            $"x.doc_id" < $"y.doc_id")
-        .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
-          bit_count($"x.fp".bitwiseXOR($"y.fp")).cast("long").as("hamming"))
-        .dropDuplicates("doc_a", "doc_b")
-        .filter($"hamming" <= 6)
+      simhashBandedPairs(docs, maxHamming = 6)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -251,8 +272,30 @@ object DedupQueries {
         |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos_sim
         |  FROM embeddings a JOIN embeddings b
         |    ON a.label = b.label AND a.vec_id < b.vec_id
-        |) WHERE cos_sim > 0.4 ORDER BY vec_a, vec_b""".stripMargin
-    // d_dedup_minhash / d_dedup_simhash: LSH bucketing is seeded-hash
-    // specific — rows-only gate here, property specs in DedupSpec.
+        |) WHERE cos_sim > 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+
+    // Full hash gate for the multi-table LSH path: the seeded 16×8-bit
+    // banding is replicated verbatim in SQL (exact double literals, same
+    // sign/offset math as the native LshBands expression), then the same
+    // bucket self-join + exact-cosine verify.
+    "d_embed_lsh" -> {
+      val bands = graft.operators.LshBuckets.bandsSql("embedding", 64)
+      s"""WITH b AS (
+         |  SELECT vec_id, unnest($bands) AS bk FROM embeddings
+         |), cand AS (
+         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM b x JOIN b y ON x.bk = y.bk AND x.vec_id < y.vec_id
+         |)
+         |SELECT vec_a, vec_b, round(cos_sim, 4) AS cos_sim FROM (
+         |  SELECT vec_a, vec_b,
+         |    list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS cos_sim
+         |  FROM cand
+         |  JOIN embeddings ea ON ea.vec_id = cand.vec_a
+         |  JOIN embeddings eb ON eb.vec_id = cand.vec_b
+         |) WHERE cos_sim > 0.4 ORDER BY vec_a, vec_b""".stripMargin
+    }
+    // d_dedup_minhash / d_dedup_simhash: seeded-hash internals are
+    // impractical to fold into SQL (per-token FNV + 64-wide vote loops)
+    // — rows-only gate here, property specs in DedupSpec.
   )
 }

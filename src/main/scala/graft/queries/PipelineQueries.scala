@@ -43,6 +43,21 @@ object PipelineQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // Replicates the stub featurizer exactly: 16-bin byte histogram of
+    // the UTF-8 payload (ASCII corpus → ord(char) == byte), normalized
+    // in FLOAT (matching the operator's float division), L2-normed in
+    // DOUBLE. Proves the multimodal plumbing end-to-end against SQL.
+    "m_multimodal_meta" ->
+      """SELECT doc_id, mime, n_bytes, round(sqrt(list_sum(
+        |    [ (len(list_filter([ord(text[i]) for i in range(1, length(text)+1)],
+        |         b -> b // 16 = bin))::FLOAT / greatest(length(text), 1)::FLOAT)::DOUBLE
+        |      * (len(list_filter([ord(text[i]) for i in range(1, length(text)+1)],
+        |         b -> b // 16 = bin))::FLOAT / greatest(length(text), 1)::FLOAT)::DOUBLE
+        |      for bin in range(0, 16) ])), 4) AS feat_norm
+        |FROM (SELECT doc_id, 'application/x-fake' AS mime,
+        |        length(text)::BIGINT AS n_bytes, text FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
     "s_stream_ingest" ->
       """SELECT user_id, event_id AS last_event_id,
         |  round(value, 2) AS last_value

@@ -72,8 +72,10 @@ object TextQueries {
         .orderBy("lang", "rnk")
     }),
 
-    // Document fingerprint: FNV-1a 64 over raw text (rows-only check —
-    // the exact hash family is library-defined; properties in TextSpec).
+    // Document fingerprint: FNV-1a 64 over raw UTF-8 text bytes. Fully
+    // oracle-gated: the oracle replicates the byte fold in DuckDB HUGEINT
+    // modular arithmetic (the corpus is ASCII, so ord(char) == byte —
+    // asserted by the hash match itself: any non-ASCII would diverge).
     "t_fingerprint" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       load(s, d, "documents")
@@ -104,6 +106,22 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // FNV-1a 64 fold in 128-bit modular arithmetic: h' = ((h XOR b) *
+    // 0x100000001b3) mod 2^64, seeded with the 0xcbf29ce484222325 offset
+    // basis; the unsigned result is re-mapped to Spark's signed BIGINT.
+    "t_fingerprint" ->
+      """SELECT doc_id,
+        |  (CASE WHEN fp_u >= 9223372036854775808::HUGEINT
+        |        THEN fp_u - 18446744073709551616::HUGEINT ELSE fp_u END)::BIGINT AS fp
+        |FROM (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(14695981039346656037::HUGEINT,
+        |      [ord(text[i]) for i in range(1, length(text)+1)]::HUGEINT[]),
+        |    (h, b) -> ((xor(h::UBIGINT, b::UBIGINT))::HUGEINT * 1099511628211::HUGEINT)
+        |               % 18446744073709551616::HUGEINT) AS fp_u
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
     "t_token_count" ->
       """SELECT doc_id,
         |  len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens,

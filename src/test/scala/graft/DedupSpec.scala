@@ -39,6 +39,31 @@ class DedupSpec extends SparkSpec {
     assert(ham(fp(1L), fp(4L)) > ham(fp(1L), fp(3L)))
   }
 
+  test("simhash banding is COMPLETE at the declared radius (planted pairs)") {
+    // plant pairs at every Hamming distance 1..7: 8x8-bit banding must
+    // recall ALL of them (pigeonhole: d <= nChunks-1 shares a chunk) —
+    // the recall_bench.cpp analog for the SimHash operator's contract
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(200)(rnd.nextLong())
+    val rows = base.zipWithIndex.flatMap { case (fp, i) =>
+      val d = i % 8 // 0..7 bit flips for the planted partner
+      var fp2 = fp
+      rnd.shuffle((0 until 64).toList).take(d).foreach(b => fp2 ^= (1L << b))
+      Seq((i.toLong * 2, fp), (i.toLong * 2 + 1, fp2))
+    }
+    val docs = rows.toSeq.toDF("doc_id", "fp")
+    val found = DedupQueries.simhashBandedPairs(docs, maxHamming = 7)
+      .select($"doc_a", $"doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    base.indices.foreach { i =>
+      val (a, b) = (i.toLong * 2, i.toLong * 2 + 1)
+      val d = java.lang.Long.bitCount(rows(2 * i)._2 ^ rows(2 * i + 1)._2)
+      if (d <= 7 && d > 0)
+        assert(found.contains((a, b)),
+          s"planted pair at Hamming $d missed by 8-chunk banding")
+    }
+  }
+
   test("rolling hash fingerprint is deterministic and text-sensitive") {
     val a = Seq(("x", 1)).toDF("t", "i")
       .select(GraftText.rollingHash64(lit("hello world")).as("fp")).head().getLong(0)
