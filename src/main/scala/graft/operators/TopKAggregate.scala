@@ -50,7 +50,8 @@ case class TopKByScore(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKBuffer] {
+  extends TypedImperativeAggregate[TopKBuffer]
+  with org.apache.spark.sql.graft.DoubleLongInputTypes {
 
   require(k > 0, s"top_k requires k > 0, got $k")
 
@@ -58,6 +59,10 @@ case class TopKByScore(
   override def nullable: Boolean = false
   override def dataType: DataType = TopKByScore.resultType
   override def prettyName: String = "v_top_k"
+
+  // input contract (double, bigint) with analyzer-inserted widening
+  // casts comes from DoubleLongInputTypes — without it a SQL caller
+  // passing FLOAT/INT got executor ClassCastExceptions
 
   override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
 

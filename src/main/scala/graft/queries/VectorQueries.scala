@@ -100,6 +100,22 @@ object VectorQueries {
         .orderBy("query_id", "neighbor_id")
     }),
 
+    // kNN where the QUERY SET is the whole corpus — too big to broadcast
+    // at scale, so it runs in deterministic hash-batches (8 here), each
+    // under the broadcast budget; per-batch plans are the same
+    // broadcast + bounded-heap shape as v_knn_bruteforce. Results are
+    // provably identical to the single-broadcast plan (spec-checked with
+    // 10k queries in KnnBatchedSpec) and the DuckDB oracle.
+    "v_knn_batched" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val e = load(s, d, "embeddings")
+      val q = e.filter($"vec_id" % 5 === 0)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      graft.operators.KnnSearch
+        .searchBatched(e, q, "vec_id", "embedding", k = 3, numBatches = 8)
+        .repartition(1).sortWithinPartitions("query_id", "rnk")
+    }),
+
     // All-pairs near-neighbor self-join (dist < r) behind the multi-table
     // LSH prefilter: candidates only from seeded 16×8-bit band collisions
     // (bucketed equi-join — shuffle keys are band hashes), verified by
@@ -252,6 +268,15 @@ object VectorQueries {
         |  FROM embeddings b CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q
         |  WHERE b.vec_id != q.vec_id
         |) WHERE dist < 1.2 ORDER BY query_id, neighbor_id""".stripMargin,
+
+    "v_knn_batched" ->
+      """SELECT query_id, neighbor_id, rnk, dist FROM (
+        |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_distance(b.embedding::DOUBLE[], q.embedding::DOUBLE[]), b.vec_id) AS rnk,
+        |    round(list_distance(b.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS dist
+        |  FROM embeddings b CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 5 = 0) q
+        |) WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
     "v_knn_self_pairs" -> {
       val bands = graft.operators.LshBuckets.bandsSql("embedding", 64)

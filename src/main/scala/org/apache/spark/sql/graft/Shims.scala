@@ -9,6 +9,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * access; everything else in the library stays in `graft.*` and goes
   * through this object only.
   */
+/** (double, bigint) input contract with analyzer-inserted widening casts.
+  * Lives here because `AbstractDataType` is `private[sql]` — graft code
+  * can extend the trait but cannot name the type in a signature. */
+trait DoubleLongInputTypes
+    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.DoubleType, org.apache.spark.sql.types.LongType)
+}
+
 object Shims {
   /** Wrap a raw Catalyst expression as a user-facing Column. */
   def column(e: Expression): Column = ExpressionUtils.column(e)

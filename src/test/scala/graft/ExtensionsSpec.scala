@@ -44,6 +44,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(avg === Seq(2.0, 4.0))
   }
 
+  test("graft_topk implicitly widens FLOAT scores and INT ids at analysis time") {
+    Shims.applyFunctionExtensions(spark, new GraftExtensions)
+    import spark.implicits._
+    // pre-fix this was an executor ClassCastException; now the analyzer
+    // inserts casts via the declared inputTypes
+    Seq((1L, 5.0f, 10), (1L, 1.0f, 11), (1L, 3.0f, 12))
+      .toDF("g", "s", "id").createOrReplaceTempView("t_agg_narrow")
+    val top = spark.sql(
+      "SELECT graft_topk(s, id, 2) AS t FROM t_agg_narrow GROUP BY g")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(top === Seq((1.0, 11L), (3.0, 12L)))
+  }
+
   test("identical token sets give identical minhash via SQL and Column API") {
     Shims.applyFunctionExtensions(spark, new GraftExtensions)
     import spark.implicits._

@@ -71,6 +71,41 @@ class StreamIngestSpec extends SparkSpec {
     assert(got === Set((1L, 2L, 11.0), (2L, 1L, 20.0), (3L, 1L, 30.0)))
   }
 
+  test("backpressure: a flood of input files is throttled to bounded micro-batches") {
+    // the engine.h:79-90 soft/hard write-limit analog: 12 waiting delta
+    // files must NOT land in one giant batch — maxFilesPerTrigger=2 caps
+    // every micro-batch, bounding flush memory no matter the backlog
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = "target/tmp-stream-flood/in"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("target/tmp-stream-flood"))
+    Files.createDirectories(Paths.get(dir))
+    (0 until 12).foreach { i =>
+      Seq((i.toLong, 1L, i.toDouble)).toDF("key", "seq", "value")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream
+      .schema("key LONG, seq LONG, value DOUBLE")
+      .option("maxFilesPerTrigger", "2")
+      .parquet(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batchSizes.synchronized { batchSizes += batch.count() }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", "target/tmp-stream-flood/ckpt")
+      .start()
+    q.awaitTermination(120000)
+
+    assert(batchSizes.sum === 12, s"all rows must arrive: $batchSizes")
+    assert(batchSizes.nonEmpty && batchSizes.forall(_ <= 2),
+      s"micro-batches must stay within the 2-file throttle: $batchSizes")
+    assert(batchSizes.size >= 6, s"flood must spread over >= 6 batches: $batchSizes")
+  }
+
   test("streaming file-source ingest of vector batches unions with base") {
     // batch-mode check of the union-view read path used for streamed
     // vector inserts: base ∪ delta with id dedup (engine.h hybrid search
