@@ -2,8 +2,6 @@ package graft.operators
 
 import java.nio.ByteBuffer
 
-import scala.collection.mutable
-
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
@@ -17,27 +15,64 @@ import org.apache.spark.sql.types._
   * Spark combines map-side, so only k rows per (group, partition) ever
   * cross the shuffle. This is the 100 TB-safe alternative to
   * `Window.orderBy(dist)` over a materialized cross join.
+  *
+  * State is two primitive arrays, not a boxed PriorityQueue: update()
+  * runs once per (row × query) — tens of millions of calls per kNN job —
+  * and the saturated-heap fast path (score worse than the current worst)
+  * must be a single branch with zero allocation.
   */
 final class TopKBuffer(val k: Int) {
-  // max-heap: head is the WORST retained (largest (score, id))
-  val heap: mutable.PriorityQueue[(Double, Long)] =
-    mutable.PriorityQueue.empty[(Double, Long)](Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+  // binary max-heap by (score, id): slot 0 is the WORST retained
+  private[operators] val scores = new Array[Double](k)
+  private[operators] val ids = new Array[Long](k)
+  private[operators] var size: Int = 0
+
+  @inline private def greater(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 > s2 || (s1 == s2 && i1 > i2)
 
   def insert(score: Double, id: Long): Unit = {
-    if (heap.size < k) heap.enqueue((score, id))
-    else {
-      val (ws, wid) = heap.head
-      if (score < ws || (score == ws && id < wid)) {
-        heap.dequeue(); heap.enqueue((score, id))
+    if (size < k) {
+      // grow: append + sift up
+      var i = size
+      scores(i) = score; ids(i) = id; size += 1
+      while (i > 0) {
+        val p = (i - 1) >> 1
+        if (greater(scores(i), ids(i), scores(p), ids(p))) {
+          val ts = scores(i); val ti = ids(i)
+          scores(i) = scores(p); ids(i) = ids(p)
+          scores(p) = ts; ids(p) = ti
+          i = p
+        } else i = 0
+      }
+    } else if (greater(scores(0), ids(0), score, id)) {
+      // replace the worst + sift down
+      scores(0) = score; ids(0) = id
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1; val r = l + 1
+        var m = i
+        if (l < size && greater(scores(l), ids(l), scores(m), ids(m))) m = l
+        if (r < size && greater(scores(r), ids(r), scores(m), ids(m))) m = r
+        if (m == i) done = true
+        else {
+          val ts = scores(i); val ti = ids(i)
+          scores(i) = scores(m); ids(i) = ids(m)
+          scores(m) = ts; ids(m) = ti
+          i = m
+        }
       }
     }
   }
 
-  def mergeFrom(other: TopKBuffer): Unit =
-    other.heap.foreach { case (s, id) => insert(s, id) }
+  def mergeFrom(other: TopKBuffer): Unit = {
+    var i = 0
+    while (i < other.size) { insert(other.scores(i), other.ids(i)); i += 1 }
+  }
 
   /** Ascending (score, id). */
-  def sorted: Array[(Double, Long)] = heap.toArray.sortBy(identity)
+  def sorted: Array[(Double, Long)] =
+    Array.tabulate(size)(i => (scores(i), ids(i))).sortBy(identity)
 }
 
 /** Typed-imperative aggregate `top_k(score, id, k)` → array<struct<score,id>>
@@ -87,10 +122,12 @@ case class TopKByScore(
   }
 
   override def serialize(buffer: TopKBuffer): Array[Byte] = {
-    val items = buffer.heap
-    val bb = ByteBuffer.allocate(8 + 16 * items.size)
-    bb.putInt(buffer.k).putInt(items.size)
-    items.foreach { case (s, id) => bb.putDouble(s).putLong(id) }
+    val bb = ByteBuffer.allocate(8 + 16 * buffer.size)
+    bb.putInt(buffer.k).putInt(buffer.size)
+    var i = 0
+    while (i < buffer.size) {
+      bb.putDouble(buffer.scores(i)).putLong(buffer.ids(i)); i += 1
+    }
     bb.array()
   }
 

@@ -184,11 +184,15 @@ object DedupQueries {
       import s.implicits._
       val MaxEdit = 5
       val Thresh = MaxEdit * 2 // k edits × q=2 distinct grams per edit
+      // cached: this subtree feeds the prefix explode, the tiny-doc
+      // fallback, and both sides of the verify join — without the cache
+      // the scan + bigram computation runs four times in one job
       val short = load(s, d, "documents")
         .filter($"n_chars" < 200)
         .select($"doc_id", $"lang", $"text", $"n_chars",
           array_distinct(bigrams($"text")).as("grams"))
         .withColumn("ng", size($"grams"))
+        .cache()
       val exploded = short.select($"doc_id", $"lang", $"n_chars", $"ng",
         explode($"grams").as("g"))
       // global gram frequencies define the prefix order (freq asc, gram)

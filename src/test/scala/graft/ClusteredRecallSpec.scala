@@ -52,6 +52,29 @@ class ClusteredRecallSpec extends SparkSpec {
     assert(recall >= 0.9, s"clustered IVF nprobe=3/8 recall $recall < 0.9")
   }
 
+  test("nprobe sweep: recall is non-decreasing and exact at full probe (recall_bench analog)") {
+    // the ef_search sweep of benchmark/recall_bench.cpp:80-100, mapped to
+    // IVF's probe width: nested probe sets make per-query candidates grow
+    // monotonically, so recall must too — and nprobe=k is exact.
+    val (cent, assign) = IvfIndex.build(clustered, "vec_id", "embedding", k = 8)
+    val gt = groundTruth(10)
+    val curve = Seq(1, 2, 4, 8).map { nprobe =>
+      val res = IvfIndex.search(cent, assign, queries, "vec_id", "embedding",
+          10, nprobe = nprobe)
+        .groupBy($"query_id").agg(collect_list($"neighbor_id").as("ids"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      val recall = gt.map { case (qid, ids) =>
+        (res.getOrElse(qid, Set.empty) & ids.toSet).size.toDouble / ids.size
+      }.sum / gt.size
+      nprobe -> recall
+    }
+    curve.sliding(2).foreach { case Seq((p1, r1), (p2, r2)) =>
+      assert(r2 >= r1, s"recall fell from $r1 (nprobe=$p1) to $r2 (nprobe=$p2)")
+    }
+    assert(curve.last._2 === 1.0, s"full probe must be exact: $curve")
+    assert(curve.head._2 >= 0.5, s"even nprobe=1 should find the home cluster: $curve")
+  }
+
   test("PQ recall@(10 in 50) >= 0.8 on clustered data") {
     val (books, codes) = PqIndex.build(clustered, "vec_id", "embedding",
       dim = 64, numSub = 8, codebookSize = 16)
