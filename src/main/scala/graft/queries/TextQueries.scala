@@ -24,6 +24,11 @@ object TextQueries {
     size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
       .cast("long")
 
+  /** GPT-2-style pretokenizer regex, ASCII-simplified; no lookarounds so
+    * Java regex (Spark) and RE2 (DuckDB) agree on every match. */
+  private val BpePattern =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
   private def sqlStopCount(set: Seq[String]): String =
     s"len(list_filter(toks, t -> list_contains([${set.map(w => s"'$w'").mkString(",")}], t)))::BIGINT"
 
@@ -83,6 +88,23 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // BPE-style pretokenization count: the GPT-2 pretokenizer regex
+    // (ASCII-simplified — contraction suffixes, space-prefixed word /
+    // number / punctuation runs, whitespace runs), counted per doc. The
+    // token-budget primitive of training-data curation; pure codegen'd
+    // scan-side projection like the rest of the text stage.
+    "t_bpe_tokens" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      load(s, d, "documents")
+        .select($"doc_id",
+          size(regexp_extract_all($"text", lit(BpePattern), lit(0)))
+            .cast("long").as("n_bpe_tokens"),
+          size(array_distinct(
+            regexp_extract_all($"text", lit(BpePattern), lit(0))))
+            .cast("long").as("n_distinct"))
+        .orderBy("doc_id")
+    }),
+
     // Stopword-profile language ID. The fixed tie-break cascade
     // (en > de > fr > es > unknown) makes it deterministic.
     "t_lang_id" -> ((s: SparkSession, d: String) => {
@@ -121,6 +143,14 @@ object TextQueries {
         |               % 18446744073709551616::HUGEINT) AS fp_u
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "t_bpe_tokens" -> {
+      val p = BpePattern.replace("'", "''")
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '$p'))::BIGINT AS n_bpe_tokens,
+         |  len(list_distinct(regexp_extract_all(text, '$p')))::BIGINT AS n_distinct
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     "t_token_count" ->
       """SELECT doc_id,

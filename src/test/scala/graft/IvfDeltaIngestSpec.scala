@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.commons.io.FileUtils
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IndexStore, IvfIndex}
+import graft.streaming.IvfDeltaIngest
+
+/** The write path INTO the index: streamed deltas must land in the
+  * right cluster partitions (searches stay pruned, no rebuild), newest
+  * write must shadow older ones, and compaction must collapse
+  * duplicates — engine.h's buffer → flush → merge cycle. */
+class IvfDeltaIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshIndex(): String = {
+    val prev = sys.props.get("graft.index.dir")
+    sys.props("graft.index.dir") = "target/tmp-ivf-delta"
+    FileUtils.deleteQuietly(new java.io.File("target/tmp-ivf-delta"))
+    val dir = IndexStore.ivf(spark, sfDir, k = 8)
+    prev match {
+      case Some(p) => sys.props("graft.index.dir") = p
+      case None => sys.props.remove("graft.index.dir")
+    }
+    dir
+  }
+
+  test("streamed deltas land partition-pruned and are immediately searchable") {
+    val dir = freshIndex()
+    // two micro-batches of NEW vectors: copies of existing ones, new ids
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val b1 = base.filter($"vec_id" < 3)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding")
+    val b2 = base.filter($"vec_id" >= 3 && $"vec_id" < 6)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding")
+    IvfDeltaIngest.appendBatch(spark, dir, b1, seq = 1L)
+    IvfDeltaIngest.appendBatch(spark, dir, b2, seq = 2L)
+
+    // delta files must sit INSIDE cluster_id=N partition dirs
+    val deltaFiles = FileUtils.listFiles(
+        new java.io.File(s"$dir/assignments"), Array("parquet"), true)
+    assert(deltaFiles.size() > 0)
+    val all = spark.read.option("mergeSchema", "true").parquet(s"$dir/assignments")
+    assert(all.filter($"vec_id" >= 100000L).count() === 6)
+
+    // a streamed vector's own embedding finds it as nearest (dist 0)
+    val q = base.filter($"vec_id" < 3)
+      .select(($"vec_id" + 100000).as("query_id"), $"embedding".as("qv"))
+    // ...modulo the dist-0 tie with its source vector (smaller id wins
+    // the (score, id) tie-break), so top-2 must be {source, streamed copy}
+    val hits = IvfIndex.searchPruned(spark, dir, q, k = 2, nprobe = 2)
+      .groupBy($"query_id")
+      .agg(collect_set($"neighbor_id").as("ids"), max($"dist").as("worst"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSet, r.getDouble(2)))
+    assert(hits.length === 3)
+    hits.foreach { case (qid, ids, worst) =>
+      assert(ids === Set(qid, qid - 100000L),
+        s"query $qid should find its streamed self + source, got $ids")
+      assert(worst === 0.0, s"both hits must be at distance 0, worst=$worst")
+    }
+  }
+
+  test("re-insert shadows the old row; compaction collapses to one row per id") {
+    val dir = freshIndex()
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val total = base.count()
+    // re-insert vec_id 0 with a different embedding (vector 7's)
+    val newEmb = base.filter($"vec_id" === 7).select($"embedding").head().getSeq[Float](0)
+    val delta = Seq((0L, newEmb)).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    IvfDeltaIngest.appendBatch(spark, dir, delta, seq = 1L)
+
+    // latest-wins read: still one logical row per id, newest embedding
+    val latest = IvfDeltaIngest.latestAssignments(spark, dir)
+    assert(latest.count() === total)
+    val got = latest.filter($"vec_id" === 0L).select($"embedding", $"seq").head()
+    assert(got.getSeq[Float](0) === newEmb)
+    assert(got.getLong(1) === 1L)
+
+    // compaction makes it physical: raw row count returns to total
+    IvfDeltaIngest.compact(spark, dir)
+    val raw = spark.read.parquet(s"$dir/assignments")
+    assert(raw.count() === total)
+    assert(raw.filter($"vec_id" === 0L).count() === 1)
+    // and the table is still partition-laid-out for pruned searches
+    val q = base.filter($"vec_id" === 7)
+      .select(lit(0L).as("query_id"), $"embedding".as("qv"))
+    val top = IvfIndex.searchPruned(spark, dir, q, k = 2, nprobe = 2)
+      .filter($"rnk" === 1).head()
+    // vec 0 now carries vec 7's embedding: one of them must be top-1 at dist 0
+    assert(Set(0L, 7L).contains(top.getLong(1)))
+    assert(top.getDouble(3) === 0.0)
+  }
+}
