@@ -47,6 +47,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         es(2).eval().asInstanceOf[Int], es(3).eval().asInstanceOf[Int]) }
     reg("graft_jaccard", "graft_jaccard(a, b) - Jaccard of sorted distinct string arrays") {
       es => JaccardSorted(es(0), es(1)) }
+    reg("graft_lsh_bands",
+        "graft_lsh_bands(vec, dim, nTables, bits, seed) - seeded sign-LSH table keys") {
+      es => LshBands(es(0), es(1).eval().asInstanceOf[Int],
+        es(2).eval().asInstanceOf[Int], es(3).eval().asInstanceOf[Int],
+        es(4).eval().asInstanceOf[Int].toLong) }
     // aggregates
     reg("graft_topk", "graft_topk(score, id, k) - k smallest (score,id) pairs") {
       es => graft.operators.TopKByScore(es(0), es(1),

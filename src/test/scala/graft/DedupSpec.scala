@@ -83,6 +83,40 @@ class DedupSpec extends SparkSpec {
     assert(a !== c)
   }
 
+  test("adversarial duplication: one 2000-copy cluster dedups linearly to one keeper") {
+    // the design claim behind the keeper-assignment output: under heavy
+    // duplication, pair enumeration is Ω(dup²) (2M pairs here) while the
+    // keeper decision stays linear — every copy gets ≤16 bucket edges to
+    // per-bucket min reps, and all copies must resolve to THE smallest id
+    val dir = "target/tmp-dup-flood"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val copyText = "the same viral document text repeated across the corpus again"
+    val copies = spark.range(2000)
+      .select(($"id" + 10000).as("doc_id"), lit(copyText).as("text"),
+        lit("en").as("lang"), lit("syn").as("source"),
+        lit(copyText.length.toLong).as("n_chars"))
+    val uniques = spark.range(50)
+      .select($"id".as("doc_id"),
+        // mostly-distinct word sets: pairwise Jaccard stays well under
+        // the 0.7 dedup threshold (2 shared words, 5 distinct numbers)
+        concat_ws(" ", lit("unique"), lit("doc"), $"id",
+          ($"id" * 31 + 17).cast("string"), ($"id" * 53 + 29).cast("string"),
+          ($"id" * 71 + 5).cast("string"), ($"id" * 97 + 3).cast("string")).as("text"),
+        lit("en").as("lang"), lit("syn").as("source"), lit(60L).as("n_chars"))
+    copies.unionByName(uniques).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val res = DedupQueries.all("d_dedup_minhash")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(res.length === 2050, "keeper assignment must stay one row per doc")
+    val copyRows = res.filter(_._1 >= 10000L)
+    assert(copyRows.forall { case (id, keeper, dup) =>
+      (id == 10000L && keeper == 10000L && !dup) ||
+        (id > 10000L && keeper == 10000L && dup)
+    }, "every copy must resolve to the single smallest-id keeper")
+    assert(res.filter(_._1 < 10000L).forall(!_._3),
+      "unique docs must not be flagged")
+  }
+
   test("minhash signature estimates jaccard") {
     // two 200-word sets with 50% overlap → sig agreement ≈ 0.5 ± noise
     val w1 = (0 until 200).map(i => s"w$i")

@@ -67,4 +67,18 @@ class ExtensionsSpec extends SparkSpec {
       .select(GraftText.minhashSignature($"t", 1, 16)).head().getSeq[Long](0)
     assert(viaSql === viaCol)
   }
+
+  test("graft_lsh_bands SQL equals the Column API band keys") {
+    Shims.applyFunctionExtensions(spark, new GraftExtensions)
+    import spark.implicits._
+    val vec = Seq.tabulate(8)(i => (i + 1).toFloat / 10f)
+    val viaSql = spark.sql(
+      s"SELECT graft_lsh_bands(array(${vec.mkString("f,")}f), 8, 4, 4, 42) AS b")
+      .head().getSeq[Long](0)
+    val viaCol = Seq(Tuple1(vec)).toDF("v")
+      .select($"v".cast("array<float>").as("v"))
+      .select(graft.operators.LshBuckets.bucketBands($"v", 8, 4, 4)).head().getSeq[Long](0)
+    assert(viaSql === viaCol)
+    assert(viaSql.length === 4)
+  }
 }

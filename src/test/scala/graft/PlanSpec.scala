@@ -54,4 +54,38 @@ class PlanSpec extends SparkSpec {
     val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange hashpartitioning(user_id"))
     assert(exchanges <= 1, s"sessionization should shuffle on user_id once:\n$p")
   }
+
+  test("graduated near-dup operators: bucketed equi-joins, no cartesian anywhere") {
+    // the round-2 graduation contract at the PLAN level: candidates come
+    // from hash-join buckets (LSH bands / rare grams), never from a
+    // materialized cross join
+    for ((block, name) <- Seq(
+        (graft.queries.VectorQueries.all, "v_knn_self_pairs"),
+        (graft.queries.DedupQueries.all, "d_embed_neardup"),
+        (graft.queries.DedupQueries.all, "d_edit_distance"))) {
+      val p = planOf(block, name)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name has a nested-loop join:\n$p")
+    }
+  }
+
+  test("v_pq_search reads the persisted codes table (search, not training)") {
+    val prev = sys.props.get("graft.index.dir")
+    sys.props("graft.index.dir") = "target/tmp-plan-store"
+    try {
+      spark.catalog.clearCache()
+      val df = graft.queries.IndexQueries.all("v_pq_search")(spark, sfDir)
+      val inputs = df.inputFiles.toSeq
+      assert(inputs.exists(_.contains("/codes/")),
+        s"plan must scan persisted codes: $inputs")
+      assert(inputs.exists(_.contains("/codebooks/")),
+        s"plan must scan persisted codebooks: $inputs")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.index.dir") = v
+        case None => sys.props.remove("graft.index.dir")
+      }
+    }
+  }
 }
