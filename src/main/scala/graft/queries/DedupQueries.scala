@@ -124,12 +124,18 @@ object DedupQueries {
     // Jaccard, and the smallest verified neighbor becomes the keeper.
     "d_dedup_minhash" -> ((s: SparkSession, d: String) => {
       import s.implicits._
+      // cached: word sets feed banding + both verify joins + the final
+      // left join; buckets feed rep-election + edge-building — without
+      // the caches the 64-permutation minhash runs twice and the
+      // tokenize+sort three more times in one job
       val docs = load(s, d, "documents")
         .select($"doc_id", sort_array(array_distinct(toks($"text"))).as("ws"))
+        .cache()
       val buckets = docs
         .select($"doc_id",
           posexplode(GraftText.minhashBands($"ws", 1, 64, 16))
             .as(Seq("band_id", "bh")))
+        .cache()
       val reps = buckets.groupBy($"band_id", $"bh")
         .agg(min($"doc_id").as("rep"))
       val edges = buckets.join(reps, Seq("band_id", "bh"))

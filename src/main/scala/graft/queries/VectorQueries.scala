@@ -100,6 +100,28 @@ object VectorQueries {
         .orderBy("query_id", "neighbor_id")
     }),
 
+    // fvecs interop under the correctness gate: embeddings written once
+    // to the reference's native SIFT format (utils.h record layout), read
+    // back through the `format("fvecs")` DataSource V2, normed. A single
+    // bit of format drift (endianness, header, record framing) breaks
+    // the hash match against the parquet-derived oracle.
+    "v_fvecs_roundtrip" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-fvecs-" + d.replaceAll("[^A-Za-z0-9._-]", "_"))
+      val file = new java.io.File(dir, "embeddings.fvecs")
+      if (!file.exists()) {
+        dir.mkdirs()
+        graft.sources.Fvecs.writeFvecs(
+          load(s, d, "embeddings").orderBy("vec_id")
+            .select($"vec_id".as("id"), $"embedding".as("vector")),
+          file.getPath)
+      }
+      s.read.format("fvecs").load(file.getPath)
+        .select($"id".as("vec_id"), round(norm($"vector"), 4).as("l2_norm"))
+        .orderBy("vec_id")
+    }),
+
     // kNN where the QUERY SET is the whole corpus — too big to broadcast
     // at scale, so it runs in deterministic hash-batches (8 here), each
     // under the broadcast budget; per-batch plans are the same
@@ -268,6 +290,13 @@ object VectorQueries {
         |  FROM embeddings b CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q
         |  WHERE b.vec_id != q.vec_id
         |) WHERE dist < 1.2 ORDER BY query_id, neighbor_id""".stripMargin,
+
+    // identical to v_norm's oracle: the fvecs write→read cycle must be
+    // value-preserving, so norms from the fvecs path == norms from parquet
+    "v_fvecs_roundtrip" ->
+      """SELECT vec_id,
+        |  round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS l2_norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "v_knn_batched" ->
       """SELECT query_id, neighbor_id, rnk, dist FROM (
