@@ -70,18 +70,18 @@ object IndexQueries {
     }),
 
     // recall@10 of inner-product ranking vs true-L2 ground truth — the
-    // Spark analog of benchmark/recall_bench.cpp's hit counting.
+    // Spark analog of benchmark/recall_bench.cpp's hit counting. Both
+    // bounded heaps ride ONE aggregation over one scan of the pairs (two
+    // groupBys over the same cross join would execute it twice).
     "v_recall_at_k" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       val e = load(s, d, "embeddings")
       val q = e.filter($"vec_id" < NumQueries)
         .select($"vec_id".as("query_id"), $"embedding".as("qv"))
-      val pairs = e.crossJoin(broadcast(q))
-      val gt = pairs.groupBy($"query_id")
-        .agg(topK(l2($"embedding", $"qv"), $"vec_id", K).as("gt"))
-      val ap = pairs.groupBy($"query_id")
-        .agg(topK(-dot($"embedding", $"qv"), $"vec_id", K).as("ap"))
-      gt.join(ap, "query_id")
+      e.crossJoin(broadcast(q))
+        .groupBy($"query_id")
+        .agg(topK(l2($"embedding", $"qv"), $"vec_id", K).as("gt"),
+          topK(-dot($"embedding", $"qv"), $"vec_id", K).as("ap"))
         .select($"query_id",
           round(
             size(array_intersect(
