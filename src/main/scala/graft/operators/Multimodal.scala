@@ -22,26 +22,80 @@ object Multimodal {
   case class MediaRow(doc_id: Long, payload: Array[Byte], mime: String)
   case class MediaFeatures(
       doc_id: Long, mime: String, n_bytes: Long, features: Array[Float])
+  case class MediaFrame(
+      doc_id: Long, frame_idx: Long, n_bytes: Long, features: Array[Float])
 
   val FeatureDim = 16
 
-  /** STUB featurizer: 16-bin byte histogram, L1-normalized. Deterministic
+  /** Shared stub "decode": 16-bin byte histogram of a payload slice,
+    * L1-normalized in float (replicable bit-for-bit in the SQL oracle). */
+  private[operators] def byteHistogram(
+      payload: Array[Byte], from: Int, until: Int): Array[Float] = {
+    val hist = new Array[Float](FeatureDim)
+    var i = from
+    while (i < until) {
+      hist((payload(i) & 0xff) >> 4) += 1f
+      i += 1
+    }
+    val n = math.max(until - from, 1)
+    var j = 0
+    while (j < FeatureDim) { hist(j) /= n.toFloat; j += 1 }
+    hist
+  }
+
+  /** STUB featurizer: byte histogram over the whole payload. Deterministic
     * stand-in for a real per-partition decoder. */
   def featurize(ds: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       // real impl: init decoder/model once per partition here
       it.map { r =>
-        val hist = new Array[Float](FeatureDim)
-        var i = 0
-        while (i < r.payload.length) {
-          hist((r.payload(i) & 0xff) >> 4) += 1f
-          i += 1
+        MediaFeatures(r.doc_id, r.mime, r.payload.length.toLong,
+          byteHistogram(r.payload, 0, r.payload.length))
+      }
+    }
+  }
+
+  /** Frame sampling for "video" payloads: fixed-size byte windows play
+    * the role of decoded frames; each frame runs the stub featurizer.
+    * The real-codec version swaps the slicing for a demuxer/decoder
+    * initialized once per partition — the Spark shape (typed
+    * mapPartitions, one output row per frame, bounded frame width) is
+    * exactly what it would be with the codec present. */
+  def frameSample(ds: Dataset[MediaRow], frameBytes: Int): Dataset[MediaFrame] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        val n = r.payload.length
+        val frames = math.max((n + frameBytes - 1) / frameBytes, 1)
+        (0 until frames).iterator.map { f =>
+          val from = f * frameBytes
+          val until = math.min(n, from + frameBytes)
+          MediaFrame(r.doc_id, f.toLong, (until - from).toLong,
+            byteHistogram(r.payload, from, until))
         }
-        val n = math.max(r.payload.length, 1)
-        var j = 0
-        while (j < FeatureDim) { hist(j) /= n.toFloat; j += 1 }
-        MediaFeatures(r.doc_id, r.mime, r.payload.length.toLong, hist)
+      }
+    }
+  }
+
+  /** Resize stub: deterministic stride resampling of the payload to
+    * `targetBytes` (the real version decodes pixels and interpolates —
+    * same row-in/row-out shape, metadata updated alongside payload). */
+  def resizeStub(ds: Dataset[MediaRow], targetBytes: Int): Dataset[MediaRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val n = r.payload.length
+        if (n <= targetBytes) r
+        else {
+          val out = new Array[Byte](targetBytes)
+          var i = 0
+          while (i < targetBytes) {
+            out(i) = r.payload((i.toLong * n / targetBytes).toInt)
+            i += 1
+          }
+          MediaRow(r.doc_id, out, r.mime)
+        }
       }
     }
   }

@@ -26,6 +26,18 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Frame sampling over "video" payloads (fixed 256-byte windows as
+    // decoded-frame stand-ins), one row per frame, stub-featurized —
+    // oracle replicates the slicing + float histogram math in SQL.
+    "m_frame_features" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val media = Multimodal.asMedia(load(s, d, "documents"))
+      Multimodal.frameSample(media, frameBytes = 256).toDF()
+        .select($"doc_id", $"frame_idx", $"n_bytes",
+          round(norm($"features"), 4).as("feat_norm"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // Latest event per user — the materialized state the streaming
     // ingest maintains incrementally.
     "s_stream_ingest" -> ((s: SparkSession, d: String) => {
@@ -57,6 +69,24 @@ object PipelineQueries {
         |FROM (SELECT doc_id, 'application/x-fake' AS mime,
         |        length(text)::BIGINT AS n_bytes, text FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // same float-exact histogram replication as m_multimodal_meta, per
+    // 256-char frame window
+    "m_frame_features" ->
+      """SELECT doc_id, frame_idx, length(frame)::BIGINT AS n_bytes,
+        |  round(sqrt(list_sum(
+        |    [ (len(list_filter([ord(frame[i]) for i in range(1, length(frame)+1)],
+        |         b -> b // 16 = bin))::FLOAT / greatest(length(frame), 1)::FLOAT)::DOUBLE
+        |      * (len(list_filter([ord(frame[i]) for i in range(1, length(frame)+1)],
+        |         b -> b // 16 = bin))::FLOAT / greatest(length(frame), 1)::FLOAT)::DOUBLE
+        |      for bin in range(0, 16) ])), 4) AS feat_norm
+        |FROM (
+        |  SELECT doc_id, frame_idx,
+        |    substring(text, (frame_idx * 256 + 1)::INT, 256) AS frame
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(0, greatest((length(text) + 255) // 256, 1))) AS frame_idx
+        |        FROM documents))
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "s_stream_ingest" ->
       """SELECT user_id, event_id AS last_event_id,

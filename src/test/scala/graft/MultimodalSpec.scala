@@ -17,6 +17,36 @@ class MultimodalSpec extends SparkSpec {
     assert(joined.count() === 0) // ASCII text: bytes == chars
   }
 
+  test("frame sampling covers every byte exactly once with bounded frames") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val media = Multimodal.asMedia(docs)
+    val frames = Multimodal.frameSample(media, frameBytes = 256).toDF().cache()
+    // per-doc frame bytes sum back to the payload size; every frame <= 256
+    val sums = frames.groupBy($"doc_id")
+      .agg(sum($"n_bytes").as("total"), max($"n_bytes").as("widest"),
+        count(lit(1)).as("n_frames"))
+      .join(docs.select($"doc_id", length($"text").cast("long").as("len")), "doc_id")
+    assert(sums.filter($"total" =!= $"len").count() === 0)
+    assert(sums.filter($"widest" > 256).count() === 0)
+    assert(sums.filter($"n_frames" =!= ceil($"len" / lit(256.0)).cast("long")).count() === 0)
+    frames.unpersist()
+  }
+
+  test("resize stub: output bounded at target, short payloads untouched, deterministic") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val media = Multimodal.asMedia(docs)
+    val resized = Multimodal.resizeStub(media, targetBytes = 128)
+    val lens = resized.toDF()
+      .select($"doc_id", length($"payload").cast("long").as("out_len"))
+      .join(docs.select($"doc_id", length($"text").cast("long").as("in_len")), "doc_id")
+    assert(lens.filter($"out_len" > 128).count() === 0)
+    assert(lens.filter($"in_len" <= 128 && $"out_len" =!= $"in_len").count() === 0)
+    val a = resized.collect().map(r => r.doc_id -> r.payload.toSeq).toMap
+    val b = Multimodal.resizeStub(media, 128).collect()
+      .map(r => r.doc_id -> r.payload.toSeq).toMap
+    assert(a === b)
+  }
+
   test("stub featurizer is deterministic and produces unit-L1 features") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(20)
     val f1 = Multimodal.featurize(Multimodal.asMedia(docs)).collect()
