@@ -43,6 +43,12 @@ object DedupQueries {
       .otherwise(transform(sequence(lit(1), length(c) - 1),
         i => c.substr(i, lit(2))))
 
+  /** Character trigram array of a string. */
+  private def trigrams(c: Column): Column =
+    when(length(c) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(c) - 2),
+        i => c.substr(i, lit(3))))
+
   /** Banded Hamming-ball pairs over (doc_id, fp bigint): explode each
     * fingerprint into `nChunks` equal bit chunks, equi-join on
     * (chunk_id, chunk value), verify true Hamming on candidates.
@@ -111,6 +117,47 @@ object DedupQueries {
         .filter($"jaccard" >= 0.8)
         .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
         .transform(ordered(_, "doc_a", "doc_b"))
+    }),
+
+    // Character-trigram Jaccard dedup — the n-gram flavor of #21/#23 for
+    // text where word tokenization is unreliable (no spaces, CJK-ish,
+    // code). KEEPER-ASSIGNMENT output: on this corpus ~60 % of all doc
+    // pairs are near-dups, so ANY pair enumeration is Ω(dup²) in its own
+    // output (an exact trigram-pair form measured 31 s at sf0.1, all of
+    // it output-bound) while keep-or-drop stays linear. Same machinery
+    // as d_dedup_minhash with trigram tokens: 64-perm minhash → 16
+    // bands, ≤16 candidate edges per doc to per-bucket min reps, exact
+    // trigram-Jaccard verify (j >= 0.7), smallest verified neighbor
+    // becomes the keeper.
+    "d_ngram_jaccard" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val docs = load(s, d, "documents")
+        .select($"doc_id",
+          sort_array(array_distinct(trigrams($"text"))).as("gs"))
+        .filter(size($"gs") > 0) // <3-char docs have no trigram identity
+        .cache()
+      val buckets = docs
+        .select($"doc_id",
+          posexplode(GraftText.minhashBands($"gs", 1, 64, 16))
+            .as(Seq("band_id", "bh")))
+        .cache()
+      val reps = buckets.groupBy($"band_id", $"bh")
+        .agg(min($"doc_id").as("rep"))
+      val edges = buckets.join(reps, Seq("band_id", "bh"))
+        .filter($"rep" < $"doc_id")
+        .select($"doc_id", $"rep")
+        .distinct()
+      val verified = edges
+        .join(docs.select($"doc_id", $"gs".as("ga")), "doc_id")
+        .join(docs.select($"doc_id".as("rep"), $"gs".as("gb")), "rep")
+        .filter(GraftText.jaccardSorted($"ga", $"gb") >= 0.7)
+        .groupBy($"doc_id")
+        .agg(min($"rep").as("keeper"))
+      docs.join(verified, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"keeper", $"doc_id").as("keeper_id"),
+          coalesce($"keeper", $"doc_id").=!=($"doc_id").as("is_dup"))
+        .transform(ordered(_, "doc_id"))
     }),
 
     // MinHash + LSH dedup, emitting a KEEPER ASSIGNMENT (one row per
@@ -329,6 +376,9 @@ object DedupQueries {
         |    AND a.doc_id < b.doc_id
         |    AND 5 * least(a.nw, b.nw) >= 4 * greatest(a.nw, b.nw)
         |) WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // d_ngram_jaccard: seeded trigram-minhash internals → rows-only
+    // gate; exact-trigram-Jaccard recall property in DedupSpec.
 
     // The oracle is the straight quadratic contract — the Spark plan's
     // q-gram prefilter is lossless, so both must produce identical rows.

@@ -39,6 +39,36 @@ class DedupSpec extends SparkSpec {
     assert(ham(fp(1L), fp(4L)) > ham(fp(1L), fp(3L)))
   }
 
+  test("trigram-minhash keeper assignment flags docs with exact trigram near-dups") {
+    val flagged = DedupQueries.all("d_ngram_jaccard")(spark, sfDir)
+      .filter($"is_dup").select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // exact trigram-Jaccard reference with the standard LSH margin: the
+    // operator verifies edges at j>=0.7, so recall is quoted on pairs
+    // clearly inside the ball (j>=0.8) — at the exact boundary the
+    // bucket-min rep of a doc's bucket need not be its own near-dup
+    // (keeper sparsification trades those non-transitive marginals for
+    // linear output)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id",
+        sort_array(array_distinct(transform(
+          sequence(lit(1), length($"text") - 2),
+          i => $"text".substr(i, lit(3))))).as("gs"))
+      .filter(size($"gs") > 0)
+    val shouldFlag = docs.select($"doc_id".as("doc_a"), $"gs".as("ga"))
+      .crossJoin(docs.select($"doc_id".as("doc_b"), $"gs".as("gb")))
+      .filter($"doc_a" < $"doc_b" &&
+        GraftText.jaccardSorted($"ga", $"gb") >= 0.8)
+      .select($"doc_b").collect().map(_.getLong(0)).toSet
+    assert(shouldFlag.nonEmpty, "test data must contain trigram near-dups")
+    val recall = (flagged & shouldFlag).size.toDouble / shouldFlag.size
+    assert(recall >= 0.9, s"trigram minhash dedup recall $recall < 0.9")
+    // keepers self-consistent
+    val bad = DedupQueries.all("d_ngram_jaccard")(spark, sfDir)
+      .filter($"keeper_id" > $"doc_id").count()
+    assert(bad === 0)
+  }
+
   test("simhash banding is COMPLETE at the declared radius (planted pairs)") {
     // plant pairs at every Hamming distance 0..7: the operator's 4×16-bit
     // banding must recall ALL pairs at d <= 3 (pigeonhole: d <= nChunks-1
