@@ -55,6 +55,9 @@ object Bench {
             false
         }
       val sec = math.rint((System.nanoTime() - t0) / 1e6) / 1e3
+      // a query may cache its own shared subtrees; drop them so pinned
+      // blocks never bleed into (or evict under) later measurements
+      spark.catalog.clearCache()
       name -> (if (ok) sec else -1.0)
     }
     def jstr(s: String): String =

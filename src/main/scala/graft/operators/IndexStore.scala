@@ -29,7 +29,9 @@ object IndexStore {
   def root: String = sys.props.getOrElse("graft.index.dir",
     new File(sys.props("java.io.tmpdir"), "graft-index").getPath)
 
-  private def sfKey(sfDir: String): String = {
+  /** Cache key folding in the source parquet's mtime/size so regenerated
+    * data self-invalidates (shared by every derived-artifact cache). */
+  private[graft] def sfKey(sfDir: String): String = {
     val src = new File(sfDir, "embeddings.parquet")
     val stamp = Option(src.listFiles()).map(_.map(f => f.lastModified ^ f.length)
       .foldLeft(0L)(_ ^ _)).getOrElse(src.lastModified ^ src.length)

@@ -99,8 +99,23 @@ object IvfIndex {
     // driver-side to become a static partition filter on the scan
     val probeIds = probes.select($"cluster_id").distinct()
       .collect().map(_.getInt(0)).sorted
-    val candidates = spark.read.parquet(s"$indexDir/assignments")
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(s"$indexDir/assignments")
       .filter($"cluster_id".isin(probeIds.map(i => i: Any): _*))
+    // latest-wins within the scanned candidates: streamed re-inserts
+    // (IvfDeltaIngest) append rows with a `seq`; until compaction a
+    // vec_id can appear twice, and the newest must shadow the stale one
+    // (the engine.h "buffer entry shadows the graph" rule). A moved
+    // vector's old-cluster row is superseded by compact(); dedup here is
+    // over the pruned subset only, so the partition-pruning win stands.
+    val candidates =
+      if (raw.columns.contains("seq"))
+        raw.withColumn("seq", coalesce($"seq", lit(0L)))
+          .groupBy($"vec_id")
+          .agg(max_by(struct($"embedding", $"cluster_id"), $"seq").as("r"))
+          .select($"vec_id", $"r.embedding".as("embedding"),
+            $"r.cluster_id".as("cluster_id"))
+      else raw
     candidates.join(broadcast(probes), "cluster_id")
       .groupBy($"query_id")
       .agg(topK(l2Sq($"embedding", $"qv"), $"vec_id", k).as("nn"))

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Shims
 
 import graft.functions.{LshBands, LshMath}
@@ -52,6 +53,45 @@ object LshBuckets {
       val arr = p.map(f => f.toDouble.toString).mkString("[", ",", "]")
       s"(CASE WHEN list_inner_product($vecSql::DOUBLE[], $arr::DOUBLE[]) > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")::BIGINT")
+
+  /** Banded candidate pairs (vec_a, vec_b): explode the [[bucketBands]]
+    * keys, self-join on the band key plus any `extraKeys` equi-columns
+    * (e.g. a label/shard column), distinct with vec_a < vec_b. The one
+    * sub-quadratic candidate-generation skeleton shared by every LSH
+    * near-dup operator — callers attach their own metric verify. */
+  def bandedPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      extraKeys: Seq[String] = Nil, nTables: Int = 16,
+      bitsPerTable: Int = 8, seed: Long = 42L): DataFrame = {
+    val buckets = df.select(
+      (Seq(col(idCol)) ++ extraKeys.map(col) :+
+        posexplode(bucketBands(col(vecCol), dim, nTables, bitsPerTable, seed))
+          .as(Seq("t", "bk"))): _*)
+    val joinCond = (Seq(col(s"x.bk") === col(s"y.bk"),
+        col(s"x.$idCol") < col(s"y.$idCol")) ++
+      extraKeys.map(k => col(s"x.$k") === col(s"y.$k")))
+      .reduce(_ && _)
+    buckets.as("x").join(buckets.as("y"), joinCond)
+      .select(col(s"x.$idCol").as("vec_a"), col(s"y.$idCol").as("vec_b"))
+      .distinct()
+  }
+
+  /** DuckDB equivalent of [[bandedPairs]]: a `b AS (...), cand AS (...)`
+    * CTE fragment producing (vec_a, vec_b) from `tableName`, replicating
+    * the banding exactly. Callers append their own verify SELECT. */
+  def bandedPairsSql(tableName: String, idCol: String, vecCol: String,
+      dim: Int, extraKeys: Seq[String] = Nil, nTables: Int = 16,
+      bitsPerTable: Int = 8, seed: Long = 42L): String = {
+    val bands = bandsSql(vecCol, dim, nTables, bitsPerTable, seed)
+    val ek = extraKeys.map(k => s", $k").mkString
+    val ekCond = extraKeys.map(k => s" AND x.$k = y.$k").mkString
+    s"""b AS (
+       |  SELECT $idCol$ek, unnest($bands) AS bk FROM $tableName
+       |), cand AS (
+       |  SELECT DISTINCT x.$idCol AS vec_a, y.$idCol AS vec_b
+       |  FROM b x JOIN b y
+       |    ON x.bk = y.bk$ekCond AND x.$idCol < y.$idCol
+       |)""".stripMargin
+  }
 
   /** DuckDB-equivalent of [[bucketBands]]: a SQL list literal of per-table
     * band keys, replicating seed, plane order, and offset math exactly —

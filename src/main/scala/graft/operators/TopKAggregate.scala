@@ -27,8 +27,14 @@ final class TopKBuffer(val k: Int) {
   private[operators] val ids = new Array[Long](k)
   private[operators] var size: Int = 0
 
-  @inline private def greater(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && i1 > i2)
+  // total order via Double.compare: NaN ranks worst (evicted first) and
+  // -0.0 < 0.0 — identical semantics to Ordering.Double.TotalOrdering,
+  // which a bare `>` would lose (IEEE NaN comparisons are all false, so
+  // a NaN score could lodge in the heap permanently)
+  @inline private def greater(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c > 0 || (c == 0 && i1 > i2)
+  }
 
   def insert(score: Double, id: Long): Unit = {
     if (size < k) {
@@ -70,9 +76,10 @@ final class TopKBuffer(val k: Int) {
     while (i < other.size) { insert(other.scores(i), other.ids(i)); i += 1 }
   }
 
-  /** Ascending (score, id). */
+  /** Ascending (score, id), NaN last. */
   def sorted: Array[(Double, Long)] =
-    Array.tabulate(size)(i => (scores(i), ids(i))).sortBy(identity)
+    Array.tabulate(size)(i => (scores(i), ids(i)))
+      .sorted(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
 }
 
 /** Typed-imperative aggregate `top_k(score, id, k)` → array<struct<score,id>>

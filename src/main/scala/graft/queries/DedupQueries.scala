@@ -33,9 +33,17 @@ object DedupQueries {
     * output is tiny, so a single-partition sort (one extra shuffle of
     * the result rows only) is strictly cheaper and yields the same total
     * order the oracle's ORDER BY prescribes. Only for bounded outputs —
-    * a full-corpus projection should keep orderBy. */
+    * corpus-scale results use [[orderedLarge]]. */
   private def ordered(df: DataFrame, cols: String*): DataFrame =
     df.repartition(1).sortWithinPartitions(cols.head, cols.tail: _*)
+
+  /** Deterministic total order for a CORPUS-SCALE result: materialize the
+    * result once (lazy local checkpoint — blocks on executor storage),
+    * then range-sort from the stored blocks. Scalable sort, no upstream
+    * double-execution; a single-partition sort here would funnel the
+    * whole corpus through one task. */
+  private def orderedLarge(df: DataFrame, cols: String*): DataFrame =
+    df.localCheckpoint(false).orderBy(cols.head, cols.tail: _*)
 
   /** Character bigram array of a string (codegen'd builtins only). */
   private def bigrams(c: Column): Column =
@@ -89,7 +97,7 @@ object DedupQueries {
         .groupBy($"sig")
         .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_dups"))
         .select($"doc_id", $"n_dups")
-        .transform(ordered(_, "doc_id"))
+        .transform(orderedLarge(_, "doc_id"))
     }),
 
     // Exact pairwise word-set Jaccard within a (lang, length-band)
@@ -116,7 +124,7 @@ object DedupQueries {
         .withColumn("jaccard", GraftText.jaccardSorted($"wa", $"wb"))
         .filter($"jaccard" >= 0.8)
         .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
-        .transform(ordered(_, "doc_a", "doc_b"))
+        .transform(orderedLarge(_, "doc_a", "doc_b"))
     }),
 
     // Character-trigram Jaccard dedup — the n-gram flavor of #21/#23 for
@@ -157,7 +165,7 @@ object DedupQueries {
         .select($"doc_id",
           coalesce($"keeper", $"doc_id").as("keeper_id"),
           coalesce($"keeper", $"doc_id").=!=($"doc_id").as("is_dup"))
-        .transform(ordered(_, "doc_id"))
+        .transform(orderedLarge(_, "doc_id"))
     }),
 
     // MinHash + LSH dedup, emitting a KEEPER ASSIGNMENT (one row per
@@ -199,7 +207,7 @@ object DedupQueries {
         .select($"doc_id",
           coalesce($"keeper", $"doc_id").as("keeper_id"),
           coalesce($"keeper", $"doc_id").=!=($"doc_id").as("is_dup"))
-        .transform(ordered(_, "doc_id"))
+        .transform(orderedLarge(_, "doc_id"))
     }),
 
     // SimHash fingerprints + banded Hamming-distance near-dup pairs.
@@ -306,15 +314,7 @@ object DedupQueries {
     "d_embed_lsh" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       val e = load(s, d, "embeddings")
-      val buckets = e.select($"vec_id",
-        posexplode(graft.operators.LshBuckets.bucketBands($"embedding", 64))
-          .as(Seq("t", "bk")))
-        .select($"vec_id", $"bk")
-      val cand = buckets.as("x").join(buckets.as("y"),
-          $"x.bk" === $"y.bk" && $"x.vec_id" < $"y.vec_id")
-        .select($"x.vec_id".as("vec_a"), $"y.vec_id".as("vec_b"))
-        .distinct()
-      cand
+      graft.operators.LshBuckets.bandedPairs(e, "vec_id", "embedding", 64)
         .join(e.select($"vec_id".as("vec_a"), $"embedding".as("va")), "vec_a")
         .join(e.select($"vec_id".as("vec_b"), $"embedding".as("vb")), "vec_b")
         .withColumn("cos_sim", cosine($"va", $"vb"))
@@ -334,16 +334,8 @@ object DedupQueries {
     "d_embed_neardup" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       val e = load(s, d, "embeddings")
-      val buckets = e.select($"vec_id", $"label",
-          posexplode(graft.operators.LshBuckets.bucketBands($"embedding", 64))
-            .as(Seq("t", "bk")))
-        .select($"vec_id", $"label", $"bk")
-      val cand = buckets.as("x").join(buckets.as("y"),
-          $"x.bk" === $"y.bk" && $"x.label" === $"y.label" &&
-            $"x.vec_id" < $"y.vec_id")
-        .select($"x.vec_id".as("vec_a"), $"y.vec_id".as("vec_b"))
-        .distinct()
-      cand
+      graft.operators.LshBuckets
+        .bandedPairs(e, "vec_id", "embedding", 64, extraKeys = Seq("label"))
         .join(e.select($"vec_id".as("vec_a"), $"embedding".as("va")), "vec_a")
         .join(e.select($"vec_id".as("vec_b"), $"embedding".as("vb")), "vec_b")
         .withColumn("cos_sim", cosine($"va", $"vb"))
@@ -400,14 +392,9 @@ object DedupQueries {
         |) WHERE rnk <= 20 ORDER BY lang, rnk""".stripMargin,
 
     "d_embed_neardup" -> {
-      val bands = graft.operators.LshBuckets.bandsSql("embedding", 64)
-      s"""WITH b AS (
-         |  SELECT vec_id, label, unnest($bands) AS bk FROM embeddings
-         |), cand AS (
-         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-         |  FROM b x JOIN b y
-         |    ON x.bk = y.bk AND x.label = y.label AND x.vec_id < y.vec_id
-         |)
+      val cand = graft.operators.LshBuckets.bandedPairsSql(
+        "embeddings", "vec_id", "embedding", 64, extraKeys = Seq("label"))
+      s"""WITH $cand
          |SELECT vec_a, vec_b, round(cos_sim, 4) AS cos_sim FROM (
          |  SELECT vec_a, vec_b,
          |    list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS cos_sim
@@ -422,13 +409,9 @@ object DedupQueries {
     // sign/offset math as the native LshBands expression), then the same
     // bucket self-join + exact-cosine verify.
     "d_embed_lsh" -> {
-      val bands = graft.operators.LshBuckets.bandsSql("embedding", 64)
-      s"""WITH b AS (
-         |  SELECT vec_id, unnest($bands) AS bk FROM embeddings
-         |), cand AS (
-         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-         |  FROM b x JOIN b y ON x.bk = y.bk AND x.vec_id < y.vec_id
-         |)
+      val cand = graft.operators.LshBuckets
+        .bandedPairsSql("embeddings", "vec_id", "embedding", 64)
+      s"""WITH $cand
          |SELECT vec_a, vec_b, round(cos_sim, 4) AS cos_sim FROM (
          |  SELECT vec_a, vec_b,
          |    list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS cos_sim

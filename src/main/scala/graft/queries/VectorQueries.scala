@@ -107,15 +107,21 @@ object VectorQueries {
     // the hash match against the parquet-derived oracle.
     "v_fvecs_roundtrip" -> ((s: SparkSession, d: String) => {
       import s.implicits._
+      // cache keyed by the source data's fingerprint (IndexStore.sfKey
+      // folds in mtime/size — regenerated test data self-invalidates);
+      // written to a temp name then renamed so a crashed write can never
+      // leave a truncated file that passes an exists() check
       val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft-fvecs-" + d.replaceAll("[^A-Za-z0-9._-]", "_"))
+        "graft-fvecs-" + graft.operators.IndexStore.sfKey(d))
       val file = new java.io.File(dir, "embeddings.fvecs")
       if (!file.exists()) {
         dir.mkdirs()
+        val tmp = new java.io.File(dir, "embeddings.fvecs.tmp")
         graft.sources.Fvecs.writeFvecs(
           load(s, d, "embeddings").orderBy("vec_id")
             .select($"vec_id".as("id"), $"embedding".as("vector")),
-          file.getPath)
+          tmp.getPath)
+        if (!tmp.renameTo(file)) sys.error(s"fvecs cache rename failed: $file")
       }
       s.read.format("fvecs").load(file.getPath)
         .select($"id".as("vec_id"), round(norm($"vector"), 4).as("l2_norm"))
@@ -154,15 +160,7 @@ object VectorQueries {
     "v_knn_self_pairs" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       val e = load(s, d, "embeddings")
-      val buckets = e.select($"vec_id",
-          posexplode(graft.operators.LshBuckets.bucketBands($"embedding", 64))
-            .as(Seq("t", "bk")))
-        .select($"vec_id", $"bk")
-      val cand = buckets.as("x").join(buckets.as("y"),
-          $"x.bk" === $"y.bk" && $"x.vec_id" < $"y.vec_id")
-        .select($"x.vec_id".as("vec_a"), $"y.vec_id".as("vec_b"))
-        .distinct()
-      cand
+      graft.operators.LshBuckets.bandedPairs(e, "vec_id", "embedding", 64)
         .join(e.select($"vec_id".as("vec_a"), $"embedding".as("va")), "vec_a")
         .join(e.select($"vec_id".as("vec_b"), $"embedding".as("vb")), "vec_b")
         .withColumn("dist", round(l2($"va", $"vb"), 4))
@@ -308,13 +306,9 @@ object VectorQueries {
         |) WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
     "v_knn_self_pairs" -> {
-      val bands = graft.operators.LshBuckets.bandsSql("embedding", 64)
-      s"""WITH b AS (
-         |  SELECT vec_id, unnest($bands) AS bk FROM embeddings
-         |), cand AS (
-         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-         |  FROM b x JOIN b y ON x.bk = y.bk AND x.vec_id < y.vec_id
-         |)
+      val cand = graft.operators.LshBuckets
+        .bandedPairsSql("embeddings", "vec_id", "embedding", 64)
+      s"""WITH $cand
          |SELECT vec_a, vec_b, dist FROM (
          |  SELECT vec_a, vec_b,
          |    round(list_distance(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS dist

@@ -51,9 +51,13 @@ class DedupSpec extends SparkSpec {
     // linear output)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id",
-        sort_array(array_distinct(transform(
-          sequence(lit(1), length($"text") - 2),
-          i => $"text".substr(i, lit(3))))).as("gs"))
+        // same <3-char guard as the operator's trigrams helper —
+        // sequence(1, len-2) turns DESCENDING for short strings and
+        // would fabricate bogus short "trigrams"
+        sort_array(array_distinct(
+          when(length($"text") < 3, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(1), length($"text") - 2),
+              i => $"text".substr(i, lit(3)))))).as("gs"))
       .filter(size($"gs") > 0)
     val shouldFlag = docs.select($"doc_id".as("doc_a"), $"gs".as("ga"))
       .crossJoin(docs.select($"doc_id".as("doc_b"), $"gs".as("gb")))

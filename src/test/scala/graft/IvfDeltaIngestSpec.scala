@@ -70,6 +70,17 @@ class IvfDeltaIngestSpec extends SparkSpec {
       .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
     IvfDeltaIngest.appendBatch(spark, dir, delta, seq = 1L)
 
+    // PRE-COMPACTION search: the table physically holds two rows for
+    // vec 0, but searchPruned must surface only the newest (a query at
+    // the new embedding finds vec 0 once, at distance 0 — never a
+    // duplicate neighbor, never the stale embedding shadowing the new)
+    val qPre = base.filter($"vec_id" === 7)
+      .select(lit(99L).as("query_id"), $"embedding".as("qv"))
+    val pre = IvfIndex.searchPruned(spark, dir, qPre, k = 5, nprobe = 8)
+      .filter($"neighbor_id" === 0L).collect()
+    assert(pre.length === 1, s"vec 0 must appear exactly once: ${pre.toSeq}")
+    assert(pre.head.getDouble(3) === 0.0, "must be the NEW embedding")
+
     // latest-wins read: still one logical row per id, newest embedding
     val latest = IvfDeltaIngest.latestAssignments(spark, dir)
     assert(latest.count() === total)

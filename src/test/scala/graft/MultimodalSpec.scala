@@ -28,7 +28,10 @@ class MultimodalSpec extends SparkSpec {
       .join(docs.select($"doc_id", length($"text").cast("long").as("len")), "doc_id")
     assert(sums.filter($"total" =!= $"len").count() === 0)
     assert(sums.filter($"widest" > 256).count() === 0)
-    assert(sums.filter($"n_frames" =!= ceil($"len" / lit(256.0)).cast("long")).count() === 0)
+    // empty payloads still emit one (empty) frame — frameSample's
+    // max(frames, 1), mirrored by the oracle's greatest(..., 1)
+    assert(sums.filter($"n_frames" =!=
+      greatest(ceil($"len" / lit(256.0)).cast("long"), lit(1L))).count() === 0)
     frames.unpersist()
   }
 
