@@ -35,7 +35,9 @@ object Bench {
     // warm-up: JVM + codegen + parquet footer caches, plus the one-time
     // ANN index builds (IndexStore) so the *search* entries measure
     // search — the build/serve separation the persisted-index design is
-    // for. Build cost itself is visible in v_ivf_build on a cold store.
+    // for. Index build is an offline/amortized cost by design and is
+    // deliberately outside the timed loop (like the JVM warm-up); the
+    // spec suite and IndexStore exercise the build path itself.
     try exhaust(SparkEntry.queries("v_knn_bruteforce")(spark, sfDir))
     catch { case _: Throwable => () }
     try {
