@@ -9,7 +9,11 @@ import org.apache.spark.sql.types._
 /** Seeded signed-random-projection hyperplanes — the single source of
   * truth shared by the native [[LshBands]] expression, the Column-level
   * helpers in [[graft.operators.LshBuckets]], and the DuckDB oracle SQL
-  * generator (all three must compute bit-identical keys).
+  * generator (all three must compute bit-identical keys). Plays the
+  * candidate-narrowing role of the reference's graph descent
+  * (/root/reference/include/hnsw_index.h:search_layer restricts
+  * comparisons structurally; sign-LSH restricts them probabilistically,
+  * which is what distributes).
   */
 object LshMath {
   /** `nPlanes` Gaussian hyperplanes of dimension `dim`, drawn from
