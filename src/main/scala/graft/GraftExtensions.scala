@@ -19,6 +19,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "")
 
+  // SQL integer literals arrive as INT or BIGINT depending on how the
+  // caller writes them (42 vs CAST(42 AS BIGINT)); coerce through Number
+  // so both spellings work for every static parameter.
+  private def intArg(e: Expression): Int =
+    e.eval().asInstanceOf[Number].intValue
+  private def longArg(e: Expression): Long =
+    e.eval().asInstanceOf[Number].longValue
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.SqrtEliminationRule)
 
@@ -40,22 +48,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("graft_fingerprint", "graft_fingerprint(text) - FNV-1a 64 fingerprint") {
       es => RollingHash64(es(0)) }
     reg("graft_minhash", "graft_minhash(tokens, width, n) - minhash signature") {
-      es => MinHashSignature(es(0),
-        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int]) }
+      es => MinHashSignature(es(0), intArg(es(1)), intArg(es(2))) }
     reg("graft_minhash_bands", "graft_minhash_bands(tokens, width, n, bands) - LSH band keys") {
-      es => MinHashBands(es(0), es(1).eval().asInstanceOf[Int],
-        es(2).eval().asInstanceOf[Int], es(3).eval().asInstanceOf[Int]) }
+      es => MinHashBands(es(0), intArg(es(1)), intArg(es(2)), intArg(es(3))) }
     reg("graft_jaccard", "graft_jaccard(a, b) - Jaccard of sorted distinct string arrays") {
       es => JaccardSorted(es(0), es(1)) }
     reg("graft_lsh_bands",
         "graft_lsh_bands(vec, dim, nTables, bits, seed) - seeded sign-LSH table keys") {
-      es => LshBands(es(0), es(1).eval().asInstanceOf[Int],
-        es(2).eval().asInstanceOf[Int], es(3).eval().asInstanceOf[Int],
-        es(4).eval().asInstanceOf[Int].toLong) }
+      es => LshBands(es(0), intArg(es(1)), intArg(es(2)), intArg(es(3)),
+        longArg(es(4))) }
     // aggregates
     reg("graft_topk", "graft_topk(score, id, k) - k smallest (score,id) pairs") {
-      es => graft.operators.TopKByScore(es(0), es(1),
-        es(2).eval().asInstanceOf[Int]) }
+      es => graft.operators.TopKByScore(es(0), es(1), intArg(es(2))) }
     reg("graft_vector_avg", "graft_vector_avg(vec) - element-wise mean") {
       es => graft.operators.VectorAvg(es(0)) }
   }

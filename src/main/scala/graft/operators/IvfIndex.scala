@@ -83,6 +83,18 @@ object IvfIndex {
     * neighborhood, never the whole index), then pushed into the
     * partitioned assignments scan as a LITERAL `isin` filter, so the read
     * is file-level partition-pruned: nprobe/k of the data comes off disk.
+    *
+    * Write-buffer fidelity (engine.h:search_knn consults buffers BEFORE
+    * the graph): rows streamed in since the last compaction live in the
+    * bounded `delta_log` sidecar (IvfDeltaIngest). Every candidate row
+    * of an updated vec_id is dropped from the pruned scan (broadcast
+    * anti-join — never a wide dedup shuffle) and the newest buffer rows
+    * are brute-forced against EVERY query, probe set or not. A vector
+    * re-ingested into a different cluster is therefore always served at
+    * its newest embedding, even when only its old cluster is probed —
+    * the "newest buffer entry shadows the index" contract, not an
+    * eventual-consistency window. With an empty buffer (post-compaction
+    * steady state) the plan collapses to the plain pruned scan.
     */
   def searchPruned(spark: SparkSession, indexDir: String, queries: DataFrame,
       k: Int, nprobe: Int): DataFrame = {
@@ -102,21 +114,24 @@ object IvfIndex {
     val raw = spark.read.option("mergeSchema", "true")
       .parquet(s"$indexDir/assignments")
       .filter($"cluster_id".isin(probeIds.map(i => i: Any): _*))
-    // latest-wins within the scanned candidates: streamed re-inserts
-    // (IvfDeltaIngest) append rows with a `seq`; until compaction a
-    // vec_id can appear twice, and the newest must shadow the stale one
-    // (the engine.h "buffer entry shadows the graph" rule). A moved
-    // vector's old-cluster row is superseded by compact(); dedup here is
-    // over the pruned subset only, so the partition-pruning win stands.
-    val candidates =
-      if (raw.columns.contains("seq"))
-        raw.withColumn("seq", coalesce($"seq", lit(0L)))
-          .groupBy($"vec_id")
-          .agg(max_by(struct($"embedding", $"cluster_id"), $"seq").as("r"))
-          .select($"vec_id", $"r.embedding".as("embedding"),
-            $"r.cluster_id".as("cluster_id"))
-      else raw
-    candidates.join(broadcast(probes), "cluster_id")
+      .select($"vec_id", $"embedding", $"cluster_id")
+    // pruned index candidates ∪ write-buffer brute force (see scaladoc).
+    // Post-compaction the assignments table holds one row per vec_id
+    // (build and compact() both guarantee it), so no dedup is needed
+    // beyond shadowing the buffer's vec_ids.
+    val pairs = graft.streaming.IvfDeltaIngest.deltaLatest(spark, indexDir) match {
+      case None =>
+        raw.join(broadcast(probes), "cluster_id")
+      case Some(delta) =>
+        val buf = broadcast(delta.select($"vec_id", $"embedding"))
+        val uniqueQueries = probes.select($"query_id", $"qv").distinct()
+        raw.join(broadcast(buf.select($"vec_id")), Seq("vec_id"), "left_anti")
+          .join(broadcast(probes), "cluster_id")
+          .select($"query_id", $"qv", $"vec_id", $"embedding")
+          .unionByName(buf.crossJoin(broadcast(uniqueQueries))
+            .select($"query_id", $"qv", $"vec_id", $"embedding"))
+    }
+    pairs
       .groupBy($"query_id")
       .agg(topK(l2Sq($"embedding", $"qv"), $"vec_id", k).as("nn"))
       .select($"query_id", posexplode($"nn"))

@@ -28,6 +28,7 @@ object KnnSearch {
     * single-broadcast plan, any numBatches >= 1. */
   def searchBatched(base: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, numBatches: Int): DataFrame = {
+    require(numBatches >= 1, s"numBatches must be >= 1, got $numBatches")
     val spark = base.sparkSession
     import spark.implicits._
     val batched = queries.withColumn("__batch",

@@ -139,9 +139,13 @@ object VectorQueries {
       val e = load(s, d, "embeddings")
       val q = e.filter($"vec_id" % 5 === 0)
         .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      // corpus-scale output (|corpus|/5 × k rows): materialize once, then
+      // range-sort from stored blocks — a single-partition sort here would
+      // funnel the whole result through one task (see DedupQueries's
+      // ordered/orderedLarge rule: bounded outputs only for the former)
       graft.operators.KnnSearch
         .searchBatched(e, q, "vec_id", "embedding", k = 3, numBatches = 8)
-        .repartition(1).sortWithinPartitions("query_id", "rnk")
+        .localCheckpoint(false).orderBy("query_id", "rnk")
     }),
 
     // All-pairs near-neighbor self-join (dist < r) behind the multi-table

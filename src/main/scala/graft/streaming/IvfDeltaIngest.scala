@@ -1,7 +1,11 @@
 package graft.streaming
 
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.GraftVector._
 
@@ -15,12 +19,22 @@ import graft.GraftVector._
   *    centroids are tiny) and APPENDED into the matching
   *    `cluster_id=N` partition. Searches stay file-level pruned with no
   *    index rebuild; a batch costs one scan of the batch, never of the
-  *    index.
+  *    index. The same rows are appended to a `delta_log` sidecar — the
+  *    durable WRITE BUFFER: bounded by the writes since the last
+  *    compaction, it is what lets a search consult "unflushed" entries
+  *    exactly like engine.h:search_knn brute-forces its buffers before
+  *    the graph (see IvfIndex.searchPruned).
   *  - [[compact]] is the background compaction: latest `seq` wins per
-  *    vec_id, partitions rewritten in place. Between compactions a
-  *    reader resolves duplicates with the same max_by(seq) rule —
-  *    exactly the reference's "newest buffer entry shadows the graph"
-  *    contract (engine.h:search_knn consults buffers before the index).
+  *    vec_id, the table is rewritten into a SIBLING directory and then
+  *    atomically swapped into place (never overwriting the files being
+  *    read — an executor-storage loss mid-write can no longer destroy
+  *    the table), and the delta log is truncated.
+  *
+  * Single-writer assumption: one compactor at a time, no concurrent
+  * appends during the swap window (the reference serializes its flush
+  * threads the same way). On a cluster this swap becomes a metastore /
+  * table-format transactional commit; the directory-rename form is the
+  * local-filesystem expression of the same idea.
   */
 object IvfDeltaIngest {
 
@@ -29,15 +43,32 @@ object IvfDeltaIngest {
       batch: DataFrame, seq: Long): Unit = {
     import spark.implicits._
     val cent = spark.read.parquet(s"$indexDir/centroids")
-    batch.crossJoin(broadcast(cent))
+    val assigned = batch.crossJoin(broadcast(cent))
       .withColumn("d", l2Sq($"embedding", $"centroid"))
       .groupBy($"vec_id")
       .agg(min_by($"cluster_id", struct($"d", $"cluster_id")).as("cluster_id"),
         first($"embedding").as("embedding"))
       .withColumn("seq", lit(seq))
       .select($"vec_id", $"embedding", $"seq", $"cluster_id")
-      .write.mode("append").partitionBy("cluster_id")
+      .persist(StorageLevel.MEMORY_AND_DISK) // one assignment pass, two writes
+    assigned.write.mode("append").partitionBy("cluster_id")
       .parquet(s"$indexDir/assignments")
+    assigned.write.mode("append").parquet(s"$indexDir/delta_log")
+    assigned.unpersist()
+  }
+
+  /** Latest row per vec_id from the delta log (the write buffer), or None
+    * if no deltas have landed since the last compaction. Bounded by the
+    * append volume between compactions — small by design, broadcastable. */
+  def deltaLatest(spark: SparkSession, indexDir: String): Option[DataFrame] = {
+    import spark.implicits._
+    if (!new File(s"$indexDir/delta_log").exists()) None
+    else Some(spark.read.parquet(s"$indexDir/delta_log")
+      .groupBy($"vec_id")
+      .agg(max_by(struct($"embedding", $"cluster_id"), $"seq").as("r"),
+        max($"seq").as("seq"))
+      .select($"vec_id", $"r.embedding".as("embedding"),
+        $"r.cluster_id".as("cluster_id"), $"seq"))
   }
 
   /** Read the assignments table with latest-wins duplicate resolution
@@ -57,12 +88,29 @@ object IvfDeltaIngest {
   }
 
   /** LSM compaction: rewrite the partitioned table with one row per
-    * vec_id (newest seq). Run periodically, not per batch. */
+    * vec_id (newest seq) into `assignments.compacting`, atomically swap
+    * it over `assignments`, and truncate the delta log. Run periodically,
+    * not per batch. Crash-safe: the source files are never overwritten —
+    * a failure before the swap leaves the old table intact; a failure
+    * between the two renames leaves the complete new table in the
+    * sibling dir for recovery. */
   def compact(spark: SparkSession, indexDir: String): Unit = {
-    val compacted = latestAssignments(spark, indexDir)
+    val tmp = s"$indexDir/assignments.compacting"
+    val old = s"$indexDir/assignments.old"
+    deleteRecursively(new File(tmp)); deleteRecursively(new File(old))
+    latestAssignments(spark, indexDir)
       .repartition(col("cluster_id"))
-      .localCheckpoint(true) // sever lineage from the files being replaced
-    compacted.write.mode("overwrite").partitionBy("cluster_id")
-      .parquet(s"$indexDir/assignments")
+      .write.partitionBy("cluster_id").parquet(tmp)
+    Files.move(Paths.get(s"$indexDir/assignments"), Paths.get(old),
+      StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), Paths.get(s"$indexDir/assignments"),
+      StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(new File(old))
+    deleteRecursively(new File(s"$indexDir/delta_log"))
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
   }
 }

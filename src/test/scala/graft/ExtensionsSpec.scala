@@ -81,4 +81,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql === viaCol)
     assert(viaSql.length === 4)
   }
+
+  test("static int params accept INT and BIGINT literal spellings alike") {
+    Shims.applyFunctionExtensions(spark, new GraftExtensions)
+    val vec = Seq.tabulate(8)(i => (i + 1).toFloat / 10f)
+    def bands(seedSql: String) = spark.sql(
+      s"SELECT graft_lsh_bands(array(${vec.mkString("f,")}f), 8, 4, 4, $seedSql) AS b")
+      .head().getSeq[Long](0)
+    assert(bands("42") === bands("CAST(42 AS BIGINT)"))
+    // and a seed that doesn't fit in an INT at all
+    assert(bands("CAST(4294967298 AS BIGINT)").length === 4)
+  }
 }

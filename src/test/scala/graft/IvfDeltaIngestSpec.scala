@@ -60,6 +60,43 @@ class IvfDeltaIngestSpec extends SparkSpec {
     }
   }
 
+  test("a moved vector is served fresh even when only its OLD cluster is probed") {
+    val dir = freshIndex()
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val emb0 = base.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0)
+    val emb7 = base.filter($"vec_id" === 7).select($"embedding").head().getSeq[Float](0)
+    // re-insert vec 0 with vec 7's embedding — very likely a different cluster;
+    // either way the buffer contract must hold regardless of the probe set
+    val delta = Seq((0L, emb7)).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    IvfDeltaIngest.appendBatch(spark, dir, delta, seq = 1L)
+    assert(new java.io.File(s"$dir/delta_log").exists(), "write buffer must be durable")
+
+    // query at vec 0's ORIGINAL embedding with nprobe=1: probes only the
+    // old cluster. The stale row (dist 0) must NOT be served; the buffer
+    // must surface vec 0 at its NEW embedding's true distance.
+    val q = Seq((42L, emb0)).toDF("query_id", "qv")
+      .select($"query_id", $"qv".cast("array<float>").as("qv"))
+    val trueDist = math.rint(math.sqrt(
+      emb0.zip(emb7).map { case (a, b) =>
+        val d = a.toDouble - b.toDouble; d * d }.sum) * 1e4) / 1e4
+    val rows = IvfIndex.searchPruned(spark, dir, q, k = 50, nprobe = 1)
+      .filter($"neighbor_id" === 0L).collect()
+    assert(rows.length <= 1, s"vec 0 must never appear twice: ${rows.toSeq}")
+    rows.foreach { r =>
+      assert(r.getDouble(3) === trueDist,
+        s"vec 0 must be served at its NEW embedding (d=$trueDist), got ${r.getDouble(3)}")
+    }
+
+    // compaction folds the buffer in and truncates it
+    IvfDeltaIngest.compact(spark, dir)
+    assert(!new java.io.File(s"$dir/delta_log").exists(), "compact truncates the buffer")
+    assert(!new java.io.File(s"$dir/assignments.compacting").exists())
+    assert(!new java.io.File(s"$dir/assignments.old").exists())
+    val raw = spark.read.parquet(s"$dir/assignments")
+    assert(raw.filter($"vec_id" === 0L).count() === 1)
+  }
+
   test("re-insert shadows the old row; compaction collapses to one row per id") {
     val dir = freshIndex()
     val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
