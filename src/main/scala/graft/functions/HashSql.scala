@@ -1,0 +1,157 @@
+package graft.functions
+
+/** DuckDB-SQL replication of the native hashing expressions in
+  * [[GraftHash]]/[[SimHash64]]/[[MinHashSignature]]/[[MinHashBands]], so
+  * the seeded-hash dedup operators can be held to the full DuckDB hash
+  * oracle instead of a rows-only row-count check. 64-bit wrapping
+  * arithmetic is folded in HUGEINT modulo 2^64 (the t_fingerprint
+  * technique); signed comparisons re-map through 2^63. The corpus is
+  * ASCII, so `ord(char) == byte` — any non-ASCII text would break the
+  * hash match itself, which is exactly the kind of drift the gate is
+  * for.
+  */
+object HashSql {
+
+  private val Mod = "18446744073709551616::HUGEINT" // 2^64
+  private val SignBit = "9223372036854775808::HUGEINT" // 2^63
+  private val FnvOffset = "14695981039346656037::HUGEINT" // 0xcbf29ce484222325
+  private val FnvPrime = "1099511628211::HUGEINT" // 0x100000001b3
+
+  /** FNV-1a 64 of a string SQL expression, as HUGEINT in [0, 2^64).
+    * Exactly GraftHash.fnv1a64(bytes, 0): fold h = ((h XOR byte) * prime)
+    * mod 2^64 from the offset basis. */
+  def fnvSql(strSql: String): String =
+    s"""list_reduce(
+       |    list_prepend($FnvOffset,
+       |      [ord(($strSql)[i]) for i in range(1, length($strSql)+1)]::HUGEINT[]),
+       |    (h, b) -> ((xor(h::UBIGINT, b::UBIGINT))::HUGEINT * $FnvPrime) % $Mod)""".stripMargin
+
+  /** CTE chain `toks/tok/th/dv`: per-document token stream joined to a
+    * DISTINCT-token FNV-1a hash table (each unique token is hashed once
+    * corpus-wide, not once per occurrence). `dv` has (doc_id, hu UBIGINT)
+    * with one row per token OCCURRENCE — the multiset SimHash votes on. */
+  def tokenHashCtes(table: String = "documents"): String =
+    s"""toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+       |  FROM $table
+       |),
+       |tok AS (SELECT DISTINCT t FROM toks),
+       |th AS (
+       |  SELECT t, (${fnvSql("t")})::UBIGINT AS hu
+       |  FROM tok
+       |),
+       |dv AS (SELECT toks.doc_id, th.hu FROM toks JOIN th ON toks.t = th.t)""".stripMargin
+
+  /** Per-bit majority vote: fp bit b is set iff strictly more token
+    * hashes have bit b set than clear — SimHash64's votes(b) > 0. */
+  private def simhashFpExpr: String =
+    (0 until 64).map { b =>
+      s"CASE WHEN sum(CASE WHEN (hu >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${java.lang.Long.toUnsignedString(1L << b)}::UBIGINT ELSE 0::UBIGINT END"
+    }.mkString("(", "\n     + ", ")")
+
+  /** One minhash permutation as SQL over a token-hash list `hs`:
+    * signed-64 min over tokens of a_i*h + b_i (mod 2^64), matching
+    * MinHashSignature's Java-long wrap and SIGNED `<` comparison.
+    * INT128 can't hold a full 64×64-bit product, so the multiplier is
+    * split into 32-bit halves: a*h ≡ a0*h + ((a1*h) mod 2^32)·2^32 —
+    * every partial product stays under 2^96. */
+  private def permMinExpr(i: Int): String = {
+    val a = GraftHash.mixA(i); val b = GraftHash.mixB(i)
+    val a0 = java.lang.Long.toUnsignedString(a & 0xffffffffL)
+    val a1 = java.lang.Long.toUnsignedString(a >>> 32)
+    val bU = java.lang.Long.toUnsignedString(b)
+    val perm = s"($a0::HUGEINT * h + (($a1::HUGEINT * h) % 4294967296::HUGEINT)" +
+      s" * 4294967296::HUGEINT + $bU::HUGEINT) % $Mod"
+    s"list_min(list_transform(list_transform(hs, h -> $perm)," +
+      s" x -> CASE WHEN x >= $SignBit THEN x - $Mod ELSE x END))"
+  }
+
+  /** LSH band keys from the unsigned signature list `su`: band b FNV-folds
+    * the 8 little-endian bytes of each of its rowsPerBand signature values,
+    * seeded with offset_basis XOR band_id — byte-for-byte MinHashBands. */
+  private def bandExpr(b: Int, rowsPerBand: Int): String = {
+    val bytes = (0 until rowsPerBand).flatMap { r =>
+      val idx = b * rowsPerBand + r + 1 // SQL lists are 1-indexed
+      (0 until 8).map(k => s"((su[$idx]::UBIGINT >> ${8 * k}) & 255)::HUGEINT")
+    }
+    val h0 = java.lang.Long.toUnsignedString(0xcbf29ce484222325L ^ b.toLong)
+    s"list_reduce(list_prepend($h0::HUGEINT, [${bytes.mkString(", ")}])," +
+      s" (h, b) -> ((xor(h::UBIGINT, b::UBIGINT))::HUGEINT * $FnvPrime) % $Mod)"
+  }
+
+  /** Full oracle for the minhash keeper-assignment dedup operators
+    * (d_dedup_minhash, d_ngram_jaccard): the entire seeded pipeline —
+    * per-distinct-token FNV, 64 affine permutations with signed mins,
+    * 16-band FNV folding, bucket rep election, candidate edges, exact
+    * Jaccard verification, smallest-verified-keeper — replicated in SQL.
+    * `wsDef` must be a SELECT producing (doc_id, ws) with ws the sorted
+    * distinct token list exactly as the Spark plan builds it. */
+  def minhashKeeperOracle(wsDef: String, jaccardThreshold: Double,
+      numHashes: Int = 64, numBands: Int = 16): String = {
+    require(numHashes % numBands == 0)
+    val sigExpr = (0 until numHashes).map(permMinExpr)
+      .mkString("[", ",\n ", "]")
+    val bandsExpr = (0 until numBands).map(bandExpr(_, numHashes / numBands))
+      .mkString("[", ",\n ", "]")
+    val bandIds = (0 until numBands).mkString("[", ",", "]")
+    s"""WITH d AS ($wsDef),
+       |tok AS (SELECT DISTINCT unnest(ws) AS t FROM d),
+       |th AS (SELECT t, (${fnvSql("t")})::HUGEINT AS hu FROM tok),
+       |dh AS (
+       |  SELECT u.doc_id, list(th.hu) AS hs
+       |  FROM (SELECT doc_id, unnest(ws) AS t FROM d) u JOIN th ON u.t = th.t
+       |  GROUP BY u.doc_id
+       |),
+       |sigs AS (SELECT doc_id, $sigExpr AS sig FROM dh),
+       |su AS (SELECT doc_id, list_transform(sig,
+       |  v -> CASE WHEN v < 0::HUGEINT THEN v + $Mod ELSE v END) AS su FROM sigs),
+       |buckets AS (
+       |  SELECT doc_id, unnest($bandIds) AS band_id, unnest($bandsExpr) AS bh FROM su
+       |),
+       |reps AS (SELECT band_id, bh, min(doc_id) AS rep FROM buckets GROUP BY band_id, bh),
+       |edges AS (
+       |  SELECT DISTINCT b.doc_id, r.rep FROM buckets b
+       |  JOIN reps r ON b.band_id = r.band_id AND b.bh = r.bh
+       |  WHERE r.rep < b.doc_id
+       |),
+       |verified AS (
+       |  SELECT e.doc_id, min(e.rep) AS keeper
+       |  FROM edges e
+       |  JOIN d da ON da.doc_id = e.doc_id
+       |  JOIN d db ON db.doc_id = e.rep
+       |  WHERE len(list_intersect(da.ws, db.ws))::DOUBLE
+       |        / len(list_distinct(list_concat(da.ws, db.ws))) >= $jaccardThreshold
+       |  GROUP BY e.doc_id
+       |)
+       |SELECT d.doc_id AS doc_id, coalesce(v.keeper, d.doc_id) AS keeper_id,
+       |       coalesce(v.keeper, d.doc_id) != d.doc_id AS is_dup
+       |FROM d LEFT JOIN verified v ON d.doc_id = v.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** (doc_id, ws) definition for word-token minhash (d_dedup_minhash). */
+  val wordSetDef: String =
+    """SELECT doc_id, list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS ws FROM documents"""
+
+  /** (doc_id, ws) definition for character-trigram minhash
+    * (d_ngram_jaccard): text[i:i+2] is the 3-char slice at i; docs with
+    * no trigram identity (length < 3) are excluded, as in the plan. */
+  val trigramSetDef: String =
+    "SELECT doc_id, ws FROM (SELECT doc_id, list_sort(list_distinct(" +
+      "[text[i:i+2] for i in range(1, greatest(length(text)-1, 1))])) AS ws " +
+      "FROM documents) WHERE len(ws) > 0"
+
+  /** Full oracle for d_dedup_simhash: SimHash64 per document replicated
+    * bit-for-bit, then ALL pairs within `maxHamming` — the straight
+    * quadratic contract. The Spark plan answers it through 16-bit chunk
+    * banding, so the hash match doubles as a direct proof of the
+    * banding's completeness guarantee at the declared radius. */
+  def simhashPairsOracle(maxHamming: Int, table: String = "documents"): String =
+    s"""WITH ${tokenHashCtes(table)},
+       |fp AS (SELECT doc_id, $simhashFpExpr AS fp_u FROM dv GROUP BY doc_id)
+       |SELECT doc_a, doc_b, hamming FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    bit_count(xor(a.fp_u, b.fp_u))::BIGINT AS hamming
+       |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |) WHERE hamming <= $maxHamming ORDER BY doc_a, doc_b""".stripMargin
+}

@@ -369,9 +369,6 @@ object DedupQueries {
         |    AND 5 * least(a.nw, b.nw) >= 4 * greatest(a.nw, b.nw)
         |) WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
 
-    // d_ngram_jaccard: seeded trigram-minhash internals → rows-only
-    // gate; exact-trigram-Jaccard recall property in DedupSpec.
-
     // The oracle is the straight quadratic contract — the Spark plan's
     // q-gram prefilter is lossless, so both must produce identical rows.
     "d_edit_distance" ->
@@ -408,6 +405,27 @@ object DedupQueries {
     // banding is replicated verbatim in SQL (exact double literals, same
     // sign/offset math as the native LshBands expression), then the same
     // bucket self-join + exact-cosine verify.
+    // Full hash gate for the seeded minhash keeper assignments: the
+    // whole pipeline — per-token FNV, 64 affine permutations (signed
+    // mins, split-multiplier mod-2^64 products), 16-band FNV folds,
+    // bucket rep election, exact-Jaccard verify — is replicated in
+    // DuckDB HUGEINT arithmetic (HashSql.minhashKeeperOracle).
+    "d_dedup_minhash" ->
+      graft.functions.HashSql.minhashKeeperOracle(
+        graft.functions.HashSql.wordSetDef, jaccardThreshold = 0.7),
+
+    "d_ngram_jaccard" ->
+      graft.functions.HashSql.minhashKeeperOracle(
+        graft.functions.HashSql.trigramSetDef, jaccardThreshold = 0.7),
+
+    // Full hash gate via HUGEINT-replicated SimHash: the oracle is the
+    // STRAIGHT QUADRATIC hamming <= 3 contract, while the Spark plan
+    // answers through 4×16-bit chunk banding — so the match is a direct,
+    // data-level proof of the banding's pigeonhole completeness claim
+    // (every <=3 pair shares a chunk), not just of the hash function.
+    "d_dedup_simhash" ->
+      graft.functions.HashSql.simhashPairsOracle(maxHamming = 3),
+
     "d_embed_lsh" -> {
       val cand = graft.operators.LshBuckets
         .bandedPairsSql("embeddings", "vec_id", "embedding", 64)
@@ -420,8 +438,5 @@ object DedupQueries {
          |  JOIN embeddings eb ON eb.vec_id = cand.vec_b
          |) WHERE cos_sim > 0.4 ORDER BY vec_a, vec_b""".stripMargin
     }
-    // d_dedup_minhash / d_dedup_simhash: seeded-hash internals are
-    // impractical to fold into SQL (per-token FNV + 64-wide vote loops)
-    // — rows-only gate here, property specs in DedupSpec.
   )
 }
