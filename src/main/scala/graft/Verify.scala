@@ -14,6 +14,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // pin the data dir for oracle generators that read persisted index
+    // artifacts (IndexQueries.annOracles) — the queries below build them
+    sys.props("graft.oracle.sfDir") = sfDir
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -1,0 +1,127 @@
+package graft.operators
+
+/** DuckDB oracle SQL for the ANN search entries, generated from the
+  * PERSISTED index artifacts (IndexStore): the fitted centroids /
+  * codebooks are embedded as exact round-trip double literals, and
+  * everything downstream of the fit — nearest-centroid assignment, probe
+  * selection, asymmetric-distance ranking, tie-breaks, rounding — is
+  * recomputed independently in SQL and held to the full hash gate.
+  *
+  * What this does and does not verify: the Lloyd FITTING itself is
+  * deterministic-seeded and remains property-spec-gated (IvfIndexSpec,
+  * ClusteredRecallSpec); the oracle takes the fitted codebook as given,
+  * the way benchmark/recall_bench.cpp takes its built graph as given
+  * and then checks the search results against ground truth. Every
+  * float op after the fit is replicated bit-for-bit: l2Sq's sequential
+  * double fold over float32 elements is mirrored with an ordered
+  * list_reduce, so argmin/rank decisions agree exactly, not just to a
+  * rounding tolerance.
+  */
+object IndexOracle {
+
+  private def lit(v: Seq[Float]): String =
+    v.map(_.toDouble.toString).mkString("[", ",", "]")
+
+  /** Exact L2SqDistance replication: sequential left-fold of squared
+    * element diffs (float32 read as exact double), matching the native
+    * expression's loop order — no list_sum (summation order there is
+    * unspecified), no list_distance (sqrt could collapse adjacent
+    * doubles and flip an argmin). `off` = 0-based element offset into
+    * `vexpr` (for PQ subvectors). */
+  private def l2sqLit(vexpr: String, off: Int, cvec: Seq[Float]): String = {
+    val c = lit(cvec)
+    val idx = if (off == 0) "i" else s"$off+i"
+    s"list_reduce(list_prepend(0.0, " +
+      s"[(($vexpr)[$idx]::DOUBLE - ($c)[i])*(($vexpr)[$idx]::DOUBLE - ($c)[i]) " +
+      s"for i in range(1, ${cvec.length + 1})]), (a, b) -> a + b)"
+  }
+
+  /** Column-vs-column variant of the same fold. */
+  private def l2sqCol(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_prepend(0.0, " +
+      s"[(($a)[i]::DOUBLE - ($b)[i]::DOUBLE)*(($a)[i]::DOUBLE - ($b)[i]::DOUBLE) " +
+      s"for i in range(1, ${dim + 1})]), (x, y) -> x + y)"
+
+  /** CTE `a`: every vector re-assigned to its nearest literal centroid
+    * (first-position tie-break == min_by(code, struct(d, code))). */
+  private def assignCte(centroids: Seq[(Int, Seq[Float])]): String = {
+    val dists = centroids.map { case (_, c) => l2sqLit("embedding", 0, c) }
+      .mkString("[", ",\n ", "]")
+    s"""a AS (
+       |  SELECT vec_id, embedding, list_position(ds, list_min(ds)) - 1 AS cluster_id
+       |  FROM (SELECT vec_id, embedding, $dists AS ds FROM embeddings)
+       |)""".stripMargin
+  }
+
+  /** v_ivf_build: the persisted cluster histogram, from scratch. */
+  def ivfBuildOracle(centroids: Seq[(Int, Seq[Float])]): String =
+    s"""WITH ${assignCte(centroids)}
+       |SELECT cluster_id::BIGINT AS cluster_id, count(*) AS n_vectors
+       |FROM a GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
+  /** v_ivf_search: probe the nprobe nearest literal centroids per query
+    * (cdist then cluster_id, as the Window in searchPruned), fetch that
+    * probe set's re-derived assignments, rank top-k by (l2sq, vec_id). */
+  def ivfSearchOracle(centroids: Seq[(Int, Seq[Float])],
+      k: Int, nprobe: Int, numQueries: Int): String = {
+    val qdists = centroids.map { case (_, c) => l2sqLit("qv", 0, c) }
+      .mkString("[", ",\n ", "]")
+    val cids = centroids.map(_._1).mkString("[", ",", "]")
+    s"""WITH ${assignCte(centroids)},
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $numQueries),
+       |probes AS (
+       |  SELECT query_id, cluster_id FROM (
+       |    SELECT query_id, cid AS cluster_id, d,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY d, cid) AS crnk
+       |    FROM (SELECT query_id, unnest($cids) AS cid, unnest(ds) AS d
+       |          FROM (SELECT query_id, $qdists AS ds FROM q))
+       |  ) WHERE crnk <= $nprobe
+       |),
+       |cand AS (
+       |  SELECT p.query_id, q.qv, a.vec_id, a.embedding
+       |  FROM probes p JOIN a ON a.cluster_id = p.cluster_id
+       |  JOIN q ON q.query_id = p.query_id
+       |)
+       |SELECT query_id, neighbor_id, rnk, dist FROM (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rnk,
+       |    round(sqrt(d), 4) AS dist
+       |  FROM (SELECT query_id, vec_id, ${l2sqCol("embedding", "qv", 64)} AS d FROM cand)
+       |) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** v_pq_search: every vector re-encoded against the literal codebooks
+    * (argmin per subspace, smallest-code tie-break), ADC distance summed
+    * in subspace order exactly as the `aggregate` fold in PqIndex.search,
+    * top-k by (adist, vec_id). */
+  def pqSearchOracle(books: Seq[(Int, Int, Seq[Float])],
+      numSub: Int, subDim: Int, k: Int, numQueries: Int): String = {
+    def subDists(vexpr: String, s: Int): String =
+      books.filter(_._1 == s).sortBy(_._2)
+        .map { case (_, _, c) => l2sqLit(vexpr, s * subDim, c) }
+        .mkString("[", ",", "]")
+    val dsExprs = (0 until numSub)
+      .map(s => s"${subDists("embedding", s)} AS ds$s").mkString(", ")
+    val codeExprs = (0 until numSub)
+      .map(s => s"list_position(ds$s, list_min(ds$s)) - 1 AS code$s").mkString(", ")
+    val qdExprs = (0 until numSub)
+      .map(s => s"${subDists("qv", s)} AS qd$s").mkString(", ")
+    val adist = (0 until numSub).foldLeft("0.0") {
+      case (acc, s) => s"($acc + qd$s[code$s + 1])"
+    }
+    s"""WITH codes AS (
+       |  SELECT vec_id, $codeExprs
+       |  FROM (SELECT vec_id, $dsExprs FROM embeddings)
+       |),
+       |q AS (
+       |  SELECT query_id, $qdExprs
+       |  FROM (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $numQueries)
+       |)
+       |SELECT query_id, neighbor_id, rnk, adist FROM (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY ad, vec_id) AS rnk,
+       |    round(ad, 4) AS adist
+       |  FROM (SELECT q.query_id, c.vec_id, $adist AS ad FROM codes c CROSS JOIN q)
+       |) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+}

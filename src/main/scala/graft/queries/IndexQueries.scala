@@ -92,7 +92,32 @@ object IndexQueries {
     })
   )
 
-  def oracles: Map[String, String] = Map(
+  /** Oracles for the seeded-KMeans entries, generated from the PERSISTED
+    * index (see [[graft.operators.IndexOracle]]): centroids/codebooks are
+    * read back and embedded as exact double literals, and assignment +
+    * probe selection + ranking are re-derived independently in SQL. The
+    * generation needs a live session and a built index — Verify runs all
+    * queries (which build it) before dumping oracle SQL and pins the
+    * sfDir via `graft.oracle.sfDir`; anywhere that context is missing
+    * these entries simply stay rows-only (the pre-round-3 behavior). */
+  private def annOracles: Map[String, String] = scala.util.Try {
+    val s = SparkSession.active
+    val d = sys.props.getOrElse("graft.oracle.sfDir", "/root/testdata/sf0.01")
+    val ivfDir = IndexStore.ivf(s, d, k = 16)
+    val cent = s.read.parquet(s"$ivfDir/centroids").orderBy("cluster_id")
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
+    val pqDir = IndexStore.pq(s, d)
+    val books = s.read.parquet(s"$pqDir/codebooks").orderBy("sub", "code")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2))).toSeq
+    Map(
+      "v_ivf_build" -> graft.operators.IndexOracle.ivfBuildOracle(cent),
+      "v_ivf_search" -> graft.operators.IndexOracle
+        .ivfSearchOracle(cent, K, nprobe = 4, NumQueries),
+      "v_pq_search" -> graft.operators.IndexOracle
+        .pqSearchOracle(books, numSub = 8, subDim = 8, K, NumQueries))
+  }.getOrElse(Map.empty)
+
+  def oracles: Map[String, String] = annOracles ++ Map(
     "v_lsh_bucket" -> {
       val b = LshBuckets.bucketSql("embedding", 64, 8)
       s"""SELECT $b AS bucket, count(*) AS n_vectors
@@ -113,7 +138,5 @@ object IndexQueries {
         |    list(nid) FILTER (r_l2 <= 10),
         |    list(nid) FILTER (r_dp <= 10)))::DOUBLE / 10, 4) AS recall
         |FROM ranked GROUP BY query_id ORDER BY query_id""".stripMargin
-    // v_ivf_build / v_ivf_search: seeded-KMeans dependent → rows-only;
-    // recall property enforced in IvfIndexSpec.
   )
 }
