@@ -53,6 +53,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => MinHashBands(es(0), intArg(es(1)), intArg(es(2)), intArg(es(3))) }
     reg("graft_jaccard", "graft_jaccard(a, b) - Jaccard of sorted distinct string arrays") {
       es => JaccardSorted(es(0), es(1)) }
+    reg("graft_char_ngrams", "graft_char_ngrams(text, n) - sorted distinct n-gram set") {
+      es => CharNgramSet(es(0), intArg(es(1))) }
+    reg("graft_char_ngrams_packed",
+        "graft_char_ngrams_packed(text, n) - sorted distinct packed n-gram bigints (n <= 3)") {
+      es => CharNgramLongSet(es(0), intArg(es(1))) }
+    reg("graft_jaccard_long", "graft_jaccard_long(a, b) - Jaccard of sorted distinct bigint arrays") {
+      es => JaccardSortedLong(es(0), es(1)) }
     reg("graft_lsh_bands",
         "graft_lsh_bands(vec, dim, nTables, bits, seed) - seeded sign-LSH table keys") {
       es => LshBands(es(0), intArg(es(1)), intArg(es(2)), intArg(es(3)),

@@ -23,4 +23,16 @@ object GraftText {
   /** Jaccard of two SORTED distinct string arrays (merge scan). */
   def jaccardSorted(a: Column, b: Column): Column =
     Shims.column(JaccardSorted(Shims.expression(a), Shims.expression(b)))
+
+  /** Sorted distinct n-character-gram set of a string (one pass). */
+  def charNgramSet(text: Column, n: Int): Column =
+    Shims.column(CharNgramSet(Shims.expression(text), n))
+
+  /** Sorted distinct PACKED n-gram set (array<long>, injective; n <= 3). */
+  def charNgramLongSet(text: Column, n: Int): Column =
+    Shims.column(CharNgramLongSet(Shims.expression(text), n))
+
+  /** Jaccard of two sorted distinct bigint arrays (merge scan). */
+  def jaccardSortedLong(a: Column, b: Column): Column =
+    Shims.column(JaccardSortedLong(Shims.expression(a), Shims.expression(b)))
 }

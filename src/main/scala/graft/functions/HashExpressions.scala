@@ -41,6 +41,19 @@ object GraftHash {
     var z = (i.toLong * 0x94d049bb133111ebL) + 0xda942042e4dd58b5L
     z ^= (z >>> 29); z
   }
+
+  /** FNV-1a 64 over the 8 little-endian bytes of a long — the base hash
+    * for packed-gram minhash (allocation-free fnv1a64 equivalent). */
+  def fnv1a64OfLong(v: Long): Long = {
+    var h = 0xcbf29ce484222325L
+    var k = 0
+    while (k < 8) {
+      h ^= (v >>> (k * 8)) & 0xffL
+      h *= 0x100000001b3L
+      k += 1
+    }
+    h
+  }
 }
 
 /** minhash_signature(tokens, shingleWidth, numHashes) → array<bigint>.
@@ -50,6 +63,11 @@ object GraftHash {
   * running min — the standard one-hash MinHash estimator. Replaces the
   * reference's role of content identity at the document level (the
   * reference dedups vectors by id; a data pipeline dedups by content).
+  *
+  * Also accepts array<bigint> tokens (packed n-grams from
+  * [[CharNgramLongSet]], width 1 only): the base hash is FNV-1a over the
+  * value's 8 little-endian bytes — no string materialization anywhere on
+  * that path.
   */
 case class MinHashSignature(
     child: Expression, shingleWidth: Int, numHashes: Int)
@@ -57,12 +75,21 @@ case class MinHashSignature(
 
   require(shingleWidth >= 1 && numHashes >= 1)
 
+  private def isLongInput: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def prettyName: String = "minhash_signature"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, _) if shingleWidth == 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckFailure(
+      "minhash_signature over array<bigint> supports shingleWidth 1 only")
     case other => TypeCheckResult.TypeCheckFailure(
-      s"minhash_signature requires array<string>, got ${other.simpleString}")
+      s"minhash_signature requires array<string> or array<bigint>, got ${other.simpleString}")
   }
 
   private lazy val as: Array[Long] = Array.tabulate(numHashes)(GraftHash.mixA)
@@ -73,19 +100,33 @@ case class MinHashSignature(
     val n = toks.numElements()
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val nShingles = math.max(n - shingleWidth + 1, 0)
-    val sb = new java.lang.StringBuilder()
+    val longs = isLongInput
+    val sb = if (shingleWidth == 1) null else new java.lang.StringBuilder()
     var i = 0
     while (i < nShingles) {
-      sb.setLength(0)
-      var j = 0
-      while (j < shingleWidth) {
-        if (j > 0) sb.append(' ')
-        val t = toks.getUTF8String(i + j)
-        if (t != null) sb.append(t.toString)
-        j += 1
-      }
-      val base = GraftHash.fnv1a64(
-        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8), 0L)
+      val base =
+        if (longs) GraftHash.fnv1a64OfLong(toks.getLong(i))
+        else {
+          // width-1 fast path: the shingle IS the token, and UTF8String
+          // already holds its UTF-8 bytes — hash them directly instead
+          // of round-tripping through StringBuilder → String → re-encode
+          val bytes =
+            if (shingleWidth == 1) {
+              val t = toks.getUTF8String(i)
+              if (t == null) Array.emptyByteArray else t.getBytes
+            } else {
+              sb.setLength(0)
+              var j = 0
+              while (j < shingleWidth) {
+                if (j > 0) sb.append(' ')
+                val t = toks.getUTF8String(i + j)
+                if (t != null) sb.append(t.toString)
+                j += 1
+              }
+              sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            }
+          GraftHash.fnv1a64(bytes, 0L)
+        }
       var h = 0
       while (h < numHashes) {
         val v = as(h) * base + bs(h)
@@ -117,8 +158,12 @@ case class MinHashBands(
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, _) if shingleWidth == 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckFailure(
+      "minhash_bands over array<bigint> supports shingleWidth 1 only")
     case other => TypeCheckResult.TypeCheckFailure(
-      s"minhash_bands requires array<string>, got ${other.simpleString}")
+      s"minhash_bands requires array<string> or array<bigint>, got ${other.simpleString}")
   }
 
   private lazy val sigExpr = MinHashSignature(child, shingleWidth, numHashes)
@@ -217,6 +262,143 @@ case class JaccardSorted(left: Expression, right: Expression)
       val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
       if (c == 0) { inter += 1; i += 1; j += 1 }
       else if (c < 0) i += 1
+      else j += 1
+    }
+    val union = nx + ny - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** char_ngram_set(text, n) → sorted DISTINCT array of the n-character
+  * substrings of text — one pass, one sort, no intermediate arrays.
+  *
+  * The composed builtin formulation
+  * (`sort_array(array_distinct(transform(sequence(1, len-n+1), i ->
+  * substr(text, i, n))))`) materializes three ArrayDatas and a hash set
+  * per row and measured as the DOMINANT cost of the n-gram dedup
+  * pipeline (3.2 s of d_ngram_jaccard's 5.3 s at sf0.1 — more than the
+  * 64-permutation minhash it feeds). Output order is UTF8String binary
+  * order, identical to sort_array and to DuckDB's list_sort on ASCII, so
+  * oracle SQL and JaccardSorted's merge-scan contract are unchanged. */
+case class CharNgramSet(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1)
+
+  override def prettyName: String = "char_ngram_set"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_ngram_set requires string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val len = s.numChars()
+    val m = len - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val arr = new Array[UTF8String](m)
+    var i = 0
+    while (i < m) { arr(i) = s.substring(i, i + n); i += 1 }
+    java.util.Arrays.sort(arr.asInstanceOf[Array[AnyRef]])
+    var w = 1; var r = 1
+    while (r < m) {
+      if (arr(r).compareTo(arr(w - 1)) != 0) { arr(w) = arr(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(arr.asInstanceOf[Array[AnyRef]], w))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** char_ngram_long_set(text, n) → sorted DISTINCT array<bigint> of the
+  * n-character grams of text, each PACKED into a long (21 bits per code
+  * point, n ≤ 3) — an INJECTIVE encoding, so set operations (Jaccard,
+  * distinct, joins) are exactly the string-gram semantics with none of
+  * the string costs. An array<string> gram column measured as the
+  * single largest cost of the n-gram dedup pipeline — not computing the
+  * grams but MATERIALIZING them: columnar cache encode/decode, shuffle
+  * width, and merge-scan byte comparisons. Longs cache as primitive
+  * columns and compare in one instruction. Order is numeric, not
+  * lexicographic — consistent on both sides of any merge scan, which is
+  * all [[JaccardSortedLong]] requires. */
+case class CharNgramLongSet(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1 && n <= 3, "packed grams support n in [1, 3] (21 bits/char)")
+
+  override def prettyName: String = "char_ngram_long_set"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_ngram_long_set requires string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val len = s.codePointCount(0, s.length)
+    val m = len - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Long])
+    // code points of the text once, then a sliding packed window
+    val cps = new Array[Int](len)
+    var ci = 0; var off = 0
+    while (ci < len) {
+      val cp = s.codePointAt(off)
+      cps(ci) = cp; off += Character.charCount(cp); ci += 1
+    }
+    val arr = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var v = 0L; var j = 0
+      while (j < n) { v = (v << 21) | (cps(i + j).toLong & 0x1fffffL); j += 1 }
+      arr(i) = v; i += 1
+    }
+    java.util.Arrays.sort(arr)
+    var w = 1; var r = 1
+    while (r < m) {
+      if (arr(r) != arr(w - 1)) { arr(w) = arr(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(arr, w))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** jaccard_sorted_long(a, b) → double: Jaccard of two SORTED DISTINCT
+  * bigint arrays via a single merge scan — the packed-gram counterpart
+  * of [[JaccardSorted]]. */
+case class JaccardSortedLong(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def prettyName: String = "jaccard_sorted_long"
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"jaccard_sorted_long requires array<bigint> inputs, got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { inter += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
       else j += 1
     }
     val union = nx + ny - inter

@@ -26,6 +26,16 @@ object HashSql {
        |      [ord(($strSql)[i]) for i in range(1, length($strSql)+1)]::HUGEINT[]),
        |    (h, b) -> ((xor(h::UBIGINT, b::UBIGINT))::HUGEINT * $FnvPrime) % $Mod)""".stripMargin
 
+  /** FNV-1a 64 over the 8 little-endian bytes of a non-negative BIGINT
+    * expression — GraftHash.fnv1a64OfLong, the packed-gram base hash. */
+  def fnvLongSql(longSql: String): String = {
+    val bytes = (0 until 8)
+      .map(k => s"((($longSql)::UBIGINT >> ${8 * k}) & 255)::HUGEINT")
+      .mkString("[", ", ", "]")
+    s"list_reduce(list_prepend($FnvOffset, $bytes)," +
+      s" (h, b) -> ((xor(h::UBIGINT, b::UBIGINT))::HUGEINT * $FnvPrime) % $Mod)"
+  }
+
   /** CTE chain `toks/tok/th/dv`: per-document token stream joined to a
     * DISTINCT-token FNV-1a hash table (each unique token is hashed once
     * corpus-wide, not once per occurrence). `dv` has (doc_id, hu UBIGINT)
@@ -87,7 +97,8 @@ object HashSql {
     * `wsDef` must be a SELECT producing (doc_id, ws) with ws the sorted
     * distinct token list exactly as the Spark plan builds it. */
   def minhashKeeperOracle(wsDef: String, jaccardThreshold: Double,
-      numHashes: Int = 64, numBands: Int = 16): String = {
+      numHashes: Int = 64, numBands: Int = 16,
+      tokenHashSql: String => String = fnvSql): String = {
     require(numHashes % numBands == 0)
     val sigExpr = (0 until numHashes).map(permMinExpr)
       .mkString("[", ",\n ", "]")
@@ -96,7 +107,7 @@ object HashSql {
     val bandIds = (0 until numBands).mkString("[", ",", "]")
     s"""WITH d AS ($wsDef),
        |tok AS (SELECT DISTINCT unnest(ws) AS t FROM d),
-       |th AS (SELECT t, (${fnvSql("t")})::HUGEINT AS hu FROM tok),
+       |th AS (SELECT t, (${tokenHashSql("t")})::HUGEINT AS hu FROM tok),
        |dh AS (
        |  SELECT u.doc_id, list(th.hu) AS hs
        |  FROM (SELECT doc_id, unnest(ws) AS t FROM d) u JOIN th ON u.t = th.t
@@ -133,12 +144,15 @@ object HashSql {
   val wordSetDef: String =
     """SELECT doc_id, list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS ws FROM documents"""
 
-  /** (doc_id, ws) definition for character-trigram minhash
-    * (d_ngram_jaccard): text[i:i+2] is the 3-char slice at i; docs with
-    * no trigram identity (length < 3) are excluded, as in the plan. */
-  val trigramSetDef: String =
+  /** (doc_id, ws) definition for PACKED character-trigram minhash
+    * (d_ngram_jaccard): each trigram packed into a BIGINT as
+    * cp1·2^42 + cp2·2^21 + cp3 — CharNgramLongSet's injective encoding
+    * (fields don't overlap, so addition == the bitwise OR). Docs with no
+    * trigram identity (length < 3) are excluded, as in the plan. */
+  val packedTrigramSetDef: String =
     "SELECT doc_id, ws FROM (SELECT doc_id, list_sort(list_distinct(" +
-      "[text[i:i+2] for i in range(1, greatest(length(text)-1, 1))])) AS ws " +
+      "[ord(text[i])*4398046511104 + ord(text[i+1])*2097152 + ord(text[i+2]) " +
+      "for i in range(1, greatest(length(text)-1, 1))])) AS ws " +
       "FROM documents) WHERE len(ws) > 0"
 
   /** Full oracle for d_dedup_simhash: SimHash64 per document replicated

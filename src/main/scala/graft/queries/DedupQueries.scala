@@ -45,18 +45,6 @@ object DedupQueries {
   private def orderedLarge(df: DataFrame, cols: String*): DataFrame =
     df.localCheckpoint(false).orderBy(cols.head, cols.tail: _*)
 
-  /** Character bigram array of a string (codegen'd builtins only). */
-  private def bigrams(c: Column): Column =
-    when(length(c) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), length(c) - 1),
-        i => c.substr(i, lit(2))))
-
-  /** Character trigram array of a string. */
-  private def trigrams(c: Column): Column =
-    when(length(c) < 3, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), length(c) - 2),
-        i => c.substr(i, lit(3))))
-
   /** Banded Hamming-ball pairs over (doc_id, fp bigint): explode each
     * fingerprint into `nChunks` equal bit chunks, equi-join on
     * (chunk_id, chunk value), verify true Hamming on candidates.
@@ -140,8 +128,12 @@ object DedupQueries {
     "d_ngram_jaccard" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       val docs = load(s, d, "documents")
-        .select($"doc_id",
-          sort_array(array_distinct(trigrams($"text"))).as("gs"))
+        // PACKED trigram sets (array<long>, injective 21-bit code-point
+        // packing): materializing string-gram arrays — columnar cache
+        // encode/decode, shuffle width, byte-wise merge compares — was
+        // the pipeline's single largest measured cost, not computing
+        // them (see CharNgramLongSet scaladoc)
+        .select($"doc_id", GraftText.charNgramLongSet($"text", 3).as("gs"))
         .filter(size($"gs") > 0) // <3-char docs have no trigram identity
         .cache()
       val buckets = docs
@@ -158,7 +150,7 @@ object DedupQueries {
       val verified = edges
         .join(docs.select($"doc_id", $"gs".as("ga")), "doc_id")
         .join(docs.select($"doc_id".as("rep"), $"gs".as("gb")), "rep")
-        .filter(GraftText.jaccardSorted($"ga", $"gb") >= 0.7)
+        .filter(GraftText.jaccardSortedLong($"ga", $"gb") >= 0.7)
         .groupBy($"doc_id")
         .agg(min($"rep").as("keeper"))
       docs.join(verified, Seq("doc_id"), "left")
@@ -250,8 +242,10 @@ object DedupQueries {
       // the scan + bigram computation runs four times in one job
       val short = load(s, d, "documents")
         .filter($"n_chars" < 200)
+        // packed bigrams: the prefix filter only needs gram IDENTITY, so
+        // long keys make the explode/frequency/join stages primitive-wide
         .select($"doc_id", $"lang", $"text", $"n_chars",
-          array_distinct(bigrams($"text")).as("grams"))
+          GraftText.charNgramLongSet($"text", 2).as("grams"))
         .withColumn("ng", size($"grams"))
         .cache()
       val exploded = short.select($"doc_id", $"lang", $"n_chars", $"ng",
@@ -416,7 +410,8 @@ object DedupQueries {
 
     "d_ngram_jaccard" ->
       graft.functions.HashSql.minhashKeeperOracle(
-        graft.functions.HashSql.trigramSetDef, jaccardThreshold = 0.7),
+        graft.functions.HashSql.packedTrigramSetDef, jaccardThreshold = 0.7,
+        tokenHashSql = graft.functions.HashSql.fnvLongSql),
 
     // Full hash gate via HUGEINT-replicated SimHash: the oracle is the
     // STRAIGHT QUADRATIC hamming <= 3 contract, while the Spark plan

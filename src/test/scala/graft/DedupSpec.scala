@@ -162,4 +162,23 @@ class DedupSpec extends SparkSpec {
     val trueJ = 100.0 / 300.0
     assert(math.abs(agree - trueJ) < 0.1, s"minhash estimate $agree vs $trueJ")
   }
+
+  test("CharNgramSet equals the composed sort/distinct/transform formulation") {
+    import spark.implicits._
+    val texts = Seq("", "a", "ab", "abc", "abca", "abcabcabc",
+      "the quick brown fox jumps over the lazy dog", "aaaaaaa",
+      "mixed  spaces  and.. punctuation!!", "ñandú über née") // non-ASCII too
+    val df = texts.toDF("text")
+    for (n <- Seq(2, 3)) {
+      val composed = df.select(
+        sort_array(array_distinct(
+          when(length($"text") < n, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(1), length($"text") - (n - 1)),
+              i => $"text".substr(i, lit(n)))))).as("g"))
+        .collect().map(_.getSeq[String](0))
+      val native = df.select(GraftText.charNgramSet($"text", n).as("g"))
+        .collect().map(_.getSeq[String](0))
+      assert(native.toSeq === composed.toSeq, s"n=$n")
+    }
+  }
 }
