@@ -274,7 +274,12 @@ object DedupQueries {
           $"n_chars".as("cb")), "lang")
         .filter($"doc_a" < $"doc_b" && abs($"ca" - $"cb") <= MaxEdit)
         .select($"doc_a", $"doc_b")
+      // repartition before the verify: the candidate set is only tens of
+      // KB, so AQE coalesces its shuffle to ~one task — which would run
+      // every O(len²) levenshtein DP serially. The data is tiny but the
+      // COMPUTE is not; spread it across the cluster explicitly.
       cand.unionByName(tinyPairs).distinct()
+        .repartition(s.sparkContext.defaultParallelism)
         .join(short.select($"doc_id".as("doc_a"), $"text".as("ta")), "doc_a")
         .join(short.select($"doc_id".as("doc_b"), $"text".as("tb")), "doc_b")
         .withColumn("edit_dist", levenshtein($"ta", $"tb").cast("long"))
