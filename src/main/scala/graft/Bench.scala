@@ -43,6 +43,7 @@ object Bench {
     try {
       graft.operators.IndexStore.ivf(spark, sfDir, k = 16)
       graft.operators.IndexStore.pq(spark, sfDir)
+      graft.operators.IndexStore.ivfpq(spark, sfDir)
     } catch { case _: Throwable => () }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]

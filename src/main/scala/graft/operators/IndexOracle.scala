@@ -90,6 +90,63 @@ object IndexOracle {
        |) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** v_ivfpq_search: the composite — IVF probe selection over literal
+    * centroids restricts the candidate set, then PQ codes re-derived
+    * from literal codebooks are ADC-ranked within it. Exactly the two
+    * component oracles composed: candidates come from the re-derived
+    * assignment of the probed clusters, distances from the re-derived
+    * codes. */
+  def ivfPqSearchOracle(centroids: Seq[(Int, Seq[Float])],
+      books: Seq[(Int, Int, Seq[Float])], numSub: Int, subDim: Int,
+      k: Int, nprobe: Int, numQueries: Int): String = {
+    def subDists(vexpr: String, s: Int): String =
+      books.filter(_._1 == s).sortBy(_._2)
+        .map { case (_, _, c) => l2sqLit(vexpr, s * subDim, c) }
+        .mkString("[", ",", "]")
+    val dsExprs = (0 until numSub)
+      .map(s => s"${subDists("embedding", s)} AS ds$s").mkString(", ")
+    val codeExprs = (0 until numSub)
+      .map(s => s"list_position(ds$s, list_min(ds$s)) - 1 AS code$s").mkString(", ")
+    val qdExprs = (0 until numSub)
+      .map(s => s"${subDists("qv", s)} AS qd$s").mkString(", ")
+    val adist = (0 until numSub).foldLeft("0.0") {
+      case (acc, s) => s"($acc + qd$s[code$s + 1])"
+    }
+    val qdists = centroids.map { case (_, c) => l2sqLit("qv", 0, c) }
+      .mkString("[", ",\n ", "]")
+    val cids = centroids.map(_._1).mkString("[", ",", "]")
+    s"""WITH ${assignCte(centroids)},
+       |codes AS (
+       |  SELECT vec_id, $codeExprs
+       |  FROM (SELECT vec_id, $dsExprs FROM embeddings)
+       |),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $numQueries),
+       |qd AS (
+       |  SELECT query_id, $qdExprs
+       |  FROM (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $numQueries)
+       |),
+       |probes AS (
+       |  SELECT query_id, cluster_id FROM (
+       |    SELECT query_id, cid AS cluster_id, d,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY d, cid) AS crnk
+       |    FROM (SELECT query_id, unnest($cids) AS cid, unnest(ds) AS d
+       |          FROM (SELECT query_id, $qdists AS ds FROM q))
+       |  ) WHERE crnk <= $nprobe
+       |),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM probes p JOIN a ON a.cluster_id = p.cluster_id
+       |)
+       |SELECT query_id, neighbor_id, rnk, adist FROM (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY ad, vec_id) AS rnk,
+       |    round(ad, 4) AS adist
+       |  FROM (SELECT cand.query_id, cand.vec_id, $adist AS ad
+       |        FROM cand JOIN codes ON codes.vec_id = cand.vec_id
+       |        JOIN qd ON qd.query_id = cand.query_id)
+       |) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** v_pq_search: every vector re-encoded against the literal codebooks
     * (argmin per subspace, smallest-code tie-break), ADC distance summed
     * in subspace order exactly as the `aggregate` fold in PqIndex.search,

@@ -76,4 +76,27 @@ object IndexStore {
       }
       dir
     }
+
+  /** Ensure the composite IVF-PQ inverted lists: each vector's PQ codes
+    * stored INSIDE its cluster partition, so a probe reads only its
+    * clusters' codes — nprobe/k of the corpus at numSub-byte width (the
+    * FAISS IVFPQ file layout, as a partitioned parquet table). Built by
+    * joining the component indexes once; see [[IvfPq]] for the search. */
+  def ivfpq(spark: SparkSession, sfDir: String, k: Int = 16, dim: Int = 64,
+      numSub: Int = 8, codebookSize: Int = 16): String =
+    lock.synchronized {
+      val dir = s"$root/${sfKey(sfDir)}/ivfpq$k-${numSub}x$codebookSize"
+      if (!done(dir, "lists")) {
+        val ivfDir = ivf(spark, sfDir, k)
+        val pqDir = pq(spark, sfDir, dim, numSub, codebookSize)
+        val assign = spark.read.parquet(s"$ivfDir/assignments")
+          .select(col("vec_id"), col("cluster_id"))
+        val codes = spark.read.parquet(s"$pqDir/codes")
+        assign.join(codes, "vec_id")
+          .repartition(col("cluster_id"))
+          .write.partitionBy("cluster_id").mode("overwrite")
+          .parquet(s"$dir/lists")
+      }
+      dir
+    }
 }

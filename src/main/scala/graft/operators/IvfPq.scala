@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftVector._
+
+/** Composite IVF-PQ search — the two scale levers of this library
+  * multiplied together, the classic inverted-list-with-codes design:
+  *
+  *  - IVF partition pruning picks WHICH vectors to score: the probe set
+  *    becomes a literal partition filter, so only ~nprobe/k of the
+  *    corpus is read (IvfIndex.searchPruned's file-level pruning);
+  *  - PQ compression decides WHAT is read for each of them: the pruned
+  *    partitions store 8-byte code arrays, not 256-byte raw vectors —
+  *    a 32× narrower scan on top of the 4× pruning.
+  *
+  * At 100 TB of raw vectors this is the difference between scanning
+  * ~6 TB of floats per query batch and ~200 GB of codes. The reference
+  * keeps raw floats behind its graph (hnsw_node.h holds `const float*`);
+  * IVF-PQ is what that design grows into when the corpus outlives RAM.
+  *
+  * Search: probes resolve exactly as IvfIndex.searchPruned (broadcast
+  * centroid ranking, driver-collected literal probe set); the pruned
+  * lists scan joins the per-query broadcast probe map; ADC folds each
+  * row's codes through the query's broadcast lookup table (PqIndex's
+  * flat-dtab trick); the bounded top-k aggregate ships only k rows per
+  * (query, partition). Distances are quantized (adist), as in any PQ
+  * system — recall floors are spec-gated on clustered fixtures.
+  */
+object IvfPq {
+
+  /** queries: (query_id, qv array<float>). Returns (query_id,
+    * neighbor_id, rnk, adist). `listsDir` is the cluster-partitioned
+    * codes table from IndexStore.ivfpq; centroids/codebooks come from
+    * the component indexes. */
+  def searchPruned(spark: SparkSession, ivfDir: String, pqDir: String,
+      listsDir: String, queries: DataFrame, k: Int, nprobe: Int,
+      dim: Int, numSub: Int): DataFrame = {
+    import spark.implicits._
+    val subDim = dim / numSub
+    val centroids = spark.read.parquet(s"$ivfDir/centroids")
+    val codebooks = spark.read.parquet(s"$pqDir/codebooks")
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("cdist", l2Sq($"qv", $"centroid"))
+      .withColumn("crnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"query_id").orderBy($"cdist", $"cluster_id")))
+      .filter($"crnk" <= nprobe)
+      .select($"query_id", $"qv", $"cluster_id")
+    val probeIds = probes.select($"cluster_id").distinct()
+      .collect().map(_.getInt(0)).sorted
+    // pruned inverted-list scan: only the probed clusters' CODES are read
+    val lists = spark.read.parquet(s"$listsDir/lists")
+      .filter($"cluster_id".isin(probeIds.map(i => i: Any): _*))
+    // per-query flat ADC table, ordered by (sub, code) — PqIndex.search
+    val dtab = queries.crossJoin(broadcast(codebooks))
+      .select($"query_id", $"sub", $"code",
+        l2Sq(slice($"qv", $"sub" * subDim + 1, lit(subDim)), $"centroid").as("d"))
+      .groupBy($"query_id")
+      .agg(transform(array_sort(collect_list(struct($"sub", $"code", $"d"))),
+        x => x.getField("d")).as("dtab"))
+    val csize = (size($"dtab") / numSub).cast("int")
+    lists.join(broadcast(probes.select($"query_id", $"cluster_id")), "cluster_id")
+      .join(broadcast(dtab), "query_id")
+      .withColumn("adist",
+        aggregate(sequence(lit(0), lit(numSub - 1)), lit(0.0d),
+          (acc, s) => acc + element_at($"dtab",
+            (s * csize + element_at($"codes", s + 1) + 1).cast("int"))))
+      .groupBy($"query_id")
+      .agg(topK($"adist", $"vec_id", k).as("nn"))
+      .select($"query_id", posexplode($"nn"))
+      .select($"query_id", $"col.id".as("neighbor_id"),
+        ($"pos" + 1).cast("long").as("rnk"),
+        round($"col.score", 4).as("adist"))
+  }
+}

@@ -259,6 +259,29 @@ object AnalyticsQueries {
         .filter($"tag" === 1)
         .select($"event_id", $"user_id", $"last_okey")
         .orderBy($"event_id")
+    }),
+
+    // Skew-salted join under the oracle gate: every event joins its
+    // event_type profile through Salting.saltedJoin — the 5-value key is
+    // maximal skew (each key's entire row set would land on ONE reducer
+    // in a plain shuffle join; salting spreads it over `factor`). AQE
+    // skew splitting is the runtime fix; salting is the declarative
+    // fallback when a single key floods past what splitting can carve
+    // up (see Salting's scaladoc). The oracle pins row-for-row equality
+    // with the unsalted join, and SaltingSpec pins the plan shape —
+    // shuffle keys are (event_type, __salt), never event_type alone.
+    "q_salted_join" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val events = load(s, d, "events")
+      val dim = events.groupBy($"event_type")
+        .agg(round(avg($"value"), 4).as("type_avg"))
+      graft.operators.Salting
+        .saltedJoin(events, dim, "event_type", factor = 8,
+          stableLeftCol = "event_id")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"value" - $"type_avg"), 2).as("dev_sum"))
+        .orderBy("event_type")
     })
   )
 
@@ -433,6 +456,17 @@ object AnalyticsQueries {
         |  last_value(okey IGNORE NULLS) OVER (PARTITION BY user_id
         |    ORDER BY ts, tag, coalesce(okey, -1)
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_okey
-        |FROM u QUALIFY tag = 1 ORDER BY event_id""".stripMargin
+        |FROM u QUALIFY tag = 1 ORDER BY event_id""".stripMargin,
+
+    // the UNSALTED join: salting must be invisible in the result
+    "q_salted_join" ->
+      """WITH dim AS (
+        |  SELECT event_type, round(avg(value), 4) AS type_avg
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT e.event_type AS event_type, count(*) AS n,
+        |  round(sum(e.value - d.type_avg), 2) AS dev_sum
+        |FROM events e JOIN dim d USING (event_type)
+        |GROUP BY e.event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.GraftVector._
 import graft.Tables.load
-import graft.operators.{IndexStore, IvfIndex, LshBuckets, PqIndex}
+import graft.operators.{IndexStore, IvfIndex, IvfPq, LshBuckets, PqIndex}
 
 /** ANN-index surface: IVF build/search, LSH bucketing, recall evaluation
   * (the recall_bench.cpp analog). IVF/LSH outputs depend on seeded
@@ -56,6 +56,22 @@ object IndexQueries {
       val q = load(s, d, "embeddings").filter($"vec_id" < NumQueries)
         .select($"vec_id".as("query_id"), $"embedding".as("qv"))
       PqIndex.search(books, codes, q, "vec_id", dim = 64, numSub = 8, k = K)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // Composite IVF-PQ: partition-pruned inverted lists of PQ codes —
+    // probes pick WHICH vectors to score (nprobe/k of the files), codes
+    // decide WHAT is read for them (8 B/vector instead of 256 B). The
+    // 100 TB configuration of this library's ANN stack.
+    "v_ivfpq_search" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val ivfDir = IndexStore.ivf(s, d, k = 16)
+      val pqDir = IndexStore.pq(s, d)
+      val listsDir = IndexStore.ivfpq(s, d)
+      val q = load(s, d, "embeddings").filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      IvfPq.searchPruned(s, ivfDir, pqDir, listsDir, q, K, nprobe = 4,
+          dim = 64, numSub = 8)
         .orderBy("query_id", "rnk")
     }),
 
@@ -114,7 +130,10 @@ object IndexQueries {
       "v_ivf_search" -> graft.operators.IndexOracle
         .ivfSearchOracle(cent, K, nprobe = 4, NumQueries),
       "v_pq_search" -> graft.operators.IndexOracle
-        .pqSearchOracle(books, numSub = 8, subDim = 8, K, NumQueries))
+        .pqSearchOracle(books, numSub = 8, subDim = 8, K, NumQueries),
+      "v_ivfpq_search" -> graft.operators.IndexOracle
+        .ivfPqSearchOracle(cent, books, numSub = 8, subDim = 8, K,
+          nprobe = 4, NumQueries))
   }.getOrElse(Map.empty)
 
   def oracles: Map[String, String] = annOracles ++ Map(

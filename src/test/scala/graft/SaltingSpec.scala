@@ -4,38 +4,61 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Salting
 
+/** Skew salting: result-invisible (salted == plain, row for row) and
+  * plan-visible (shuffle keys carry __salt, so a hot key's rows spread
+  * over `factor` reducers instead of flooding one). */
 class SaltingSpec extends SparkSpec {
   import spark.implicits._
 
-  test("salted join equals plain join on skewed data") {
-    // 90% of rows share one hot key
-    val left = spark.range(1000)
-      .select(when($"id" < 900, 7L).otherwise($"id").as("k"), $"id".as("v"))
-    val right = Seq((7L, "hot"), (950L, "cold")).toDF("k", "name")
-    val plain = left.join(right, "k").select($"v", $"name")
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
-    val salted = Salting.saltedJoin(left, right, "k", 8, "v")
-      .select($"v", $"name")
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
-    assert(salted === plain)
-    assert(plain.size === 901)
+  test("salted join == plain join, row for row") {
+    val events = Tables.load(spark, sfDir, "events")
+    val dim = events.groupBy($"event_type")
+      .agg(round(avg($"value"), 4).as("type_avg"))
+    val salted = Salting.saltedJoin(events, dim, "event_type", 8, "event_id")
+      .select($"event_id", $"event_type", $"type_avg")
+      .orderBy("event_id").collect()
+    val plain = events.join(dim, "event_type")
+      .select($"event_id", $"event_type", $"type_avg")
+      .orderBy("event_id").collect()
+    assert(salted.length === plain.length)
+    assert(salted.toSeq === plain.toSeq)
   }
 
-  test("salted two-phase count equals plain count") {
-    val df = spark.range(10000)
-      .select(when($"id" % 10 < 9, 1L).otherwise($"id").as("k"), $"id".as("v"))
-    val plain = df.groupBy($"k").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val salted = Salting.saltedCount(df, "k", 16, "v")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(salted === plain)
+  test("salted shuffle partitions by (key, __salt) — the hot key is spread") {
+    // force the shuffle path (the tiny dim would otherwise broadcast and
+    // no exchange would exist to inspect)
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val events = Tables.load(spark, sfDir, "events")
+      val dim = events.groupBy($"event_type")
+        .agg(round(avg($"value"), 4).as("type_avg"))
+      val salted = Salting.saltedJoin(events, dim, "event_type", 8, "event_id")
+      val plan = salted.queryExecution.executedPlan.toString
+      val exchanges = plan.linesIterator
+        .filter(_.contains("hashpartitioning")).toSeq
+      assert(exchanges.nonEmpty, s"no shuffle exchanges found:\n$plan")
+      // both JOIN-side shuffles must carry __salt; the dim's own groupBy
+      // exchange (post-combine, 5 rows) legitimately stays on the raw key
+      assert(exchanges.count(_.contains("__salt")) >= 2,
+        s"join shuffles don't carry __salt:\n$exchanges")
+    }
   }
 
-  test("salt is deterministic across evaluations") {
-    val df = spark.range(100).select($"id", Salting.salt($"id", 8).as("s"))
-    val a = df.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
-    val b = df.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
-    assert(a === b)
-    assert(df.select("s").distinct().count() > 1)
+  test("salted two-phase count == plain groupBy count") {
+    val events = Tables.load(spark, sfDir, "events")
+    val salted = Salting.saltedCount(events, "event_type", 8, "event_id")
+      .orderBy("event_type").collect().map(r => (r.getString(0), r.getLong(1)))
+    val plain = events.groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(salted.toSeq === plain.toSeq)
+  }
+
+  private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
+    val conf = spark.conf
+    val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
   }
 }
