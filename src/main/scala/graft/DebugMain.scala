@@ -21,8 +21,9 @@ object DebugMain {
     (1 to reps).foreach { r =>
       val t0 = System.nanoTime()
       Bench.exhaust(SparkEntry.queries(name)(spark, sfDir))
-      spark.catalog.clearCache()
-      println(f"[debug] $name rep=$r time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // outside the timed window
+      println(f"[debug] $name rep=$r time=$sec%.2fs")
     }
     spark.stop()
   }

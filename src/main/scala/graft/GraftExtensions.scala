@@ -20,12 +20,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "")
 
   // SQL integer literals arrive as INT or BIGINT depending on how the
-  // caller writes them (42 vs CAST(42 AS BIGINT)); coerce through Number
-  // so both spellings work for every static parameter.
-  private def intArg(e: Expression): Int =
-    e.eval().asInstanceOf[Number].intValue
-  private def longArg(e: Expression): Long =
-    e.eval().asInstanceOf[Number].longValue
+  // caller writes them (42 vs CAST(42 AS BIGINT)); accept every integral
+  // spelling but stay LOUD on anything lossy — a BIGINT that overflows
+  // Int must not silently truncate (4294967297 -> k=1), and a fractional
+  // literal must not silently floor.
+  private def integralArg(e: Expression): Long = e.eval() match {
+    case i: java.lang.Integer => i.longValue
+    case l: java.lang.Long => l.longValue
+    case s: java.lang.Short => s.longValue
+    case b: java.lang.Byte => b.longValue
+    case other => throw new IllegalArgumentException(
+      s"expected an integral literal, got $other (${if (other == null) "null" else other.getClass.getSimpleName})")
+  }
+  private def intArg(e: Expression): Int = Math.toIntExact(integralArg(e))
+  private def longArg(e: Expression): Long = integralArg(e)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.SqrtEliminationRule)

@@ -90,6 +90,31 @@ object IndexOracle {
        |) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** The shared PQ SQL fragments: per-sub distance lists against the
+    * literal codebooks, argmin code derivation, per-query ADC lists, and
+    * the subspace-ordered adist fold — used identically by the flat PQ
+    * oracle and the IVF-PQ composite so the two can never drift. */
+  private final case class PqSqlParts(
+      dsExprs: String, codeExprs: String, qdExprs: String, adist: String)
+
+  private def pqParts(books: Seq[(Int, Int, Seq[Float])],
+      numSub: Int, subDim: Int): PqSqlParts = {
+    def subDists(vexpr: String, s: Int): String =
+      books.filter(_._1 == s).sortBy(_._2)
+        .map { case (_, _, c) => l2sqLit(vexpr, s * subDim, c) }
+        .mkString("[", ",", "]")
+    PqSqlParts(
+      dsExprs = (0 until numSub)
+        .map(s => s"${subDists("embedding", s)} AS ds$s").mkString(", "),
+      codeExprs = (0 until numSub)
+        .map(s => s"list_position(ds$s, list_min(ds$s)) - 1 AS code$s").mkString(", "),
+      qdExprs = (0 until numSub)
+        .map(s => s"${subDists("qv", s)} AS qd$s").mkString(", "),
+      adist = (0 until numSub).foldLeft("0.0") {
+        case (acc, s) => s"($acc + qd$s[code$s + 1])"
+      })
+  }
+
   /** v_ivfpq_search: the composite — IVF probe selection over literal
     * centroids restricts the candidate set, then PQ codes re-derived
     * from literal codebooks are ADC-ranked within it. Exactly the two
@@ -99,19 +124,8 @@ object IndexOracle {
   def ivfPqSearchOracle(centroids: Seq[(Int, Seq[Float])],
       books: Seq[(Int, Int, Seq[Float])], numSub: Int, subDim: Int,
       k: Int, nprobe: Int, numQueries: Int): String = {
-    def subDists(vexpr: String, s: Int): String =
-      books.filter(_._1 == s).sortBy(_._2)
-        .map { case (_, _, c) => l2sqLit(vexpr, s * subDim, c) }
-        .mkString("[", ",", "]")
-    val dsExprs = (0 until numSub)
-      .map(s => s"${subDists("embedding", s)} AS ds$s").mkString(", ")
-    val codeExprs = (0 until numSub)
-      .map(s => s"list_position(ds$s, list_min(ds$s)) - 1 AS code$s").mkString(", ")
-    val qdExprs = (0 until numSub)
-      .map(s => s"${subDists("qv", s)} AS qd$s").mkString(", ")
-    val adist = (0 until numSub).foldLeft("0.0") {
-      case (acc, s) => s"($acc + qd$s[code$s + 1])"
-    }
+    val PqSqlParts(dsExprs, codeExprs, qdExprs, adist) =
+      pqParts(books, numSub, subDim)
     val qdists = centroids.map { case (_, c) => l2sqLit("qv", 0, c) }
       .mkString("[", ",\n ", "]")
     val cids = centroids.map(_._1).mkString("[", ",", "]")
@@ -153,19 +167,8 @@ object IndexOracle {
     * top-k by (adist, vec_id). */
   def pqSearchOracle(books: Seq[(Int, Int, Seq[Float])],
       numSub: Int, subDim: Int, k: Int, numQueries: Int): String = {
-    def subDists(vexpr: String, s: Int): String =
-      books.filter(_._1 == s).sortBy(_._2)
-        .map { case (_, _, c) => l2sqLit(vexpr, s * subDim, c) }
-        .mkString("[", ",", "]")
-    val dsExprs = (0 until numSub)
-      .map(s => s"${subDists("embedding", s)} AS ds$s").mkString(", ")
-    val codeExprs = (0 until numSub)
-      .map(s => s"list_position(ds$s, list_min(ds$s)) - 1 AS code$s").mkString(", ")
-    val qdExprs = (0 until numSub)
-      .map(s => s"${subDists("qv", s)} AS qd$s").mkString(", ")
-    val adist = (0 until numSub).foldLeft("0.0") {
-      case (acc, s) => s"($acc + qd$s[code$s + 1])"
-    }
+    val PqSqlParts(dsExprs, codeExprs, qdExprs, adist) =
+      pqParts(books, numSub, subDim)
     s"""WITH codes AS (
        |  SELECT vec_id, $codeExprs
        |  FROM (SELECT vec_id, $dsExprs FROM embeddings)

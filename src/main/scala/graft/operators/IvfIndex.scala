@@ -96,21 +96,37 @@ object IvfIndex {
     * eventual-consistency window. With an empty buffer (post-compaction
     * steady state) the plan collapses to the plain pruned scan.
     */
-  def searchPruned(spark: SparkSession, indexDir: String, queries: DataFrame,
-      k: Int, nprobe: Int): DataFrame = {
+  /** query → its nprobe nearest centroids, (query_id, qv, cluster_id):
+    * a tiny broadcast cross join ranked by (distance, cluster_id) — the
+    * entry-point resolution shared by every probed search form. */
+  def resolveProbes(queries: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
     import spark.implicits._
-    val centroids = spark.read.parquet(s"$indexDir/centroids")
-    val probes = queries.crossJoin(broadcast(centroids))
+    queries.crossJoin(broadcast(centroids))
       .withColumn("cdist", l2Sq($"qv", $"centroid"))
       .withColumn("crnk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy($"query_id").orderBy($"cdist", $"cluster_id")))
       .filter($"crnk" <= nprobe)
       .select($"query_id", $"qv", $"cluster_id")
-    // bounded collect: ≤ |queries| × nprobe ints — the probe set must be
-    // driver-side to become a static partition filter on the scan
-    val probeIds = probes.select($"cluster_id").distinct()
+  }
+
+  /** The probes' distinct cluster ids, collected driver-side (bounded:
+    * ≤ |queries| × nprobe ints) to become a static partition filter. */
+  def collectProbeIds(probes: DataFrame): Array[Int] = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    probes.select($"cluster_id").distinct()
       .collect().map(_.getInt(0)).sorted
+  }
+
+  def searchPruned(spark: SparkSession, indexDir: String, queries: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    val probes = resolveProbes(queries, centroids, nprobe)
+    val probeIds = collectProbeIds(probes)
     val raw = spark.read.option("mergeSchema", "true")
       .parquet(s"$indexDir/assignments")
       .filter($"cluster_id".isin(probeIds.map(i => i: Any): _*))
@@ -147,13 +163,7 @@ object IvfIndex {
     val spark = assignments.sparkSession
     import spark.implicits._
     // 1. query → nprobe nearest centroids (both sides tiny: broadcast)
-    val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("cdist", l2Sq($"qv", $"centroid"))
-      .withColumn("crnk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy($"query_id").orderBy($"cdist", $"cluster_id")))
-      .filter($"crnk" <= nprobe)
-      .select($"query_id", $"qv", $"cluster_id")
+    val probes = resolveProbes(queries, centroids, nprobe)
     // 2. fetch candidates by cluster id (partition-pruned read at scale),
     //    rank with the bounded heap.
     assignments.join(broadcast(probes), "cluster_id")

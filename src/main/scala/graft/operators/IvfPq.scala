@@ -41,32 +41,15 @@ object IvfPq {
     val subDim = dim / numSub
     val centroids = spark.read.parquet(s"$ivfDir/centroids")
     val codebooks = spark.read.parquet(s"$pqDir/codebooks")
-    val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("cdist", l2Sq($"qv", $"centroid"))
-      .withColumn("crnk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy($"query_id").orderBy($"cdist", $"cluster_id")))
-      .filter($"crnk" <= nprobe)
-      .select($"query_id", $"qv", $"cluster_id")
-    val probeIds = probes.select($"cluster_id").distinct()
-      .collect().map(_.getInt(0)).sorted
+    val probes = IvfIndex.resolveProbes(queries, centroids, nprobe)
+    val probeIds = IvfIndex.collectProbeIds(probes)
     // pruned inverted-list scan: only the probed clusters' CODES are read
     val lists = spark.read.parquet(s"$listsDir/lists")
       .filter($"cluster_id".isin(probeIds.map(i => i: Any): _*))
-    // per-query flat ADC table, ordered by (sub, code) — PqIndex.search
-    val dtab = queries.crossJoin(broadcast(codebooks))
-      .select($"query_id", $"sub", $"code",
-        l2Sq(slice($"qv", $"sub" * subDim + 1, lit(subDim)), $"centroid").as("d"))
-      .groupBy($"query_id")
-      .agg(transform(array_sort(collect_list(struct($"sub", $"code", $"d"))),
-        x => x.getField("d")).as("dtab"))
-    val csize = (size($"dtab") / numSub).cast("int")
+    val dtab = PqIndex.adcTable(queries, codebooks, subDim)
     lists.join(broadcast(probes.select($"query_id", $"cluster_id")), "cluster_id")
       .join(broadcast(dtab), "query_id")
-      .withColumn("adist",
-        aggregate(sequence(lit(0), lit(numSub - 1)), lit(0.0d),
-          (acc, s) => acc + element_at($"dtab",
-            (s * csize + element_at($"codes", s + 1) + 1).cast("int"))))
+      .withColumn("adist", PqIndex.adcScore($"codes", $"dtab", numSub))
       .groupBy($"query_id")
       .agg(topK($"adist", $"vec_id", k).as("nn"))
       .select($"query_id", posexplode($"nn"))

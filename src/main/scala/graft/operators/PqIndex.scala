@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftVector._
@@ -85,26 +85,40 @@ object PqIndex {
     * |codes| × numSub × |queries| rows through a (query, vector) group-by
     * — ~8× the input — where this streams the codes table once.
     */
-  def search(codebooks: DataFrame, codes: DataFrame, queries: DataFrame,
-      idCol: String, dim: Int, numSub: Int, k: Int): DataFrame = {
-    val subDim = dim / numSub
-    val spark = codes.sparkSession
+  /** Per-query flat ADC lookup array (query_id, dtab), ordered by
+    * (sub, code): dtab[sub·codebookSize + code] = ‖q_sub − c(sub,code)‖².
+    * Bounded (|queries| × numSub × codebookSize) and broadcastable —
+    * shared by the flat PQ search and the IVF-PQ inverted-list search. */
+  def adcTable(queries: DataFrame, codebooks: DataFrame,
+      subDim: Int): DataFrame = {
+    val spark = queries.sparkSession
     import spark.implicits._
-    // per-query flat lookup array, ordered by (sub, code):
-    // dtab[sub * codebookSize + code] = ||q_sub - centroid(sub, code)||²
-    val dtab = queries.crossJoin(broadcast(codebooks))
+    queries.crossJoin(broadcast(codebooks))
       .select($"query_id", $"sub", $"code",
         l2Sq(slice($"qv", $"sub" * subDim + 1, lit(subDim)), $"centroid").as("d"))
       .groupBy($"query_id")
       .agg(transform(array_sort(collect_list(struct($"sub", $"code", $"d"))),
         x => x.getField("d")).as("dtab"))
-    val csize = (size($"dtab") / numSub).cast("int") // codebookSize
+  }
+
+  /** ADC distance: fold a row's `codes` through its query's `dtab` in
+    * subspace order (numSub array lookups, one running double). */
+  def adcScore(codes: Column, dtab: Column, numSub: Int): Column = {
+    val csize = (size(dtab) / numSub).cast("int") // codebookSize
+    aggregate(sequence(lit(0), lit(numSub - 1)), lit(0.0d),
+      (acc, s) => acc + element_at(dtab,
+        (s * csize + element_at(codes, s + 1) + 1).cast("int")))
+  }
+
+  def search(codebooks: DataFrame, codes: DataFrame, queries: DataFrame,
+      idCol: String, dim: Int, numSub: Int, k: Int): DataFrame = {
+    val subDim = dim / numSub
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val dtab = adcTable(queries, codebooks, subDim)
     codes.select(col(idCol).as("neighbor_id"), $"codes")
       .crossJoin(broadcast(dtab))
-      .withColumn("adist",
-        aggregate(sequence(lit(0), lit(numSub - 1)), lit(0.0d),
-          (acc, s) => acc + element_at($"dtab",
-            (s * csize + element_at($"codes", s + 1) + 1).cast("int"))))
+      .withColumn("adist", adcScore($"codes", $"dtab", numSub))
       .groupBy($"query_id")
       .agg(topK($"adist", $"neighbor_id", k).as("nn"))
       .select($"query_id", posexplode($"nn"))

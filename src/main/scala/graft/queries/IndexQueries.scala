@@ -116,7 +116,7 @@ object IndexQueries {
     * queries (which build it) before dumping oracle SQL and pins the
     * sfDir via `graft.oracle.sfDir`; anywhere that context is missing
     * these entries simply stay rows-only (the pre-round-3 behavior). */
-  private def annOracles: Map[String, String] = scala.util.Try {
+  private def annOracles: Map[String, String] = try {
     val s = SparkSession.active
     val d = sys.props.getOrElse("graft.oracle.sfDir", "/root/testdata/sf0.01")
     val ivfDir = IndexStore.ivf(s, d, k = 16)
@@ -134,7 +134,16 @@ object IndexQueries {
       "v_ivfpq_search" -> graft.operators.IndexOracle
         .ivfPqSearchOracle(cent, books, numSub = 8, subDim = 8, K,
           nprobe = 4, NumQueries))
-  }.getOrElse(Map.empty)
+  } catch {
+    // the documented degrade-to-rows-only cases (no live session / no
+    // index context) — but NEVER silently: a generation regression that
+    // dropped four queries from the hash gate with no signal would let
+    // the "every query oracle-gated" claim rot invisibly
+    case scala.util.control.NonFatal(e) =>
+      System.err.println(
+        s"[graft] ANN oracle generation skipped (rows-only fallback): $e")
+      Map.empty
+  }
 
   def oracles: Map[String, String] = annOracles ++ Map(
     "v_lsh_bucket" -> {

@@ -38,22 +38,38 @@ import graft.GraftVector._
   */
 object IvfDeltaIngest {
 
-  /** Assign + append one micro-batch of (vec_id, embedding [, seq]). */
+  /** Assign + append one micro-batch of (vec_id, embedding [, seq]).
+    *
+    * Duplicate vec_ids WITHIN a batch resolve to one row deterministically
+    * — each distinct (vec_id, embedding) is assigned to its own nearest
+    * centroid first, then the row with the smallest (distance,
+    * cluster_id, embedding-hash) wins — so an embedding is never paired
+    * with another row's cluster (a micro-batch has no intra-batch write
+    * order; across batches `seq` orders writes).
+    *
+    * Write order is buffer-first: the delta_log append lands BEFORE the
+    * assignments append. A crash between the two leaves a row that is in
+    * the buffer but not the index — searches still serve it correctly
+    * from the buffer (and its stale predecessor is shadowed); the
+    * reverse order would leave an un-shadowed duplicate visible. */
   def appendBatch(spark: SparkSession, indexDir: String,
       batch: DataFrame, seq: Long): Unit = {
     import spark.implicits._
     val cent = spark.read.parquet(s"$indexDir/centroids")
-    val assigned = batch.crossJoin(broadcast(cent))
+    val perEmbedding = batch.crossJoin(broadcast(cent))
       .withColumn("d", l2Sq($"embedding", $"centroid"))
+      .groupBy($"vec_id", $"embedding")
+      .agg(min(struct($"d", $"cluster_id")).as("best"))
+    val assigned = perEmbedding
       .groupBy($"vec_id")
-      .agg(min_by($"cluster_id", struct($"d", $"cluster_id")).as("cluster_id"),
-        first($"embedding").as("embedding"))
-      .withColumn("seq", lit(seq))
-      .select($"vec_id", $"embedding", $"seq", $"cluster_id")
+      .agg(min_by(struct($"embedding", $"best.cluster_id".as("cluster_id")),
+        struct($"best.d", $"best.cluster_id", hash($"embedding"))).as("r"))
+      .select($"vec_id", $"r.embedding".as("embedding"),
+        lit(seq).as("seq"), $"r.cluster_id".as("cluster_id"))
       .persist(StorageLevel.MEMORY_AND_DISK) // one assignment pass, two writes
+    assigned.write.mode("append").parquet(s"$indexDir/delta_log")
     assigned.write.mode("append").partitionBy("cluster_id")
       .parquet(s"$indexDir/assignments")
-    assigned.write.mode("append").parquet(s"$indexDir/delta_log")
     assigned.unpersist()
   }
 

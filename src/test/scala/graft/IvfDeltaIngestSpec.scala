@@ -97,6 +97,34 @@ class IvfDeltaIngestSpec extends SparkSpec {
     assert(raw.filter($"vec_id" === 0L).count() === 1)
   }
 
+  test("duplicate vec_id within one micro-batch resolves to one self-consistent row") {
+    val dir = freshIndex()
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val e3 = base.filter($"vec_id" === 3).select($"embedding").head().getSeq[Float](0)
+    val e7 = base.filter($"vec_id" === 7).select($"embedding").head().getSeq[Float](0)
+    // two CONFLICTING updates for vec 0 in the same batch (no intra-batch
+    // order exists) — the resolution must pick one whole row, never pair
+    // one update's embedding with the other's cluster
+    val batch = Seq((0L, e3), (0L, e7)).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    IvfDeltaIngest.appendBatch(spark, dir, batch, seq = 1L)
+    val rows = spark.read.parquet(s"$dir/delta_log")
+      .filter($"vec_id" === 0L).collect()
+    assert(rows.length === 1, s"one row per vec_id per batch: ${rows.toSeq}")
+    val emb = rows.head.getSeq[Float](rows.head.fieldIndex("embedding"))
+    val cid = rows.head.getInt(rows.head.fieldIndex("cluster_id"))
+    assert(emb == e3 || emb == e7, "embedding must be one of the updates")
+    // the stored cluster must be the nearest centroid OF THE STORED
+    // embedding (row integrity)
+    val cent = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val want = cent.map { case (c, cv) =>
+      (cv.zip(emb).map { case (a, b) =>
+        val d = a.toDouble - b.toDouble; d * d }.sum, c)
+    }.min._2
+    assert(cid === want, s"cluster $cid is not the stored embedding's nearest ($want)")
+  }
+
   test("re-insert shadows the old row; compaction collapses to one row per id") {
     val dir = freshIndex()
     val base = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -54,9 +54,12 @@ class IvfPqSpec extends SparkSpec {
           dim = 64, numSub = 8, k = corpusN) // effectively unbounded rank
         .join(assign.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
         .join(probes, Seq("query_id", "cluster_id")) // keep probed only
+        // re-rank by the ORIGINAL (unrounded-score) rank, not by the
+        // rounded adist output — two adists that collide at 4 dp would
+        // otherwise re-order by neighbor_id and flake the comparison
         .withColumn("rnk2", row_number().over(
           org.apache.spark.sql.expressions.Window
-            .partitionBy($"query_id").orderBy($"adist", $"neighbor_id")))
+            .partitionBy($"query_id").orderBy($"rnk")))
         .filter($"rnk2" <= 5)
         .select($"query_id", $"neighbor_id", $"rnk2".cast("long").as("rnk"), $"adist")
         .orderBy("query_id", "rnk").collect()
