@@ -46,10 +46,31 @@ object IvfPq {
     // pruned inverted-list scan: only the probed clusters' CODES are read
     val lists = spark.read.parquet(s"$listsDir/lists")
       .filter($"cluster_id".isin(probeIds.map(i => i: Any): _*))
+      .select($"vec_id", $"codes", $"cluster_id")
     val dtab = PqIndex.adcTable(queries, codebooks, subDim)
-    lists.join(broadcast(probes.select($"query_id", $"cluster_id")), "cluster_id")
+    val indexed = lists
+      .join(broadcast(probes.select($"query_id", $"cluster_id")), "cluster_id")
       .join(broadcast(dtab), "query_id")
       .withColumn("adist", PqIndex.adcScore($"codes", $"dtab", numSub))
+      .select($"query_id", $"vec_id", $"adist")
+    // write-buffer fidelity (see IvfIndex.searchPruned): rows streamed in
+    // since the last compaction shadow their indexed predecessors and are
+    // brute-forced against every query at EXACT distance — the buffer is
+    // bounded and raw, so exact beats re-quantized approximation, just as
+    // engine.h brute-forces its buffers while the graph approximates.
+    val pairs = graft.streaming.IvfPqDeltaIngest
+        .deltaLatest(spark, listsDir) match {
+      case None => indexed
+      case Some(delta) =>
+        val buf = broadcast(delta) // (vec_id, embedding)
+        val uniqueQueries = probes.select($"query_id", $"qv").distinct()
+        indexed
+          .join(broadcast(buf.select($"vec_id")), Seq("vec_id"), "left_anti")
+          .unionByName(buf.crossJoin(broadcast(uniqueQueries))
+            .withColumn("adist", l2Sq($"embedding", $"qv"))
+            .select($"query_id", $"vec_id", $"adist"))
+    }
+    pairs
       .groupBy($"query_id")
       .agg(topK($"adist", $"vec_id", k).as("nn"))
       .select($"query_id", posexplode($"nn"))

@@ -55,8 +55,18 @@ object PqIndex {
     }
     val codebooks = books.toDF("sub", "code", "centroid")
 
-    // distributed encoding: explode per subspace, argmin over broadcast
-    // codebooks, regroup to a code array — one shuffle on id
+    (codebooks, encode(embeddings, idCol, vecCol, codebooks, numSub, subDim))
+  }
+
+  /** Distributed PQ encoding against fitted codebooks: explode per
+    * subspace, argmin over broadcast codebooks, regroup to a code array
+    * — one shuffle on id. Used by build and by streaming delta ingest
+    * (new vectors get encoded with the SAME codebooks the index serves,
+    * so appended codes are directly comparable). */
+  def encode(embeddings: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, numSub: Int, subDim: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val pts = embeddings
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("__vec"))
       .select($"id",
@@ -64,13 +74,12 @@ object PqIndex {
         $"__vec")
       .select($"group", $"id",
         slice($"__vec", $"group" * subDim + 1, lit(subDim)).as("vec"))
-    val codes = DfKMeans.assign(pts,
+    DfKMeans.assign(pts,
         codebooks.select($"sub".as("group"), $"code", $"centroid"))
       .groupBy($"id")
       .agg(transform(array_sort(collect_list(struct($"group", $"code"))),
         x => x.getField("code")).as("codes"))
       .select($"id".as(idCol), $"codes")
-    (codebooks, codes)
   }
 
   /** ADC top-k: queries(query_id, qv array<float>) → (query_id,

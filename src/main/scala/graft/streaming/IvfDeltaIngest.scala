@@ -52,20 +52,30 @@ object IvfDeltaIngest {
     * the buffer but not the index — searches still serve it correctly
     * from the buffer (and its stale predecessor is shadowed); the
     * reverse order would leave an un-shadowed duplicate visible. */
-  def appendBatch(spark: SparkSession, indexDir: String,
-      batch: DataFrame, seq: Long): Unit = {
+  /** Deduplicate a micro-batch to one row per vec_id and assign each to
+    * its nearest centroid — per-(vec_id, embedding) assignment first,
+    * then smallest (distance, cluster, hash) row wins, preserving row
+    * integrity (see appendBatch scaladoc). Shared by the raw-vector and
+    * IVF-PQ delta paths. Returns (vec_id, embedding, seq, cluster_id). */
+  private[streaming] def resolveBatch(batch: DataFrame, cent: DataFrame,
+      seq: Long): DataFrame = {
+    val spark = batch.sparkSession
     import spark.implicits._
-    val cent = spark.read.parquet(s"$indexDir/centroids")
-    val perEmbedding = batch.crossJoin(broadcast(cent))
+    batch.crossJoin(broadcast(cent))
       .withColumn("d", l2Sq($"embedding", $"centroid"))
       .groupBy($"vec_id", $"embedding")
       .agg(min(struct($"d", $"cluster_id")).as("best"))
-    val assigned = perEmbedding
       .groupBy($"vec_id")
       .agg(min_by(struct($"embedding", $"best.cluster_id".as("cluster_id")),
         struct($"best.d", $"best.cluster_id", hash($"embedding"))).as("r"))
       .select($"vec_id", $"r.embedding".as("embedding"),
         lit(seq).as("seq"), $"r.cluster_id".as("cluster_id"))
+  }
+
+  def appendBatch(spark: SparkSession, indexDir: String,
+      batch: DataFrame, seq: Long): Unit = {
+    val cent = spark.read.parquet(s"$indexDir/centroids")
+    val assigned = resolveBatch(batch, cent, seq)
       .persist(StorageLevel.MEMORY_AND_DISK) // one assignment pass, two writes
     assigned.write.mode("append").parquet(s"$indexDir/delta_log")
     assigned.write.mode("append").partitionBy("cluster_id")
@@ -125,7 +135,7 @@ object IvfDeltaIngest {
     deleteRecursively(new File(s"$indexDir/delta_log"))
   }
 
-  private def deleteRecursively(f: File): Unit = {
+  private[streaming] def deleteRecursively(f: File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete()
   }
