@@ -175,15 +175,44 @@ object AnalyticsQueries {
 
     // Distribution stats per event type: exact interpolated percentiles
     // + exact distinct users.
+    // EXACT interpolated percentiles, computed scale-safely: the builtin
+    // `percentile()` buffers every group value in its aggregation state —
+    // a 100 TB group OOMs the executor. This form shuffles a DISTINCT-
+    // value histogram (map-side combined on (type, value)), cumulates
+    // counts over distinct values only, and joins the 6 needed ranks per
+    // group against the rank ranges — identical results (same
+    // position/interpolation math as the builtin), bounded memory.
     "q_percentiles" -> ((s: SparkSession, d: String) => {
       import s.implicits._
-      load(s, d, "events")
-        .groupBy($"event_type")
-        .agg(
-          round(expr("percentile(value, 0.5)"), 4).as("p50"),
-          round(expr("percentile(value, 0.9)"), 4).as("p90"),
-          round(expr("percentile(value, 0.99)"), 4).as("p99"),
-          countDistinct($"user_id").as("n_users"))
+      val ps = Seq(0.5, 0.9, 0.99)
+      val ev = load(s, d, "events")
+      val hist = ev.groupBy($"event_type", $"value").agg(count(lit(1)).as("c"))
+      val wcum = Window.partitionBy($"event_type").orderBy($"value")
+      val cum = hist.withColumn("hi_rank", sum($"c").over(wcum))
+        .withColumn("lo_rank", $"hi_rank" - $"c" + 1)
+      val counts = ev.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"))
+      val needed = counts.select($"event_type", $"n",
+          explode(typedLit(ps)).as("p"))
+        .withColumn("pos", $"p" * ($"n" - 1)) // 0-based fractional rank
+        .withColumn("lo", floor($"pos").cast("long"))
+        .withColumn("hi", ceil($"pos").cast("long"))
+      val ranks = needed.select($"event_type", $"p", $"pos", $"lo", $"hi",
+        explode(array($"lo" + 1, $"hi" + 1)).as("rk")).distinct()
+      val joined = ranks.join(cum, Seq("event_type"))
+        .filter($"rk".between($"lo_rank", $"hi_rank"))
+        .groupBy($"event_type", $"p", $"pos", $"lo", $"hi")
+        .agg(min_by($"value", $"rk").as("vlo"), max_by($"value", $"rk").as("vhi"))
+      // the builtin's interpolation exactly: (hi-pos)·vlo + (pos-lo)·vhi
+      val pv = joined.withColumn("pv",
+        when($"hi" === $"lo", $"vlo")
+          .otherwise(($"hi" - $"pos") * $"vlo" + ($"pos" - $"lo") * $"vhi"))
+      pv.groupBy($"event_type")
+        .agg(round(max(when($"p" === 0.5, $"pv")), 4).as("p50"),
+          round(max(when($"p" === 0.9, $"pv")), 4).as("p90"),
+          round(max(when($"p" === 0.99, $"pv")), 4).as("p99"))
+        .join(counts.select($"event_type", $"n_users"), "event_type")
+        .select($"event_type", $"p50", $"p90", $"p99", $"n_users")
         .orderBy("event_type")
     }),
 

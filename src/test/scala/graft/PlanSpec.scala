@@ -88,4 +88,22 @@ class PlanSpec extends SparkSpec {
       }
     }
   }
+
+  test("q_percentiles: rank-join form equals the buffering builtin, with no percentile aggregate in the plan") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = graft.queries.AnalyticsQueries.all("q_percentiles")(spark, sfDir)
+    // the whole point: the collect-every-value percentile() aggregate
+    // (per-group O(n) state) must be gone from the plan
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("percentile"), s"buffering percentile aggregate present:\n$plan")
+    val builtin = graft.Tables.load(spark, sfDir, "events")
+      .groupBy($"event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy("event_type")
+    assert(got.collect().toSeq === builtin.collect().toSeq)
+  }
 }
