@@ -140,7 +140,9 @@ object IvfIndex {
         raw.join(broadcast(probes), "cluster_id")
       case Some(delta) =>
         val buf = broadcast(delta.select($"vec_id", $"embedding"))
-        val uniqueQueries = probes.select($"query_id", $"qv").distinct()
+        // one row per query by contract — reuse it directly rather than
+        // re-deriving it from probes' cross-join lineage with a distinct
+        val uniqueQueries = queries.select($"query_id", $"qv")
         raw.join(broadcast(buf.select($"vec_id")), Seq("vec_id"), "left_anti")
           .join(broadcast(probes), "cluster_id")
           .select($"query_id", $"qv", $"vec_id", $"embedding")

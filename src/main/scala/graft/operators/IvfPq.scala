@@ -62,8 +62,10 @@ object IvfPq {
         .deltaLatest(spark, listsDir) match {
       case None => indexed
       case Some(delta) =>
-        val buf = broadcast(delta) // (vec_id, embedding)
-        val uniqueQueries = probes.select($"query_id", $"qv").distinct()
+        val buf = broadcast(delta.select($"vec_id", $"embedding"))
+        // one row per query by contract — reuse it directly rather than
+        // re-deriving it from probes' cross-join lineage with a distinct
+        val uniqueQueries = queries.select($"query_id", $"qv")
         indexed
           .join(broadcast(buf.select($"vec_id")), Seq("vec_id"), "left_anti")
           .unionByName(buf.crossJoin(broadcast(uniqueQueries))

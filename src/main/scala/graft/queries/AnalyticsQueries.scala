@@ -186,12 +186,16 @@ object AnalyticsQueries {
       import s.implicits._
       val ps = Seq(0.5, 0.9, 0.99)
       val ev = load(s, d, "events")
-      val hist = ev.groupBy($"event_type", $"value").agg(count(lit(1)).as("c"))
+      // percentile() skips null inputs: keep nulls out of the histogram
+      // and use count(value) (non-null count) as n, while n_users still
+      // counts every row of the group like the builtin aggregation does
+      val hist = ev.filter($"value".isNotNull)
+        .groupBy($"event_type", $"value").agg(count(lit(1)).as("c"))
       val wcum = Window.partitionBy($"event_type").orderBy($"value")
       val cum = hist.withColumn("hi_rank", sum($"c").over(wcum))
         .withColumn("lo_rank", $"hi_rank" - $"c" + 1)
       val counts = ev.groupBy($"event_type")
-        .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"))
+        .agg(count($"value").as("n"), countDistinct($"user_id").as("n_users"))
       val needed = counts.select($"event_type", $"n",
           explode(typedLit(ps)).as("p"))
         .withColumn("pos", $"p" * ($"n" - 1)) // 0-based fractional rank

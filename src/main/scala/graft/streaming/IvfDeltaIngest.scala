@@ -24,11 +24,13 @@ import graft.GraftVector._
   *    compaction, it is what lets a search consult "unflushed" entries
   *    exactly like engine.h:search_knn brute-forces its buffers before
   *    the graph (see IvfIndex.searchPruned).
-  *  - [[compact]] is the background compaction: latest `seq` wins per
-  *    vec_id, the table is rewritten into a SIBLING directory and then
-  *    atomically swapped into place (never overwriting the files being
-  *    read — an executor-storage loss mid-write can no longer destroy
-  *    the table), and the delta log is truncated.
+  *  - [[compact]] is the background compaction: the assignments table
+  *    UNION the buffer is folded to latest `seq` per vec_id, rewritten
+  *    into a SIBLING directory and atomically swapped into place (never
+  *    overwriting the files being read), and the delta log is truncated
+  *    only after the fold that includes it — so a row that reached only
+  *    the buffer (the appendBatch crash window) is folded in, never
+  *    dropped.
   *
   * Single-writer assumption: one compactor at a time, no concurrent
   * appends during the swap window (the reference serializes its flush
@@ -38,25 +40,13 @@ import graft.GraftVector._
   */
 object IvfDeltaIngest {
 
-  /** Assign + append one micro-batch of (vec_id, embedding [, seq]).
-    *
-    * Duplicate vec_ids WITHIN a batch resolve to one row deterministically
-    * — each distinct (vec_id, embedding) is assigned to its own nearest
-    * centroid first, then the row with the smallest (distance,
-    * cluster_id, embedding-hash) wins — so an embedding is never paired
-    * with another row's cluster (a micro-batch has no intra-batch write
-    * order; across batches `seq` orders writes).
-    *
-    * Write order is buffer-first: the delta_log append lands BEFORE the
-    * assignments append. A crash between the two leaves a row that is in
-    * the buffer but not the index — searches still serve it correctly
-    * from the buffer (and its stale predecessor is shadowed); the
-    * reverse order would leave an un-shadowed duplicate visible. */
   /** Deduplicate a micro-batch to one row per vec_id and assign each to
     * its nearest centroid — per-(vec_id, embedding) assignment first,
-    * then smallest (distance, cluster, hash) row wins, preserving row
-    * integrity (see appendBatch scaladoc). Shared by the raw-vector and
-    * IVF-PQ delta paths. Returns (vec_id, embedding, seq, cluster_id). */
+    * then the smallest (distance, cluster, hash) row wins, preserving
+    * row integrity: an embedding is never paired with another update's
+    * cluster (a micro-batch has no intra-batch write order; across
+    * batches `seq` orders writes). Shared by the raw-vector and IVF-PQ
+    * delta paths. Returns (vec_id, embedding, seq, cluster_id). */
   private[streaming] def resolveBatch(batch: DataFrame, cent: DataFrame,
       seq: Long): DataFrame = {
     val spark = batch.sparkSession
@@ -72,6 +62,48 @@ object IvfDeltaIngest {
         lit(seq).as("seq"), $"r.cluster_id".as("cluster_id"))
   }
 
+  /** Rows written without a seq column (or with nulls) count as seq 0. */
+  private[streaming] def ensureSeq(df: DataFrame): DataFrame =
+    if (df.columns.contains("seq"))
+      df.withColumn("seq", coalesce(col("seq"), lit(0L)))
+    else df.withColumn("seq", lit(0L))
+
+  /** Latest-seq-wins fold to one row per vec_id; `payload` names the
+    * value columns to carry (embedding for the raw index, codes for the
+    * IVF-PQ lists). */
+  private[streaming] def latestBySeq(df: DataFrame,
+      payload: Seq[String]): DataFrame = {
+    val cols = payload :+ "seq" :+ "cluster_id"
+    ensureSeq(df)
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(cols.map(col): _*), col("seq")).as("r"))
+      .select(col("vec_id") +: cols.map(c => col(s"r.$c").as(c)): _*)
+  }
+
+  /** Write a replacement table beside `parent/name` and atomically swap
+    * it into place. Crash-safe: the source files are never overwritten —
+    * a failure before the swap leaves the old table intact; a failure
+    * between the two renames leaves the complete new table in the
+    * sibling dir for recovery. */
+  private[streaming] def atomicSwap(parent: String, name: String)(
+      writeTo: String => Unit): Unit = {
+    val tmp = new File(s"$parent/$name.compacting")
+    val old = new File(s"$parent/$name.old")
+    deleteRecursively(tmp); deleteRecursively(old)
+    writeTo(tmp.getPath)
+    Files.move(Paths.get(s"$parent/$name"), old.toPath,
+      StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp.toPath, Paths.get(s"$parent/$name"),
+      StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
+  }
+
+  /** Assign + append one micro-batch of (vec_id, embedding).
+    * Write order is buffer-first: the delta_log append lands BEFORE the
+    * assignments append. A crash between the two leaves a row that is in
+    * the buffer but not the index — searches serve it correctly from the
+    * buffer, and compact() folds the buffer in, so the write survives;
+    * the reverse order would leave an un-shadowed duplicate visible. */
   def appendBatch(spark: SparkSession, indexDir: String,
       batch: DataFrame, seq: Long): Unit = {
     val cent = spark.read.parquet(s"$indexDir/centroids")
@@ -83,55 +115,45 @@ object IvfDeltaIngest {
     assigned.unpersist()
   }
 
-  /** Latest row per vec_id from the delta log (the write buffer), or None
-    * if no deltas have landed since the last compaction. Bounded by the
-    * append volume between compactions — small by design, broadcastable. */
-  def deltaLatest(spark: SparkSession, indexDir: String): Option[DataFrame] = {
-    import spark.implicits._
+  /** Raw buffer rows, or None if no deltas since the last compaction. */
+  private[streaming] def deltaRaw(spark: SparkSession,
+      indexDir: String): Option[DataFrame] =
     if (!new File(s"$indexDir/delta_log").exists()) None
-    else Some(spark.read.parquet(s"$indexDir/delta_log")
-      .groupBy($"vec_id")
-      .agg(max_by(struct($"embedding", $"cluster_id"), $"seq").as("r"),
-        max($"seq").as("seq"))
-      .select($"vec_id", $"r.embedding".as("embedding"),
-        $"r.cluster_id".as("cluster_id"), $"seq"))
-  }
+    else Some(spark.read.parquet(s"$indexDir/delta_log"))
 
-  /** Read the assignments table with latest-wins duplicate resolution
-    * (base rows written without `seq` count as seq 0). */
+  /** Latest row per vec_id from the delta log (the write buffer), or
+    * None if no deltas have landed since the last compaction. Bounded by
+    * the append volume between compactions — broadcastable. */
+  def deltaLatest(spark: SparkSession, indexDir: String): Option[DataFrame] =
+    deltaRaw(spark, indexDir).map(d =>
+      latestBySeq(d.select("vec_id", "embedding", "seq", "cluster_id"),
+        Seq("embedding")))
+
+  /** The current logical table: assignments ∪ write buffer with
+    * latest-wins duplicate resolution (base rows written without `seq`
+    * count as seq 0). Buffer rows are included so the appendBatch crash
+    * window (row in buffer, not yet in assignments) is invisible. */
   def latestAssignments(spark: SparkSession, indexDir: String): DataFrame = {
-    import spark.implicits._
-    val raw = spark.read.option("mergeSchema", "true")
-      .parquet(s"$indexDir/assignments")
-    val withSeq =
-      if (raw.columns.contains("seq"))
-        raw.withColumn("seq", coalesce($"seq", lit(0L)))
-      else raw.withColumn("seq", lit(0L))
-    withSeq.groupBy($"vec_id")
-      .agg(max_by(struct($"embedding", $"seq", $"cluster_id"), $"seq").as("r"))
-      .select($"vec_id", $"r.embedding".as("embedding"),
-        $"r.seq".as("seq"), $"r.cluster_id".as("cluster_id"))
+    val raw = ensureSeq(spark.read.option("mergeSchema", "true")
+        .parquet(s"$indexDir/assignments"))
+      .select("vec_id", "embedding", "seq", "cluster_id")
+    val all = deltaRaw(spark, indexDir) match {
+      case Some(d) => raw.unionByName(
+        ensureSeq(d).select("vec_id", "embedding", "seq", "cluster_id"))
+      case None => raw
+    }
+    latestBySeq(all, Seq("embedding"))
   }
 
-  /** LSM compaction: rewrite the partitioned table with one row per
-    * vec_id (newest seq) into `assignments.compacting`, atomically swap
-    * it over `assignments`, and truncate the delta log. Run periodically,
-    * not per batch. Crash-safe: the source files are never overwritten —
-    * a failure before the swap leaves the old table intact; a failure
-    * between the two renames leaves the complete new table in the
-    * sibling dir for recovery. */
+  /** LSM compaction: fold assignments ∪ buffer to one row per vec_id
+    * (newest seq), atomically swap, then truncate the buffer. Run
+    * periodically, not per batch. */
   def compact(spark: SparkSession, indexDir: String): Unit = {
-    val tmp = s"$indexDir/assignments.compacting"
-    val old = s"$indexDir/assignments.old"
-    deleteRecursively(new File(tmp)); deleteRecursively(new File(old))
-    latestAssignments(spark, indexDir)
+    val compacted = latestAssignments(spark, indexDir)
       .repartition(col("cluster_id"))
-      .write.partitionBy("cluster_id").parquet(tmp)
-    Files.move(Paths.get(s"$indexDir/assignments"), Paths.get(old),
-      StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(tmp), Paths.get(s"$indexDir/assignments"),
-      StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(new File(old))
+    atomicSwap(indexDir, "assignments") { tmp =>
+      compacted.write.partitionBy("cluster_id").parquet(tmp)
+    }
     deleteRecursively(new File(s"$indexDir/delta_log"))
   }
 

@@ -16,76 +16,71 @@ import graft.operators.PqIndex
   *    its nearest persisted centroid (IvfDeltaIngest.resolveBatch), then
   *    PQ-ENCODED against the persisted codebooks — appended codes are
   *    directly comparable to the index's — and appended into the
-  *    matching `cluster_id=N` lists partition. The raw embeddings land
-  *    in the `delta_log` write buffer: buffered rows are served by
-  *    EXACT distance (brute force over a bounded set beats re-quantized
-  *    approximation, exactly as the reference brute-forces its write
-  *    buffers while the graph serves approximate results).
-  *  - [[compact]]: folds the buffer in — latest seq wins per vec_id,
-  *    lists rewritten into a sibling directory and atomically swapped
-  *    (same crash-safety argument as IvfDeltaIngest.compact), buffer
-  *    truncated. Compacted rows keep only codes; their exact-distance
-  *    serving window ends at compaction, which is the quantization
-  *    contract of the index itself.
+  *    matching `cluster_id=N` lists partition. The buffer row carries
+  *    BOTH the raw embedding and the codes: searches brute-force the
+  *    bounded buffer at EXACT distance (exactly as the reference
+  *    brute-forces its write buffers while the graph serves approximate
+  *    results), and compaction folds the codes into the lists without
+  *    needing the codebooks again.
+  *  - [[compact]]: folds lists ∪ buffer to the latest seq per vec_id
+  *    (a row that reached only the buffer — the appendBatch crash
+  *    window — is folded in, never dropped), atomically swaps, then
+  *    truncates the buffer. Compacted rows keep only codes; their
+  *    exact-distance serving window ends at compaction, which is the
+  *    quantization contract of the index itself.
   */
 object IvfPqDeltaIngest {
 
-  /** Assign + encode + append one micro-batch of (vec_id, embedding). */
+  /** Assign + encode + append one micro-batch of (vec_id, embedding).
+    * numSub/subDim are DERIVED from the persisted codebooks, so appended
+    * codes can never be sliced against the wrong subspace geometry. */
   def appendBatch(spark: SparkSession, listsDir: String, ivfDir: String,
-      pqDir: String, batch: DataFrame, seq: Long,
-      numSub: Int = 8, subDim: Int = 8): Unit = {
+      pqDir: String, batch: DataFrame, seq: Long): Unit = {
     import spark.implicits._
     val cent = spark.read.parquet(s"$ivfDir/centroids")
     val books = spark.read.parquet(s"$pqDir/codebooks")
+    val (numSub, subDim) = bookGeometry(books)
     val assigned = IvfDeltaIngest.resolveBatch(batch, cent, seq)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // buffer first (see IvfDeltaIngest.appendBatch's crash-window note)
-    assigned.write.mode("append").parquet(s"$listsDir/delta_log")
     val coded = PqIndex
       .encode(assigned, "vec_id", "embedding", books, numSub, subDim)
-      .join(assigned.select($"vec_id", $"seq", $"cluster_id"), "vec_id")
-      .select($"vec_id", $"codes", $"seq", $"cluster_id")
-    coded.write.mode("append").partitionBy("cluster_id")
+      .join(assigned, "vec_id")
+      .select($"vec_id", $"embedding", $"codes", $"seq", $"cluster_id")
+      .persist(StorageLevel.MEMORY_AND_DISK) // one encode pass, two writes
+    // buffer first (see IvfDeltaIngest.appendBatch's crash-window note)
+    coded.write.mode("append").parquet(s"$listsDir/delta_log")
+    coded.select($"vec_id", $"codes", $"seq", $"cluster_id")
+      .write.mode("append").partitionBy("cluster_id")
       .parquet(s"$listsDir/lists")
-    assigned.unpersist()
+    coded.unpersist()
+  }
+
+  /** (numSub, subDim) as persisted: sub count from the codebook keys,
+    * subspace width from a centroid's length. */
+  private def bookGeometry(books: DataFrame): (Int, Int) = {
+    val row = books.selectExpr("max(sub) + 1", "max(size(centroid))").head()
+    (row.getInt(0), row.getInt(1))
   }
 
   /** Latest buffered row per vec_id, or None if the buffer is empty. */
-  def deltaLatest(spark: SparkSession, listsDir: String): Option[DataFrame] = {
-    import spark.implicits._
-    if (!new File(s"$listsDir/delta_log").exists()) None
-    else Some(spark.read.parquet(s"$listsDir/delta_log")
-      .groupBy($"vec_id")
-      .agg(max_by(struct($"embedding", $"cluster_id"), $"seq").as("r"))
-      .select($"vec_id", $"r.embedding".as("embedding")))
-  }
+  def deltaLatest(spark: SparkSession, listsDir: String): Option[DataFrame] =
+    IvfDeltaIngest.deltaLatest(spark, listsDir)
 
-  /** Fold the buffer into the lists (latest seq per vec_id), atomically
-    * swap, truncate the buffer. */
+  /** Fold lists ∪ buffer codes (latest seq per vec_id), atomically swap,
+    * truncate the buffer. */
   def compact(spark: SparkSession, listsDir: String): Unit = {
-    import spark.implicits._
-    val raw = spark.read.option("mergeSchema", "true")
-      .parquet(s"$listsDir/lists")
-    val withSeq =
-      if (raw.columns.contains("seq"))
-        raw.withColumn("seq", coalesce($"seq", lit(0L)))
-      else raw.withColumn("seq", lit(0L))
-    val compacted = withSeq.groupBy($"vec_id")
-      .agg(max_by(struct($"codes", $"seq", $"cluster_id"), $"seq").as("r"))
-      .select($"vec_id", $"r.codes".as("codes"),
-        $"r.seq".as("seq"), $"r.cluster_id".as("cluster_id"))
+    val raw = IvfDeltaIngest.ensureSeq(
+        spark.read.option("mergeSchema", "true").parquet(s"$listsDir/lists"))
+      .select("vec_id", "codes", "seq", "cluster_id")
+    val all = IvfDeltaIngest.deltaRaw(spark, listsDir) match {
+      case Some(d) => raw.unionByName(IvfDeltaIngest.ensureSeq(d)
+        .select("vec_id", "codes", "seq", "cluster_id"))
+      case None => raw
+    }
+    val compacted = IvfDeltaIngest.latestBySeq(all, Seq("codes"))
       .repartition(col("cluster_id"))
-    val tmp = new File(s"$listsDir/lists.compacting")
-    val old = new File(s"$listsDir/lists.old")
-    IvfDeltaIngest.deleteRecursively(tmp); IvfDeltaIngest.deleteRecursively(old)
-    compacted.write.partitionBy("cluster_id").parquet(tmp.getPath)
-    java.nio.file.Files.move(
-      java.nio.file.Paths.get(s"$listsDir/lists"), old.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    java.nio.file.Files.move(tmp.toPath,
-      java.nio.file.Paths.get(s"$listsDir/lists"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    IvfDeltaIngest.deleteRecursively(old)
+    IvfDeltaIngest.atomicSwap(listsDir, "lists") { tmp =>
+      compacted.write.partitionBy("cluster_id").parquet(tmp)
+    }
     IvfDeltaIngest.deleteRecursively(new File(s"$listsDir/delta_log"))
   }
 }

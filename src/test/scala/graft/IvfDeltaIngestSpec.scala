@@ -125,6 +125,31 @@ class IvfDeltaIngestSpec extends SparkSpec {
     assert(cid === want, s"cluster $cid is not the stored embedding's nearest ($want)")
   }
 
+  test("a row that reached only the buffer (crash window) survives compaction") {
+    val dir = freshIndex()
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val total = base.count()
+    val emb = base.filter($"vec_id" === 5).select($"embedding").head().getSeq[Float](0)
+    // simulate the appendBatch crash window: the delta_log append landed,
+    // the assignments append did not
+    Seq((999999L, emb, 7L, 0))
+      .toDF("vec_id", "embedding", "seq", "cluster_id")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"),
+        $"seq", $"cluster_id")
+      .write.mode("append").parquet(s"$dir/delta_log")
+
+    // the logical table already sees it...
+    val latest = IvfDeltaIngest.latestAssignments(spark, dir)
+    assert(latest.filter($"vec_id" === 999999L).count() === 1)
+    // ...and compaction folds it in instead of dropping it with the buffer
+    IvfDeltaIngest.compact(spark, dir)
+    assert(!new java.io.File(s"$dir/delta_log").exists())
+    val raw = spark.read.option("mergeSchema", "true").parquet(s"$dir/assignments")
+    assert(raw.count() === total + 1)
+    assert(raw.filter($"vec_id" === 999999L).count() === 1,
+      "acknowledged buffered write must survive compaction")
+  }
+
   test("re-insert shadows the old row; compaction collapses to one row per id") {
     val dir = freshIndex()
     val base = spark.read.parquet(s"$sfDir/embeddings.parquet")

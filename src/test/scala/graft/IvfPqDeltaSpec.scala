@@ -57,12 +57,17 @@ class IvfPqDeltaSpec extends SparkSpec {
         val d = a.toDouble - b.toDouble; d * d }.sum)
       val q0 = Seq((43L, e0)).toDF("query_id", "qv")
         .select($"query_id", $"qv".cast("array<float>").as("qv"))
+      // k must exceed any possible candidate count (cluster + buffer) so
+      // vec 0 is GUARANTEED in the result — a vacuously empty `stale`
+      // would silently skip the distance assertion
+      val corpusN = base.count().toInt
       val stale = IvfPq.searchPruned(spark, ivfDir, pqDir, listsDir, q0,
-          k = 50, nprobe = 1, dim = 64, numSub = 8)
+          k = corpusN + 1, nprobe = 1, dim = 64, numSub = 8)
         .filter($"neighbor_id" === 0L).collect()
+      assert(stale.length === 1,
+        s"buffered vec 0 must be a candidate for every query: ${stale.toSeq}")
       stale.foreach { r =>
-        assert(math.abs(math.sqrt(r.getDouble(3)) - exact) < 1e-6 ||
-          math.abs(r.getDouble(3) - exact * exact) < 1e-4,
+        assert(math.abs(r.getDouble(3) - exact * exact) < 1e-4,
           s"vec 0 served at a stale distance: $r (want adist ~ ${exact * exact})")
       }
 
