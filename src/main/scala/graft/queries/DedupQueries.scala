@@ -293,16 +293,22 @@ object DedupQueries {
     // hash on doc_id — integer math, replicated exactly in the oracle).
     // The balanced-subset primitive of training-data curation: no rand(),
     // so stage retries and the SQL oracle see identical samples.
+    // Selection runs through the bounded-heap top-k AGGREGATE (map-side
+    // partial heaps ordered by (shuffle_key, doc_id)), not a window over
+    // each language partition — a rank-the-whole-language window funnels
+    // every row of a language through one task, which dies on a
+    // billion-doc language; the heap form ships 20 rows per partition.
     "d_stratified_sample" -> ((s: SparkSession, d: String) => {
       import s.implicits._
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"lang").orderBy($"shuffle_key", $"doc_id")
       load(s, d, "documents")
         .withColumn("shuffle_key",
           pmod($"doc_id" * lit(2654435761L), lit(4294967296L)))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter($"rnk" <= 20)
-        .select($"lang", $"doc_id", $"rnk")
+        // < 2^32, so the double cast is exact
+        .groupBy($"lang")
+        .agg(topK($"shuffle_key".cast("double"), $"doc_id", 20).as("sel"))
+        .select($"lang", posexplode($"sel"))
+        .select($"lang", $"col.id".as("doc_id"),
+          ($"pos" + 1).cast("long").as("rnk"))
         .orderBy("lang", "rnk")
     }),
 
