@@ -33,14 +33,16 @@ object IvfPq {
   /** queries: (query_id, qv array<float>). Returns (query_id,
     * neighbor_id, rnk, adist). `listsDir` is the cluster-partitioned
     * codes table from IndexStore.ivfpq; centroids/codebooks come from
-    * the component indexes. */
+    * the component indexes, and the subspace geometry is DERIVED from
+    * the persisted codebooks (a caller-supplied numSub that disagreed
+    * with the artifact would silently mis-slice every query). */
   def searchPruned(spark: SparkSession, ivfDir: String, pqDir: String,
-      listsDir: String, queries: DataFrame, k: Int, nprobe: Int,
-      dim: Int, numSub: Int): DataFrame = {
+      listsDir: String, queries: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
     import spark.implicits._
-    val subDim = dim / numSub
     val centroids = spark.read.parquet(s"$ivfDir/centroids")
     val codebooks = spark.read.parquet(s"$pqDir/codebooks")
+    val (numSub, subDim) = PqIndex.bookGeometry(codebooks)
     val probes = IvfIndex.resolveProbes(queries, centroids, nprobe)
     val probeIds = IvfIndex.collectProbeIds(probes)
     // pruned inverted-list scan: only the probed clusters' CODES are read

@@ -94,6 +94,17 @@ object PqIndex {
     * |codes| × numSub × |queries| rows through a (query, vector) group-by
     * — ~8× the input — where this streams the codes table once.
     */
+  /** (numSub, subDim) as PERSISTED in a codebooks table: sub count from
+    * the codebook keys, subspace width from a centroid's length. Derive
+    * geometry from the artifact rather than trusting caller parameters —
+    * wrong values silently mis-slice every vector. */
+  def bookGeometry(codebooks: DataFrame): (Int, Int) = {
+    val row = codebooks.selectExpr("max(sub) + 1", "max(size(centroid))").head()
+    require(!row.isNullAt(0) && !row.isNullAt(1),
+      "codebooks table is empty — build the PQ index first")
+    (row.getInt(0), row.getInt(1))
+  }
+
   /** Per-query flat ADC lookup array (query_id, dtab), ordered by
     * (sub, code): dtab[sub·codebookSize + code] = ‖q_sub − c(sub,code)‖².
     * Bounded (|queries| × numSub × codebookSize) and broadcastable —

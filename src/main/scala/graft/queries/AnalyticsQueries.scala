@@ -196,8 +196,8 @@ object AnalyticsQueries {
         .withColumn("lo_rank", $"hi_rank" - $"c" + 1)
       val counts = ev.groupBy($"event_type")
         .agg(count($"value").as("n"), countDistinct($"user_id").as("n_users"))
-      val needed = counts.select($"event_type", $"n",
-          explode(typedLit(ps)).as("p"))
+      val needed = counts.filter($"n" > 0) // all-NULL groups: no ranks
+        .select($"event_type", $"n", explode(typedLit(ps)).as("p"))
         .withColumn("pos", $"p" * ($"n" - 1)) // 0-based fractional rank
         .withColumn("lo", floor($"pos").cast("long"))
         .withColumn("hi", ceil($"pos").cast("long"))
@@ -211,11 +211,15 @@ object AnalyticsQueries {
       val pv = joined.withColumn("pv",
         when($"hi" === $"lo", $"vlo")
           .otherwise(($"hi" - $"pos") * $"vlo" + ($"pos" - $"lo") * $"vhi"))
-      pv.groupBy($"event_type")
-        .agg(round(max(when($"p" === 0.5, $"pv")), 4).as("p50"),
-          round(max(when($"p" === 0.9, $"pv")), 4).as("p90"),
-          round(max(when($"p" === 0.99, $"pv")), 4).as("p99"))
-        .join(counts.select($"event_type", $"n_users"), "event_type")
+      // drive the output from counts (LEFT join): a group whose values
+      // are all NULL still appears — NULL percentiles, real n_users —
+      // exactly as the builtin aggregation would emit it
+      counts.join(
+          pv.groupBy($"event_type")
+            .agg(round(max(when($"p" === 0.5, $"pv")), 4).as("p50"),
+              round(max(when($"p" === 0.9, $"pv")), 4).as("p90"),
+              round(max(when($"p" === 0.99, $"pv")), 4).as("p99")),
+          Seq("event_type"), "left")
         .select($"event_type", $"p50", $"p90", $"p99", $"n_users")
         .orderBy("event_type")
     }),

@@ -70,8 +70,7 @@ object IndexQueries {
       val listsDir = IndexStore.ivfpq(s, d)
       val q = load(s, d, "embeddings").filter($"vec_id" < NumQueries)
         .select($"vec_id".as("query_id"), $"embedding".as("qv"))
-      IvfPq.searchPruned(s, ivfDir, pqDir, listsDir, q, K, nprobe = 4,
-          dim = 64, numSub = 8)
+      IvfPq.searchPruned(s, ivfDir, pqDir, listsDir, q, K, nprobe = 4)
         .orderBy("query_id", "rnk")
     }),
 

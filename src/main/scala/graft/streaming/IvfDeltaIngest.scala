@@ -115,11 +115,14 @@ object IvfDeltaIngest {
     assigned.unpersist()
   }
 
-  /** Raw buffer rows, or None if no deltas since the last compaction. */
+  /** Raw buffer rows, or None if no deltas since the last compaction.
+    * mergeSchema, like every multi-append table read here: buffer files
+    * written by different library versions may carry different columns. */
   private[streaming] def deltaRaw(spark: SparkSession,
       indexDir: String): Option[DataFrame] =
     if (!new File(s"$indexDir/delta_log").exists()) None
-    else Some(spark.read.parquet(s"$indexDir/delta_log"))
+    else Some(spark.read.option("mergeSchema", "true")
+      .parquet(s"$indexDir/delta_log"))
 
   /** Latest row per vec_id from the delta log (the write buffer), or
     * None if no deltas have landed since the last compaction. Bounded by
@@ -129,21 +132,35 @@ object IvfDeltaIngest {
       latestBySeq(d.select("vec_id", "embedding", "seq", "cluster_id"),
         Seq("embedding")))
 
+  /** The current logical content of `dir/table` ∪ the write buffer,
+    * folded to the latest seq per vec_id. Buffer rows missing a payload
+    * column (written by an older layout, which also wrote the same data
+    * into the table itself) are skipped rather than folded in as nulls.
+    * The shared "what does the index logically hold" read for both the
+    * raw-vector and IVF-PQ paths. */
+  private[streaming] def latestTable(spark: SparkSession, dir: String,
+      table: String, payload: Seq[String]): DataFrame = {
+    val cols = ("vec_id" +: payload) :+ "seq" :+ "cluster_id"
+    def normalized(df: DataFrame): Option[DataFrame] =
+      if (!payload.forall(df.columns.contains)) None
+      else Some(ensureSeq(df).select(cols.map(col): _*)
+        .filter(payload.map(col(_).isNotNull).reduce(_ && _)))
+    val raw = ensureSeq(spark.read.option("mergeSchema", "true")
+        .parquet(s"$dir/$table"))
+      .select(cols.map(col): _*)
+    val all = deltaRaw(spark, dir).flatMap(normalized) match {
+      case Some(d) => raw.unionByName(d)
+      case None => raw
+    }
+    latestBySeq(all, payload)
+  }
+
   /** The current logical table: assignments ∪ write buffer with
     * latest-wins duplicate resolution (base rows written without `seq`
     * count as seq 0). Buffer rows are included so the appendBatch crash
     * window (row in buffer, not yet in assignments) is invisible. */
-  def latestAssignments(spark: SparkSession, indexDir: String): DataFrame = {
-    val raw = ensureSeq(spark.read.option("mergeSchema", "true")
-        .parquet(s"$indexDir/assignments"))
-      .select("vec_id", "embedding", "seq", "cluster_id")
-    val all = deltaRaw(spark, indexDir) match {
-      case Some(d) => raw.unionByName(
-        ensureSeq(d).select("vec_id", "embedding", "seq", "cluster_id"))
-      case None => raw
-    }
-    latestBySeq(all, Seq("embedding"))
-  }
+  def latestAssignments(spark: SparkSession, indexDir: String): DataFrame =
+    latestTable(spark, indexDir, "assignments", Seq("embedding"))
 
   /** LSM compaction: fold assignments ∪ buffer to one row per vec_id
     * (newest seq), atomically swap, then truncate the buffer. Run

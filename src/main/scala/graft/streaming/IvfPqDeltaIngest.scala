@@ -32,33 +32,31 @@ import graft.operators.PqIndex
 object IvfPqDeltaIngest {
 
   /** Assign + encode + append one micro-batch of (vec_id, embedding).
-    * numSub/subDim are DERIVED from the persisted codebooks, so appended
-    * codes can never be sliced against the wrong subspace geometry. */
+    * Subspace geometry is DERIVED from the persisted codebooks
+    * (PqIndex.bookGeometry), so appended codes can never be sliced
+    * against the wrong boundaries. Buffer written first — see
+    * IvfDeltaIngest.appendBatch's crash-window note. */
   def appendBatch(spark: SparkSession, listsDir: String, ivfDir: String,
       pqDir: String, batch: DataFrame, seq: Long): Unit = {
     import spark.implicits._
     val cent = spark.read.parquet(s"$ivfDir/centroids")
     val books = spark.read.parquet(s"$pqDir/codebooks")
-    val (numSub, subDim) = bookGeometry(books)
+    val (numSub, subDim) = PqIndex.bookGeometry(books)
+    // persisted: referenced by both the encode input and the re-join —
+    // recomputing the resolveBatch aggregation twice would also let a
+    // nondeterministic source pair codes with a different row's embedding
     val assigned = IvfDeltaIngest.resolveBatch(batch, cent, seq)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val coded = PqIndex
       .encode(assigned, "vec_id", "embedding", books, numSub, subDim)
       .join(assigned, "vec_id")
       .select($"vec_id", $"embedding", $"codes", $"seq", $"cluster_id")
       .persist(StorageLevel.MEMORY_AND_DISK) // one encode pass, two writes
-    // buffer first (see IvfDeltaIngest.appendBatch's crash-window note)
     coded.write.mode("append").parquet(s"$listsDir/delta_log")
     coded.select($"vec_id", $"codes", $"seq", $"cluster_id")
       .write.mode("append").partitionBy("cluster_id")
       .parquet(s"$listsDir/lists")
-    coded.unpersist()
-  }
-
-  /** (numSub, subDim) as persisted: sub count from the codebook keys,
-    * subspace width from a centroid's length. */
-  private def bookGeometry(books: DataFrame): (Int, Int) = {
-    val row = books.selectExpr("max(sub) + 1", "max(size(centroid))").head()
-    (row.getInt(0), row.getInt(1))
+    coded.unpersist(); assigned.unpersist()
   }
 
   /** Latest buffered row per vec_id, or None if the buffer is empty. */
@@ -68,15 +66,8 @@ object IvfPqDeltaIngest {
   /** Fold lists ∪ buffer codes (latest seq per vec_id), atomically swap,
     * truncate the buffer. */
   def compact(spark: SparkSession, listsDir: String): Unit = {
-    val raw = IvfDeltaIngest.ensureSeq(
-        spark.read.option("mergeSchema", "true").parquet(s"$listsDir/lists"))
-      .select("vec_id", "codes", "seq", "cluster_id")
-    val all = IvfDeltaIngest.deltaRaw(spark, listsDir) match {
-      case Some(d) => raw.unionByName(IvfDeltaIngest.ensureSeq(d)
-        .select("vec_id", "codes", "seq", "cluster_id"))
-      case None => raw
-    }
-    val compacted = IvfDeltaIngest.latestBySeq(all, Seq("codes"))
+    val compacted = IvfDeltaIngest
+      .latestTable(spark, listsDir, "lists", Seq("codes"))
       .repartition(col("cluster_id"))
     IvfDeltaIngest.atomicSwap(listsDir, "lists") { tmp =>
       compacted.write.partitionBy("cluster_id").parquet(tmp)

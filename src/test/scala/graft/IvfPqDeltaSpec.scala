@@ -43,7 +43,7 @@ class IvfPqDeltaSpec extends SparkSpec {
       val q = Seq((42L, e7)).toDF("query_id", "qv")
         .select($"query_id", $"qv".cast("array<float>").as("qv"))
       val rows = IvfPq.searchPruned(spark, ivfDir, pqDir, listsDir, q,
-          k = 10, nprobe = 8, dim = 64, numSub = 8)
+          k = 10, nprobe = 8)
         .filter($"neighbor_id" === 0L).collect()
       assert(rows.length === 1, s"vec 0 must appear exactly once: ${rows.toSeq}")
       assert(rows.head.getDouble(3) === 0.0,
@@ -62,7 +62,7 @@ class IvfPqDeltaSpec extends SparkSpec {
       // would silently skip the distance assertion
       val corpusN = base.count().toInt
       val stale = IvfPq.searchPruned(spark, ivfDir, pqDir, listsDir, q0,
-          k = corpusN + 1, nprobe = 1, dim = 64, numSub = 8)
+          k = corpusN + 1, nprobe = 1)
         .filter($"neighbor_id" === 0L).collect()
       assert(stale.length === 1,
         s"buffered vec 0 must be a candidate for every query: ${stale.toSeq}")
@@ -80,7 +80,7 @@ class IvfPqDeltaSpec extends SparkSpec {
       assert(lists.count() === base.count())
       // post-compaction the row serves from its codes again (approximate)
       val post = IvfPq.searchPruned(spark, ivfDir, pqDir, listsDir, q,
-          k = 10, nprobe = 8, dim = 64, numSub = 8)
+          k = 10, nprobe = 8)
         .filter($"neighbor_id" === 0L).collect()
       assert(post.length === 1)
     }

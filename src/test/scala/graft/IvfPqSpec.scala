@@ -31,7 +31,7 @@ class IvfPqSpec extends SparkSpec {
       val q = e.filter($"vec_id" < 4)
         .select($"vec_id".as("query_id"), $"embedding".as("qv"))
       val got = IvfPq.searchPruned(spark, ivfDir, pqDir, listsDir, q,
-        k = 5, nprobe = 3, dim = 64, numSub = 8)
+        k = 5, nprobe = 3)
         .orderBy("query_id", "rnk").collect()
 
       // reference: full-corpus ADC ranking, filtered to each query's
