@@ -97,9 +97,25 @@ object DedupQueries {
     //    expensive set intersection for implausible pairs.
     "d_jaccard_pairs" -> ((s: SparkSession, d: String) => {
       import s.implicits._
-      val docs = load(s, d, "documents")
-        .select($"doc_id", $"lang",
-          sort_array(array_distinct(toks($"text"))).as("ws"))
+      // Dictionary-encode words to dense longs before the quadratic
+      // core: a row_number over the DISTINCT vocabulary is a true
+      // BIJECTION (unlike hashing), so Jaccard over the id sets IS
+      // word-set Jaccard exactly — while the banded join ships 8-byte
+      // ids instead of strings and the merge scan compares longs, not
+      // UTF-8 byte runs. The dictionary window is a single task bounded
+      // by VOCABULARY size, not corpus size; the id assignment is
+      // deterministic (ordered by word), so stage retries re-derive the
+      // identical mapping.
+      val exploded = load(s, d, "documents")
+        .select($"doc_id", $"lang", explode(
+          array_distinct(toks($"text"))).as("w"))
+      val words = exploded.select($"w").distinct()
+        .withColumn("wid", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy($"w")).cast("long"))
+      val docs = exploded.join(words, "w")
+        .groupBy($"doc_id")
+        .agg(first($"lang").as("lang"),
+          sort_array(collect_list($"wid")).as("ws"))
         .withColumn("nw", size($"ws").cast("long"))
         .withColumn("band", ($"nw" / 25).cast("long"))
       val a = docs.select($"doc_id".as("doc_a"), $"lang", $"band",
@@ -109,7 +125,7 @@ object DedupQueries {
       a.join(b, Seq("lang", "band"))
         .filter($"doc_a" < $"doc_b" &&
           lit(5) * least($"na", $"nb") >= lit(4) * greatest($"na", $"nb"))
-        .withColumn("jaccard", GraftText.jaccardSorted($"wa", $"wb"))
+        .withColumn("jaccard", GraftText.jaccardSortedLong($"wa", $"wb"))
         .filter($"jaccard" >= 0.8)
         .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
         .transform(orderedLarge(_, "doc_a", "doc_b"))
