@@ -38,8 +38,19 @@ object Bench {
     // for. Index build is an offline/amortized cost by design and is
     // deliberately outside the timed loop (like the JVM warm-up); the
     // spec suite and IndexStore exercise the build path itself.
-    try exhaust(SparkEntry.queries("v_knn_bruteforce")(spark, sfDir))
-    catch { case _: Throwable => () }
+    // Every query runs once against the SMALLEST scale factor first:
+    // whole-stage-codegen compilation is identical across scale factors
+    // for the same query, so this strips per-plan compile cost out of
+    // the timed numbers (which claim steady-state execution) at
+    // near-zero data cost.
+    val warmDir = {
+      val w = new java.io.File(new java.io.File(sfDir).getParent, "sf0.001")
+      if (w.isDirectory) w.getPath else sfDir
+    }
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try exhaust(fn(spark, warmDir)) catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
     try {
       graft.operators.IndexStore.ivf(spark, sfDir, k = 16)
       graft.operators.IndexStore.pq(spark, sfDir)
