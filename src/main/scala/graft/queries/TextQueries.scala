@@ -32,6 +32,21 @@ object TextQueries {
   private def sqlStopCount(set: Seq[String]): String =
     s"len(list_filter(toks, t -> list_contains([${set.map(w => s"'$w'").mkString(",")}], t)))::BIGINT"
 
+  /** Longest run length in a SORTED array — i.e. the max multiplicity of
+    * any element. A left fold over the sorted array, so the whole
+    * computation stays scan-side: no explode/groupBy shuffle just to
+    * find each document's most-repeated token. */
+  private def maxRun(sorted: Column): Column =
+    aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (st, t) => {
+        val run = when(t === st("prev"), st("run") + 1).otherwise(lit(1))
+        struct(t.as("prev"), run.as("run"),
+          greatest(st("best"), run).as("best"))
+      },
+      st => st("best"))
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_count" -> ((s: SparkSession, d: String) => {
       import s.implicits._
@@ -102,6 +117,36 @@ object TextQueries {
           size(array_distinct(
             regexp_extract_all($"text", lit(BpePattern), lit(0))))
             .cast("long").as("n_distinct"))
+        .orderBy("doc_id")
+    }),
+
+    // Within-document repetition signals (the Gopher/MassiveText quality
+    // heuristics): duplicate-word fraction, most-frequent-word fraction,
+    // most-frequent-bigram fraction. Docs dominated by a few repeated
+    // phrases are boilerplate/spam — this is the filter that catches
+    // them. Entirely scan-side: multiplicities come from a run-length
+    // fold over the doc's own sorted token array, never a corpus-wide
+    // shuffle, so it streams at parquet-scan rate like the rest of the
+    // text stage.
+    "t_repetition" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val toks = tokens($"text")
+      load(s, d, "documents")
+        .select($"doc_id", toks.as("toks"))
+        .select($"doc_id", $"toks",
+          zip_with(
+            slice($"toks", lit(1), size($"toks") - 1),
+            slice($"toks", lit(2), size($"toks") - 1),
+            (a, b) => concat(a, lit(" "), b)).as("bg"))
+        .select(
+          $"doc_id",
+          size($"toks").cast("long").as("n_tokens"),
+          round((size($"toks") - size(array_distinct($"toks")))
+            .cast("double") / size($"toks"), 4).as("dup_word_frac"),
+          round(maxRun(sort_array($"toks")).cast("double") / size($"toks"), 4)
+            .as("top_word_frac"),
+          round(maxRun(sort_array($"bg")).cast("double") / size($"bg"), 4)
+            .as("top_bigram_frac"))
         .orderBy("doc_id")
     }),
 
@@ -177,6 +222,37 @@ object TextQueries {
         |      FROM documents)
         |    GROUP BY lang, token)
         |) WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
+
+    // Max multiplicity is computed here by unnest + GROUP BY instead of
+    // the plan's run-length fold — same number, independently derived.
+    "t_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] AS bgs
+        |  FROM t),
+        |wtop AS (
+        |  SELECT doc_id, max(c) AS topw FROM (
+        |    SELECT doc_id, w, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(toks) AS w FROM t)
+        |    GROUP BY doc_id, w) GROUP BY doc_id),
+        |btop AS (
+        |  SELECT doc_id, max(c) AS topb FROM (
+        |    SELECT doc_id, b, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(bgs) AS b FROM bg)
+        |    GROUP BY doc_id, b) GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  len(toks)::BIGINT AS n_tokens,
+        |  round((len(toks) - len(list_distinct(toks)))::DOUBLE / len(toks), 4) AS dup_word_frac,
+        |  round(wtop.topw::DOUBLE / len(toks), 4) AS top_word_frac,
+        |  round(btop.topb::DOUBLE / len(bg.bgs), 4) AS top_bigram_frac
+        |FROM t
+        |JOIN bg ON t.doc_id = bg.doc_id
+        |JOIN wtop ON t.doc_id = wtop.doc_id
+        |JOIN btop ON t.doc_id = btop.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     "t_lang_id" -> {
       val cEn = sqlStopCount(StopEn); val cDe = sqlStopCount(StopDe)
