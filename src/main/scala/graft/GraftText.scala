@@ -35,4 +35,8 @@ object GraftText {
   /** Jaccard of two sorted distinct bigint arrays (merge scan). */
   def jaccardSortedLong(a: Column, b: Column): Column =
     Shims.column(JaccardSortedLong(Shims.expression(a), Shims.expression(b)))
+
+  /** FNV-1a hash per width-word shingle, one pass (array<long>). */
+  def wordShingleHashes(tokens: Column, width: Int): Column =
+    Shims.column(WordShingleHashes(Shims.expression(tokens), width))
 }

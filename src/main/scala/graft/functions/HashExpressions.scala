@@ -429,3 +429,53 @@ case class RollingHash64(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** word_shingle_hashes(tokens, width) → array<bigint>: FNV-1a hash of
+  * every width-word shingle (tokens i..i+width-1 joined by a single
+  * space), one output element per start position, in one pass — the
+  * hashing primitive of cross-document repeated-span dedup (Lee et al.
+  * "Deduplicating Training Data" made distributive: downstream shuffles
+  * carry these 8-byte keys, never shingle text). Docs shorter than
+  * `width` produce an empty array. Hash equality stands in for string
+  * equality (64-bit FNV: collisions are negligible at any realistic
+  * corpus size; the DuckDB oracle groups the shingle STRINGS directly,
+  * so a collision would surface as a hash-gate mismatch). */
+case class WordShingleHashes(child: Expression, width: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(width >= 1)
+
+  override def prettyName: String = "word_shingle_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_shingle_hashes requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val nShingles = math.max(n - width + 1, 0)
+    val out = new Array[Long](nShingles)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < nShingles) {
+      sb.setLength(0)
+      var j = 0
+      while (j < width) {
+        if (j > 0) sb.append(' ')
+        val t = toks.getUTF8String(i + j)
+        if (t != null) sb.append(t.toString)
+        j += 1
+      }
+      out(i) = GraftHash.fnv1a64(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8), 0L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

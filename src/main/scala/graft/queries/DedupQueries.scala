@@ -328,6 +328,47 @@ object DedupQueries {
         .orderBy("lang", "rnk")
     }),
 
+    // Cross-document repeated-span statistics (the "exact substring
+    // dedup" of Lee et al., Deduplicating Training Data Makes Language
+    // Models Better, made distributive): every 8-word shingle is hashed
+    // in one native pass, a shingle is "duplicated" when it occurs in
+    // ≥2 distinct documents, and each doc reports how much of it is
+    // covered by duplicated spans. Scale shape: ONE shuffle keyed on
+    // 8-byte shingle hashes (never shingle text) marks duplicates via a
+    // min/max-doc window; per-doc span coverage is then a scan-side
+    // interval-union fold over each doc's own sorted positions —
+    // linear in corpus size, no pair enumeration, no distinct-explode.
+    // Docs shorter than the shingle width carry no spans and are
+    // excluded by contract (none exist in this corpus).
+    "d_substring_dedup" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val n = 8
+      val sh = load(s, d, "documents")
+        .select($"doc_id", toks($"text").as("toks"))
+        .filter(size($"toks") >= n)
+        .select($"doc_id", size($"toks").cast("long").as("n_toks"),
+          posexplode(GraftText.wordShingleHashes($"toks", n)).as(Seq("p0", "sh")))
+        .select($"doc_id", $"n_toks", ($"p0" + 1).cast("long").as("pos"), $"sh")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"sh")
+      val marked = sh.withColumn("is_dup",
+        min($"doc_id").over(w) =!= max($"doc_id").over(w))
+      marked
+        .groupBy($"doc_id", $"n_toks")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when($"is_dup", 1L).otherwise(0L)).as("n_dup_shingles"),
+          sort_array(collect_list(when($"is_dup", $"pos"))).as("dps"))
+        .select($"doc_id", $"n_shingles", $"n_dup_shingles",
+          round($"n_dup_shingles".cast("double") / $"n_shingles", 4)
+            .as("dup_shingle_frac"),
+          round(aggregate($"dps",
+              struct(lit(0L).as("end"), lit(0L).as("total")),
+              (st, p) => struct((p + n).as("end"),
+                (st("total") + (p + n - greatest(st("end"), p))).as("total")),
+              st => st("total")).cast("double") / $"n_toks", 4)
+            .as("dup_token_frac"))
+        .transform(orderedLarge(_, "doc_id"))
+    }),
+
     // Embedding-cosine near-dup via multi-table LSH: candidates only
     // from bucket collisions (16 tables × 4 bits), verified by exact
     // cosine — the sub-quadratic scale path for d_embed_neardup, which
@@ -408,6 +449,35 @@ object DedupQueries {
         |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rnk
         |  FROM documents
         |) WHERE rnk <= 20 ORDER BY lang, rnk""".stripMargin,
+
+    // Independent derivation: groups the shingle STRINGS (the plan
+    // groups their FNV hashes — equal modulo 64-bit collisions, which
+    // the hash gate itself would expose) and computes span coverage by
+    // explode + DISTINCT (the plan uses a sorted interval-union fold).
+    "d_substring_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, len(toks)::BIGINT AS n_toks, i AS pos,
+        |    array_to_string(toks[i:i+7], ' ') AS s
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+        |        FROM t WHERE len(toks) >= 8)),
+        |dup AS (SELECT s FROM sh GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (
+        |  SELECT doc_id, count(DISTINCT tp) AS covered FROM (
+        |    SELECT dsh.doc_id, unnest(range(dsh.pos, dsh.pos + 8)) AS tp
+        |    FROM (SELECT sh.* FROM sh JOIN dup ON sh.s = dup.s) dsh)
+        |  GROUP BY doc_id),
+        |agg AS (
+        |  SELECT sh.doc_id, any_value(n_toks) AS n_toks,
+        |    count(*) AS n_shingles, count(dup.s) AS n_dup_shingles
+        |  FROM sh LEFT JOIN dup ON sh.s = dup.s GROUP BY sh.doc_id)
+        |SELECT agg.doc_id, n_shingles, n_dup_shingles,
+        |  round(n_dup_shingles::DOUBLE / n_shingles, 4) AS dup_shingle_frac,
+        |  round(coalesce(cov.covered, 0)::DOUBLE / n_toks, 4) AS dup_token_frac
+        |FROM agg LEFT JOIN cov ON agg.doc_id = cov.doc_id
+        |ORDER BY agg.doc_id""".stripMargin,
 
     "d_embed_neardup" -> {
       val cand = graft.operators.LshBuckets.bandedPairsSql(

@@ -150,6 +150,38 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Unigram-LM quality score (the CCNet/KenLM-style perplexity filter,
+    // reduced to its order-0 form): each doc scores the mean
+    // self-information of its tokens under the corpus unigram
+    // distribution, in bits — boilerplate full of ultra-common tokens
+    // scores low, line noise full of rare tokens scores high. Scale
+    // shape: token counts are a map-side-combined groupBy on token; the
+    // doc×token join shuffles on token (vocab-sized side is NOT
+    // broadcast — vocabulary is unbounded at corpus scale; AQE may still
+    // choose broadcast when it fits); the per-doc sum folds in sorted
+    // token order so the double result is run- and engine-independent
+    // (see DetMath for why log2 itself must be computed, not called).
+    "t_unigram_logprob" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      import graft.functions.DetMath
+      val tok = load(s, d, "documents")
+        .select($"doc_id", explode(tokens($"text")).as("token"))
+      val counts = tok.groupBy($"token").agg(count(lit(1)).as("c"))
+      val total = counts.agg(sum($"c").as("n_total"))
+      tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("m"))
+        .join(counts, "token")
+        .crossJoin(broadcast(total))
+        .withColumn("term", $"m".cast("double") *
+          (DetMath.log2Det($"n_total") - DetMath.log2Det($"c")))
+        .groupBy($"doc_id")
+        .agg(sum($"m").as("n_tokens"),
+          sort_array(collect_list(struct($"token", $"term"))).as("lst"))
+        .select($"doc_id", $"n_tokens",
+          round(aggregate($"lst", lit(0.0), (acc, x) => acc + x("term"))
+            / $"n_tokens", 4).as("bits_per_token"))
+        .localCheckpoint(false).orderBy("doc_id")
+    }),
+
     // Stopword-profile language ID. The fixed tie-break cascade
     // (en > de > fr > es > unknown) makes it deterministic.
     "t_lang_id" -> ((s: SparkSession, d: String) => {
@@ -253,6 +285,29 @@ object TextQueries {
         |JOIN wtop ON t.doc_id = wtop.doc_id
         |JOIN btop ON t.doc_id = btop.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+
+    "t_unigram_logprob" -> {
+      import graft.functions.DetMath
+      s"""WITH t AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+         |counts AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+         |nn AS (SELECT sum(c)::BIGINT AS n_total FROM counts),
+         |dt AS (SELECT doc_id, token, count(*) AS m FROM tok GROUP BY doc_id, token),
+         |terms AS (
+         |  SELECT doc_id, token, m,
+         |    m::DOUBLE * (${DetMath.log2DetSql("n_total")} - ${DetMath.log2DetSql("c")}) AS term
+         |  FROM dt JOIN counts USING (token), nn),
+         |doc AS (
+         |  SELECT doc_id, sum(m)::BIGINT AS n_tokens,
+         |    list(term ORDER BY token) AS lst
+         |  FROM terms GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         |  round(list_reduce(list_prepend(0.0, lst), (a, b) -> a + b)
+         |    / n_tokens, 4) AS bits_per_token
+         |FROM doc ORDER BY doc_id""".stripMargin
+    },
 
     "t_lang_id" -> {
       val cEn = sqlStopCount(StopEn); val cDe = sqlStopCount(StopDe)

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import graft.queries.TextQueries
+import graft.queries.{DedupQueries, TextQueries}
 
 class TextStatsSpec extends SparkSpec {
   import spark.implicits._
@@ -32,5 +32,57 @@ class TextStatsSpec extends SparkSpec {
     assert(dup2 === 0.0)
     assert(topw2 === 0.1)
     assert(topb2 === math.rint(1.0 / 9 * 1e4) / 1e4)
+  }
+
+  test("d_substring_dedup: planted shared 12-word span is found; unique doc is clean") {
+    val dir = Files.createTempDirectory("graft_ssd").toString
+    val span = (1 to 12).map(i => s"shared$i").mkString(" ")
+    Seq(
+      (1L, s"u1a u1b u1c u1d $span", "en", "web", 0L),    // span at tokens 5..16 of 16
+      (2L, s"$span u2a u2b u2c u2d", "en", "web", 0L),    // span at tokens 1..12 of 16
+      (3L, (1 to 16).map(i => s"only$i").mkString(" "), "en", "web", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val rows = DedupQueries.all("d_substring_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
+
+    // 16 tokens → 9 shingles; the 12-word span hosts 5 whole 8-word
+    // windows, covering its 12 tokens → dup_token_frac = 12/16.
+    assert(rows(1L) === ((9L, 5L, 0.75)))
+    assert(rows(2L) === ((9L, 5L, 0.75)))
+    assert(rows(3L) === ((9L, 0L, 0.0)))
+  }
+
+  test("DetMath.log2Det matches true log2 to 1e-7 over integer inputs") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1, 5000).toDF("id")
+      .union(spark.range(0, 40).toDF("e").select(
+        pow(lit(2.0), $"e".cast("double")).cast("long").as("id")))
+      .select($"id", graft.functions.DetMath.log2Det($"id").as("lg"))
+    val bad = df.collect().filter { r =>
+      val c = r.getLong(0); val lg = r.getDouble(1)
+      math.abs(lg - math.log(c.toDouble) / math.log(2.0)) > 1e-7
+    }
+    assert(bad.isEmpty, s"log2Det off: ${bad.take(3).mkString(",")}")
+  }
+
+  test("t_unigram_logprob: common-token doc scores below rare-token doc") {
+    val dir = Files.createTempDirectory("graft_lp").toString
+    Seq(
+      (1L, "common common common common", "en", "web", 0L),
+      (2L, "common rare1 rare2 rare3", "en", "web", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val rows = TextQueries.all("t_unigram_logprob")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // corpus: common=5, rare*=1 each, N=8
+    val lg = (x: Double) => math.log(x) / math.log(2.0)
+    assert(rows(1L)._1 === 4L)
+    assert(math.abs(rows(1L)._2 - lg(8.0 / 5)) < 1e-3)
+    assert(math.abs(rows(2L)._2 - (lg(8.0 / 5) + 3 * lg(8.0)) / 4) < 1e-3)
+    assert(rows(1L)._2 < rows(2L)._2)
   }
 }
