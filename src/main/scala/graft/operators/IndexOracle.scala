@@ -184,4 +184,88 @@ object IndexOracle {
        |  FROM (SELECT q.query_id, c.vec_id, $adist AS ad FROM codes c CROSS JOIN q)
        |) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
+
+  /** v_sq8_search: the one oracle that re-derives the WHOLE index from
+    * the raw table — SQ8 has no seeded training, so the per-dim min/max
+    * grid, the byte codes, the decoded-ADC shortlist and the exact
+    * refine are all recomputed in SQL with no embedded literals. Every
+    * step is exact-specified double arithmetic in the same evaluation
+    * order as Sq8Index. */
+  def sq8SearchOracle(dim: Int, k: Int, refineFactor: Int,
+      numQueries: Int): String = {
+    val d1 = dim + 1
+    s"""WITH g AS (
+       |  SELECT j, min(x)::DOUBLE AS mn, max(x)::DOUBLE AS mx,
+       |    (max(x)::DOUBLE - min(x)::DOUBLE) / 255.0 AS scale
+       |  FROM (SELECT unnest(embedding) AS x, unnest(range(1, $d1)) AS j FROM embeddings)
+       |  GROUP BY j),
+       |gl AS (SELECT list(mn ORDER BY j) AS mns, list(scale ORDER BY j) AS scales FROM g),
+       |codes AS (
+       |  SELECT vec_id, list(code ORDER BY j) AS cs FROM (
+       |    SELECT v.vec_id, v.j,
+       |      CASE WHEN g.scale = 0.0 THEN 0.0
+       |           ELSE least(greatest(floor((v.x::DOUBLE - g.mn) / g.scale + 0.5), 0.0), 255.0) END AS code
+       |    FROM (SELECT vec_id, unnest(embedding) AS x, unnest(range(1, $d1)) AS j FROM embeddings) v
+       |    JOIN g USING (j))
+       |  GROUP BY vec_id),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $numQueries),
+       |short AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY ad, vec_id) AS arnk
+       |    FROM (
+       |      SELECT q.query_id, c.vec_id,
+       |        list_reduce(list_prepend(0.0,
+       |          [(q.qv[j]::DOUBLE - (gl.mns[j] + c.cs[j] * gl.scales[j])) *
+       |           (q.qv[j]::DOUBLE - (gl.mns[j] + c.cs[j] * gl.scales[j]))
+       |           for j in range(1, $d1)]), (a, b) -> a + b) AS ad
+       |      FROM codes c CROSS JOIN q CROSS JOIN gl)
+       |  ) WHERE arnk <= ${k * refineFactor})
+       |SELECT query_id, neighbor_id, rnk, dist FROM (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rnk,
+       |    round(sqrt(d), 4) AS dist
+       |  FROM (SELECT s.query_id, s.vec_id, ${l2sqCol("e.embedding", "q.qv", dim)} AS d
+       |        FROM short s JOIN embeddings e ON e.vec_id = s.vec_id
+       |        JOIN q ON q.query_id = s.query_id)
+       |) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** v_pq_rerank: the ADC shortlist (top k×refine by (adist, vec_id),
+    * exactly the flat-PQ ranking) re-ranked by the exact squared-L2
+    * fold, sqrt applied only to the rounded output — mirroring
+    * PqIndex.searchRefined's heap-on-d² decision order. */
+  def pqRerankOracle(books: Seq[(Int, Int, Seq[Float])],
+      numSub: Int, subDim: Int, k: Int, refineFactor: Int,
+      numQueries: Int): String = {
+    val PqSqlParts(dsExprs, codeExprs, qdExprs, adist) =
+      pqParts(books, numSub, subDim)
+    val dim = numSub * subDim
+    s"""WITH codes AS (
+       |  SELECT vec_id, $codeExprs
+       |  FROM (SELECT vec_id, $dsExprs FROM embeddings)
+       |),
+       |qadc AS (
+       |  SELECT query_id, $qdExprs
+       |  FROM (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $numQueries)
+       |),
+       |qraw AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $numQueries),
+       |short AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY ad, vec_id) AS arnk
+       |    FROM (SELECT qadc.query_id, c.vec_id, $adist AS ad
+       |          FROM codes c CROSS JOIN qadc)
+       |  ) WHERE arnk <= ${k * refineFactor}
+       |)
+       |SELECT query_id, neighbor_id, rnk, dist FROM (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rnk,
+       |    round(sqrt(d), 4) AS dist
+       |  FROM (SELECT s.query_id, s.vec_id, ${l2sqCol("e.embedding", "qraw.qv", dim)} AS d
+       |        FROM short s
+       |        JOIN embeddings e ON e.vec_id = s.vec_id
+       |        JOIN qraw ON qraw.query_id = s.query_id)
+       |) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
 }

@@ -77,6 +77,25 @@ object IndexStore {
       dir
     }
 
+  /** Ensure the SQ8 index (per-dim quantization grid + byte codes)
+    * exists on disk. The grid fit is a single min/max pass — in a real
+    * ingestion pipeline it is fused with the load, never recomputed per
+    * query. */
+  def sq8(spark: SparkSession, sfDir: String): String =
+    lock.synchronized {
+      val dir = s"$root/${sfKey(sfDir)}/sq8"
+      if (!done(dir, "grid", "codes")) {
+        val e = Tables.load(spark, sfDir, "embeddings")
+        Sq8Index.buildGrid(e, "embedding")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/grid")
+        val (mins, scales) =
+          Sq8Index.gridArrays(spark.read.parquet(s"$dir/grid"))
+        Sq8Index.encode(e, "vec_id", "embedding", mins, scales)
+          .write.mode("overwrite").parquet(s"$dir/codes")
+      }
+      dir
+    }
+
   /** Ensure the composite IVF-PQ inverted lists: each vector's PQ codes
     * stored INSIDE its cluster partition, so a probe reads only its
     * clusters' codes — nprobe/k of the corpus at numSub-byte width (the

@@ -130,6 +130,41 @@ object PqIndex {
         (s * csize + element_at(codes, s + 1) + 1).cast("int")))
   }
 
+  /** PQ search with exact refinement (FAISS's IndexRefineFlat pattern,
+    * and the same shape as the reference's hybrid search: an approximate
+    * structure proposes, exact distances decide — engine.h:search_knn
+    * brute-forces its write buffers at full precision before merging).
+    * ADC proposes `k × refineFactor` candidates per query; only those
+    * rows' raw vectors are fetched (a join on id — at scale this reads
+    * |queries|·k' full vectors instead of the whole corpus) and exact
+    * L2 re-ranks the final top-k. The heap ranks on SQUARED distance
+    * and takes sqrt only at output: sqrt can collapse adjacent doubles,
+    * and a rank decided after the collapse could disagree with one
+    * decided before it. */
+  def searchRefined(codebooks: DataFrame, codes: DataFrame,
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int, refineFactor: Int = 4): DataFrame = {
+    require(refineFactor >= 1, s"refineFactor must be >= 1, got $refineFactor")
+    val (numSub, subDim) = bookGeometry(codebooks)
+    val dim = numSub * subDim
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val shortlist = search(codebooks, codes, queries, idCol, dim, numSub,
+        k * refineFactor)
+      .select($"query_id", $"neighbor_id")
+    shortlist
+      .join(embeddings.select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).as("emb")), "neighbor_id")
+      .join(broadcast(queries), "query_id")
+      .withColumn("d2", l2Sq($"emb", $"qv"))
+      .groupBy($"query_id")
+      .agg(topK($"d2", $"neighbor_id", k).as("nn"))
+      .select($"query_id", posexplode($"nn"))
+      .select($"query_id", $"col.id".as("neighbor_id"),
+        ($"pos" + 1).cast("long").as("rnk"),
+        round(sqrt($"col.score"), 4).as("dist"))
+  }
+
   def search(codebooks: DataFrame, codes: DataFrame, queries: DataFrame,
       idCol: String, dim: Int, numSub: Int, k: Int): DataFrame = {
     val subDim = dim / numSub

@@ -59,6 +59,23 @@ object IndexQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // PQ + exact refinement: ADC proposes 4×k candidates, their raw
+    // vectors (and ONLY theirs) are fetched by id, exact L2 decides the
+    // final top-k — quantization error no longer touches the reported
+    // ranking, at the cost of |queries|×4k full-vector reads.
+    "v_pq_rerank" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val dir = IndexStore.pq(s, d, dim = 64, numSub = 8, codebookSize = 16)
+      val books = s.read.parquet(s"$dir/codebooks")
+      val codes = s.read.parquet(s"$dir/codes")
+      val e = load(s, d, "embeddings")
+      val q = e.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      PqIndex.searchRefined(books, codes, e, "vec_id", "embedding", q,
+          k = K, refineFactor = 4)
+        .orderBy("query_id", "rnk")
+    }),
+
     // Composite IVF-PQ: partition-pruned inverted lists of PQ codes —
     // probes pick WHICH vectors to score (nprobe/k of the files), codes
     // decide WHAT is read for them (8 B/vector instead of 256 B). The
@@ -71,6 +88,23 @@ object IndexQueries {
       val q = load(s, d, "embeddings").filter($"vec_id" < NumQueries)
         .select($"vec_id".as("query_id"), $"embedding".as("qv"))
       IvfPq.searchPruned(s, ivfDir, pqDir, listsDir, q, K, nprobe = 4)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // Scalar-quantized (SQ8) search: byte codes against the per-dim
+    // min/max grid (4× compression), decoded-ADC shortlist, exact L2
+    // refine. No seeded training anywhere, so the oracle re-derives
+    // grid+codes+ranking entirely from the raw table.
+    "v_sq8_search" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val dir = IndexStore.sq8(s, d)
+      val grid = s.read.parquet(s"$dir/grid")
+      val codes = s.read.parquet(s"$dir/codes")
+      val e = load(s, d, "embeddings")
+      val q = e.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      graft.operators.Sq8Index.searchRefined(grid, codes, e, "vec_id",
+          "embedding", q, k = K, refineFactor = 4)
         .orderBy("query_id", "rnk")
     }),
 
@@ -130,6 +164,9 @@ object IndexQueries {
         .ivfSearchOracle(cent, K, nprobe = 4, NumQueries),
       "v_pq_search" -> graft.operators.IndexOracle
         .pqSearchOracle(books, numSub = 8, subDim = 8, K, NumQueries),
+      "v_pq_rerank" -> graft.operators.IndexOracle
+        .pqRerankOracle(books, numSub = 8, subDim = 8, K,
+          refineFactor = 4, NumQueries),
       "v_ivfpq_search" -> graft.operators.IndexOracle
         .ivfPqSearchOracle(cent, books, numSub = 8, subDim = 8, K,
           nprobe = 4, NumQueries))
@@ -145,6 +182,9 @@ object IndexQueries {
   }
 
   def oracles: Map[String, String] = annOracles ++ Map(
+    "v_sq8_search" -> graft.operators.IndexOracle
+      .sq8SearchOracle(dim = 64, K, refineFactor = 4, NumQueries),
+
     "v_lsh_bucket" -> {
       val b = LshBuckets.bucketSql("embedding", 64, 8)
       s"""SELECT $b AS bucket, count(*) AS n_vectors

@@ -58,6 +58,39 @@ class PqIndexSpec extends SparkSpec {
     assert(run(booksBack, codesBack) === run(books, codes))
   }
 
+  test("refined search: exact distances, and recall beats raw ADC") {
+    val (books, codes) = PqIndex.build(e, "vec_id", "embedding", dim = 64,
+      numSub = 8, codebookSize = 16)
+    val gt = e.crossJoin(broadcast(q))
+      .groupBy($"query_id")
+      .agg(topK(l2Sq($"embedding", $"qv"), $"vec_id", 10).as("nn"))
+      .select($"query_id", posexplode($"nn"))
+      .select($"query_id", $"col.id".as("neighbor_id"),
+        round(sqrt($"col.score"), 4).as("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val refined = PqIndex.searchRefined(books, codes, e, "vec_id",
+        "embedding", q, k = 10, refineFactor = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // every reported distance must be the EXACT brute-force distance
+    refined.foreach { case (key, dist) =>
+      gt.get(key).foreach(exact => assert(dist === exact,
+        s"refined dist for $key is $dist, exact is $exact"))
+    }
+    // and refinement must not lose recall vs raw ADC@10
+    val raw = PqIndex.search(books, codes, q, "vec_id", dim = 64,
+        numSub = 8, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(res: Set[(Long, Long)]) =
+      (res & gt.keySet).size.toDouble / gt.size
+    assert(recall(refined.keySet) >= recall(raw),
+      s"refined recall ${recall(refined.keySet)} < raw ${recall(raw)}")
+    // self is its own nearest neighbor at exact distance 0
+    val selfTop = PqIndex.searchRefined(books, codes, e, "vec_id",
+        "embedding", q, k = 1, refineFactor = 4)
+      .filter($"query_id" === $"neighbor_id" && $"rnk" === 1)
+    assert(selfTop.count() === 8)
+  }
+
   test("a vector's own quantized distance is smallest-ish: self in top-5") {
     val (books, codes) = PqIndex.build(e, "vec_id", "embedding", dim = 64,
       numSub = 8, codebookSize = 16)
