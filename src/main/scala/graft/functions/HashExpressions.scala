@@ -54,6 +54,18 @@ object GraftHash {
     }
     h
   }
+
+  /** Murmur3's fmix64 finalizer. FNV-1a's avalanche in the TOP bits is
+    * measurably weak on short sequential inputs (sequential ids skewed
+    * HLL's top-byte register selection ~3σ from uniform); fmix64's
+    * xor-shift-multiply cascade fixes exactly that. Replicated in SQL
+    * by [[HashSql.fmixSql]]. */
+  def fmix64(h0: Long): Long = {
+    var h = h0
+    h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL
+    h ^= (h >>> 33); h *= 0xc4ceb9fe1a85ec53L
+    h ^= (h >>> 33); h
+  }
 }
 
 /** minhash_signature(tokens, shingleWidth, numHashes) → array<bigint>.

@@ -36,6 +36,25 @@ object HashSql {
       s" (h, b) -> ((xor(h::UBIGINT, b::UBIGINT))::HUGEINT * $FnvPrime) % $Mod)"
   }
 
+  /** Murmur3 fmix64 over a HUGEINT-in-[0, 2^64) SQL expression —
+    * exactly [[GraftHash.fmix64]]. Nested single-element list_transforms
+    * serve as let bindings; the two multiplications use the 32-bit-split
+    * trick so no partial product overflows INT128. */
+  def fmixSql(hExpr: String): String = {
+    def xs(e: String): String =
+      s"xor(($e)::UBIGINT, ($e)::UBIGINT >> 33)::HUGEINT"
+    def mul(e: String, c: Long): String = {
+      val c0 = java.lang.Long.toUnsignedString(c & 0xffffffffL)
+      val c1 = java.lang.Long.toUnsignedString(c >>> 32)
+      s"($c0::HUGEINT * ($e) + (($c1::HUGEINT * ($e)) % 4294967296::HUGEINT)" +
+        s" * 4294967296::HUGEINT) % $Mod"
+    }
+    s"list_transform([$hExpr], h1 -> " +
+      s"list_transform([${mul(xs("h1"), 0xff51afd7ed558ccdL)}], h2 -> " +
+      s"list_transform([${mul(xs("h2"), 0xc4ceb9fe1a85ec53L)}], h3 -> " +
+      s"${xs("h3")})[1])[1])[1]"
+  }
+
   /** CTE chain `toks/tok/th/dv`: per-document token stream joined to a
     * DISTINCT-token FNV-1a hash table (each unique token is hashed once
     * corpus-wide, not once per occurrence). `dv` has (doc_id, hu UBIGINT)

@@ -319,10 +319,73 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n"),
           round(sum($"value" - $"type_avg"), 2).as("dev_sum"))
         .orderBy("event_type")
+    }),
+
+    // HyperLogLog distinct counting as a mergeable sketch aggregate
+    // (operators/HllAggregate): 256 bytes of state per group cross the
+    // shuffle instead of the distinct keys themselves — the cardinality
+    // analog of the bounded top-k heap, and the right shape when an
+    // exact countDistinct's key shuffle is the bottleneck. Exact counts
+    // ride along to exhibit the estimator's error; user_id (150-ish
+    // distinct) exercises the linear-counting correction, event_id
+    // (tens of thousands) the raw harmonic estimator. The oracle
+    // re-derives registers AND estimate in SQL (HUGEINT hashing,
+    // DetMath log) — the sketch sits under the full hash gate.
+    "q_hll_distinct" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      import graft.GraftSketch._
+      load(s, d, "events")
+        .groupBy($"event_type")
+        .agg(
+          countDistinct($"user_id").as("n_users_exact"),
+          hllRegisters($"user_id").as("ru"),
+          countDistinct($"event_id").as("n_events_exact"),
+          hllRegisters($"event_id").as("re"))
+        .select($"event_type",
+          $"n_users_exact", hllEstimate($"ru").as("n_users_hll"),
+          $"n_events_exact", hllEstimate($"re").as("n_events_hll"))
+        .orderBy("event_type")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    // Registers re-derived in HUGEINT arithmetic (FNV-1a of the value's
+    // 8 LE bytes; idx = top 8 bits, rho from the bit-length of the
+    // low-56 window), then the estimator re-runs with the SAME literals
+    // and fold order as GraftSketch.hllEstimate.
+    "q_hll_distinct" -> {
+      import graft.functions.HashSql
+      def regsCte(col: String, tag: String): String =
+        s"""h_$tag AS (
+           |  SELECT event_type, ${HashSql.fmixSql(HashSql.fnvLongSql("v"))} AS h
+           |  FROM (SELECT DISTINCT event_type, $col AS v FROM events)),
+           |r_$tag AS (
+           |  SELECT event_type, (h // 72057594037927936::HUGEINT)::INT AS idx,
+           |    CASE WHEN (h % 72057594037927936::HUGEINT) = 0 THEN 57
+           |         ELSE 57 - length(bin((h % 72057594037927936::HUGEINT)::BIGINT)) END AS rho
+           |  FROM h_$tag),
+           |m_$tag AS (SELECT event_type, idx, max(rho) AS rho
+           |           FROM r_$tag GROUP BY event_type, idx),
+           |l_$tag AS (
+           |  SELECT g.event_type, list(coalesce(m_$tag.rho, 0) ORDER BY r.ri) AS regs
+           |  FROM (SELECT DISTINCT event_type FROM events) g
+           |  CROSS JOIN range(0, 256) r(ri)
+           |  LEFT JOIN m_$tag ON m_$tag.event_type = g.event_type AND m_$tag.idx = r.ri
+           |  GROUP BY g.event_type)""".stripMargin
+      s"""WITH ${regsCte("user_id", "u")},
+         |${regsCte("event_id", "e")},
+         |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
+         |       count(DISTINCT event_id) AS n_events_exact
+         |       FROM events GROUP BY event_type)
+         |SELECT ex.event_type, n_users_exact,
+         |  ${graft.GraftSketch.hllEstimateSql("l_u.regs")} AS n_users_hll,
+         |  n_events_exact,
+         |  ${graft.GraftSketch.hllEstimateSql("l_e.regs")} AS n_events_hll
+         |FROM ex JOIN l_u ON l_u.event_type = ex.event_type
+         |JOIN l_e ON l_e.event_type = ex.event_type
+         |ORDER BY ex.event_type""".stripMargin
+    },
+
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
