@@ -35,6 +35,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def intArg(e: Expression): Int = Math.toIntExact(integralArg(e))
   private def longArg(e: Expression): Long = integralArg(e)
 
+  /** A foldable numeric-array literal (e.g. `array(0.1D, ...)`). */
+  private def doubleArrayArg(e: Expression): Array[Double] = {
+    require(e.foldable, s"expected a literal array, got non-foldable $e")
+    val ad = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, _) => ad.toDoubleArray()
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, _) =>
+        ad.toFloatArray().map(_.toDouble)
+      case other => throw new IllegalArgumentException(
+        s"expected array<double>/array<float> literal, got $other")
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.SqrtEliminationRule)
 
@@ -72,10 +87,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_lsh_bands(vec, dim, nTables, bits, seed) - seeded sign-LSH table keys") {
       es => LshBands(es(0), intArg(es(1)), intArg(es(2)), intArg(es(3)),
         longArg(es(4))) }
+    reg("graft_shingle_hashes",
+        "graft_shingle_hashes(tokens, width) - FNV-1a hash per word shingle") {
+      es => WordShingleHashes(es(0), intArg(es(1))) }
+    reg("graft_sq8_adc",
+        "graft_sq8_adc(codes, qv, mins, scales) - decoded-ADC squared distance " +
+        "against a literal SQ8 grid") {
+      es => Sq8AdcDistance(es(0), es(1),
+        doubleArrayArg(es(2)), doubleArrayArg(es(3))) }
     // aggregates
     reg("graft_topk", "graft_topk(score, id, k) - k smallest (score,id) pairs") {
       es => graft.operators.TopKByScore(es(0), es(1), intArg(es(2))) }
     reg("graft_vector_avg", "graft_vector_avg(vec) - element-wise mean") {
       es => graft.operators.VectorAvg(es(0)) }
+    reg("graft_hll", "graft_hll(value) - mergeable HyperLogLog registers (p=8)") {
+      es => graft.operators.HllRegisters(es(0)) }
   }
 }

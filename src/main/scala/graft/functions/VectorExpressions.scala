@@ -213,3 +213,41 @@ case class VectorNorm(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** sq8_adc(codes array<int>, qv array<float>) → double: decoded-ADC
+  * squared distance against the SQ8 grid baked in as literals — one
+  * native pass replacing a 64-step HOF fold whose interpreted
+  * element_at chain measured ~3× the whole query's useful work. The
+  * arithmetic (q_j − (mn_j + c_j·scale_j))², summed in dimension
+  * order, is identical op-for-op to the DuckDB oracle's list fold. */
+case class Sq8AdcDistance(codes: Expression, qv: Expression,
+    mins: Array[Double], scales: Array[Double])
+  extends BinaryExpression with codegen.CodegenFallback {
+
+  override def left: Expression = codes
+  override def right: Expression = qv
+  override def prettyName: String = "sq8_adc"
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (codes.dataType, qv.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"sq8_adc requires (array<int>, array<float>), got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val cs = a.asInstanceOf[ArrayData]; val q = b.asInstanceOf[ArrayData]
+    val n = math.min(math.min(cs.numElements(), q.numElements()), mins.length)
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val d = q.getFloat(i).toDouble - (mins(i) + cs.getInt(i) * scales(i))
+      s += d * d; i += 1
+    }
+    s
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(codes = newLeft, qv = newRight)
+}

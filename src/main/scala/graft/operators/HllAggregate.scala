@@ -60,7 +60,8 @@ case class HllRegisters(
     p: Int = 8,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[HllBuffer] {
+  extends TypedImperativeAggregate[HllBuffer]
+  with org.apache.spark.sql.graft.LongInputTypes {
 
   require(p >= 4 && p <= 16, s"hll_registers requires 4 <= p <= 16, got $p")
 

@@ -70,17 +70,15 @@ object Sq8Index {
 
   /** ADC distance of a code array against a query vector: the decoded
     * value mn_j + c_j·scale_j substitutes for x_j, summed in dimension
-    * order (the same fold discipline as l2Sq / PqIndex.adcScore). */
+    * order (the same fold discipline as l2Sq / PqIndex.adcScore) — one
+    * native pass ([[graft.functions.Sq8AdcDistance]]). */
   def adcScore(codes: Column, qv: Column, mins: Seq[Double],
-      scales: Seq[Double]): Column = {
-    val mn = typedlit(mins); val sc = typedlit(scales)
-    aggregate(sequence(lit(1), lit(mins.length)), lit(0.0d),
-      (acc, j) => acc +
-        (element_at(qv, j).cast("double") -
-          (element_at(mn, j) + element_at(codes, j) * element_at(sc, j))) *
-        (element_at(qv, j).cast("double") -
-          (element_at(mn, j) + element_at(codes, j) * element_at(sc, j))))
-  }
+      scales: Seq[Double]): Column =
+    org.apache.spark.sql.graft.Shims.column(
+      graft.functions.Sq8AdcDistance(
+        org.apache.spark.sql.graft.Shims.expression(codes),
+        org.apache.spark.sql.graft.Shims.expression(qv),
+        mins.toArray, scales.toArray))
 
   /** SQ8 search with exact refinement: ADC shortlist of k×refineFactor
     * by (adist, id), raw vectors fetched for the shortlist only, exact

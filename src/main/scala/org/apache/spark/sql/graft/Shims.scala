@@ -18,6 +18,14 @@ trait DoubleLongInputTypes
     Seq(org.apache.spark.sql.types.DoubleType, org.apache.spark.sql.types.LongType)
 }
 
+/** Single-bigint input contract with analyzer-inserted widening casts
+  * (same motivation as [[DoubleLongInputTypes]]). */
+trait LongInputTypes
+    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.LongType)
+}
+
 object Shims {
   /** Wrap a raw Catalyst expression as a user-facing Column. */
   def column(e: Expression): Column = ExpressionUtils.column(e)

@@ -82,6 +82,68 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql.length === 4)
   }
 
+  test("parity audit: every registered graft_* function is SQL-exercised") {
+    Shims.applyFunctionExtensions(spark, new GraftExtensions)
+    import spark.implicits._
+    // one sample invocation per function; the set-equality assertion
+    // below makes this spec fail when a new function is registered
+    // without being exercised here (or a sample goes stale)
+    val scalar = Map(
+      "graft_l2" -> "graft_l2(array(0.0f,3.0f), array(4.0f,0.0f))",
+      "graft_l2sq" -> "graft_l2sq(array(1.0f,2.0f), array(1.0f,4.0f))",
+      "graft_dot" -> "graft_dot(array(1.0f,2.0f), array(3.0f,4.0f))",
+      "graft_cosine" -> "graft_cosine(array(1.0f,0.0f), array(1.0f,0.0f))",
+      "graft_norm" -> "graft_norm(array(3.0f,4.0f))",
+      "graft_simhash" -> "graft_simhash(array('a','b'))",
+      "graft_fingerprint" -> "graft_fingerprint('hello')",
+      "graft_minhash" -> "graft_minhash(array('a','b','c'), 1, 8)",
+      "graft_minhash_bands" -> "graft_minhash_bands(array('a','b','c'), 1, 8, 4)",
+      "graft_jaccard" -> "graft_jaccard(array('a','b'), array('b','c'))",
+      "graft_char_ngrams" -> "graft_char_ngrams('abcd', 3)",
+      "graft_char_ngrams_packed" -> "graft_char_ngrams_packed('abcd', 3)",
+      "graft_jaccard_long" -> "graft_jaccard_long(array(1L,2L), array(2L,3L))",
+      "graft_lsh_bands" ->
+        "graft_lsh_bands(array(0.1f,0.2f,0.3f,0.4f), 4, 2, 4, 42)",
+      "graft_shingle_hashes" -> "graft_shingle_hashes(array('a','b','c'), 2)",
+      "graft_sq8_adc" ->
+        ("graft_sq8_adc(array(0, 255), array(0.0f, 1.0f), " +
+          "array(0.0D, 0.0D), array(0.003921568627451D, 0.003921568627451D))"))
+    val aggregate = Map(
+      "graft_topk" -> "graft_topk(s, id, 2)",
+      "graft_vector_avg" -> "graft_vector_avg(v)",
+      "graft_hll" -> "graft_hll(id)")
+    val registered = spark.sessionState.functionRegistry.listFunction()
+      .map(_.funcName).filter(_.startsWith("graft_")).toSet
+    assert(registered === scalar.keySet ++ aggregate.keySet,
+      s"unexercised: ${registered -- scalar.keySet -- aggregate.keySet}, " +
+        s"stale: ${scalar.keySet ++ aggregate.keySet -- registered}")
+    val row = spark.sql(
+      "SELECT " + scalar.values.map(s => s"$s IS NOT NULL").mkString(" AND "))
+      .head()
+    assert(row.getBoolean(0), "a scalar graft_* sample evaluated to NULL")
+    Seq((1L, 5.0, 10L, Seq(1f, 2f)), (1L, 1.0, 11L, Seq(3f, 4f)))
+      .toDF("g", "s", "id", "v").createOrReplaceTempView("t_parity")
+    val aggRow = spark.sql(
+      s"""SELECT ${aggregate("graft_topk")} IS NOT NULL
+         |  AND ${aggregate("graft_vector_avg")} IS NOT NULL
+         |  AND ${aggregate("graft_hll")} IS NOT NULL
+         |FROM t_parity GROUP BY g""".stripMargin).head()
+    assert(aggRow.getBoolean(0), "an aggregate graft_* sample evaluated to NULL")
+  }
+
+  test("graft_hll via SQL equals the Column API registers") {
+    Shims.applyFunctionExtensions(spark, new GraftExtensions)
+    import spark.implicits._
+    spark.range(100).toDF("v").createOrReplaceTempView("t_hll_sql")
+    val viaSql = spark.sql("SELECT graft_hll(v) FROM t_hll_sql")
+      .head().getSeq[Int](0)
+    val viaCol = spark.range(100).toDF("v")
+      .agg(GraftSketch.hllRegisters($"v")).head().getSeq[Int](0)
+    assert(viaSql === viaCol)
+    // INT input widens at analysis time instead of a runtime CCE
+    spark.sql("SELECT graft_hll(CAST(v AS INT)) FROM t_hll_sql").head()
+  }
+
   test("static int params accept INT and BIGINT literal spellings alike") {
     Shims.applyFunctionExtensions(spark, new GraftExtensions)
     val vec = Seq.tabulate(8)(i => (i + 1).toFloat / 10f)
