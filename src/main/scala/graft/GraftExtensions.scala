@@ -36,15 +36,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def longArg(e: Expression): Long = integralArg(e)
 
   /** A foldable numeric-array literal (e.g. `array(0.1D, ...)`). */
-  private def doubleArrayArg(e: Expression): Array[Double] = {
+  private def doubleArrayArg(e: Expression): Seq[Double] = {
     require(e.foldable, s"expected a literal array, got non-foldable $e")
     val ad = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     e.dataType match {
       case org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.DoubleType, _) => ad.toDoubleArray()
+          org.apache.spark.sql.types.DoubleType, _) =>
+        ad.toDoubleArray().toSeq
       case org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.FloatType, _) =>
-        ad.toFloatArray().map(_.toDouble)
+        ad.toFloatArray().map(_.toDouble).toSeq
       case other => throw new IllegalArgumentException(
         s"expected array<double>/array<float> literal, got $other")
     }

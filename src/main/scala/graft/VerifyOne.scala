@@ -22,7 +22,16 @@ object VerifyOne {
     sys.props("graft.oracle.sfDir") = sfDir
     SparkEntry.queries(name)(spark, sfDir)
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-    SparkEntry.oracleSql.get(name).foreach { sql =>
+    // ANN oracles are generated from the persisted index (already built
+    // by the query run above); for every other key use the static maps
+    // so this tool never pays an index build for an unrelated query
+    val oracle =
+      if (queries.IndexQueries.AnnOracleKeys(name)) SparkEntry.oracleSql.get(name)
+      else (queries.VectorQueries.oracles ++ queries.AnalyticsQueries.oracles ++
+        queries.TextQueries.oracles ++ queries.DedupQueries.oracles ++
+        queries.IndexQueries.staticOracles ++ queries.PipelineQueries.oracles)
+        .get(name)
+    oracle.foreach { sql =>
       Files.writeString(Paths.get(s"$outDir/$name.sql"), sql)
     }
     spark.stop()

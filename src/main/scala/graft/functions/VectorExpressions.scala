@@ -221,8 +221,14 @@ case class VectorNorm(child: Expression) extends UnaryExpression {
   * arithmetic (q_j − (mn_j + c_j·scale_j))², summed in dimension
   * order, is identical op-for-op to the DuckDB oracle's list fold. */
 case class Sq8AdcDistance(codes: Expression, qv: Expression,
-    mins: Array[Double], scales: Array[Double])
+    mins: Seq[Double], scales: Seq[Double])
   extends BinaryExpression with codegen.CodegenFallback {
+
+  // Seq constructor fields keep case-class structural equality (Array
+  // fields would compare by reference and defeat Catalyst CSE/reuse);
+  // the hot loop still reads primitive arrays
+  private lazy val mnArr: Array[Double] = mins.toArray
+  private lazy val scArr: Array[Double] = scales.toArray
 
   override def left: Expression = codes
   override def right: Expression = qv
@@ -238,10 +244,10 @@ case class Sq8AdcDistance(codes: Expression, qv: Expression,
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val cs = a.asInstanceOf[ArrayData]; val q = b.asInstanceOf[ArrayData]
-    val n = math.min(math.min(cs.numElements(), q.numElements()), mins.length)
+    val n = math.min(math.min(cs.numElements(), q.numElements()), mnArr.length)
     var s = 0.0; var i = 0
     while (i < n) {
-      val d = q.getFloat(i).toDouble - (mins(i) + cs.getInt(i) * scales(i))
+      val d = q.getFloat(i).toDouble - (mnArr(i) + cs.getInt(i) * scArr(i))
       s += d * d; i += 1
     }
     s

@@ -152,6 +152,20 @@ object PqIndex {
     val shortlist = search(codebooks, codes, queries, idCol, dim, numSub,
         k * refineFactor)
       .select($"query_id", $"neighbor_id")
+    refineExact(shortlist, embeddings, idCol, vecCol, queries, k)
+  }
+
+  /** Shared exact-refine stage for the quantized searches: join the
+    * (query_id, neighbor_id) shortlist to raw vectors by id, broadcast
+    * the query set, rank by exact SQUARED L2 in a bounded heap, and
+    * take sqrt only on the rounded output — sqrt can collapse adjacent
+    * doubles, so ranking must happen before it. One definition serves
+    * PQ and SQ8 so the refine contract cannot drift between them. */
+  private[operators] def refineExact(shortlist: DataFrame,
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    val spark = shortlist.sparkSession
+    import spark.implicits._
     shortlist
       .join(embeddings.select(col(idCol).cast("long").as("neighbor_id"),
         col(vecCol).as("emb")), "neighbor_id")

@@ -78,7 +78,7 @@ object Sq8Index {
       graft.functions.Sq8AdcDistance(
         org.apache.spark.sql.graft.Shims.expression(codes),
         org.apache.spark.sql.graft.Shims.expression(qv),
-        mins.toArray, scales.toArray))
+        mins, scales))
 
   /** SQ8 search with exact refinement: ADC shortlist of k×refineFactor
     * by (adist, id), raw vectors fetched for the shortlist only, exact
@@ -98,16 +98,6 @@ object Sq8Index {
       .agg(topK($"adist", $"neighbor_id", k * refineFactor).as("nn"))
       .select($"query_id", explode(transform($"nn", x => x.getField("id")))
         .as("neighbor_id"))
-    shortlist
-      .join(embeddings.select(col(idCol).cast("long").as("neighbor_id"),
-        col(vecCol).as("emb")), "neighbor_id")
-      .join(broadcast(queries), "query_id")
-      .withColumn("d2", l2Sq($"emb", $"qv"))
-      .groupBy($"query_id")
-      .agg(topK($"d2", $"neighbor_id", k).as("nn"))
-      .select($"query_id", posexplode($"nn"))
-      .select($"query_id", $"col.id".as("neighbor_id"),
-        ($"pos" + 1).cast("long").as("rnk"),
-        round(sqrt($"col.score"), 4).as("dist"))
+    PqIndex.refineExact(shortlist, embeddings, idCol, vecCol, queries, k)
   }
 }

@@ -344,7 +344,11 @@ object AnalyticsQueries {
         .agg(hllRegisters($"user_id").as("ru"),
           hllRegisters($"event_id").as("re"))
       def exact(c: String, as: String) =
-        ev.select($"event_type", col(c)).distinct()
+        // NULLs dropped to match count(DISTINCT c) semantics — a bare
+        // distinct() would count NULL as a value and drift from the
+        // oracle (and from the sketch, which also skips NULLs)
+        ev.select($"event_type", col(c)).filter(col(c).isNotNull)
+          .distinct()
           .groupBy($"event_type").agg(count(lit(1)).as(as))
       sketches
         .join(exact("user_id", "n_users_exact"), "event_type")

@@ -42,7 +42,7 @@ object DedupQueries {
     * then range-sort from the stored blocks. Scalable sort, no upstream
     * double-execution; a single-partition sort here would funnel the
     * whole corpus through one task. */
-  private def orderedLarge(df: DataFrame, cols: String*): DataFrame =
+  private[queries] def orderedLarge(df: DataFrame, cols: String*): DataFrame =
     df.localCheckpoint(false).orderBy(cols.head, cols.tail: _*)
 
   /** Banded Hamming-ball pairs over (doc_id, fp bigint): explode each

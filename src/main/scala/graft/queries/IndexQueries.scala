@@ -149,6 +149,14 @@ object IndexQueries {
     * queries (which build it) before dumping oracle SQL and pins the
     * sfDir via `graft.oracle.sfDir`; anywhere that context is missing
     * these entries simply stay rows-only (the pre-round-3 behavior). */
+  /** The oracle keys whose SQL is generated FROM the persisted index —
+    * computing them forces an index build. Single-query tooling
+    * (VerifyOne) consults this to avoid paying a full IVF+PQ fit just
+    * to materialize oracle strings for unrelated queries. */
+  val AnnOracleKeys: Set[String] =
+    Set("v_ivf_build", "v_ivf_search", "v_pq_search", "v_pq_rerank",
+      "v_ivfpq_search")
+
   private def annOracles: Map[String, String] = try {
     val s = SparkSession.active
     val d = sys.props.getOrElse("graft.oracle.sfDir", "/root/testdata/sf0.01")
@@ -181,7 +189,10 @@ object IndexQueries {
       Map.empty
   }
 
-  def oracles: Map[String, String] = annOracles ++ Map(
+  def oracles: Map[String, String] = annOracles ++ staticOracles
+
+  /** The index-independent oracle entries (safe to evaluate anywhere). */
+  def staticOracles: Map[String, String] = Map(
     "v_sq8_search" -> graft.operators.IndexOracle
       .sq8SearchOracle(dim = 64, K, refineFactor = 4, NumQueries),
 

@@ -133,6 +133,9 @@ object TextQueries {
       val toks = tokens($"text")
       load(s, d, "documents")
         .select($"doc_id", toks.as("toks"))
+        // single-token docs have no bigrams (0/0): excluded by contract
+        // on BOTH sides, like d_substring_dedup's width guard
+        .filter(size($"toks") >= 2)
         .select($"doc_id", $"toks",
           zip_with(
             slice($"toks", lit(1), size($"toks") - 1),
@@ -179,7 +182,7 @@ object TextQueries {
         .select($"doc_id", $"n_tokens",
           round(aggregate($"lst", lit(0.0), (acc, x) => acc + x("term"))
             / $"n_tokens", 4).as("bits_per_token"))
-        .localCheckpoint(false).orderBy("doc_id")
+        .transform(DedupQueries.orderedLarge(_, "doc_id"))
     }),
 
     // Stopword-profile language ID. The fixed tie-break cascade
@@ -259,8 +262,10 @@ object TextQueries {
     // the plan's run-length fold — same number, independently derived.
     "t_repetition" ->
       """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-        |  FROM documents),
+        |  SELECT doc_id, toks FROM (
+        |    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |    FROM documents)
+        |  WHERE len(toks) >= 2),
         |bg AS (
         |  SELECT doc_id,
         |    [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] AS bgs
