@@ -45,6 +45,42 @@ object DedupQueries {
   private[queries] def orderedLarge(df: DataFrame, cols: String*): DataFrame =
     df.localCheckpoint(false).orderBy(cols.head, cols.tail: _*)
 
+  /** The exact j ≥ 0.8 verifier pairs, unordered — shared by the
+    * d_jaccard_pairs entry and as the edge set of d_dedup_cluster.
+    * Dictionary-encode words to dense longs before the quadratic core:
+    * a row_number over the DISTINCT vocabulary is a true BIJECTION
+    * (unlike hashing), so Jaccard over the id sets IS word-set Jaccard
+    * exactly — while the banded join ships 8-byte ids instead of
+    * strings and the merge scan compares longs, not UTF-8 byte runs.
+    * The dictionary window is a single task bounded by VOCABULARY size,
+    * not corpus size; the id assignment is deterministic (ordered by
+    * word), so stage retries re-derive the identical mapping. */
+  private def jaccardPairsRaw(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val exploded = load(s, d, "documents")
+      .select($"doc_id", $"lang", explode(
+        array_distinct(toks($"text"))).as("w"))
+    val words = exploded.select($"w").distinct()
+      .withColumn("wid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"w")).cast("long"))
+    val docs = exploded.join(words, "w")
+      .groupBy($"doc_id")
+      .agg(first($"lang").as("lang"),
+        sort_array(collect_list($"wid")).as("ws"))
+      .withColumn("nw", size($"ws").cast("long"))
+      .withColumn("band", ($"nw" / 25).cast("long"))
+    val a = docs.select($"doc_id".as("doc_a"), $"lang", $"band",
+      $"ws".as("wa"), $"nw".as("na"))
+    val b = docs.select($"doc_id".as("doc_b"), $"lang", $"band",
+      $"ws".as("wb"), $"nw".as("nb"))
+    a.join(b, Seq("lang", "band"))
+      .filter($"doc_a" < $"doc_b" &&
+        lit(5) * least($"na", $"nb") >= lit(4) * greatest($"na", $"nb"))
+      .withColumn("jaccard", GraftText.jaccardSortedLong($"wa", $"wb"))
+      .filter($"jaccard" >= 0.8)
+      .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
+  }
+
   /** Banded Hamming-ball pairs over (doc_id, fp bigint): explode each
     * fingerprint into `nChunks` equal bit chunks, equi-join on
     * (chunk_id, chunk value), verify true Hamming on candidates.
@@ -95,40 +131,28 @@ object DedupQueries {
     //  - integer size-ratio gate 5*min >= 4*max, which provably loses no
     //    j >= 0.8 pair (j >= 0.8 ⇒ |min|/|max| >= 0.8) but skips the
     //    expensive set intersection for implausible pairs.
-    "d_jaccard_pairs" -> ((s: SparkSession, d: String) => {
+    "d_jaccard_pairs" -> ((s: SparkSession, d: String) =>
+      jaccardPairsRaw(s, d).transform(orderedLarge(_, "doc_a", "doc_b"))),
+
+    // Connected components over the verified near-dup graph — the
+    // transitive-closure step every real dedup pipeline ends with:
+    // pair edges only say "these two match", but dedup must keep ONE
+    // doc per COMPONENT (chains A~B~C keep both A and C if you only
+    // look at edges). Min-label propagation (ConnectedComponents), a
+    // bounded number of node-keyed shuffle rounds, nothing quadratic
+    // beyond the declared edge contract. Here the edges are the gated
+    // exact j>=0.8 verifier pairs; at 100 TB the same operator takes
+    // the LSH keeper edges (the edge DataFrame is a parameter).
+    "d_dedup_cluster" -> ((s: SparkSession, d: String) => {
       import s.implicits._
-      // Dictionary-encode words to dense longs before the quadratic
-      // core: a row_number over the DISTINCT vocabulary is a true
-      // BIJECTION (unlike hashing), so Jaccard over the id sets IS
-      // word-set Jaccard exactly — while the banded join ships 8-byte
-      // ids instead of strings and the merge scan compares longs, not
-      // UTF-8 byte runs. The dictionary window is a single task bounded
-      // by VOCABULARY size, not corpus size; the id assignment is
-      // deterministic (ordered by word), so stage retries re-derive the
-      // identical mapping.
-      val exploded = load(s, d, "documents")
-        .select($"doc_id", $"lang", explode(
-          array_distinct(toks($"text"))).as("w"))
-      val words = exploded.select($"w").distinct()
-        .withColumn("wid", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy($"w")).cast("long"))
-      val docs = exploded.join(words, "w")
-        .groupBy($"doc_id")
-        .agg(first($"lang").as("lang"),
-          sort_array(collect_list($"wid")).as("ws"))
-        .withColumn("nw", size($"ws").cast("long"))
-        .withColumn("band", ($"nw" / 25).cast("long"))
-      val a = docs.select($"doc_id".as("doc_a"), $"lang", $"band",
-        $"ws".as("wa"), $"nw".as("na"))
-      val b = docs.select($"doc_id".as("doc_b"), $"lang", $"band",
-        $"ws".as("wb"), $"nw".as("nb"))
-      a.join(b, Seq("lang", "band"))
-        .filter($"doc_a" < $"doc_b" &&
-          lit(5) * least($"na", $"nb") >= lit(4) * greatest($"na", $"nb"))
-        .withColumn("jaccard", GraftText.jaccardSortedLong($"wa", $"wb"))
-        .filter($"jaccard" >= 0.8)
-        .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
-        .transform(orderedLarge(_, "doc_a", "doc_b"))
+      val docs = load(s, d, "documents").select($"doc_id")
+      val comp = graft.operators.ConnectedComponents.minLabel(
+        docs, "doc_id", jaccardPairsRaw(s, d), "doc_a", "doc_b")
+      val sizes = comp.groupBy($"component").agg(count(lit(1)).as("cluster_size"))
+      comp.join(sizes, "component")
+        .select($"id".as("doc_id"), $"component".as("cluster_id"),
+          $"cluster_size", ($"id" =!= $"component").as("is_dup"))
+        .transform(orderedLarge(_, "doc_id"))
     }),
 
     // Character-trigram Jaccard dedup — the n-gram flavor of #21/#23 for
@@ -407,6 +431,24 @@ object DedupQueries {
     })
   )
 
+  /** The exact-verifier pair SQL without its final ordering — the
+    * d_jaccard_pairs oracle, and the edge CTE of the cluster oracle. */
+  private val JaccardPairsSqlBase: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ws,
+      |    len(list_distinct(regexp_split_to_array(trim(text), '\s+')))::BIGINT AS nw
+      |  FROM documents)
+      |SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    len(list_intersect(a.ws, b.ws))::DOUBLE /
+      |      len(list_distinct(list_concat(a.ws, b.ws))) AS jaccard
+      |  FROM d a JOIN d b
+      |    ON a.lang = b.lang AND (a.nw // 25) = (b.nw // 25)
+      |    AND a.doc_id < b.doc_id
+      |    AND 5 * least(a.nw, b.nw) >= 4 * greatest(a.nw, b.nw)
+      |) WHERE jaccard >= 0.8""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "d_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
@@ -415,21 +457,29 @@ object DedupQueries {
         |      FROM documents)
         |GROUP BY sig ORDER BY doc_id""".stripMargin,
 
-    "d_jaccard_pairs" ->
-      """WITH d AS (
-        |  SELECT doc_id, lang,
-        |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ws,
-        |    len(list_distinct(regexp_split_to_array(trim(text), '\s+')))::BIGINT AS nw
-        |  FROM documents)
-        |SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard FROM (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    len(list_intersect(a.ws, b.ws))::DOUBLE /
-        |      len(list_distinct(list_concat(a.ws, b.ws))) AS jaccard
-        |  FROM d a JOIN d b
-        |    ON a.lang = b.lang AND (a.nw // 25) = (b.nw // 25)
-        |    AND a.doc_id < b.doc_id
-        |    AND 5 * least(a.nw, b.nw) >= 4 * greatest(a.nw, b.nw)
-        |) WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    "d_jaccard_pairs" -> s"$JaccardPairsSqlBase ORDER BY doc_a, doc_b",
+
+    // Reachability closure over the same edge SQL: a recursive CTE
+    // floods every label through the symmetric edge list; min(label)
+    // per node is the component id — derivation entirely disjoint from
+    // the plan's label-propagation loop.
+    "d_dedup_cluster" ->
+      s"""WITH RECURSIVE edges AS ($JaccardPairsSqlBase),
+         |sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+         |        UNION ALL SELECT doc_b, doc_a FROM edges),
+         |reach(node, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT sym.b, r.lab FROM reach r JOIN sym ON sym.a = r.node
+         |),
+         |comp AS (SELECT node AS doc_id, min(lab) AS cluster_id
+         |         FROM reach GROUP BY node),
+         |sizes AS (SELECT cluster_id, count(*) AS cluster_size
+         |          FROM comp GROUP BY cluster_id)
+         |SELECT c.doc_id, c.cluster_id, z.cluster_size,
+         |  c.doc_id != c.cluster_id AS is_dup
+         |FROM comp c JOIN sizes z USING (cluster_id)
+         |ORDER BY c.doc_id""".stripMargin,
 
     // The oracle is the straight quadratic contract — the Spark plan's
     // q-gram prefilter is lossless, so both must produce identical rows.

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ConnectedComponents
+import graft.queries.DedupQueries
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chains, stars, and singletons resolve to min-id components") {
+    val nodes = (1L to 8L).toDF("id")
+    // chain 1-2-3, star 4-(5,6), singleton 7, 8
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (4L, 6L)).toDF("a", "b")
+    val comp = ConnectedComponents.minLabel(nodes, "id", edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L, 8L -> 8L))
+  }
+
+  test("random graph matches a driver-side BFS reference") {
+    val n = 200
+    val rnd = new scala.util.Random(7)
+    val edgeList = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2)
+    val comp = ConnectedComponents.minLabel(
+        (0L until n).toDF("id"), "id", edgeList.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: union-find on the driver
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edgeList.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(ra max rb) = ra min rb
+    }
+    val refComp = (0 until n).map { i =>
+      val members = (0 until n).filter(j => find(j) == find(i))
+      i.toLong -> members.min.toLong
+    }.toMap
+    assert(comp === refComp)
+  }
+
+  test("d_dedup_cluster: every verified pair is intra-cluster, and chains merge") {
+    val clusters = DedupQueries.all("d_dedup_cluster")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = DedupQueries.all("d_jaccard_pairs")(spark, sfDir)
+      .select($"doc_a", $"doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) === clusters(b), s"edge ($a,$b) split across clusters")
+    }
+    // the head of every cluster is its own minimum
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min === cid)
+    }
+  }
+}
