@@ -103,5 +103,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => graft.operators.VectorAvg(es(0)) }
     reg("graft_hll", "graft_hll(value) - mergeable HyperLogLog registers (p=8)") {
       es => graft.operators.HllRegisters(es(0)) }
+    reg("graft_cms", "graft_cms(key) - mergeable count-min counters (4x256)") {
+      es => graft.operators.CmsSketch(es(0)) }
+    reg("graft_cms_estimate",
+        "graft_cms_estimate(key, counters) - never-undercounting frequency estimate") {
+      es => graft.operators.CmsEstimate(es(0), es(1)) }
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Shims
 
 import graft.functions.DetMath
-import graft.operators.HllRegisters
+import graft.operators.{CmsEstimate, CmsSketch, HllRegisters}
 
 /** Column API over graft's sketch aggregates, plus the estimator math
   * shared — literal for literal, op for op — with the DuckDB oracle
@@ -18,6 +18,15 @@ object GraftSketch {
   def hllRegisters(value: Column, p: Int = 8): Column =
     Shims.column(HllRegisters(Shims.expression(value.cast("long")), p)
       .toAggregateExpression())
+
+  /** Mergeable count-min counters (d·w longs, elementwise-sum merge). */
+  def cmsSketch(value: Column, d: Int = 4, w: Int = 256): Column =
+    Shims.column(CmsSketch(Shims.expression(value), d, w)
+      .toAggregateExpression())
+
+  /** Never-undercounting frequency estimate of `key` from counters. */
+  def cmsEstimate(key: Column, regs: Column, d: Int = 4, w: Int = 256): Column =
+    Shims.column(CmsEstimate(Shims.expression(key), Shims.expression(regs), d, w))
 
   /** α_m·m² of the raw-HLL estimator, computed once here so the Spark
     * plan and the SQL oracle consume the IDENTICAL double. */

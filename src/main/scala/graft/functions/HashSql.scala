@@ -36,6 +36,15 @@ object HashSql {
       s" (h, b) -> ((xor(h::UBIGINT, b::UBIGINT))::HUGEINT * $FnvPrime) % $Mod)"
   }
 
+  /** FNV-1a 64 with a runtime seed: the offset basis is XORed with a
+    * seed SQL expression (GraftHash.fnv1a64(bytes, seed)) — used by the
+    * count-min oracle where the seed is the hash-row index column. */
+  def fnvSeededSql(strSql: String, seedSql: String): String =
+    s"""list_reduce(
+       |    list_prepend(xor(($FnvOffset)::UBIGINT, ($seedSql)::UBIGINT)::HUGEINT,
+       |      [ord(($strSql)[i]) for i in range(1, length($strSql)+1)]::HUGEINT[]),
+       |    (h, b) -> ((xor(h::UBIGINT, b::UBIGINT))::HUGEINT * $FnvPrime) % $Mod)""".stripMargin
+
   /** Murmur3 fmix64 over a HUGEINT-in-[0, 2^64) SQL expression —
     * exactly [[GraftHash.fmix64]]. Nested single-element list_transforms
     * serve as let bindings; the two multiplications use the 32-bit-split

@@ -185,6 +185,32 @@ object TextQueries {
         .transform(DedupQueries.orderedLarge(_, "doc_id"))
     }),
 
+    // Count-min heavy-hitter screening: bigram frequencies estimated
+    // from a 4×256 mergeable counter sketch (GraftSketch.cmsSketch)
+    // next to their exact counts — the one-sided-error contract
+    // (estimate ≥ truth, tight for heavy keys) visible in data. At
+    // corpus scale the sketch replaces the exact per-key aggregation
+    // whose key shuffle is the bottleneck; here the exact side rides
+    // along as the gate. Integer counters: no float discipline needed.
+    "t_cms_topfreq" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      import graft.GraftSketch._
+      val bg = load(s, d, "documents")
+        .select(tokens($"text").as("toks"))
+        .filter(size($"toks") >= 2)
+        .select(explode(zip_with(
+          slice($"toks", lit(1), size($"toks") - 1),
+          slice($"toks", lit(2), size($"toks") - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+      val exact = bg.groupBy($"bigram").agg(count(lit(1)).as("n_exact"))
+        .orderBy($"n_exact".desc, $"bigram").limit(20)
+      val sk = bg.agg(cmsSketch($"bigram", 4, 256).as("regs"))
+      exact.crossJoin(broadcast(sk))
+        .select($"bigram", $"n_exact",
+          cmsEstimate($"bigram", $"regs", 4, 256).as("n_cms"))
+        .repartition(1).sortWithinPartitions($"n_exact".desc, $"bigram")
+    }),
+
     // Stopword-profile language ID. The fixed tie-break cascade
     // (en > de > fr > es > unknown) makes it deterministic.
     "t_lang_id" -> ((s: SparkSession, d: String) => {
@@ -312,6 +338,36 @@ object TextQueries {
          |  round(list_reduce(list_prepend(0.0, lst), (a, b) -> a + b)
          |    / n_tokens, 4) AS bits_per_token
          |FROM doc ORDER BY doc_id""".stripMargin
+    },
+
+    // Counters re-derived by hashing each DISTINCT bigram once per row
+    // (seeded FNV + fmix64 in HUGEINT) and summing exact counts into
+    // (row, column) cells; estimates = min over the key's 4 cells.
+    "t_cms_topfreq" -> {
+      import graft.functions.HashSql
+      def colSql(str: String, seed: String) =
+        s"(${HashSql.fmixSql(HashSql.fnvSeededSql(str, seed))} % 256)::INT"
+      s"""WITH t AS (
+         |  SELECT toks FROM (
+         |    SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
+         |    FROM documents)
+         |  WHERE len(toks) >= 2),
+         |bg AS (
+         |  SELECT unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS b
+         |  FROM t),
+         |cnt AS (SELECT b, count(*) AS n FROM bg GROUP BY b),
+         |top AS (SELECT b, n AS n_exact FROM cnt ORDER BY n DESC, b LIMIT 20),
+         |bcol AS (
+         |  SELECT cnt.b, rr.r, ${colSql("cnt.b", "rr.r")} AS col
+         |  FROM cnt CROSS JOIN range(0, 4) rr(r)),
+         |counters AS (
+         |  SELECT bcol.r, bcol.col, sum(cnt.n)::BIGINT AS c
+         |  FROM bcol JOIN cnt USING (b) GROUP BY bcol.r, bcol.col)
+         |SELECT top.b AS bigram, top.n_exact, min(coalesce(c.c, 0)) AS n_cms
+         |FROM top JOIN bcol ON bcol.b = top.b
+         |LEFT JOIN counters c ON c.r = bcol.r AND c.col = bcol.col
+         |GROUP BY top.b, top.n_exact
+         |ORDER BY top.n_exact DESC, top.b""".stripMargin
     },
 
     "t_lang_id" -> {

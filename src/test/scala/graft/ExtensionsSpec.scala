@@ -107,11 +107,14 @@ class ExtensionsSpec extends SparkSpec {
       "graft_shingle_hashes" -> "graft_shingle_hashes(array('a','b','c'), 2)",
       "graft_sq8_adc" ->
         ("graft_sq8_adc(array(0, 255), array(0.0f, 1.0f), " +
-          "array(0.0D, 0.0D), array(0.003921568627451D, 0.003921568627451D))"))
+          "array(0.0D, 0.0D), array(0.003921568627451D, 0.003921568627451D))"),
+      "graft_cms_estimate" ->
+        "graft_cms_estimate('k', array_repeat(1L, 1024))")
     val aggregate = Map(
       "graft_topk" -> "graft_topk(s, id, 2)",
       "graft_vector_avg" -> "graft_vector_avg(v)",
-      "graft_hll" -> "graft_hll(id)")
+      "graft_hll" -> "graft_hll(id)",
+      "graft_cms" -> "graft_cms(CAST(id AS STRING))")
     val registered = spark.sessionState.functionRegistry.listFunction()
       .map(_.funcName).filter(_.startsWith("graft_")).toSet
     assert(registered === scalar.keySet ++ aggregate.keySet,
@@ -124,9 +127,7 @@ class ExtensionsSpec extends SparkSpec {
     Seq((1L, 5.0, 10L, Seq(1f, 2f)), (1L, 1.0, 11L, Seq(3f, 4f)))
       .toDF("g", "s", "id", "v").createOrReplaceTempView("t_parity")
     val aggRow = spark.sql(
-      s"""SELECT ${aggregate("graft_topk")} IS NOT NULL
-         |  AND ${aggregate("graft_vector_avg")} IS NOT NULL
-         |  AND ${aggregate("graft_hll")} IS NOT NULL
+      s"""SELECT ${aggregate.values.map(a => s"$a IS NOT NULL").mkString(" AND ")}
          |FROM t_parity GROUP BY g""".stripMargin).head()
     assert(aggRow.getBoolean(0), "an aggregate graft_* sample evaluated to NULL")
   }
