@@ -126,6 +126,27 @@ object AnalyticsQueries {
         .orderBy("user_id", "seq")
     }),
 
+    // Time-RANGE window frames (vs q_window_funcs' row frames): per
+    // user, trailing-1-hour event sum and count — the frame is defined
+    // by a VALUE range over event time, so frame membership is a set,
+    // not a row offset. Money goes through integer cents inside the
+    // frame sum: a float accumulation's order within ts-ties is
+    // engine-arbitrary, an integer sum is order-free.
+    "q_range_frame" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"tsec")
+        .rangeBetween(-3600L, 0L)
+      load(s, d, "events")
+        .filter($"user_id" < 20)
+        .select($"user_id", $"event_id",
+          unix_timestamp($"ts").as("tsec"),
+          round($"value" * 100).cast("long").as("cents"))
+        .select($"user_id", $"event_id",
+          round(sum($"cents").over(w).cast("double") / 100, 2).as("hour_sum"),
+          count(lit(1)).over(w).as("n_in_hour"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // Semi/anti-join surface: customers active in 1996-97 who churned
     // before 2000 (semi ∧ anti on the same fact table).
     "q_semi_anti" -> ((s: SparkSession, d: String) => {
@@ -460,6 +481,17 @@ object AnalyticsQueries {
         |  FROM lineitem GROUP BY l_partkey
         |) p ON l.l_partkey = p.pk
         |WHERE l.l_quantity < p.threshold""".stripMargin,
+
+    "q_range_frame" ->
+      """SELECT user_id, event_id,
+        |  round((sum(cents) OVER w)::DOUBLE / 100, 2) AS hour_sum,
+        |  count(*) OVER w AS n_in_hour
+        |FROM (SELECT user_id, event_id, epoch(ts)::BIGINT AS tsec,
+        |        round(value * 100)::BIGINT AS cents
+        |      FROM events WHERE user_id < 20)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tsec
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q_window_funcs" ->
       """SELECT user_id, event_id,

@@ -29,6 +29,15 @@ object TextQueries {
   private val BpePattern =
     "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
 
+  /** PII patterns, engine-portable like [[BpePattern]] (no lookarounds,
+    * no backrefs): email, IPv4, NANP-style phone. Replacement order is
+    * part of the contract (emails first — their local parts can contain
+    * digit runs a later pattern might clip). */
+  private val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+" -> "[EMAIL]",
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}" -> "[IP]",
+    "\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}" -> "[PHONE]")
+
   private def sqlStopCount(set: Seq[String]): String =
     s"len(list_filter(toks, t -> list_contains([${set.map(w => s"'$w'").mkString(",")}], t)))::BIGINT"
 
@@ -185,6 +194,28 @@ object TextQueries {
         .transform(DedupQueries.orderedLarge(_, "doc_id"))
     }),
 
+    // PII scrubbing — the redaction pass every released training corpus
+    // runs (emails, IPs, phone numbers → typed placeholder tokens).
+    // Pure scan-side regexp projection; match counting happens on the
+    // ORIGINAL text, replacement chains in declared order. The corpus
+    // is synthetic word soup (zero true positives — asserted by the
+    // oracle's matching zeros); the planted-fixture spec proves the
+    // redaction semantics on text that does contain PII.
+    "t_pii_scrub" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val scrubbed = PiiPatterns.foldLeft(col("text")) {
+        case (c, (pat, token)) => regexp_replace(c, pat, token)
+      }
+      val nMatches = PiiPatterns.map { case (pat, _) =>
+        size(regexp_extract_all($"text", lit(pat), lit(0))).cast("long")
+      }.reduce(_ + _)
+      load(s, d, "documents")
+        .select($"doc_id", nMatches.as("n_redacted"),
+          length(scrubbed).cast("long").as("clean_len"),
+          graft.GraftText.rollingHash64(scrubbed).as("clean_fp"))
+        .orderBy("doc_id")
+    }),
+
     // Count-min heavy-hitter screening: bigram frequencies estimated
     // from a 4×256 mergeable counter sketch (GraftSketch.cmsSketch)
     // next to their exact counts — the one-sided-error contract
@@ -338,6 +369,25 @@ object TextQueries {
          |  round(list_reduce(list_prepend(0.0, lst), (a, b) -> a + b)
          |    / n_tokens, 4) AS bits_per_token
          |FROM doc ORDER BY doc_id""".stripMargin
+    },
+
+    "t_pii_scrub" -> {
+      import graft.functions.HashSql
+      val scrub = PiiPatterns.foldLeft("text") {
+        case (e, (pat, token)) => s"regexp_replace($e, '$pat', '$token', 'g')"
+      }
+      val counts = PiiPatterns
+        .map { case (pat, _) => s"len(regexp_extract_all(text, '$pat'))::BIGINT" }
+        .mkString(" + ")
+      s"""SELECT doc_id, n_redacted, clean_len,
+         |  (CASE WHEN fp_u >= 9223372036854775808::HUGEINT
+         |        THEN fp_u - 18446744073709551616::HUGEINT ELSE fp_u END)::BIGINT AS clean_fp
+         |FROM (
+         |  SELECT doc_id, ($counts) AS n_redacted,
+         |    length($scrub)::BIGINT AS clean_len,
+         |    ${HashSql.fnvSql(scrub)} AS fp_u
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin
     },
 
     // Counters re-derived by hashing each DISTINCT bigram once per row

@@ -55,6 +55,29 @@ class TextStatsSpec extends SparkSpec {
     assert(rows(3L) === ((9L, 0L, 0.0)))
   }
 
+  test("t_pii_scrub: planted emails/IPs/phones are redacted, clean text untouched") {
+    val dir = Files.createTempDirectory("graft_pii").toString
+    Seq(
+      (1L, "contact alice.b+test@example.org or 10.0.42.7 or +1555 123 4567 now", "en", "web", 0L),
+      (2L, "nothing sensitive in this perfectly ordinary sentence", "en", "web", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val rows = TextQueries.all("t_pii_scrub")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(1L)._1 === 3L) // one of each kind
+    assert(rows(2L)._1 === 0L)
+    // and the scrubbed text really lost the PII: its fingerprint equals
+    // the fingerprint of the hand-redacted string
+    val expected = Seq(
+      (0L, "contact [EMAIL] or [IP] or +1[PHONE] now"))
+      .toDF("i", "t")
+      .select(GraftText.rollingHash64($"t")).head().getLong(0)
+    val actual = TextQueries.all("t_pii_scrub")(spark, dir)
+      .filter($"doc_id" === 1L).head().getLong(3)
+    assert(actual === expected)
+  }
+
   test("DetMath.log2Det matches true log2 to 1e-7 over integer inputs") {
     import org.apache.spark.sql.functions._
     val df = spark.range(1, 5000).toDF("id")
