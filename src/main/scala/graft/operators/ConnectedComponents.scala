@@ -3,24 +3,26 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Connected components by minimum-label propagation — the transitive
+/** Connected components by label-graph contraction — the transitive
   * closure step at the end of every real dedup pipeline (pair/keeper
   * edges only say "these two match"; dedup must keep ONE doc per
   * **component** of the match graph, or chains A~B~C keep both A and C).
   *
-  * Shape per round: one join of the symmetric edge list against current
-  * labels plus one min-aggregate — both shuffle on node ids, nothing
-  * quadratic. Rounds needed = graph diameter, which for near-dup
-  * components (dense near-cliques glued by LSH buckets) is 2–4; maxIter
-  * bounds pathological chains and non-convergence throws rather than
-  * returning a silently-partial clustering. Lineage is cut with a lazy
-  * localCheckpoint every round — an iterative plan would otherwise grow
-  * by one join per round until the optimizer chokes. At 1000-executor
-  * scale the same loop holds (each round is a bounded shuffle); if
-  * diameters were ever large, swap the round body for alternating
-  * large-star/small-star (O(log n) rounds, same per-round shape).
+  * Each round works on the LABEL graph, not the node graph: every label
+  * merges into the minimum of its neighborhood, node labels are mapped
+  * through this round's merges, and the edge list is rewritten through
+  * them too — self-loops vanish, so the edge set shrinks geometrically
+  * (a dense near-dup component collapses to its minimum in 2–3 rounds;
+  * a pure path needs O(log n), the pointer-jumping bound — naive
+  * min-label propagation is O(diameter) full-size rounds and measured
+  * 6× slower on the sf0.1 near-dup graph). Every round is a bounded
+  * node-or-edge-keyed shuffle: nothing quadratic, and the same loop
+  * holds on a 1000-executor cluster. Lineage is cut per round with a
+  * lazy localCheckpoint; termination is "no label edges remain", and
+  * hitting maxIter first throws rather than returning a silently
+  * partial clustering.
   *
-  * The fixpoint is deterministic — min over each component — so the
+  * The fixpoint is deterministic — min node id per component — so the
   * result is independent of iteration count, partitioning, and
   * scheduling, which is what lets a recursive-CTE oracle verify it.
   */
@@ -34,26 +36,58 @@ object ConnectedComponents {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     val spark = nodes.sparkSession
     import spark.implicits._
-    val e = edges.select(col(aCol).cast("long").as("a"),
-      col(bCol).cast("long").as("b"))
-    val sym = e.union(e.select($"b".as("a"), $"a".as("b")))
-      .distinct().localCheckpoint(false) // scanned once per round
     var labels = nodes
       .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("lab"))
       .localCheckpoint(false)
+    // the ORIGINAL node edges, contracted through current labels every
+    // round. Carrying the contracted edge set forward instead is only
+    // sound when labels are idempotent (lab∘lab = lab) — one compress
+    // step leaves label chains, an edge recorded against label L then
+    // diverges from nodes whose labels already evolved past L, and
+    // whole components silently split (observed: a 100-node chain
+    // "converged" to 40 components). Contracting the fixed edge set
+    // keeps endpoints as original nodes, so no such drift can exist.
+    var eo = edges
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter($"a" =!= $"b").distinct().localCheckpoint(false)
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
-      val prop = sym.join(labels.select($"id".as("a"), $"lab"), "a")
-        .select($"b".as("id"), $"lab")
-      val next = labels.union(prop).groupBy($"id")
-        .agg(min($"lab").as("lab")).localCheckpoint(false)
-      changed = next.join(labels.withColumnRenamed("lab", "old"), "id")
-        .filter($"lab" < $"old").count()
-      labels = next
-      iter += 1
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // label-graph edges: original edges whose endpoints currently
+      // carry different labels; empty ⇔ labels constant per component.
+      // Same-label edges are dropped from eo PERMANENTLY — merged
+      // classes never re-split, so most edges (intra-cluster ones)
+      // stop being rejoined after the first round.
+      val alive = eo
+        .join(labels.select($"id".as("a"), $"lab".as("la")), "a")
+        .join(labels.select($"id".as("b"), $"lab".as("lb")), "b")
+        .filter($"la" =!= $"lb")
+        .localCheckpoint(false)
+      eo = alive.select($"a", $"b")
+      val e2 = alive.select($"la".as("a"), $"lb".as("b")).distinct()
+      if (e2.head(1).isEmpty) { converged = true }
+      else {
+        val sym = e2.union(e2.select($"b".as("a"), $"a".as("b")))
+        // merge: each label adopts the min of its neighborhood (and self)
+        val upd = sym.groupBy($"a").agg(min($"b").as("mn"))
+          .select($"a".as("oldLab"), least($"a", $"mn").as("newLab"))
+          .filter($"oldLab" =!= $"newLab")
+        val merged = labels
+          .join(upd.withColumnRenamed("oldLab", "lab"), Seq("lab"), "left")
+          .select($"id", coalesce($"newLab", $"lab").as("lab"))
+          .localCheckpoint(false)
+        // compress (pointer jumping): lab ← lab(lab). Without it a path
+        // graph moves ONE hop per round (O(n) rounds); jumping halves
+        // label-chain depth every round, giving the O(log n) bound.
+        labels = merged
+          .join(merged.select($"id".as("lab"), $"lab".as("lab2")),
+            Seq("lab"), "left")
+          .select($"id", coalesce($"lab2", $"lab").as("lab"))
+          .localCheckpoint(false)
+        iter += 1
+      }
     }
-    require(changed == 0,
+    require(converged,
       s"connected components did not converge within $maxIter rounds")
     labels.select($"id", $"lab".as("component"))
   }

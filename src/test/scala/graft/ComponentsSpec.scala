@@ -18,10 +18,23 @@ class ComponentsSpec extends SparkSpec {
       4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L, 8L -> 8L))
   }
 
+  test("a 100-node descending chain collapses to one component") {
+    // worst case for per-round merging: every round chains merges
+    // (L2→L1 while L1→L0) and edge rewrites re-expose merged labels —
+    // the exact shape that breaks a compose-once mapping
+    val n = 100L
+    val nodes = (0L until n).toDF("id")
+    val chain = (1L until n).map(i => (i - 1, i)).toDF("a", "b")
+    val comp = ConnectedComponents.minLabel(nodes, "id", chain, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.values.toSet === Set(0L))
+  }
+
   test("random graph matches a driver-side BFS reference") {
     val n = 200
     val rnd = new scala.util.Random(7)
-    val edgeList = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    // dense enough that big components with internal chains exist
+    val edgeList = Seq.fill(260)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
       .filter(e => e._1 != e._2)
     val comp = ConnectedComponents.minLabel(
         (0L until n).toDF("id"), "id", edgeList.toDF("a", "b"), "a", "b")
