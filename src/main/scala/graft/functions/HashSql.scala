@@ -20,11 +20,7 @@ object HashSql {
   /** FNV-1a 64 of a string SQL expression, as HUGEINT in [0, 2^64).
     * Exactly GraftHash.fnv1a64(bytes, 0): fold h = ((h XOR byte) * prime)
     * mod 2^64 from the offset basis. */
-  def fnvSql(strSql: String): String =
-    s"""list_reduce(
-       |    list_prepend($FnvOffset,
-       |      [ord(($strSql)[i]) for i in range(1, length($strSql)+1)]::HUGEINT[]),
-       |    (h, b) -> ((xor(h::UBIGINT, b::UBIGINT))::HUGEINT * $FnvPrime) % $Mod)""".stripMargin
+  def fnvSql(strSql: String): String = fnvSeededSql(strSql, "0")
 
   /** FNV-1a 64 over the 8 little-endian bytes of a non-negative BIGINT
     * expression — GraftHash.fnv1a64OfLong, the packed-gram base hash. */

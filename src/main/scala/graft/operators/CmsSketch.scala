@@ -127,6 +127,11 @@ case class CmsEstimate(key: Expression, regs: Expression,
   override def nullSafeEval(a: Any, b: Any): Any = {
     val bytes = a.asInstanceOf[UTF8String].getBytes
     val counts = b.asInstanceOf[ArrayData]
+    // a counters array from a different (d, w) geometry would index
+    // with the wrong stride and could silently UNDERcount — the one
+    // failure mode this sketch's contract rules out
+    require(counts.numElements() == d * w,
+      s"cms_estimate expects $d*$w counters, got ${counts.numElements()}")
     var best = Long.MaxValue
     var r = 0
     while (r < d) {

@@ -50,9 +50,16 @@ object ConnectedComponents {
     var eo = edges
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .filter($"a" =!= $"b").distinct().localCheckpoint(false)
+    // an edge endpoint absent from `nodes` would be silently dropped by
+    // the contraction joins below — a partial clustering with no error,
+    // against this operator's throw-don't-degrade contract
+    val orphans = eo.select($"a".as("id")).union(eo.select($"b".as("id")))
+      .distinct().join(labels.select($"id"), Seq("id"), "left_anti")
+    require(orphans.head(1).isEmpty,
+      "edges reference node ids absent from the nodes DataFrame")
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIter) {
+    while (!converged) {
       // label-graph edges: original edges whose endpoints currently
       // carry different labels; empty ⇔ labels constant per component.
       // Same-label edges are dropped from eo PERMANENTLY — merged
@@ -65,8 +72,14 @@ object ConnectedComponents {
         .localCheckpoint(false)
       eo = alive.select($"a", $"b")
       val e2 = alive.select($"la".as("a"), $"lb".as("b")).distinct()
+        .localCheckpoint(false) // probed for emptiness AND scanned twice in sym
       if (e2.head(1).isEmpty) { converged = true }
       else {
+        // cap counts MERGE rounds; the convergence probe after the
+        // final merge must still run (a graph needing exactly maxIter
+        // rounds converges, it does not throw)
+        require(iter < maxIter,
+          s"connected components did not converge within $maxIter rounds")
         val sym = e2.union(e2.select($"b".as("a"), $"a".as("b")))
         // merge: each label adopts the min of its neighborhood (and self)
         val upd = sym.groupBy($"a").agg(min($"b").as("mn"))
@@ -87,8 +100,6 @@ object ConnectedComponents {
         iter += 1
       }
     }
-    require(converged,
-      s"connected components did not converge within $maxIter rounds")
     labels.select($"id", $"lab".as("component"))
   }
 }

@@ -486,7 +486,11 @@ object AnalyticsQueries {
       """SELECT user_id, event_id,
         |  round((sum(cents) OVER w)::DOUBLE / 100, 2) AS hour_sum,
         |  count(*) OVER w AS n_in_hour
-        |FROM (SELECT user_id, event_id, epoch(ts)::BIGINT AS tsec,
+        |FROM (SELECT user_id, event_id,
+        |        -- floor, not ::BIGINT (nearest): Spark's unix_timestamp
+        |        -- FLOORS sub-second fractions, and a rounding mismatch
+        |        -- shifts a row across the 3600 s frame boundary
+        |        floor(epoch(ts))::BIGINT AS tsec,
         |        round(value * 100)::BIGINT AS cents
         |      FROM events WHERE user_id < 20)
         |WINDOW w AS (PARTITION BY user_id ORDER BY tsec

@@ -30,6 +30,14 @@ class CmsSpec extends SparkSpec {
     assert(overEst <= 20, s"$overEst of 997 keys overestimated at w=4096")
   }
 
+  test("estimating against mismatched sketch geometry throws, never undercounts silently") {
+    val sk = keys.limit(100).agg(cmsSketch($"k", 4, 64).as("r"))
+    val ex = intercept[Exception] {
+      sk.select(cmsEstimate(lit("k1"), $"r", 4, 256)).head()
+    }
+    assert(ex.getMessage.contains("cms_estimate expects"))
+  }
+
   test("counters merge by elementwise sum: split-and-merge == direct") {
     val direct = keys.agg(cmsSketch($"k", 4, 64).as("r"))
       .head().getSeq[Long](0)

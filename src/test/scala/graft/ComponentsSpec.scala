@@ -30,6 +30,22 @@ class ComponentsSpec extends SparkSpec {
     assert(comp.values.toSet === Set(0L))
   }
 
+  test("a graph needing exactly maxIter merge rounds converges, not throws") {
+    val comp = ConnectedComponents.minLabel(
+        Seq(1L, 2L).toDF("id"), "id", Seq((1L, 2L)).toDF("a", "b"), "a", "b",
+        maxIter = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("edges referencing unknown node ids throw instead of silently dropping") {
+    val ex = intercept[IllegalArgumentException] {
+      ConnectedComponents.minLabel(
+        Seq(1L, 2L).toDF("id"), "id", Seq((2L, 3L)).toDF("a", "b"), "a", "b")
+    }
+    assert(ex.getMessage.contains("absent from the nodes"))
+  }
+
   test("random graph matches a driver-side BFS reference") {
     val n = 200
     val rnd = new scala.util.Random(7)
