@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Native Catalyst vector-distance expressions.
@@ -256,4 +256,52 @@ case class Sq8AdcDistance(codes: Expression, qv: Expression,
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(codes = newLeft, qv = newRight)
+}
+
+/** random_project(vec) → array<float>: dense ±1 random projection
+  * (Achlioptas/JL) of a float vector onto `outDim` dimensions, the sign
+  * matrix baked in as literals — one pass, each output coordinate a
+  * fixed-order double multiply-accumulate cast to float once at the
+  * end (the DuckDB oracle mirrors the fold term-for-term). The
+  * dimensionality-reduction primitive of v_rp_search: distances in the
+  * projected space concentrate around (outDim/dim)·d² (JL lemma), so a
+  * 4× narrower vector ranks a shortlist almost as well as the
+  * original. */
+case class RandomProject(child: Expression, signs: Seq[Double], outDim: Int)
+  extends UnaryExpression with codegen.CodegenFallback {
+
+  require(outDim >= 1 && signs.length % outDim == 0,
+    s"signs length ${signs.length} must be a multiple of outDim $outDim")
+
+  private lazy val sArr: Array[Double] = signs.toArray
+  private lazy val inDim: Int = signs.length / outDim
+
+  override def prettyName: String = "random_project"
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"random_project requires array<float>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), inDim)
+    val out = new Array[Float](outDim)
+    var i = 0
+    while (i < outDim) {
+      var s = 0.0
+      var j = 0
+      while (j < n) {
+        s += sArr(i * inDim + j) * v.getFloat(j).toDouble
+        j += 1
+      }
+      out(i) = s.toFloat
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -231,6 +231,43 @@ object IndexOracle {
        |) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** v_rp_search: projection, shortlist and refine all re-derived in
+    * SQL — the ±1 sign matrix is seeded (not trained), so like SQ8 this
+    * oracle is static. Each projected coordinate mirrors
+    * [[graft.functions.RandomProject]]'s fixed-order double
+    * multiply-accumulate with an ordered list_reduce, cast to FLOAT
+    * once — bit-identical coordinates, so the projected-space ranks
+    * (and therefore the shortlist membership) agree exactly. */
+  def rpSearchOracle(signs: Seq[Double], dim: Int, outDim: Int,
+      k: Int, refineFactor: Int, numQueries: Int): String = {
+    def projExpr(vexpr: String): String =
+      (0 until outDim).map { i =>
+        val row = signs.slice(i * dim, (i + 1) * dim)
+          .map(_.toString).mkString("[", ",", "]")
+        s"list_reduce(list_prepend(0.0, " +
+          s"[(($row)[j] * ($vexpr)[j]::DOUBLE) for j in range(1, ${dim + 1})]), " +
+          s"(a, b) -> a + b)::FLOAT"
+      }.mkString("[", ",\n    ", "]")
+    s"""WITH p AS (SELECT vec_id, ${projExpr("embedding")} AS pv FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $numQueries),
+       |pq AS (SELECT vec_id AS query_id, ${projExpr("embedding")} AS pqv FROM embeddings WHERE vec_id < $numQueries),
+       |short AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY pd, vec_id) AS arnk
+       |    FROM (SELECT pq.query_id, p.vec_id, ${l2sqCol("p.pv", "pq.pqv", outDim)} AS pd
+       |          FROM p CROSS JOIN pq)
+       |  ) WHERE arnk <= ${k * refineFactor})
+       |SELECT query_id, neighbor_id, rnk, dist FROM (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rnk,
+       |    round(sqrt(d), 4) AS dist
+       |  FROM (SELECT s.query_id, s.vec_id, ${l2sqCol("e.embedding", "q.qv", dim)} AS d
+       |        FROM short s JOIN embeddings e ON e.vec_id = s.vec_id
+       |        JOIN q ON q.query_id = s.query_id)
+       |) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** v_pq_rerank: the ADC shortlist (top k×refine by (adist, vec_id),
     * exactly the flat-PQ ranking) re-ranked by the exact squared-L2
     * fold, sqrt applied only to the rounded output — mirroring

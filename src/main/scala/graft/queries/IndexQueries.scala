@@ -108,6 +108,21 @@ object IndexQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // Johnson–Lindenstrauss random-projection search: a seeded ±1 sign
+    // matrix compresses 64-dim vectors to 16 (4×), the shortlist is
+    // ranked in the projected space, exact L2 refine decides — the
+    // training-free rung of the approximate ladder (no grid pass, no
+    // KMeans fit, just a seed).
+    "v_rp_search" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val e = load(s, d, "embeddings")
+      val q = e.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      graft.operators.RpSearch.searchRefined(e, "vec_id", "embedding", q,
+          inDim = 64, outDim = 16, k = K, refineFactor = 4)
+        .orderBy("query_id", "rnk")
+    }),
+
     // LSH bucket histogram (8 seeded hyperplanes → 256 buckets).
     "v_lsh_bucket" -> ((s: SparkSession, d: String) => {
       import s.implicits._
@@ -195,6 +210,10 @@ object IndexQueries {
   def staticOracles: Map[String, String] = Map(
     "v_sq8_search" -> graft.operators.IndexOracle
       .sq8SearchOracle(dim = 64, K, refineFactor = 4, NumQueries),
+
+    "v_rp_search" -> graft.operators.IndexOracle.rpSearchOracle(
+      graft.operators.RpSearch.signs(outDim = 16, inDim = 64),
+      dim = 64, outDim = 16, K, refineFactor = 4, NumQueries),
 
     "v_lsh_bucket" -> {
       val b = LshBuckets.bucketSql("embedding", 64, 8)
