@@ -30,10 +30,22 @@ object ConnectedComponents {
 
   /** (idCol) → (id, component) where component = min node id reachable
     * through `edges` (undirected; pass each pair once in either
-    * direction). Nodes absent from `edges` form singleton components. */
+    * direction). Nodes absent from `edges` form singleton components.
+    *
+    * `smallFinish`: once the LABEL graph (distinct cross-label edges —
+    * ≤ #components being merged, shrinking geometrically per round, NOT
+    * the node edge set) fits under this many edges, finish it with one
+    * bounded driver-side union-find and a broadcast label map instead
+    * of paying O(log n) more full shuffle rounds on near-empty data —
+    * the coarsen-then-finish shape of multilevel graph algorithms. At
+    * 100 TB the first rounds run distributed; the tail always lands
+    * here. 2²⁰ edges ≈ 16 MB collected, far under driver budgets; 0
+    * disables the finish (pure distributed loop, spec-compared). */
   def minLabel(nodes: DataFrame, idCol: String, edges: DataFrame,
-      aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+      aCol: String, bCol: String, maxIter: Int = 20,
+      smallFinish: Int = 1 << 20): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    require(smallFinish >= 0, s"smallFinish must be >= 0, got $smallFinish")
     val spark = nodes.sparkSession
     import spark.implicits._
     var labels = nodes
@@ -72,9 +84,38 @@ object ConnectedComponents {
         .localCheckpoint(false)
       eo = alive.select($"a", $"b")
       val e2 = alive.select($"la".as("a"), $"lb".as("b")).distinct()
-        .localCheckpoint(false) // probed for emptiness AND scanned twice in sym
-      if (e2.head(1).isEmpty) { converged = true }
-      else {
+        .localCheckpoint(false) // counted AND scanned twice in sym
+      val nLabelEdges = e2.count()
+      if (nLabelEdges == 0L) { converged = true }
+      else if (nLabelEdges <= smallFinish && smallFinish > 0) {
+        // bounded finish: the label graph fits — close it exactly with
+        // one driver union-find (roots are always the component-min
+        // label, so the final root IS the min node id) and map every
+        // node label through the broadcast result. Same fixpoint as
+        // letting the loop run; ComponentsSpec compares the two paths.
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+          var c = x // path compression
+          while (parent.getOrDefault(c, c) != c) {
+            val nxt = parent.get(c); parent.put(c, r); c = nxt
+          }
+          r
+        }
+        e2.collect().foreach { row =>
+          val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+          if (ra != rb) {
+            if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+          }
+        }
+        val mapped = parent.keySet().toArray(Array.empty[java.lang.Long])
+          .map(l => (l.longValue(), find(l))).toSeq
+        val mapDf = broadcast(mapped.toDF("lab", "root"))
+        labels = labels.join(mapDf, Seq("lab"), "left")
+          .select($"id", coalesce($"root", $"lab").as("lab"))
+        converged = true
+      } else {
         // cap counts MERGE rounds; the convergence probe after the
         // final merge must still run (a graph needing exactly maxIter
         // rounds converges, it does not throw)

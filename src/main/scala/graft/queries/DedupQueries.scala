@@ -55,7 +55,7 @@ object DedupQueries {
     * The dictionary window is a single task bounded by VOCABULARY size,
     * not corpus size; the id assignment is deterministic (ordered by
     * word), so stage retries re-derive the identical mapping. */
-  private def jaccardPairsRaw(s: SparkSession, d: String): DataFrame = {
+  private[graft] def jaccardPairsRaw(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val exploded = load(s, d, "documents")
       .select($"doc_id", $"lang", explode(

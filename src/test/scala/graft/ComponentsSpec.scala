@@ -25,7 +25,10 @@ class ComponentsSpec extends SparkSpec {
     val n = 100L
     val nodes = (0L until n).toDF("id")
     val chain = (1L until n).map(i => (i - 1, i)).toDF("a", "b")
-    val comp = ConnectedComponents.minLabel(nodes, "id", chain, "a", "b")
+    // smallFinish = 0 forces the pure distributed loop — this fixture
+    // exists to regression-guard the pointer-jumping rounds themselves
+    val comp = ConnectedComponents.minLabel(nodes, "id", chain, "a", "b",
+        smallFinish = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp.values.toSet === Set(0L))
   }
@@ -33,7 +36,7 @@ class ComponentsSpec extends SparkSpec {
   test("a graph needing exactly maxIter merge rounds converges, not throws") {
     val comp = ConnectedComponents.minLabel(
         Seq(1L, 2L).toDF("id"), "id", Seq((1L, 2L)).toDF("a", "b"), "a", "b",
-        maxIter = 1)
+        maxIter = 1, smallFinish = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp === Map(1L -> 1L, 2L -> 1L))
   }
@@ -67,6 +70,19 @@ class ComponentsSpec extends SparkSpec {
       i.toLong -> members.min.toLong
     }.toMap
     assert(comp === refComp)
+  }
+
+  test("small-finish and pure-distributed paths agree on chain + random graphs") {
+    val n = 150
+    val rnd = new scala.util.Random(11)
+    val edgeList = ((1L until 60L).map(i => (i - 1, i)) ++ // 60-node chain
+      Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)))
+      .filter(e => e._1 != e._2)
+    val nodes = (0L until n.toLong).toDF("id")
+    def run(sf: Int) = ConnectedComponents.minLabel(
+        nodes, "id", edgeList.toDF("a", "b"), "a", "b", smallFinish = sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(0) === run(1 << 20))
   }
 
   test("d_dedup_cluster: every verified pair is intra-cluster, and chains merge") {
