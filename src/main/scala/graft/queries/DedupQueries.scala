@@ -352,6 +352,36 @@ object DedupQueries {
         .orderBy("lang", "rnk")
     }),
 
+    // Domain-mixture sampling (the Pile/LLaMA data-mixture stage):
+    // a token budget is split across languages by declared weights, and
+    // each language is down-sampled to its target token share by a
+    // deterministic hash-rate threshold — keep iff knuth(doc_id) <
+    // floor(min(1, budget·w/total_tokens)·2³²). Rate sampling, NOT
+    // per-group ranking: selection is a scan-side integer compare
+    // against a broadcast per-lang threshold, so there is no window, no
+    // per-language funnel task, and retries/oracles see the identical
+    // sample (binomial concentration puts achieved tokens within
+    // O(√target) of target). Languages without a declared weight are
+    // excluded by contract.
+    "d_mixture_sample" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val weights = Seq(("en", 0.4), ("de", 0.15), ("es", 0.15),
+        ("fr", 0.15), ("zh", 0.15))
+      val budget = 8000.0 // target tokens across the mixture
+      val docs = load(s, d, "documents")
+        .select($"doc_id", $"lang", size(toks($"text")).cast("long").as("n_toks"))
+      val thresholds = docs.groupBy($"lang").agg(sum($"n_toks").as("tok_total"))
+        .join(weights.toDF("lang", "w"), "lang")
+        .select($"lang", floor(
+          least(lit(1.0), lit(budget) * $"w" / $"tok_total".cast("double"))
+            * 4294967296.0).cast("long").as("threshold"))
+      docs.join(broadcast(thresholds), "lang")
+        .filter(pmod($"doc_id" * lit(2654435761L), lit(4294967296L))
+          < $"threshold")
+        .select($"lang", $"doc_id", $"n_toks")
+        .transform(orderedLarge(_, "lang", "doc_id"))
+    }),
+
     // Cross-document repeated-span statistics (the "exact substring
     // dedup" of Lee et al., Deduplicating Training Data Makes Language
     // Models Better, made distributive): every 8-word shingle is hashed
@@ -390,6 +420,20 @@ object DedupQueries {
                 (st("total") + (p + n - greatest(st("end"), p))).as("total")),
               st => st("total")).cast("double") / $"n_toks", 4)
             .as("dup_token_frac"))
+        .transform(orderedLarge(_, "doc_id"))
+    }),
+
+    // Benchmark decontamination (GPT-3 appendix-C style): corpus docs
+    // sharing any 8-word shingle with the held-out eval set (stand-in:
+    // doc_id < 20; in production an external benchmark table) are
+    // flagged. Eval shingle hashes broadcast (eval sets are bounded by
+    // construction); one corpus pass, one doc_id rollup shuffle.
+    "d_decontaminate" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val docs = load(s, d, "documents")
+      graft.operators.Decontaminate.mark(
+          docs.filter($"doc_id" >= 20), docs.filter($"doc_id" < 20),
+          "doc_id", "text", width = 8)
         .transform(orderedLarge(_, "doc_id"))
     }),
 
@@ -500,6 +544,27 @@ object DedupQueries {
         |  FROM documents
         |) WHERE rnk <= 20 ORDER BY lang, rnk""".stripMargin,
 
+    // the rate thresholds are re-derived in SQL with the same literal
+    // weights and the same IEEE double ops in the same order (mul, div,
+    // least, mul, floor), so both engines cut at identical integers
+    "d_mixture_sample" ->
+      """WITH n AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_toks
+        |  FROM documents),
+        |w(lang, wt) AS (VALUES ('en', 0.4), ('de', 0.15), ('es', 0.15),
+        |  ('fr', 0.15), ('zh', 0.15)),
+        |r AS (
+        |  SELECT n.lang,
+        |    floor(least(1.0::DOUBLE,
+        |      8000.0::DOUBLE * wt::DOUBLE / sum(n.n_toks)::DOUBLE)
+        |      * 4294967296.0)::BIGINT AS threshold
+        |  FROM n JOIN w ON n.lang = w.lang GROUP BY n.lang, wt)
+        |SELECT n.lang, n.doc_id, n.n_toks
+        |FROM n JOIN r ON n.lang = r.lang
+        |WHERE (n.doc_id * 2654435761) % 4294967296 < r.threshold
+        |ORDER BY n.lang, n.doc_id""".stripMargin,
+
     // Independent derivation: groups the shingle STRINGS (the plan
     // groups their FNV hashes — equal modulo 64-bit collisions, which
     // the hash gate itself would expose) and computes span coverage by
@@ -528,6 +593,27 @@ object DedupQueries {
         |  round(coalesce(cov.covered, 0)::DOUBLE / n_toks, 4) AS dup_token_frac
         |FROM agg LEFT JOIN cov ON agg.doc_id = cov.doc_id
         |ORDER BY agg.doc_id""".stripMargin,
+
+    // same shingle-STRING independence as the substring-dedup oracle:
+    // the engine joins 8-byte FNV hashes, the oracle joins the strings
+    // themselves — equal modulo 64-bit collisions, which the hash gate
+    // itself would expose
+    "d_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS s
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+        |        FROM t WHERE len(toks) >= 8)),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20)
+        |SELECT c.doc_id, count(*) AS n_shingles,
+        |  count(ev.s) AS n_eval_shingles,
+        |  round(count(ev.s)::DOUBLE / count(*), 4) AS contaminated_frac,
+        |  count(ev.s) > 0 AS is_contaminated
+        |FROM (SELECT * FROM sh WHERE doc_id >= 20) c
+        |LEFT JOIN ev ON c.s = ev.s
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
 
     "d_embed_neardup" -> {
       val cand = graft.operators.LshBuckets.bandedPairsSql(

@@ -137,6 +137,34 @@ object TextQueries {
     // fold over the doc's own sorted token array, never a corpus-wide
     // shuffle, so it streams at parquet-scan rate like the rest of the
     // text stage.
+    // Sequence packing for training: docs are concatenated per output
+    // shard (doc_id mod 8, deterministic) in doc_id order and cut into
+    // 2048-token context windows; each doc reports the token offset and
+    // the window span it lands in. The per-shard running sum is a
+    // window-function scan — ONE shuffle on the shard key, and shard
+    // count scales out with the cluster (packing is sequential only
+    // WITHIN a shard, which is the contract of sharded training data:
+    // each output file is one reader's stream).
+    "t_seq_pack" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val ctx = 2048
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"shard").orderBy($"doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      load(s, d, "documents")
+        .select($"doc_id", ($"doc_id" % 8).as("shard"),
+          size(tokens($"text")).cast("long").as("n_toks"))
+        .withColumn("start_tok", coalesce(sum($"n_toks").over(w), lit(0L)))
+        .select($"doc_id", $"shard", $"n_toks", $"start_tok",
+          ($"start_tok" / ctx).cast("long").as("seq_first"),
+          (($"start_tok" + $"n_toks" - 1) / ctx).cast("long").as("seq_last"))
+        // corpus-scale output: materialize once, then range-sort (the
+        // DedupQueries.orderedLarge pattern — a bare orderBy would
+        // sample-and-re-execute the window, a 1-partition sort would
+        // funnel the corpus through one task)
+        .transform(df => df.localCheckpoint(false).orderBy("doc_id"))
+    }),
+
     "t_repetition" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       val toks = tokens($"text")
@@ -265,6 +293,24 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // pure integer window arithmetic — the only care is // (floor
+    // division) vs Spark's double-divide-then-cast, which agree for
+    // non-negative longs
+    "t_seq_pack" ->
+      """WITH n AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_toks,
+        |    coalesce(sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_tok
+        |  FROM n)
+        |SELECT doc_id, shard, n_toks, start_tok,
+        |  start_tok // 2048 AS seq_first,
+        |  (start_tok + n_toks - 1) // 2048 AS seq_last
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     // FNV-1a 64 fold in 128-bit modular arithmetic: h' = ((h XOR b) *
     // 0x100000001b3) mod 2^64, seeded with the 0xcbf29ce484222325 offset
     // basis; the unsigned result is re-mapped to Spark's signed BIGINT.

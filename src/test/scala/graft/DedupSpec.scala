@@ -163,6 +163,29 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(agree - trueJ) < 0.1, s"minhash estimate $agree vs $trueJ")
   }
 
+  test("decontamination flags planted eval overlap and nothing else") {
+    import spark.implicits._
+    val evalDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // doc 100 embeds a verbatim 8-word span of eval doc 1
+      (100L, "xx yy beta gamma delta epsilon zeta eta theta iota zz"),
+      // doc 101 shares words but no 8-word run
+      (101L, "alpha beta gamma qq delta epsilon zeta qq eta theta"),
+      (102L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val res = graft.operators.Decontaminate
+      .mark(corpus, evalDocs, "doc_id", "text", width = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getBoolean(4)))).toMap
+    // doc 100: tokens 3..10 = beta..kappa? no — beta gamma delta epsilon
+    // zeta eta theta iota is eval tokens 2..9, one matching shingle
+    assert(res(100L) === ((1L, true)), s"planted overlap missed: $res")
+    assert(res(101L) === ((0L, false)))
+    assert(res(102L) === ((0L, false)))
+  }
+
   test("CharNgramSet equals the composed sort/distinct/transform formulation") {
     import spark.implicits._
     val texts = Seq("", "a", "ab", "abc", "abca", "abcabcabc",
