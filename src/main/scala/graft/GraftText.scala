@@ -6,6 +6,14 @@ import graft.functions._
 
 /** Column API over graft's native text-hashing expressions. */
 object GraftText {
+  /** THE whitespace tokenizer of the text stage — every operator and
+    * every DuckDB oracle (`regexp_split_to_array(trim(text), '\s+')`)
+    * assume exactly this split; one definition so engine/oracle
+    * agreement can't drift per-operator. */
+  def whitespaceTokens(text: Column): Column =
+    org.apache.spark.sql.functions.split(
+      org.apache.spark.sql.functions.trim(text), "\\s+")
+
   def minhashSignature(tokens: Column, shingleWidth: Int = 3,
       numHashes: Int = 64): Column =
     Shims.column(MinHashSignature(Shims.expression(tokens), shingleWidth, numHashes))

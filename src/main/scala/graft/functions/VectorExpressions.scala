@@ -263,10 +263,11 @@ case class Sq8AdcDistance(codes: Expression, qv: Expression,
   * matrix baked in as literals — one pass, each output coordinate a
   * fixed-order double multiply-accumulate cast to float once at the
   * end (the DuckDB oracle mirrors the fold term-for-term). The
-  * dimensionality-reduction primitive of v_rp_search: distances in the
-  * projected space concentrate around (outDim/dim)·d² (JL lemma), so a
-  * 4× narrower vector ranks a shortlist almost as well as the
-  * original. */
+  * dimensionality-reduction primitive of v_rp_search: with an unscaled
+  * ±1 matrix, projected squared distances concentrate around outDim·d²
+  * (JL lemma; the conventional 1/√outDim scaling is omitted because
+  * ranking is scale-invariant), so a 4× narrower vector ranks a
+  * shortlist almost as well as the original. */
 case class RandomProject(child: Expression, signs: Seq[Double], outDim: Int)
   extends UnaryExpression with codegen.CodegenFallback {
 
@@ -286,7 +287,12 @@ case class RandomProject(child: Expression, signs: Seq[Double], outDim: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val n = math.min(v.numElements(), inDim)
+    // inDim is a declared parameter of a fixed sign matrix, so a
+    // shorter vector is a data error — a silent partial sum would put
+    // zero-padded projections into shortlists with no signal
+    require(v.numElements() == inDim,
+      s"random_project expects $inDim-dim vectors, got ${v.numElements()}")
+    val n = inDim
     val out = new Array[Float](outDim)
     var i = 0
     while (i < outDim) {

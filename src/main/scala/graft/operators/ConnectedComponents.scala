@@ -39,7 +39,8 @@ object ConnectedComponents {
     * of paying O(log n) more full shuffle rounds on near-empty data —
     * the coarsen-then-finish shape of multilevel graph algorithms. At
     * 100 TB the first rounds run distributed; the tail always lands
-    * here. 2²⁰ edges ≈ 16 MB collected, far under driver budgets; 0
+    * here. 2²⁰ edges collect as primitive Long pairs — tens of MB of
+    * transient driver heap, well under any realistic driver budget; 0
     * disables the finish (pure distributed loop, spec-compared). */
   def minLabel(nodes: DataFrame, idCol: String, edges: DataFrame,
       aCol: String, bCol: String, maxIter: Int = 20,
@@ -103,8 +104,8 @@ object ConnectedComponents {
           }
           r
         }
-        e2.collect().foreach { row =>
-          val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        e2.as[(Long, Long)].collect().foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
           if (ra != rb) {
             if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
           }

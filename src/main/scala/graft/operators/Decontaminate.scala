@@ -21,7 +21,7 @@ import graft.GraftText
   */
 object Decontaminate {
 
-  private def toks(c: org.apache.spark.sql.Column) = split(trim(c), "\\s+")
+  private def toks(c: org.apache.spark.sql.Column) = GraftText.whitespaceTokens(c)
 
   /** Per-corpus-doc contamination stats against `evalDocs`:
     * (doc_id, n_shingles, n_eval_shingles, contaminated_frac,

@@ -24,7 +24,7 @@ import graft.Tables.load
   */
 object DedupQueries {
 
-  private def toks(c: Column): Column = split(trim(c), "\\s+")
+  private def toks(c: Column): Column = GraftText.whitespaceTokens(c)
 
   /** Deterministic total order for a SMALL final result without a
     * range-partitioned sort: `orderBy` samples its child to plan range
@@ -55,7 +55,7 @@ object DedupQueries {
     * The dictionary window is a single task bounded by VOCABULARY size,
     * not corpus size; the id assignment is deterministic (ordered by
     * word), so stage retries re-derive the identical mapping. */
-  private[graft] def jaccardPairsRaw(s: SparkSession, d: String): DataFrame = {
+  private def jaccardPairsRaw(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val exploded = load(s, d, "documents")
       .select($"doc_id", $"lang", explode(

@@ -13,7 +13,7 @@ import graft.Tables.load
   */
 object TextQueries {
 
-  private def tokens(c: Column): Column = split(trim(c), "\\s+")
+  private def tokens(c: Column): Column = graft.GraftText.whitespaceTokens(c)
 
   private val StopEn = Seq("the", "and", "of", "to", "a", "in", "is")
   private val StopDe = Seq("der", "die", "das", "und", "ist")
@@ -129,14 +129,6 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
-    // Within-document repetition signals (the Gopher/MassiveText quality
-    // heuristics): duplicate-word fraction, most-frequent-word fraction,
-    // most-frequent-bigram fraction. Docs dominated by a few repeated
-    // phrases are boilerplate/spam — this is the filter that catches
-    // them. Entirely scan-side: multiplicities come from a run-length
-    // fold over the doc's own sorted token array, never a corpus-wide
-    // shuffle, so it streams at parquet-scan rate like the rest of the
-    // text stage.
     // Sequence packing for training: docs are concatenated per output
     // shard (doc_id mod 8, deterministic) in doc_id order and cut into
     // 2048-token context windows; each doc reports the token offset and
@@ -158,13 +150,20 @@ object TextQueries {
         .select($"doc_id", $"shard", $"n_toks", $"start_tok",
           ($"start_tok" / ctx).cast("long").as("seq_first"),
           (($"start_tok" + $"n_toks" - 1) / ctx).cast("long").as("seq_last"))
-        // corpus-scale output: materialize once, then range-sort (the
-        // DedupQueries.orderedLarge pattern — a bare orderBy would
-        // sample-and-re-execute the window, a 1-partition sort would
-        // funnel the corpus through one task)
-        .transform(df => df.localCheckpoint(false).orderBy("doc_id"))
+        // corpus-scale output: a bare orderBy would sample-and-
+        // re-execute the window, a 1-partition sort would funnel the
+        // corpus through one task
+        .transform(DedupQueries.orderedLarge(_, "doc_id"))
     }),
 
+    // Within-document repetition signals (the Gopher/MassiveText quality
+    // heuristics): duplicate-word fraction, most-frequent-word fraction,
+    // most-frequent-bigram fraction. Docs dominated by a few repeated
+    // phrases are boilerplate/spam — this is the filter that catches
+    // them. Entirely scan-side: multiplicities come from a run-length
+    // fold over the doc's own sorted token array, never a corpus-wide
+    // shuffle, so it streams at parquet-scan rate like the rest of the
+    // text stage.
     "t_repetition" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       val toks = tokens($"text")
