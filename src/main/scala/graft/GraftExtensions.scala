@@ -96,6 +96,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "against a literal SQ8 grid") {
       es => Sq8AdcDistance(es(0), es(1),
         doubleArrayArg(es(2)), doubleArrayArg(es(3))) }
+    reg("graft_random_project",
+        "graft_random_project(vec, inDim, outDim, seed) - seeded ±1 JL " +
+        "projection to outDim dims") {
+      es => {
+        val inDim = intArg(es(1)); val outDim = intArg(es(2))
+        RandomProject(es(0),
+          graft.operators.RpSearch.signs(outDim, inDim, longArg(es(3))), outDim)
+      } }
     // aggregates
     reg("graft_topk", "graft_topk(score, id, k) - k smallest (score,id) pairs") {
       es => graft.operators.TopKByScore(es(0), es(1), intArg(es(2))) }

@@ -109,7 +109,9 @@ class ExtensionsSpec extends SparkSpec {
         ("graft_sq8_adc(array(0, 255), array(0.0f, 1.0f), " +
           "array(0.0D, 0.0D), array(0.003921568627451D, 0.003921568627451D))"),
       "graft_cms_estimate" ->
-        "graft_cms_estimate('k', array_repeat(1L, 1024))")
+        "graft_cms_estimate('k', array_repeat(1L, 1024))",
+      "graft_random_project" ->
+        "graft_random_project(array(0.5f,1.5f,2.5f,3.5f), 4, 2, 42)")
     val aggregate = Map(
       "graft_topk" -> "graft_topk(s, id, 2)",
       "graft_vector_avg" -> "graft_vector_avg(v)",
