@@ -289,9 +289,17 @@ case class RandomProject(child: Expression, signs: Seq[Double], outDim: Int)
     val v = input.asInstanceOf[ArrayData]
     // inDim is a declared parameter of a fixed sign matrix, so a
     // shorter vector is a data error — a silent partial sum would put
-    // zero-padded projections into shortlists with no signal
+    // zero-padded projections into shortlists with no signal. Null
+    // elements would read as zero terms (same degraded-signal failure),
+    // so they are rejected too — one bitmap pass, not per-MAC checks.
     require(v.numElements() == inDim,
       s"random_project expects $inDim-dim vectors, got ${v.numElements()}")
+    var j0 = 0
+    while (j0 < inDim) {
+      require(!v.isNullAt(j0),
+        s"random_project: null element at index $j0 — impute or filter upstream")
+      j0 += 1
+    }
     val n = inDim
     val out = new Array[Float](outDim)
     var i = 0

@@ -55,6 +55,28 @@ object DedupQueries {
     * The dictionary window is a single task bounded by VOCABULARY size,
     * not corpus size; the id assignment is deterministic (ordered by
     * word), so stage retries re-derive the identical mapping. */
+  /** The UNORDERED mixture sample — the entire production plan of
+    * d_mixture_sample before its output ordering, factored out so
+    * PlanSpec asserts the shape of the real query, not a replica
+    * (private[graft]: its one external caller is that plan guard). */
+  private[graft] def mixtureSampleRaw(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val weights = Seq(("en", 0.4), ("de", 0.15), ("es", 0.15),
+      ("fr", 0.15), ("zh", 0.15))
+    val budget = 8000.0 // target tokens across the mixture
+    val docs = load(s, d, "documents")
+      .select($"doc_id", $"lang", size(toks($"text")).cast("long").as("n_toks"))
+    val thresholds = docs.groupBy($"lang").agg(sum($"n_toks").as("tok_total"))
+      .join(weights.toDF("lang", "w"), "lang")
+      .select($"lang", floor(
+        least(lit(1.0), lit(budget) * $"w" / $"tok_total".cast("double"))
+          * 4294967296.0).cast("long").as("threshold"))
+    docs.join(broadcast(thresholds), "lang")
+      .filter(pmod($"doc_id" * lit(2654435761L), lit(4294967296L))
+        < $"threshold")
+      .select($"lang", $"doc_id", $"n_toks")
+  }
+
   private def jaccardPairsRaw(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val exploded = load(s, d, "documents")
@@ -363,24 +385,8 @@ object DedupQueries {
     // sample (binomial concentration puts achieved tokens within
     // O(√target) of target). Languages without a declared weight are
     // excluded by contract.
-    "d_mixture_sample" -> ((s: SparkSession, d: String) => {
-      import s.implicits._
-      val weights = Seq(("en", 0.4), ("de", 0.15), ("es", 0.15),
-        ("fr", 0.15), ("zh", 0.15))
-      val budget = 8000.0 // target tokens across the mixture
-      val docs = load(s, d, "documents")
-        .select($"doc_id", $"lang", size(toks($"text")).cast("long").as("n_toks"))
-      val thresholds = docs.groupBy($"lang").agg(sum($"n_toks").as("tok_total"))
-        .join(weights.toDF("lang", "w"), "lang")
-        .select($"lang", floor(
-          least(lit(1.0), lit(budget) * $"w" / $"tok_total".cast("double"))
-            * 4294967296.0).cast("long").as("threshold"))
-      docs.join(broadcast(thresholds), "lang")
-        .filter(pmod($"doc_id" * lit(2654435761L), lit(4294967296L))
-          < $"threshold")
-        .select($"lang", $"doc_id", $"n_toks")
-        .transform(orderedLarge(_, "lang", "doc_id"))
-    }),
+    "d_mixture_sample" -> ((s: SparkSession, d: String) =>
+      mixtureSampleRaw(s, d).transform(orderedLarge(_, "lang", "doc_id"))),
 
     // Cross-document repeated-span statistics (the "exact substring
     // dedup" of Lee et al., Deduplicating Training Data Makes Language

@@ -70,12 +70,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  /** Plan of an operator-built DataFrame, with the same clearCache
+    * guard as [[planOf]] (cached relations from other suites would
+    * swap scans for InMemoryTableScan and change exchange counts). */
+  private def freshPlan(build: => org.apache.spark.sql.DataFrame): String = {
+    spark.catalog.clearCache()
+    build.queryExecution.executedPlan.toString
+  }
+
   test("decontamination: eval side broadcasts, one rollup exchange, no window") {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val p = graft.operators.Decontaminate.mark(
+    val p = freshPlan {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      graft.operators.Decontaminate.mark(
         docs.filter("doc_id >= 20"), docs.filter("doc_id < 20"),
         "doc_id", "text", width = 8)
-      .queryExecution.executedPlan.toString
+    }
     assert(p.contains("BroadcastHashJoin"), "eval shingle set must broadcast")
     // the CORPUS may shuffle exactly once (the doc_id rollup); the only
     // other exchange allowed is the eval-set-sized distinct feeding the
@@ -87,27 +96,21 @@ class PlanSpec extends SparkSpec {
   }
 
   test("mixture sampling: thresholds broadcast, selection is scan-side (no window)") {
-    import org.apache.spark.sql.functions._
-    import spark.implicits._
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select($"doc_id", $"lang", size(split(trim($"text"), "\\s+")).cast("long").as("n_toks"))
-    val thresholds = docs.groupBy($"lang").agg(sum($"n_toks").as("t"))
-      .select($"lang", ($"t" * 0L + 1000000L).as("threshold"))
-    val p = docs.join(broadcast(thresholds), "lang")
-      .filter(pmod($"doc_id" * lit(2654435761L), lit(4294967296L)) < $"threshold")
-      .queryExecution.executedPlan.toString
+    // the production query's own pre-ordering plan, not a replica
+    val p = freshPlan(graft.queries.DedupQueries.mixtureSampleRaw(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), "per-lang thresholds must broadcast")
     assert(!p.contains("Window"), "rate sampling must not rank per language")
   }
 
   test("RP search: projected queries broadcast + map-side partial top-k") {
     import spark.implicits._
-    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val q = e.filter($"vec_id" < 8)
-      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
-    val p = graft.operators.RpSearch.searchRefined(e, "vec_id", "embedding",
+    val p = freshPlan {
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val q = e.filter($"vec_id" < 8)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      graft.operators.RpSearch.searchRefined(e, "vec_id", "embedding",
         q, inDim = 64, outDim = 16, k = 10)
-      .queryExecution.executedPlan.toString
+    }
     assert(p.contains("BroadcastNestedLoopJoin"), "projected queries must broadcast")
     assert(p.contains("partial_v_top_k"), "shortlist must partial-aggregate map-side")
     assert(!p.contains("Window"), "no rank-the-crossjoin window allowed")
