@@ -147,6 +147,41 @@ object AnalyticsQueries {
         .orderBy("user_id", "event_id")
     }),
 
+    // Point-in-interval RANGE JOIN, bucketized: every purchase opens a
+    // 1-hour attribution window; same-user clicks/views inside it
+    // attach to the purchase. A naive range join is a non-equi
+    // nested-loop (quadratic per user); bucketizing time at the window
+    // width makes it an EQUI-join — anchors explode to their (at most
+    // two) covered hour buckets, probes carry their own bucket, and the
+    // exact interval predicate filters candidates. Completeness: p_ts ∈
+    // [a_ts, a_ts+1h) ⇒ floor-epoch(p) ∈ [e_a, e_a+3600] ⇒ bucket ∈
+    // {b_a, b_a+1}. The oracle joins on the RAW interval predicate with
+    // no buckets at all, independently proving the bucketization loses
+    // nothing. Money crosses the aggregation as integer cents.
+    "q_range_join" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val ev = load(s, d, "events")
+      val anchors = ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("anchor_id"), $"user_id".as("a_uid"),
+          $"ts".as("a_ts"),
+          (unix_timestamp($"ts") / lit(3600)).cast("long").as("bk"))
+        .select($"anchor_id", $"a_uid", $"a_ts",
+          explode(array($"bk", $"bk" + 1)).as("a_bucket"))
+      val probes = ev.filter($"event_type".isin("click", "view"))
+        .select($"user_id".as("p_uid"), $"ts".as("p_ts"),
+          round($"value" * 100).cast("long").as("cents"),
+          (unix_timestamp($"ts") / lit(3600)).cast("long").as("p_bucket"))
+      anchors.join(probes,
+          $"a_uid" === $"p_uid" && $"a_bucket" === $"p_bucket" &&
+          $"p_ts" >= $"a_ts" &&
+          $"p_ts" < $"a_ts" + expr("INTERVAL 1 HOUR"), "left")
+        .groupBy($"anchor_id")
+        .agg(count($"p_ts").as("n_follow"),
+          round(coalesce(sum($"cents"), lit(0L)).cast("double") / 100, 2)
+            .as("follow_value"))
+        .orderBy("anchor_id")
+    }),
+
     // Semi/anti-join surface: customers active in 1996-97 who churned
     // before 2000 (semi ∧ anti on the same fact table).
     "q_semi_anti" -> ((s: SparkSession, d: String) => {
@@ -481,6 +516,22 @@ object AnalyticsQueries {
         |  FROM lineitem GROUP BY l_partkey
         |) p ON l.l_partkey = p.pk
         |WHERE l.l_quantity < p.threshold""".stripMargin,
+
+    // the bucket-free independent form: a plain non-equi interval join.
+    // If the engine's bucketization dropped or duplicated any candidate,
+    // counts and sums here would disagree.
+    "q_range_join" ->
+      """WITH a AS (
+        |  SELECT event_id AS anchor_id, user_id, ts AS a_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |p AS (
+        |  SELECT user_id, ts AS p_ts, round(value * 100)::BIGINT AS cents
+        |  FROM events WHERE event_type IN ('click', 'view'))
+        |SELECT anchor_id, count(p_ts) AS n_follow,
+        |  round(coalesce(sum(cents), 0)::DOUBLE / 100, 2) AS follow_value
+        |FROM a LEFT JOIN p ON a.user_id = p.user_id
+        |  AND p.p_ts >= a.a_ts AND p.p_ts < a.a_ts + INTERVAL 1 HOUR
+        |GROUP BY anchor_id ORDER BY anchor_id""".stripMargin,
 
     "q_range_frame" ->
       """SELECT user_id, event_id,

@@ -116,6 +116,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "no rank-the-crossjoin window allowed")
   }
 
+  test("range join: bucketized to an equi-join, never a nested loop") {
+    val p = planOf(AnalyticsQueries.all, "q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must ride the (user, bucket) equi-keys:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), "expected a hash/merge equi-join")
+  }
+
   test("v_pq_search reads the persisted codes table (search, not training)") {
     val prev = sys.props.get("graft.index.dir")
     sys.props("graft.index.dir") = "target/tmp-plan-store"
