@@ -56,6 +56,34 @@ object TextQueries {
       },
       st => st("best"))
 
+  /** The release-gate decision on any (doc_id, text) frame, unordered —
+    * factored out so the planted-fixture spec drives the PRODUCTION
+    * rule logic with engineered documents (private[graft]: its one
+    * external caller is that spec). */
+  private[graft] def filterGateRaw(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val allStops = StopEn ++ StopDe ++ StopFr ++ StopEs
+    val pii = PiiPatterns.map { case (pat, _) =>
+      size(regexp_extract_all($"text", lit(pat), lit(0))) > 0
+    }.reduce(_ || _)
+    docs
+      .select($"doc_id", $"text", tokens($"text").as("toks"))
+      .select($"doc_id",
+        size($"toks").cast("long").as("n_tokens"),
+        ((size($"toks") - size(array_distinct($"toks"))).cast("double") /
+          size($"toks")).as("df"),
+        stopCount($"toks", allStops).as("cs"),
+        pii.as("pii"))
+      .select($"doc_id", $"n_tokens",
+        concat_ws(",",
+          when($"n_tokens" < 30, "short"),
+          when($"df" >= 0.55, "repetitive"),
+          when($"cs" === 0, "no_lang"),
+          when($"pii", "pii")).as("reasons"))
+      .withColumn("keep", $"reasons" === "")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_count" -> ((s: SparkSession, d: String) => {
       import s.implicits._
@@ -84,6 +112,17 @@ object TextQueries {
             length($"text"), 4).as("punct_ratio"))
         .orderBy("doc_id")
     }),
+
+    // The composite release gate (the C4/Gopher "keep or drop" decision
+    // that ends every filter stage): length floor, repetition ceiling,
+    // language evidence, PII — each failed rule named in a
+    // deterministic reasons string, keep ⇔ no rule fired. One scan-side
+    // projection over the same signals the individual diagnostics
+    // report; thresholds are literals tuned to split this corpus
+    // (142/500 keep at sf0.01), and every comparison runs on the RAW
+    // doubles (rounding first could flip a doc at a boundary).
+    "t_filter_gate" -> ((s: SparkSession, d: String) =>
+      filterGateRaw(load(s, d, "documents")).orderBy("doc_id")),
 
     // Corpus-level token frequencies: top-10 tokens per language
     // (explode → count → windowed top-k; count ties broken by token).
@@ -414,6 +453,35 @@ object TextQueries {
          |  round(list_reduce(list_prepend(0.0, lst), (a, b) -> a + b)
          |    / n_tokens, 4) AS bits_per_token
          |FROM doc ORDER BY doc_id""".stripMargin
+    },
+
+    // same raw-double comparisons, same stop lists, same PII regexes —
+    // the reasons string is order-fixed so both engines emit identical
+    // labels
+    "t_filter_gate" -> {
+      val stops = (StopEn ++ StopDe ++ StopFr ++ StopEs)
+        .map(w => s"'$w'").mkString(",")
+      val pii = PiiPatterns
+        .map { case (pat, _) => s"len(regexp_extract_all(text, '$pat')) > 0" }
+        .mkString(" OR ")
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    regexp_split_to_array(trim(text), '\\s+') AS toks
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         |    (len(toks) - len(list_distinct(toks)))::DOUBLE / len(toks) AS df,
+         |    len(list_filter(toks, tk -> list_contains([$stops], tk))) AS cs,
+         |    ($pii) AS pii
+         |  FROM t)
+         |SELECT doc_id, n_tokens,
+         |  concat_ws(',',
+         |    CASE WHEN n_tokens < 30 THEN 'short' END,
+         |    CASE WHEN df >= 0.55 THEN 'repetitive' END,
+         |    CASE WHEN cs = 0 THEN 'no_lang' END,
+         |    CASE WHEN pii THEN 'pii' END) AS reasons,
+         |  (n_tokens >= 30 AND df < 0.55 AND cs > 0 AND NOT pii) AS keep
+         |FROM s ORDER BY doc_id""".stripMargin
     },
 
     "t_pii_scrub" -> {

@@ -108,4 +108,25 @@ class TextStatsSpec extends SparkSpec {
     assert(math.abs(rows(2L)._2 - (lg(8.0 / 5) + 3 * lg(8.0)) / 4) < 1e-3)
     assert(rows(1L)._2 < rows(2L)._2)
   }
+
+  test("t_filter_gate: each rule fires on its planted doc, in declared order") {
+    val w = (0 until 60).map(i => s"w$i")
+    val docs = Seq(
+      (1L, (w.take(59) :+ "the").mkString(" ")), // clean: keep
+      (2L, "the and of"), // short (stopwords present, so only short)
+      (3L, Seq.fill(40)("the").mkString(" ")), // repetitive only
+      (4L, w.take(40).mkString(" ")), // no_lang only
+      (5L, (w.take(40) :+ "the" :+ "bob@example.com").mkString(" ")), // pii
+      (6L, "xx xx xx")) // short + repetitive + no_lang, ordered
+      .toDF("doc_id", "text")
+    val res = graft.queries.TextQueries.filterGateRaw(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getBoolean(3))))
+      .toMap
+    assert(res(1L) === (("", true)))
+    assert(res(2L) === (("short", false)))
+    assert(res(3L) === (("repetitive", false)))
+    assert(res(4L) === (("no_lang", false)))
+    assert(res(5L) === (("pii", false)))
+    assert(res(6L) === (("short,repetitive,no_lang", false)))
+  }
 }
