@@ -276,6 +276,11 @@ case class RandomProject(child: Expression, signs: Seq[Double], outDim: Int)
 
   private lazy val sArr: Array[Double] = signs.toArray
   private lazy val inDim: Int = signs.length / outDim
+  // null-element scan only where the schema says nulls are possible
+  private lazy val mayHaveNulls: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
 
   override def prettyName: String = "random_project"
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
@@ -294,11 +299,13 @@ case class RandomProject(child: Expression, signs: Seq[Double], outDim: Int)
     // so they are rejected too — one bitmap pass, not per-MAC checks.
     require(v.numElements() == inDim,
       s"random_project expects $inDim-dim vectors, got ${v.numElements()}")
-    var j0 = 0
-    while (j0 < inDim) {
-      require(!v.isNullAt(j0),
-        s"random_project: null element at index $j0 — impute or filter upstream")
-      j0 += 1
+    if (mayHaveNulls) {
+      var j0 = 0
+      while (j0 < inDim) {
+        require(!v.isNullAt(j0),
+          s"random_project: null element at index $j0 — impute or filter upstream")
+        j0 += 1
+      }
     }
     val n = inDim
     val out = new Array[Float](outDim)

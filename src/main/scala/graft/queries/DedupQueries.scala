@@ -45,16 +45,6 @@ object DedupQueries {
   private[queries] def orderedLarge(df: DataFrame, cols: String*): DataFrame =
     df.localCheckpoint(false).orderBy(cols.head, cols.tail: _*)
 
-  /** The exact j ≥ 0.8 verifier pairs, unordered — shared by the
-    * d_jaccard_pairs entry and as the edge set of d_dedup_cluster.
-    * Dictionary-encode words to dense longs before the quadratic core:
-    * a row_number over the DISTINCT vocabulary is a true BIJECTION
-    * (unlike hashing), so Jaccard over the id sets IS word-set Jaccard
-    * exactly — while the banded join ships 8-byte ids instead of
-    * strings and the merge scan compares longs, not UTF-8 byte runs.
-    * The dictionary window is a single task bounded by VOCABULARY size,
-    * not corpus size; the id assignment is deterministic (ordered by
-    * word), so stage retries re-derive the identical mapping. */
   /** The UNORDERED mixture sample — the entire production plan of
     * d_mixture_sample before its output ordering, factored out so
     * PlanSpec asserts the shape of the real query, not a replica
@@ -77,6 +67,16 @@ object DedupQueries {
       .select($"lang", $"doc_id", $"n_toks")
   }
 
+  /** The exact j ≥ 0.8 verifier pairs, unordered — shared by the
+    * d_jaccard_pairs entry and as the edge set of d_dedup_cluster.
+    * Dictionary-encode words to dense longs before the quadratic core:
+    * a row_number over the DISTINCT vocabulary is a true BIJECTION
+    * (unlike hashing), so Jaccard over the id sets IS word-set Jaccard
+    * exactly — while the banded join ships 8-byte ids instead of
+    * strings and the merge scan compares longs, not UTF-8 byte runs.
+    * The dictionary window is a single task bounded by VOCABULARY size,
+    * not corpus size; the id assignment is deterministic (ordered by
+    * word), so stage retries re-derive the identical mapping. */
   private def jaccardPairsRaw(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val exploded = load(s, d, "documents")

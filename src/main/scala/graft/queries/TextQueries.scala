@@ -64,10 +64,15 @@ object TextQueries {
     val spark = docs.sparkSession
     import spark.implicits._
     val allStops = StopEn ++ StopDe ++ StopFr ++ StopEs
-    val pii = PiiPatterns.map { case (pat, _) =>
-      size(regexp_extract_all($"text", lit(pat), lit(0))) > 0
-    }.reduce(_ || _)
+    // existence check only — rlike short-circuits at the first match,
+    // regexp_extract_all would materialize every match per doc
+    val pii = PiiPatterns.map { case (pat, _) => $"text".rlike(pat) }
+      .reduce(_ || _)
     docs
+      // NULL text must fail the gate, not null-propagate through every
+      // rule into an empty reasons string (which reads as keep): coalesce
+      // to '' so it tokenizes to one empty token and fails `short`
+      .select($"doc_id", coalesce($"text", lit("")).as("text"))
       .select($"doc_id", $"text", tokens($"text").as("toks"))
       .select($"doc_id",
         size($"toks").cast("long").as("n_tokens"),
@@ -462,26 +467,28 @@ object TextQueries {
       val stops = (StopEn ++ StopDe ++ StopFr ++ StopEs)
         .map(w => s"'$w'").mkString(",")
       val pii = PiiPatterns
-        .map { case (pat, _) => s"len(regexp_extract_all(text, '$pat')) > 0" }
+        .map { case (pat, _) => s"regexp_matches(text, '$pat')" }
         .mkString(" OR ")
       s"""WITH t AS (
-         |  SELECT doc_id, text,
-         |    regexp_split_to_array(trim(text), '\\s+') AS toks
+         |  SELECT doc_id, coalesce(text, '') AS text,
+         |    regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS toks
          |  FROM documents),
          |s AS (
          |  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
          |    (len(toks) - len(list_distinct(toks)))::DOUBLE / len(toks) AS df,
          |    len(list_filter(toks, tk -> list_contains([$stops], tk))) AS cs,
          |    ($pii) AS pii
-         |  FROM t)
-         |SELECT doc_id, n_tokens,
-         |  concat_ws(',',
-         |    CASE WHEN n_tokens < 30 THEN 'short' END,
-         |    CASE WHEN df >= 0.55 THEN 'repetitive' END,
-         |    CASE WHEN cs = 0 THEN 'no_lang' END,
-         |    CASE WHEN pii THEN 'pii' END) AS reasons,
-         |  (n_tokens >= 30 AND df < 0.55 AND cs > 0 AND NOT pii) AS keep
-         |FROM s ORDER BY doc_id""".stripMargin
+         |  FROM t),
+         |r AS (
+         |  SELECT doc_id, n_tokens,
+         |    concat_ws(',',
+         |      CASE WHEN n_tokens < 30 THEN 'short' END,
+         |      CASE WHEN df >= 0.55 THEN 'repetitive' END,
+         |      CASE WHEN cs = 0 THEN 'no_lang' END,
+         |      CASE WHEN pii THEN 'pii' END) AS reasons
+         |  FROM s)
+         |SELECT doc_id, n_tokens, reasons, reasons = '' AS keep
+         |FROM r ORDER BY doc_id""".stripMargin
     },
 
     "t_pii_scrub" -> {

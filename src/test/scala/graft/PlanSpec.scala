@@ -8,12 +8,8 @@ import graft.queries.{AnalyticsQueries, VectorQueries}
 class PlanSpec extends SparkSpec {
 
   private def planOf(block: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame],
-      name: String): String = {
-    // other suites may have cached the same parquet relations, which
-    // swaps scans for InMemoryTableScan and hides pushdown info
-    spark.catalog.clearCache()
-    block(name)(spark, sfDir).queryExecution.executedPlan.toString
-  }
+      name: String): String =
+    freshPlan(block(name)(spark, sfDir))
 
   test("kNN: broadcast queries + map-side partial top-k, no window-over-crossjoin") {
     val p = planOf(VectorQueries.all, "v_knn_bruteforce")
@@ -70,9 +66,11 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  /** Plan of an operator-built DataFrame, with the same clearCache
-    * guard as [[planOf]] (cached relations from other suites would
-    * swap scans for InMemoryTableScan and change exchange counts). */
+  /** Plan of a DataFrame after clearing the relation cache — other
+    * suites cache the same parquet relations, which would swap scans
+    * for InMemoryTableScan and change pushdown info/exchange counts.
+    * The by-name parameter matters: the frame must be BUILT after the
+    * cache clear. */
   private def freshPlan(build: => org.apache.spark.sql.DataFrame): String = {
     spark.catalog.clearCache()
     build.queryExecution.executedPlan.toString
