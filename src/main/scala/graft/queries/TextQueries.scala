@@ -56,6 +56,51 @@ object TextQueries {
       },
       st => st("best"))
 
+  /** BM25 constants, consumed literal-for-literal by the oracle (the
+    * SQL interpolates the SAME Scala doubles, so `K1 + 1` etc. is the
+    * identical IEEE value on both engines — a hand-typed `2.2` in SQL
+    * would parse to a DIFFERENT double than Scala's `1.2 + 1.0`). */
+  private[graft] val BmK1 = 1.2
+  private[graft] val BmB = 0.75
+  /** Fixed query terms: one rare (high-IDF) + two common — exercises the
+    * IDF spread. Literal in plan and oracle alike. */
+  private[graft] val BmQuery = Seq("dup", "vector", "merge")
+
+  /** BM25 score of every document against [[BmQuery]] — raw doubles
+    * (callers round at the edge). Bit-reproducible across engines:
+    * IDF's log goes through [[DetMath.log2Det]] on INTEGER arguments —
+    * ln((N-df+0.5)/(df+0.5)+1) = ln((2N+2)/(2df+1)) =
+    * (log2(2N+2) - log2(2df+1))·ln2 — and every other op (tf, length
+    * normalization, the fixed-order term sum) is IEEE-exact `+ - * /`.
+    *
+    * Scale shape: corpus stats (N, Σdl, per-term df) are ONE aggregate
+    * row broadcast back; per-doc tf comes from each doc's own token
+    * array (scan-side — query terms are plan literals, so there is no
+    * doc×term join and no inverted-index shuffle); top-k is the
+    * caller's TakeOrdered. A 100 TB corpus scores in one pass.
+    */
+  private[graft] def bm25Scored(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.functions.DetMath
+    val t = docs.select($"doc_id", tokens($"text").as("toks"))
+    val dfCols = BmQuery.zipWithIndex.map { case (w, i) =>
+      sum(when(array_contains($"toks", w), 1L).otherwise(0L)).as(s"df_$i") }
+    val stats = t.agg(count(lit(1)).as("n_docs"),
+      sum(size($"toks")).cast("long").as("tot_toks") +: dfCols: _*)
+    val scored = t.crossJoin(broadcast(stats))
+      .withColumn("dl", size($"toks").cast("double"))
+      .withColumn("avgdl", $"tot_toks".cast("double") / $"n_docs".cast("double"))
+    val terms = BmQuery.zipWithIndex.map { case (w, i) =>
+      val tf = size(filter($"toks", x => x === w)).cast("double")
+      val idf = (DetMath.log2Det($"n_docs" * 2 + 2) -
+        DetMath.log2Det(col(s"df_$i") * 2 + 1)) * lit(graft.GraftSketch.Ln2)
+      idf * (tf * lit(BmK1 + 1.0)) /
+        (tf + lit(BmK1) * (lit(1.0 - BmB) + lit(BmB) * ($"dl" / $"avgdl")))
+    }
+    scored.select($"doc_id", terms.reduceLeft(_ + _).as("score"))
+  }
+
   /** The release-gate decision on any (doc_id, text) frame, unordered —
     * factored out so the planted-fixture spec drives the PRODUCTION
     * rule logic with engineered documents (private[graft]: its one
@@ -313,6 +358,24 @@ object TextQueries {
         .repartition(1).sortWithinPartitions($"n_exact".desc, $"bigram")
     }),
 
+    // BM25 lexical retrieval: top-10 docs for a fixed term query — the
+    // lexical half of modern hybrid search (the reference's engine is
+    // the semantic half; v_rrf_fusion joins them). Ranking compares RAW
+    // scores (round only at the edge); the global top-k is
+    // orderBy+limit = TakeOrdered, a map-side partial top-k — never a
+    // whole-corpus single-partition window. The trailing row_number
+    // runs over the already-bounded 10-row result.
+    "t_bm25" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"score".desc, $"doc_id")
+      bm25Scored(load(s, d, "documents"))
+        .filter($"score" > 0.0)
+        .orderBy($"score".desc, $"doc_id").limit(10)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .select($"rnk", $"doc_id", round($"score", 4).as("score"))
+    }),
+
     // Stopword-profile language ID. The fixed tie-break cascade
     // (en > de > fr > es > unknown) makes it deterministic.
     "t_lang_id" -> ((s: SparkSession, d: String) => {
@@ -335,7 +398,46 @@ object TextQueries {
     })
   )
 
+  /** DuckDB CTE block ending in `bmsc(doc_id, score)` — the
+    * [[bm25Scored]] plan op-for-op: same interpolated double literals,
+    * same association order, the same [[DetMath.log2DetSql]] log. Shared
+    * by the t_bm25 and v_rrf_fusion oracles. */
+  private[graft] def bm25ScoredSql: String = {
+    import graft.functions.DetMath
+    val dfSel = BmQuery.zipWithIndex.map { case (w, i) =>
+      s"sum(CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END)::BIGINT AS df_$i"
+    }.mkString(",\n      ")
+    val terms = BmQuery.zipWithIndex.map { case (w, i) =>
+      val tf = s"len(list_filter(toks, x -> x = '$w'))::DOUBLE"
+      val idf = s"((${DetMath.log2DetSql("n_docs*2+2")}) - " +
+        s"(${DetMath.log2DetSql(s"df_$i*2+1")})) * ${graft.GraftSketch.Ln2}"
+      s"($idf) * ($tf * ${BmK1 + 1.0}) / " +
+        s"($tf + $BmK1 * (${1.0 - BmB} + $BmB * (dl / avgdl)))"
+    }.mkString("\n      + ")
+    s"""bmt AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |bms AS (
+       |  SELECT count(*) AS n_docs, sum(len(toks))::BIGINT AS tot_toks,
+       |      $dfSel
+       |  FROM bmt),
+       |bmsc AS (
+       |  SELECT doc_id,
+       |      $terms
+       |    AS score
+       |  FROM (SELECT doc_id, toks, len(toks)::DOUBLE AS dl FROM bmt),
+       |       (SELECT *, tot_toks::DOUBLE / n_docs::DOUBLE AS avgdl FROM bms))""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "t_bm25" ->
+      s"""WITH ${bm25ScoredSql}
+         |SELECT rnk, doc_id, round(score, 4) AS score FROM (
+         |  SELECT doc_id, score,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+         |  FROM bmsc WHERE score > 0)
+         |WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
+
     // pure integer window arithmetic — the only care is // (floor
     // division) vs Spark's double-divide-then-cast, which agree for
     // non-negative longs

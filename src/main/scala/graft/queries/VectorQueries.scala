@@ -173,6 +173,50 @@ object VectorQueries {
         .orderBy("vec_a", "vec_b")
     }),
 
+    // Lexical ∪ semantic hybrid retrieval with reciprocal rank fusion
+    // (Cormack et al. 2009): BM25 ranks over `documents` (t_bm25's
+    // scorer) fused with vector ranks over the id-aligned `embeddings`
+    // (L2 to a fixed query embedding) via Σ 1/(60+rank) across the two
+    // top-100 lists. This is the modern two-tower hybrid the reference's
+    // buffer∪index merge (engine.h:search_knn) foreshadows — two
+    // retrievers, one fused top-k heap. Scale shape: each list is a
+    // global TakeOrdered (map-side partial top-k, no single-partition
+    // window over the corpus); the fusion join and final re-rank touch
+    // only the two bounded lists. RRF scores are sums of exact integer
+    // reciprocals — no float discipline needed beyond fixed term order.
+    "v_rrf_fusion" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val RrfK = 60
+      val Depth = 100
+      val wLex = org.apache.spark.sql.expressions.Window
+        .orderBy($"score".desc, $"doc_id")
+      val lex = TextQueries.bm25Scored(load(s, d, "documents"))
+        .filter($"score" > 0.0)
+        .orderBy($"score".desc, $"doc_id").limit(Depth)
+        .withColumn("lex_rnk", row_number().over(wLex).cast("long"))
+        .select($"doc_id".as("id"), $"lex_rnk")
+      val e = load(s, d, "embeddings")
+      val qv = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+      val wVec = org.apache.spark.sql.expressions.Window
+        .orderBy($"d2", $"vec_id")
+      val vec = e.crossJoin(broadcast(qv))
+        .select($"vec_id", l2Sq($"embedding", $"qv").as("d2"))
+        .orderBy($"d2", $"vec_id").limit(Depth)
+        .withColumn("vec_rnk", row_number().over(wVec).cast("long"))
+        .select($"vec_id".as("id"), $"vec_rnk")
+      val wFused = org.apache.spark.sql.expressions.Window
+        .orderBy($"rrf".desc, $"id")
+      lex.join(vec, Seq("id"), "full_outer")
+        .select($"id", $"lex_rnk", $"vec_rnk",
+          (coalesce(lit(1.0) / ($"lex_rnk" + RrfK).cast("double"), lit(0.0)) +
+            coalesce(lit(1.0) / ($"vec_rnk" + RrfK).cast("double"), lit(0.0)))
+            .as("rrf"))
+        .orderBy($"rrf".desc, $"id").limit(20)
+        .withColumn("rnk", row_number().over(wFused).cast("long"))
+        .select($"rnk", $"id".as("doc_id"),
+          round($"rrf", 6).as("rrf_score"), $"lex_rnk", $"vec_rnk")
+    }),
+
     // Hybrid search (engine.h:search_knn): the reference fans a query out
     // over un-flushed write buffers AND the static index, merging one
     // top-k heap. Spark-natively: resolve latest-wins state (base ∪
@@ -321,6 +365,38 @@ object VectorQueries {
          |  JOIN embeddings eb ON eb.vec_id = cand.vec_b
          |) WHERE dist < 1.1 ORDER BY vec_a, vec_b""".stripMargin
     },
+
+    // BM25 CTEs shared verbatim with t_bm25's oracle; the vector list
+    // ranks by list_distance like every knn oracle (monotone with the
+    // plan's squared-L2 heap). RRF arithmetic mirrors the plan op-for-op:
+    // 1.0 / (rank+60)::DOUBLE, lexical term + vector term in that order.
+    "v_rrf_fusion" ->
+      s"""WITH ${TextQueries.bm25ScoredSql},
+         |lex AS (
+         |  SELECT id, lex_rnk FROM (
+         |    SELECT doc_id AS id,
+         |      row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rnk
+         |    FROM bmsc WHERE score > 0)
+         |  WHERE lex_rnk <= 100),
+         |vec AS (
+         |  SELECT id, vec_rnk FROM (
+         |    SELECT b.vec_id AS id,
+         |      row_number() OVER (ORDER BY
+         |        list_distance(b.embedding::DOUBLE[], q.embedding::DOUBLE[]),
+         |        b.vec_id) AS vec_rnk
+         |    FROM embeddings b
+         |    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q)
+         |  WHERE vec_rnk <= 100),
+         |fused AS (
+         |  SELECT coalesce(l.id, v.id) AS id, l.lex_rnk, v.vec_rnk,
+         |    coalesce(1.0 / (l.lex_rnk + 60)::DOUBLE, 0.0)
+         |      + coalesce(1.0 / (v.vec_rnk + 60)::DOUBLE, 0.0) AS rrf
+         |  FROM lex l FULL OUTER JOIN vec v ON l.id = v.id)
+         |SELECT rnk, doc_id, rrf_score, lex_rnk, vec_rnk FROM (
+         |  SELECT id AS doc_id, round(rrf, 6) AS rrf_score, lex_rnk, vec_rnk,
+         |    row_number() OVER (ORDER BY rrf DESC, id) AS rnk
+         |  FROM fused)
+         |WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
 
     "v_hybrid_search" ->
       """WITH delta AS (

@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.queries.{TextQueries, VectorQueries}
+
+/** BM25 ranking laws on planted corpora, and reciprocal-rank-fusion
+  * semantics on a fixture where lexical and vector evidence point at the
+  * same document. */
+class Bm25FusionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeDocs(dir: String, docs: Seq[(Long, String)]): Unit =
+    docs.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+  test("bm25: tf monotonicity, length normalization, IDF contrast, zero gate") {
+    val dir = Files.createTempDirectory("graft_bm25").toString
+    val filler = ('a' to 'j').map(_.toString)
+    writeDocs(dir, Seq(
+      1L -> ("dup " + filler.take(9).mkString(" ")),          // tf=1, dl=10
+      2L -> ("dup dup " + filler.take(8).mkString(" ")),      // tf=2, dl=10
+      3L -> filler.mkString(" "),                             // no query terms
+      4L -> ("dup " + (filler ++ filler.take(9)).mkString(" ")), // tf=1, dl=20
+      5L -> ("vector " + filler.take(9).mkString(" ")),       // tf=1, dl=10
+      // padding docs that raise df(vector) above df(dup): the rarer term
+      // must contribute the larger IDF
+      6L -> ("vector " + filler.take(5).mkString(" ")),
+      7L -> ("vector " + filler.take(5).mkString(" ")),
+      8L -> ("vector " + filler.take(5).mkString(" "))))
+    val scores = TextQueries.bm25Scored(
+      spark.read.parquet(s"$dir/documents.parquet"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    assert(scores(3L) === 0.0) // no term: exactly zero, filtered by the gate
+    assert(scores(2L) > scores(1L), "higher tf must score higher")
+    assert(scores(1L) > scores(4L), "same tf in a longer doc must score lower")
+    // doc 1 ("dup", df=2) vs doc 5 ("vector", df=4): same tf, same dl —
+    // only IDF differs, and the rarer term must win
+    assert(scores(1L) > scores(5L), "rarer term must out-score common term")
+    assert(scores.values.forall(s => !s.isNaN && !s.isInfinite))
+  }
+
+  test("rrf fusion: document strong in BOTH lists outranks single-list documents") {
+    val dir = Files.createTempDirectory("graft_rrf").toString
+    // vec 0 is the query embedding; vec 1 is nearest to it AND the most
+    // lexically relevant doc. Docs 2..9: progressively farther vectors,
+    // weak-to-no lexical signal.
+    val docs = (0L to 9L).map {
+      case 1L => 1L -> "dup dup dup vector merge a b c d e"
+      case 2L => 2L -> "dup a b c d e f g h i"
+      case i => i -> s"filler$i a b c d e f g h i"
+    }
+    writeDocs(dir, docs)
+    (0L to 9L).map { i =>
+      (i, Seq(i.toFloat / 10f, 0f), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val out = VectorQueries.all("v_rrf_fusion")(spark, dir).collect()
+    assert(out.nonEmpty)
+    // ranks are 1..n and the fused score is non-increasing
+    assert(out.map(_.getLong(0)).toSeq === (1L to out.length))
+    val rrf = out.map(_.getDouble(2))
+    assert(rrf.zip(rrf.tail).forall { case (a, b) => a >= b })
+    // doc 1: lexical winner (3×dup + vector + merge) and vector rank 2
+    // (only the query itself is closer) — nothing can beat two strong
+    // lists under RRF here
+    val top = out.head
+    assert(top.getLong(1) === 1L)
+    val lexRnk = top.getLong(3); val vecRnk = top.getLong(4)
+    assert(lexRnk === 1L && vecRnk === 2L)
+    val expect = math.rint((1.0 / (60 + lexRnk) + 1.0 / (60 + vecRnk)) * 1e6) / 1e6
+    assert(top.getDouble(2) === expect)
+  }
+}
