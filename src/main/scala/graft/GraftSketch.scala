@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Shims
 
 import graft.functions.DetMath
-import graft.operators.{CmsEstimate, CmsSketch, HllRegisters}
+import graft.operators.{BloomFilterAgg, BloomMightContain, CmsEstimate, CmsSketch, HllRegisters}
 
 /** Column API over graft's sketch aggregates, plus the estimator math
   * shared — literal for literal, op for op — with the DuckDB oracle
@@ -27,6 +27,18 @@ object GraftSketch {
   /** Never-undercounting frequency estimate of `key` from counters. */
   def cmsEstimate(key: Column, regs: Column, d: Int = 4, w: Int = 256): Column =
     Shims.column(CmsEstimate(Shims.expression(key), Shims.expression(regs), d, w))
+
+  /** Mergeable Bloom bit words over a bigint key (numWords longs of
+    * state, OR-merged map-side) — broadcastable semi-join pruning for
+    * dim key sets too large to broadcast exactly. */
+  def bloomFilter(key: Column, numWords: Int = 1024, numHashes: Int = 4): Column =
+    Shims.column(BloomFilterAgg(Shims.expression(key.cast("long")),
+      numWords, numHashes).toAggregateExpression())
+
+  /** No-false-negative membership probe against [[bloomFilter]] words. */
+  def bloomMightContain(key: Column, words: Column, numHashes: Int = 4): Column =
+    Shims.column(BloomMightContain(Shims.expression(key.cast("long")),
+      Shims.expression(words), numHashes))
 
   /** α_m·m² of the raw-HLL estimator, computed once here so the Spark
     * plan and the SQL oracle consume the IDENTICAL double. */

@@ -377,6 +377,34 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
+    // Bloom-pruned join (operators/BloomFilter): the qualifying dim
+    // keys are summarized into a fixed-size broadcast Bloom filter and
+    // the fact SCAN drops non-members before the join shuffle — at
+    // 100 TB the dim's key set outgrows an exact broadcast hash set
+    // long before its Bloom summary outgrows a broadcast, and the fact
+    // rows that survive are matches + a bounded false-positive mass
+    // the exact join then removes. Result therefore EQUALS the plain
+    // join (the oracle is the un-bloomed SQL); BloomSpec pins the
+    // no-false-negative/merge laws and the actual prune rate, and the
+    // plan guard pins the filter to the fact side below the join.
+    "q_bloom_join" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      import graft.GraftSketch._
+      val cust = load(s, d, "customer")
+        .filter($"c_mktsegment" === "BUILDING")
+        .select($"c_custkey")
+      val bloom = cust.agg(bloomFilter($"c_custkey").as("bf"))
+      load(s, d, "orders")
+        .crossJoin(broadcast(bloom))
+        .filter(bloomMightContain($"o_custkey", $"bf"))
+        .drop("bf")
+        .join(cust, $"o_custkey" === $"c_custkey") // exact: kills the FPs
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum($"o_totalprice"), 2).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     // HyperLogLog distinct counting as a mergeable sketch aggregate
     // (operators/HllAggregate): 256 bytes of state per group cross the
     // shuffle instead of the distinct keys themselves — the cardinality
@@ -656,6 +684,17 @@ object AnalyticsQueries {
         |    ORDER BY ts, tag, coalesce(okey, -1)
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_okey
         |FROM u QUALIFY tag = 1 ORDER BY event_id""".stripMargin,
+
+    // the UN-BLOOMED join: pruning must be invisible in the result
+    // (no false negatives; false positives die in the exact join)
+    "q_bloom_join" ->
+      """SELECT o.o_orderpriority AS o_orderpriority,
+        |  count(*) AS n_orders,
+        |  round(sum(o.o_totalprice), 2) AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     // the UNSALTED join: salting must be invisible in the result
     "q_salted_join" ->
