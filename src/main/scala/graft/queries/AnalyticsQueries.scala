@@ -229,6 +229,51 @@ object AnalyticsQueries {
         .orderBy("returnflag", "linestatus")
     }),
 
+    // Histogram quantiles — the MERGEABLE approximate path next to
+    // q_percentiles' exact rank-join (the quantile member of the sketch
+    // trio: HLL distinct, CMS frequency, histogram quantiles). Two
+    // scans, no sort: an exact per-type (min, max, n) pass, then values
+    // bucketed into 256 fixed-width bins — integer counts, elementwise-
+    // sum mergeable across partitions/days, ≤256 rows per type cross
+    // the shuffle. The quantile is read off the cumulated histogram
+    // with uniform in-bucket interpolation, so error is bounded by one
+    // bin width (spec-asserted). Every float op (bucket index,
+    // interpolation) is IEEE-exact arithmetic mirrored op-for-op in the
+    // oracle — the sketch sits under the full hash gate.
+    "q_hist_quantiles" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val B = 256
+      val ps = Seq(0.5, 0.9, 0.99)
+      val ev = load(s, d, "events").filter($"value".isNotNull)
+        .select($"event_type", $"value")
+      val rng = ev.groupBy($"event_type").agg(
+        min($"value").as("vmin"), max($"value").as("vmax"),
+        count(lit(1)).as("n"))
+      val hist = ev.join(broadcast(rng), "event_type")
+        .withColumn("bkt", when($"vmax" === $"vmin", lit(0L))
+          .otherwise(least(
+            floor(($"value" - $"vmin") / ($"vmax" - $"vmin") * B).cast("long"),
+            lit(B - 1L))))
+        .groupBy($"event_type", $"bkt").agg(count(lit(1)).as("c"))
+      val wcum = Window.partitionBy($"event_type").orderBy($"bkt")
+      val cum = hist.withColumn("cum", sum($"c").over(wcum))
+      val tgt = rng.select($"event_type", $"vmin", $"vmax", $"n",
+          explode(typedLit(ps)).as("p"))
+        .withColumn("target", greatest(lit(1L), ceil($"p" * $"n")))
+      val est = tgt.join(cum, Seq("event_type"))
+        .filter($"cum" >= $"target" && $"cum" - $"c" < $"target")
+        .withColumn("est", $"vmin" +
+          ($"bkt".cast("double") +
+            ($"target" - ($"cum" - $"c")).cast("double") / $"c".cast("double")) *
+          (($"vmax" - $"vmin") / lit(B.toDouble)))
+      est.groupBy($"event_type")
+        .agg(max($"n").as("n"),
+          round(max(when($"p" === 0.5, $"est")), 4).as("h50"),
+          round(max(when($"p" === 0.9, $"est")), 4).as("h90"),
+          round(max(when($"p" === 0.99, $"est")), 4).as("h99"))
+        .orderBy("event_type")
+    }),
+
     // Distribution stats per event type: exact interpolated percentiles
     // + exact distinct users.
     // EXACT interpolated percentiles, computed scale-safely: the builtin
@@ -618,6 +663,44 @@ object AnalyticsQueries {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+
+    // the full sketch re-derived: same bucket arithmetic, same
+    // cumulation, same interpolation expression, literal for literal
+    "q_hist_quantiles" ->
+      """WITH ev AS (
+        |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        |rng AS (
+        |  SELECT event_type, min(value) AS vmin, max(value) AS vmax,
+        |    count(*) AS n
+        |  FROM ev GROUP BY event_type),
+        |h AS (
+        |  SELECT event_type, bkt, count(*) AS c FROM (
+        |    SELECT e.event_type,
+        |      CASE WHEN vmax = vmin THEN 0
+        |           ELSE least(floor((value - vmin) / (vmax - vmin) * 256)::BIGINT, 255)
+        |      END AS bkt
+        |    FROM ev e JOIN rng USING (event_type))
+        |  GROUP BY event_type, bkt),
+        |cum AS (
+        |  SELECT event_type, bkt, c,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY bkt)::BIGINT AS cum
+        |  FROM h),
+        |tgt AS (
+        |  SELECT event_type, vmin, vmax, n, p,
+        |    greatest(1, ceil(p * n)::BIGINT) AS target
+        |  FROM rng, (SELECT unnest([0.5, 0.9, 0.99]) AS p)),
+        |est AS (
+        |  SELECT t.event_type, t.p, t.n,
+        |    t.vmin + (c.bkt::DOUBLE +
+        |        (t.target - (c.cum - c.c))::DOUBLE / c.c::DOUBLE) *
+        |      ((t.vmax - t.vmin) / 256.0) AS est
+        |  FROM tgt t JOIN cum c ON t.event_type = c.event_type
+        |    AND c.cum >= t.target AND c.cum - c.c < t.target)
+        |SELECT event_type, max(n) AS n,
+        |  round(max(CASE WHEN p = 0.5 THEN est END), 4) AS h50,
+        |  round(max(CASE WHEN p = 0.9 THEN est END), 4) AS h90,
+        |  round(max(CASE WHEN p = 0.99 THEN est END), 4) AS h99
+        |FROM est GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_percentiles" ->
       """SELECT event_type,

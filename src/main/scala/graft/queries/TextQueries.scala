@@ -245,6 +245,32 @@ object TextQueries {
         .transform(DedupQueries.orderedLarge(_, "doc_id"))
     }),
 
+    // Sliding-window document chunking — the embedding-input prep stage
+    // (RAG / retrieval corpora): each doc is cut into ctx-token windows
+    // advancing by stride (ctx-stride tokens of overlap), the last
+    // window clipped at the doc end; a doc shorter than ctx is one
+    // chunk. Chunk count and offsets are pure integer arithmetic on the
+    // doc's own token count, exploded scan-side — linear, no shuffle
+    // beyond the final ordering. Offsets (not sliced text) are the
+    // output, like t_seq_pack: the consumer slices lazily.
+    "t_chunk_windows" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val ctx = 32L; val stride = 24L
+      load(s, d, "documents")
+        .select($"doc_id", size(tokens($"text")).cast("long").as("n_toks"))
+        // double-divide-then-cast == floor division for non-negative
+        // longs (the t_seq_pack discipline, mirrored by the oracle's //)
+        .withColumn("n_chunks", lit(1L) +
+          (greatest(lit(0L), $"n_toks" - ctx + stride - 1) / stride).cast("long"))
+        .select($"doc_id", $"n_toks",
+          posexplode(sequence(lit(0L), $"n_chunks" - 1)))
+        .select($"doc_id", $"col".as("chunk_id"),
+          ($"col" * stride).as("start_tok"),
+          least($"col" * stride + ctx, $"n_toks").as("end_tok"))
+        .withColumn("n_chunk_toks", $"end_tok" - $"start_tok")
+        .transform(DedupQueries.orderedLarge(_, "doc_id", "chunk_id"))
+    }),
+
     // Within-document repetition signals (the Gopher/MassiveText quality
     // heuristics): duplicate-word fraction, most-frequent-word fraction,
     // most-frequent-bigram fraction. Docs dominated by a few repeated
@@ -455,6 +481,23 @@ object TextQueries {
         |  start_tok // 2048 AS seq_first,
         |  (start_tok + n_toks - 1) // 2048 AS seq_last
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // pure integer window arithmetic; unnest(range(...)) re-derives the
+    // chunk explosion independently of Spark's sequence+posexplode
+    "t_chunk_windows" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_toks,
+        |    1 + greatest(0, n_toks - 32 + 24 - 1) // 24 AS n_chunks
+        |  FROM n)
+        |SELECT doc_id, i AS chunk_id, i * 24 AS start_tok,
+        |  least(i * 24 + 32, n_toks) AS end_tok,
+        |  least(i * 24 + 32, n_toks) - i * 24 AS n_chunk_toks
+        |FROM c, unnest(range(0, n_chunks)) AS t(i)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     // FNV-1a 64 fold in 128-bit modular arithmetic: h' = ((h XOR b) *
     // 0x100000001b3) mod 2^64, seeded with the 0xcbf29ce484222325 offset

@@ -42,6 +42,38 @@ class Bm25FusionSpec extends SparkSpec {
     assert(scores.values.forall(s => !s.isNaN && !s.isInfinite))
   }
 
+  test("t_chunk_windows: chunks tile each doc with declared overlap, clipped at the end") {
+    val dir = Files.createTempDirectory("graft_chunk").toString
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    writeDocs(dir, Seq(
+      1L -> words(10),   // shorter than ctx → exactly one clipped chunk
+      2L -> words(32),   // exactly ctx → one full chunk
+      3L -> words(33),   // one token over → a second, overlapping chunk
+      4L -> words(80)))  // three chunks: 0-32, 24-56, 48-80
+    val rows = TextQueries.all("t_chunk_windows")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+
+    assert(rows(1L).map(t => (t._3, t._4)).toSeq === Seq((0L, 10L)))
+    assert(rows(2L).map(t => (t._3, t._4)).toSeq === Seq((0L, 32L)))
+    assert(rows(3L).sortBy(_._2).map(t => (t._3, t._4)).toSeq ===
+      Seq((0L, 32L), (24L, 33L)))
+    assert(rows(4L).sortBy(_._2).map(t => (t._3, t._4)).toSeq ===
+      Seq((0L, 32L), (24L, 56L), (48L, 80L)))
+    // coverage + overlap laws on every doc: first chunk starts at 0,
+    // consecutive chunks overlap (stride < ctx), the last ends at n_toks
+    rows.values.foreach { cs =>
+      val s = cs.sortBy(_._2)
+      assert(s.head._3 === 0L)
+      s.zip(s.tail).foreach { case (a, b) =>
+        assert(b._3 === a._3 + 24L)
+        assert(b._3 < a._4, "consecutive chunks must overlap")
+      }
+      assert(s.forall(c => c._5 === c._4 - c._3))
+    }
+  }
+
   test("rrf fusion: document strong in BOTH lists outranks single-list documents") {
     val dir = Files.createTempDirectory("graft_rrf").toString
     // vec 0 is the query embedding; vec 1 is nearest to it AND the most

@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.queries.AnalyticsQueries
+
+/** Error contract of the histogram-quantile sketch: estimates land
+  * within one bin width of the true quantile, and the histogram's
+  * integer counts make the sketch partition-order independent (the
+  * property that lets it merge across days without re-sorting). */
+class HistQuantileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q_hist_quantiles: estimate within one bin width of the exact quantile") {
+    val dir = Files.createTempDirectory("graft_hq").toString
+    // uniform 0..10239 → bin width (10239-0)/256 ≈ 40
+    val n = 10240
+    // ts as epoch-nanos long: the shape Tables.loadEvents expects
+    (0 until n).map { i =>
+      (i.toLong, 1L, 1700000000000000000L + i * 1000000000L, "t", i.toDouble)
+    }.toDF("event_id", "user_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val row = AnalyticsQueries.all("q_hist_quantiles")(spark, dir).collect()(0)
+    val width = (n - 1).toDouble / 256
+    val exact = Map(0.5 -> 0.5 * (n - 1), 0.9 -> 0.9 * (n - 1), 0.99 -> 0.99 * (n - 1))
+    assert(row.getLong(1) === n.toLong)
+    assert(math.abs(row.getDouble(2) - exact(0.5)) <= width)
+    assert(math.abs(row.getDouble(3) - exact(0.9)) <= width)
+    assert(math.abs(row.getDouble(4) - exact(0.99)) <= width)
+  }
+
+  test("q_hist_quantiles: result is partition-layout independent") {
+    val dir = Files.createTempDirectory("graft_hq2").toString
+    val rows = (0 until 5000).map { i =>
+      (i.toLong, (i % 97).toLong, 1700000000000000000L + i * 1000000000L,
+        if (i % 2 == 0) "a" else "b", (i * 37 % 1009).toDouble)
+    }
+    rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val one = AnalyticsQueries.all("q_hist_quantiles")(spark, dir)
+      .collect().map(_.toSeq).toSet
+
+    val dir2 = Files.createTempDirectory("graft_hq3").toString
+    // same rows, adversarial order and different file layout
+    rows.reverse.toDF("event_id", "user_id", "ts", "event_type", "value")
+      .repartition(7)
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val two = AnalyticsQueries.all("q_hist_quantiles")(spark, dir2)
+      .collect().map(_.toSeq).toSet
+    assert(one === two)
+  }
+}
