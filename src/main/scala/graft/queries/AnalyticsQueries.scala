@@ -246,9 +246,15 @@ object AnalyticsQueries {
       val ps = Seq(0.5, 0.9, 0.99)
       val ev = load(s, d, "events").filter($"value".isNotNull)
         .select($"event_type", $"value")
+      // rng feeds BOTH the bucketing join and the target-rank derivation;
+      // without materialization each consumer would recompute the full
+      // events aggregation (broadcast vs shuffle exchanges don't unify
+      // under ReuseExchange) — checkpoint the one-row-per-type result so
+      // the data is scanned exactly twice: once for rng, once to bucket
       val rng = ev.groupBy($"event_type").agg(
         min($"value").as("vmin"), max($"value").as("vmax"),
         count(lit(1)).as("n"))
+        .localCheckpoint(true)
       val hist = ev.join(broadcast(rng), "event_type")
         .withColumn("bkt", when($"vmax" === $"vmin", lit(0L))
           .otherwise(least(
@@ -444,9 +450,13 @@ object AnalyticsQueries {
         .filter(bloomMightContain($"o_custkey", $"bf"))
         .drop("bf")
         .join(cust, $"o_custkey" === $"c_custkey") // exact: kills the FPs
+        // money crosses the aggregation as integer cents (the
+        // q_range_join discipline: float accumulation order is
+        // engine-arbitrary, integer sums are order-free)
+        .withColumn("cents", round($"o_totalprice" * 100).cast("long"))
         .groupBy($"o_orderpriority")
         .agg(count(lit(1)).as("n_orders"),
-          round(sum($"o_totalprice"), 2).as("revenue"))
+          round(sum($"cents").cast("double") / 100, 2).as("revenue"))
         .orderBy("o_orderpriority")
     }),
 
@@ -773,7 +783,7 @@ object AnalyticsQueries {
     "q_bloom_join" ->
       """SELECT o.o_orderpriority AS o_orderpriority,
         |  count(*) AS n_orders,
-        |  round(sum(o.o_totalprice), 2) AS revenue
+        |  round(sum(round(o.o_totalprice * 100)::BIGINT)::DOUBLE / 100, 2) AS revenue
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |WHERE c.c_mktsegment = 'BUILDING'
         |GROUP BY o.o_orderpriority

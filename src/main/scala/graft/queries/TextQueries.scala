@@ -56,10 +56,11 @@ object TextQueries {
       },
       st => st("best"))
 
-  /** BM25 constants, consumed literal-for-literal by the oracle (the
-    * SQL interpolates the SAME Scala doubles, so `K1 + 1` etc. is the
-    * identical IEEE value on both engines — a hand-typed `2.2` in SQL
-    * would parse to a DIFFERENT double than Scala's `1.2 + 1.0`). */
+  /** BM25 constants, consumed literal-for-literal by the oracle: the
+    * SQL interpolates the SAME Scala doubles (shortest round-trip repr,
+    * which DuckDB parses back to the identical IEEE value), so derived
+    * literals like `K1 + 1` cannot drift between engines by
+    * construction — no per-literal rounding analysis needed. */
   private[graft] val BmK1 = 1.2
   private[graft] val BmB = 0.75
   /** Fixed query terms: one rare (high-IDF) + two common — exercises the
@@ -99,6 +100,22 @@ object TextQueries {
         (tf + lit(BmK1) * (lit(1.0 - BmB) + lit(BmB) * ($"dl" / $"avgdl")))
     }
     scored.select($"doc_id", terms.reduceLeft(_ + _).as("score"))
+  }
+
+  /** The ranked BM25 top-`depth`: score>0 gate, (score desc, doc_id)
+    * total order, global TakeOrdered, row_number over the bounded
+    * result. ONE definition used by both t_bm25 and v_rrf_fusion — the
+    * fused oracle depends on the two paths never drifting in gate or
+    * tie-break. Returns (doc_id, score raw, rnk). */
+  private[graft] def bm25TopRanks(docs: DataFrame, depth: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"score".desc, $"doc_id")
+    bm25Scored(docs)
+      .filter($"score" > 0.0)
+      .orderBy($"score".desc, $"doc_id").limit(depth)
+      .withColumn("rnk", row_number().over(w).cast("long"))
   }
 
   /** The release-gate decision on any (doc_id, text) frame, unordered —
@@ -257,7 +274,12 @@ object TextQueries {
       import s.implicits._
       val ctx = 32L; val stride = 24L
       load(s, d, "documents")
-        .select($"doc_id", size(tokens($"text")).cast("long").as("n_toks"))
+        // NULL text must not null-propagate into greatest/least (both
+        // engines SKIP nulls there, which would fabricate a full-width
+        // phantom chunk): coalesce to '' → one empty token → one
+        // clipped 1-token chunk, the t_filter_gate discipline
+        .select($"doc_id",
+          size(tokens(coalesce($"text", lit("")))).cast("long").as("n_toks"))
         // double-divide-then-cast == floor division for non-negative
         // longs (the t_seq_pack discipline, mirrored by the oracle's //)
         .withColumn("n_chunks", lit(1L) +
@@ -393,12 +415,7 @@ object TextQueries {
     // runs over the already-bounded 10-row result.
     "t_bm25" -> ((s: SparkSession, d: String) => {
       import s.implicits._
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy($"score".desc, $"doc_id")
-      bm25Scored(load(s, d, "documents"))
-        .filter($"score" > 0.0)
-        .orderBy($"score".desc, $"doc_id").limit(10)
-        .withColumn("rnk", row_number().over(w).cast("long"))
+      bm25TopRanks(load(s, d, "documents"), 10)
         .select($"rnk", $"doc_id", round($"score", 4).as("score"))
     }),
 
@@ -487,7 +504,7 @@ object TextQueries {
     "t_chunk_windows" ->
       """WITH n AS (
         |  SELECT doc_id,
-        |    len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_toks
+        |    len(regexp_split_to_array(trim(coalesce(text, '')), '\s+'))::BIGINT AS n_toks
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, n_toks,

@@ -188,13 +188,8 @@ object VectorQueries {
       import s.implicits._
       val RrfK = 60
       val Depth = 100
-      val wLex = org.apache.spark.sql.expressions.Window
-        .orderBy($"score".desc, $"doc_id")
-      val lex = TextQueries.bm25Scored(load(s, d, "documents"))
-        .filter($"score" > 0.0)
-        .orderBy($"score".desc, $"doc_id").limit(Depth)
-        .withColumn("lex_rnk", row_number().over(wLex).cast("long"))
-        .select($"doc_id".as("id"), $"lex_rnk")
+      val lex = TextQueries.bm25TopRanks(load(s, d, "documents"), Depth)
+        .select($"doc_id".as("id"), $"rnk".as("lex_rnk"))
       val e = load(s, d, "embeddings")
       val qv = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
       val wVec = org.apache.spark.sql.expressions.Window
