@@ -64,4 +64,26 @@ class StreamSketchSpec extends SparkSpec {
       .agg(cmsSketch($"k", 4, 64).as("r")).head().getSeq[Long](0)
     assert(streamed === batch)
   }
+
+  test("streaming Bloom words equal the batch filter of the union") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Long]
+    val query = stream.toDS().toDF("k")
+      .agg(bloomFilter($"k").as("bf"))
+      .writeStream.format("memory").queryName("bloom_state")
+      .outputMode(OutputMode.Complete()).start()
+
+    val b1 = (0L until 600L)
+    val b2 = (400L until 1200L) // overlaps b1: OR-merge is idempotent
+    stream.addData(b1)
+    query.processAllAvailable()
+    stream.addData(b2)
+    query.processAllAvailable()
+
+    val streamed = spark.table("bloom_state").head().getSeq[Long](0)
+    query.stop()
+    val batch = (b1 ++ b2).toDF("k")
+      .agg(bloomFilter($"k").as("bf")).head().getSeq[Long](0)
+    assert(streamed === batch)
+  }
 }
