@@ -49,6 +49,26 @@ object DetMath {
     e + lit(2.0) * series * lit(InvLn2)
   }
 
+  /** The same computation as plain Scala over a positive long — for
+    * bounded values already collected to the driver (e.g. one-row corpus
+    * stats), where building the Column tree would cost more in plan
+    * analysis than the value is worth. Bit-identical to [[log2Det]] /
+    * [[log2DetSql]]: the exponent here is computed EXACTLY (bit length)
+    * — the Column/SQL forms' estimate-then-correct dance pins the same
+    * integer — and every subsequent op is the same exactly-specified
+    * double arithmetic in the same order. */
+  def log2DetLong(c: Long): Double = {
+    require(c > 0 && c < (1L << 53), s"log2DetLong requires 0 < c < 2^53, got $c")
+    val cd = c.toDouble
+    val e = (63 - java.lang.Long.numberOfLeadingZeros(c)).toDouble
+    val x = cd / math.pow(2.0, e) // 2^e exact for integral e
+    val t = (x - 1.0) / (x + 1.0)
+    val t2 = t * t
+    val series = t * (1.0 + t2 * (C3 + t2 * (C5 + t2 * (C7 +
+      t2 * (C9 + t2 * (C11 + t2 * C13))))))
+    e + 2.0 * series * InvLn2
+  }
+
   /** The same computation as DuckDB SQL over a scalar expression.
     * Nested single-element `list_transform`s serve as let-bindings so
     * each intermediate is computed once and the SQL stays compact. */

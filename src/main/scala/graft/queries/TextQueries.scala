@@ -75,10 +75,12 @@ object TextQueries {
     * normalization, the fixed-order term sum) is IEEE-exact `+ - * /`.
     *
     * Scale shape: corpus stats (N, Σdl, per-term df) are ONE aggregate
-    * row broadcast back; per-doc tf comes from each doc's own token
-    * array (scan-side — query terms are plan literals, so there is no
+    * row collected driver-side, so idf/avgdl fold into the scan as
+    * literals; per-doc tf comes from each doc's own token array
+    * (scan-side — query terms are plan literals, so there is no
     * doc×term join and no inverted-index shuffle); top-k is the
-    * caller's TakeOrdered. A 100 TB corpus scores in one pass.
+    * caller's TakeOrdered. A 100 TB corpus scores in one stats pass +
+    * one scoring pass.
     */
   private[graft] def bm25Scored(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
@@ -89,17 +91,28 @@ object TextQueries {
       sum(when(array_contains($"toks", w), 1L).otherwise(0L)).as(s"df_$i") }
     val stats = t.agg(count(lit(1)).as("n_docs"),
       sum(size($"toks")).cast("long").as("tot_toks") +: dfCols: _*)
-    val scored = t.crossJoin(broadcast(stats))
-      .withColumn("dl", size($"toks").cast("double"))
-      .withColumn("avgdl", $"tot_toks".cast("double") / $"n_docs".cast("double"))
+    // idf and avgdl depend ONLY on the one-row stats aggregate: collect
+    // it (bounded, the IVF collectProbeIds pattern) and fold the
+    // constants into the scan as plain literals. Keeping them in-plan
+    // costs real driver time — log2Det's Column tree re-expands every
+    // reused intermediate (an unshared expression DAG), and six copies
+    // push analysis+codegen over a second per run (measured) for values
+    // that are constants of the corpus. log2DetLong is the bit-identical
+    // Scala form of the same op sequence.
+    val row = stats.head()
+    val nDocs = row.getLong(0)
+    val avgdl = row.getLong(1).toDouble / nDocs.toDouble
+    val idf = BmQuery.indices.map { i =>
+      (DetMath.log2DetLong(2 * nDocs + 2) -
+        DetMath.log2DetLong(2 * row.getLong(2 + i) + 1)) * graft.GraftSketch.Ln2
+    }
+    val dl = size($"toks").cast("double")
     val terms = BmQuery.zipWithIndex.map { case (w, i) =>
       val tf = size(filter($"toks", x => x === w)).cast("double")
-      val idf = (DetMath.log2Det($"n_docs" * 2 + 2) -
-        DetMath.log2Det(col(s"df_$i") * 2 + 1)) * lit(graft.GraftSketch.Ln2)
-      idf * (tf * lit(BmK1 + 1.0)) /
-        (tf + lit(BmK1) * (lit(1.0 - BmB) + lit(BmB) * ($"dl" / $"avgdl")))
+      lit(idf(i)) * (tf * lit(BmK1 + 1.0)) /
+        (tf + lit(BmK1) * (lit(1.0 - BmB) + lit(BmB) * (dl / lit(avgdl))))
     }
-    scored.select($"doc_id", terms.reduceLeft(_ + _).as("score"))
+    t.select($"doc_id", terms.reduceLeft(_ + _).as("score"))
   }
 
   /** The ranked BM25 top-`depth`: score>0 gate, (score desc, doc_id)
@@ -450,11 +463,14 @@ object TextQueries {
     val dfSel = BmQuery.zipWithIndex.map { case (w, i) =>
       s"sum(CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END)::BIGINT AS df_$i"
     }.mkString(",\n      ")
+    // idf/avgdl live in the one-row stats CTE, same as the plan
+    val idfSel = BmQuery.indices.map { i =>
+      s"((${DetMath.log2DetSql("n_docs*2+2")}) - " +
+        s"(${DetMath.log2DetSql(s"df_$i*2+1")})) * ${graft.GraftSketch.Ln2} AS idf_$i"
+    }.mkString(",\n      ")
     val terms = BmQuery.zipWithIndex.map { case (w, i) =>
       val tf = s"len(list_filter(toks, x -> x = '$w'))::DOUBLE"
-      val idf = s"((${DetMath.log2DetSql("n_docs*2+2")}) - " +
-        s"(${DetMath.log2DetSql(s"df_$i*2+1")})) * ${graft.GraftSketch.Ln2}"
-      s"($idf) * ($tf * ${BmK1 + 1.0}) / " +
+      s"(idf_$i) * ($tf * ${BmK1 + 1.0}) / " +
         s"($tf + $BmK1 * (${1.0 - BmB} + $BmB * (dl / avgdl)))"
     }.mkString("\n      + ")
     s"""bmt AS (
@@ -464,12 +480,15 @@ object TextQueries {
        |  SELECT count(*) AS n_docs, sum(len(toks))::BIGINT AS tot_toks,
        |      $dfSel
        |  FROM bmt),
+       |bmsd AS (
+       |  SELECT tot_toks::DOUBLE / n_docs::DOUBLE AS avgdl,
+       |      $idfSel
+       |  FROM bms),
        |bmsc AS (
        |  SELECT doc_id,
        |      $terms
        |    AS score
-       |  FROM (SELECT doc_id, toks, len(toks)::DOUBLE AS dl FROM bmt),
-       |       (SELECT *, tot_toks::DOUBLE / n_docs::DOUBLE AS avgdl FROM bms))""".stripMargin
+       |  FROM (SELECT doc_id, toks, len(toks)::DOUBLE AS dl FROM bmt), bmsd)""".stripMargin
   }
 
   def oracles: Map[String, String] = Map(

@@ -42,6 +42,19 @@ class Bm25FusionSpec extends SparkSpec {
     assert(scores.values.forall(s => !s.isNaN && !s.isInfinite))
   }
 
+  test("log2DetLong (driver form) is bit-identical to log2Det (Column form)") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.DetMath
+    val vals = (1L to 4096L) ++ Seq(65537L, 999983L, 1L << 40, (1L << 53) - 1)
+    val viaColumn = vals.toDF("c")
+      .select(col("c"), DetMath.log2Det(col("c")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    vals.foreach { c =>
+      // exact double equality — the whole point of the Det family
+      assert(DetMath.log2DetLong(c) === viaColumn(c), s"c=$c")
+    }
+  }
+
   test("t_chunk_windows: chunks tile each doc with declared overlap, clipped at the end") {
     val dir = Files.createTempDirectory("graft_chunk").toString
     def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
