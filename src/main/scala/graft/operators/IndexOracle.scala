@@ -59,6 +59,24 @@ object IndexOracle {
        |SELECT cluster_id::BIGINT AS cluster_id, count(*) AS n_vectors
        |FROM a GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
+  /** d_semantic_dedup: re-derive the cluster assignment from literal
+    * centroids, then flag every vector with a SMALLER-id same-cluster
+    * neighbor inside the cosine ball — a fully disjoint derivation
+    * (list_cosine_similarity vs the native expression, LEFT JOIN
+    * DISTINCT vs the semi-join). */
+  def semanticDedupOracle(centroids: Seq[(Int, Seq[Float])],
+      tau: Double): String =
+    s"""WITH ${assignCte(centroids)},
+       |dup AS (
+       |  SELECT DISTINCT x.vec_id
+       |  FROM a x JOIN a y ON y.cluster_id = x.cluster_id
+       |    AND y.vec_id < x.vec_id
+       |    AND list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) > $tau)
+       |SELECT a.vec_id, a.cluster_id::BIGINT AS cluster_id,
+       |  dup.vec_id IS NOT NULL AS is_dup
+       |FROM a LEFT JOIN dup USING (vec_id)
+       |ORDER BY vec_id""".stripMargin
+
   /** v_ivf_search: probe the nprobe nearest literal centroids per query
     * (cdist then cluster_id, as the Window in searchPruned), fetch that
     * probe set's re-derived assignments, rank top-k by (l2sq, vec_id). */

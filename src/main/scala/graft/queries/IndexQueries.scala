@@ -16,6 +16,10 @@ object IndexQueries {
 
   private val NumQueries = 8
   private val K = 10
+  /** d_semantic_dedup's cosine ε-ball (same radius family as the
+    * embed-neardup operators — the synthetic corpus' planted near-dups
+    * sit well above it, the random mass well below). */
+  private[graft] val SemDedupTau = 0.4
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // IVF index build: sampled-Lloyd centroids fitted + assignments
@@ -137,6 +141,36 @@ object IndexQueries {
     // Spark analog of benchmark/recall_bench.cpp's hit counting. Both
     // bounded heaps ride ONE aggregation over one scan of the pairs (two
     // groupBys over the same cross join would execute it twice).
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
+    // k-means the embedding space, then drop within-cluster ε-ball
+    // duplicates — the named method for pruning web-scale corpora of
+    // paraphrases exact dedup can't see. Rides the SAME persisted IVF
+    // clustering as the ANN entries (one index, two jobs). The survivor
+    // rule is the deterministic greedy: a vector is a dup iff a
+    // SMALLER-id vector in its cluster is within the cosine ball — an
+    // EXISTS semi-join on the cluster key. Per-cluster work is
+    // quadratic BY DESIGN (SemDeDup's own shape): k grows with the
+    // corpus so cluster populations stay bounded, and the equi-join on
+    // cluster_id shuffles each cluster to one place — no global pair
+    // enumeration. Cross-cluster near-dups are missed BY CONTRACT (the
+    // method's documented recall trade; the spec pins it).
+    "d_semantic_dedup" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val dir = IndexStore.ivf(s, d, k = 16)
+      val asg = s.read.parquet(s"$dir/assignments")
+        .select($"vec_id", $"embedding", $"cluster_id")
+      val r = asg.select($"vec_id".as("r_id"), $"embedding".as("r_emb"),
+        $"cluster_id".as("r_cl"))
+      val dup = asg.join(r,
+          $"cluster_id" === $"r_cl" && $"r_id" < $"vec_id" &&
+            cosine($"embedding", $"r_emb") > SemDedupTau, "left_semi")
+        .select($"vec_id")
+      asg.join(dup.withColumn("d", lit(1)), Seq("vec_id"), "left")
+        .select($"vec_id", $"cluster_id".cast("long").as("cluster_id"),
+          $"d".isNotNull.as("is_dup"))
+        .orderBy("vec_id")
+    }),
+
     "v_recall_at_k" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       val e = load(s, d, "embeddings")
@@ -170,7 +204,7 @@ object IndexQueries {
     * to materialize oracle strings for unrelated queries. */
   val AnnOracleKeys: Set[String] =
     Set("v_ivf_build", "v_ivf_search", "v_pq_search", "v_pq_rerank",
-      "v_ivfpq_search")
+      "v_ivfpq_search", "d_semantic_dedup")
 
   private def annOracles: Map[String, String] = try {
     val s = SparkSession.active
@@ -192,7 +226,9 @@ object IndexQueries {
           refineFactor = 4, NumQueries),
       "v_ivfpq_search" -> graft.operators.IndexOracle
         .ivfPqSearchOracle(cent, books, numSub = 8, subDim = 8, K,
-          nprobe = 4, NumQueries))
+          nprobe = 4, NumQueries),
+      "d_semantic_dedup" -> graft.operators.IndexOracle
+        .semanticDedupOracle(cent, SemDedupTau))
   } catch {
     // the documented degrade-to-rows-only cases (no live session / no
     // index context) — but NEVER silently: a generation regression that
