@@ -131,6 +131,33 @@ object TextQueries {
       .withColumn("rnk", row_number().over(w).cast("long"))
   }
 
+  /** The UNORDERED chunk explosion — the entire production plan of
+    * t_chunk_windows before its output ordering, factored out so the
+    * plan guard asserts the shape of the real query (orderedLarge's
+    * checkpoint would otherwise cut the plan at an ExistingRDD scan). */
+  private[graft] def chunkWindowsRaw(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ctx = 32L; val stride = 24L
+    docs
+      // NULL text must not null-propagate into greatest/least (both
+      // engines SKIP nulls there, which would fabricate a full-width
+      // phantom chunk): coalesce to '' → one empty token → one
+      // clipped 1-token chunk, the t_filter_gate discipline
+      .select($"doc_id",
+        size(tokens(coalesce($"text", lit("")))).cast("long").as("n_toks"))
+      // double-divide-then-cast == floor division for non-negative
+      // longs (the t_seq_pack discipline, mirrored by the oracle's //)
+      .withColumn("n_chunks", lit(1L) +
+        (greatest(lit(0L), $"n_toks" - ctx + stride - 1) / stride).cast("long"))
+      .select($"doc_id", $"n_toks",
+        posexplode(sequence(lit(0L), $"n_chunks" - 1)))
+      .select($"doc_id", $"col".as("chunk_id"),
+        ($"col" * stride).as("start_tok"),
+        least($"col" * stride + ctx, $"n_toks").as("end_tok"))
+      .withColumn("n_chunk_toks", $"end_tok" - $"start_tok")
+  }
+
   /** The release-gate decision on any (doc_id, text) frame, unordered —
     * factored out so the planted-fixture spec drives the PRODUCTION
     * rule logic with engineered documents (private[graft]: its one
@@ -283,28 +310,9 @@ object TextQueries {
     // doc's own token count, exploded scan-side — linear, no shuffle
     // beyond the final ordering. Offsets (not sliced text) are the
     // output, like t_seq_pack: the consumer slices lazily.
-    "t_chunk_windows" -> ((s: SparkSession, d: String) => {
-      import s.implicits._
-      val ctx = 32L; val stride = 24L
-      load(s, d, "documents")
-        // NULL text must not null-propagate into greatest/least (both
-        // engines SKIP nulls there, which would fabricate a full-width
-        // phantom chunk): coalesce to '' → one empty token → one
-        // clipped 1-token chunk, the t_filter_gate discipline
-        .select($"doc_id",
-          size(tokens(coalesce($"text", lit("")))).cast("long").as("n_toks"))
-        // double-divide-then-cast == floor division for non-negative
-        // longs (the t_seq_pack discipline, mirrored by the oracle's //)
-        .withColumn("n_chunks", lit(1L) +
-          (greatest(lit(0L), $"n_toks" - ctx + stride - 1) / stride).cast("long"))
-        .select($"doc_id", $"n_toks",
-          posexplode(sequence(lit(0L), $"n_chunks" - 1)))
-        .select($"doc_id", $"col".as("chunk_id"),
-          ($"col" * stride).as("start_tok"),
-          least($"col" * stride + ctx, $"n_toks").as("end_tok"))
-        .withColumn("n_chunk_toks", $"end_tok" - $"start_tok")
-        .transform(DedupQueries.orderedLarge(_, "doc_id", "chunk_id"))
-    }),
+    "t_chunk_windows" -> ((s: SparkSession, d: String) =>
+      chunkWindowsRaw(load(s, d, "documents"))
+        .transform(DedupQueries.orderedLarge(_, "doc_id", "chunk_id"))),
 
     // Within-document repetition signals (the Gopher/MassiveText quality
     // heuristics): duplicate-word fraction, most-frequent-word fraction,

@@ -141,6 +141,48 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("t_bm25: global top-k is TakeOrdered (map-side partial), never a corpus-wide window sort") {
+    val p = planOf(graft.queries.TextQueries.all, "t_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered:\n$p")
+    // the only Window allowed is the one over the already-bounded
+    // 10-row result — it must sit ABOVE the TakeOrdered, not below
+    val winAt = p.indexOf("Window")
+    val takeAt = p.indexOf("TakeOrderedAndProject")
+    assert(winAt < takeAt,
+      "the rank window must run over the bounded top-k, not the corpus")
+  }
+
+  test("q_hist_quantiles: histogram aggregates map-side; no sort of the raw data") {
+    val p = planOf(AnalyticsQueries.all, "q_hist_quantiles")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "bucket counts must map-side combine")
+    // exactly ONE range exchange — the 5-row output ordering; a second
+    // one would mean raw values are being globally sorted (the thing
+    // this sketch exists to avoid), and none may involve `value`
+    assert(p.linesIterator.count(_.contains("rangepartitioning")) === 1,
+      s"unexpected range exchange:\n$p")
+    assert(!p.contains("rangepartitioning(value"),
+      s"raw values must never be range-sorted:\n$p")
+  }
+
+  test("d_semantic_dedup: within-cluster pairs come from an equi-join on cluster_id, no cartesian") {
+    val p = planOf(graft.queries.IndexQueries.all, "d_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in plan:\n$p")
+  }
+
+  test("t_chunk_windows: pure scan-side explode — no join, no aggregation") {
+    // the raw form: orderedLarge's checkpoint would cut the plan at an
+    // ExistingRDD scan and hide the shape under test
+    val p = freshPlan(graft.queries.TextQueries.chunkWindowsRaw(
+      spark.read.parquet(s"$sfDir/documents.parquet")))
+    assert(!p.contains("Join"), s"chunking must not join:\n$p")
+    assert(!p.contains("HashAggregate"), s"chunking must not aggregate:\n$p")
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+    assert(p.contains("Generate"), "chunk explosion must be a Generate")
+  }
+
   test("q_percentiles: rank-join form equals the buffering builtin, with no percentile aggregate in the plan") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
