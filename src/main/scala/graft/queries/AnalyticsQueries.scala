@@ -229,6 +229,25 @@ object AnalyticsQueries {
         .orderBy("returnflag", "linestatus")
     }),
 
+    // PIVOT: hour-of-day × event-type count matrix. The value list is
+    // EXPLICIT (pivot(col, values)), which is the scale contract: an
+    // unlisted pivot forces a blocking distinct-scan of the key column
+    // before the plan can even be built, and an unbounded key set would
+    // explode the schema. With listed values this is ONE map-side-
+    // combined aggregate producing a fixed 24×5 grid.
+    "q_pivot" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      load(s, d, "events")
+        .select(hour($"ts").cast("long").as("hour_of_day"), $"event_type")
+        .groupBy($"hour_of_day")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        // an hour×type cell with no events is semantically a zero count
+        .select($"hour_of_day" +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("hour_of_day")
+    }),
+
     // Histogram quantiles — the MERGEABLE approximate path next to
     // q_percentiles' exact rank-join (the quantile member of the sketch
     // trio: HLL distinct, CMS frequency, histogram quantiles). Two
@@ -673,6 +692,17 @@ object AnalyticsQueries {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+
+    // conditional aggregation — a fully disjoint derivation of the
+    // same grid (no PIVOT machinery on the oracle side)
+    "q_pivot" ->
+      """SELECT hour(ts)::BIGINT AS hour_of_day,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
+        |FROM events GROUP BY 1 ORDER BY hour_of_day""".stripMargin,
 
     // the full sketch re-derived: same bucket arithmetic, same
     // cumulation, same interpolation expression, literal for literal

@@ -440,6 +440,44 @@ object TextQueries {
         .select($"rnk", $"doc_id", round($"score", 4).as("score"))
     }),
 
+    // Per-document TF-IDF keyword extraction: each doc's top-3 terms by
+    // (tf/dl)·ln((N+1)/(df+1)) — the classic signature-term operator of
+    // corpus indexing/labeling. Scale shape mirrors t_unigram_logprob:
+    // corpus df is a map-side-combined groupBy on token; the doc×token
+    // join shuffles on token (vocab side NOT broadcast — vocabulary is
+    // unbounded at corpus scale); per-doc top-3 is a doc-partitioned
+    // rank window (WindowGroupLimit keeps partials bounded). The idf
+    // log runs through DetMath on INTEGER arguments, so the score is
+    // bit-reproducible cross-engine.
+    "t_tfidf_keywords" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      import graft.functions.DetMath
+      val docs = load(s, d, "documents")
+        .select($"doc_id", tokens($"text").as("toks"))
+      val dl = docs.select($"doc_id", size($"toks").cast("long").as("dl"))
+      val tok = docs.select($"doc_id", explode($"toks").as("token"))
+      val tf = tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+      // N is a bounded driver-side scalar (the BM25 pattern) and idf is
+      // computed on the VOCAB frame — one log2Det row per distinct
+      // token, never per (doc, token) pair (the expression DAG is
+      // unshared; see bm25Scored)
+      val nDocs = docs.count()
+      val df = tok.select($"doc_id", $"token").distinct()
+        .groupBy($"token").agg(count(lit(1)).as("df"))
+        .withColumn("idf",
+          (lit(DetMath.log2DetLong(nDocs + 1)) - DetMath.log2Det($"df" + 1)) *
+            lit(graft.GraftSketch.Ln2))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"score".desc, $"token")
+      tf.join(dl, "doc_id").join(df.select($"token", $"idf"), "token")
+        .withColumn("score",
+          ($"tf".cast("double") / $"dl".cast("double")) * $"idf")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter($"rnk" <= 3)
+        .select($"doc_id", $"rnk", $"token", round($"score", 6).as("score"))
+        .transform(DedupQueries.orderedLarge(_, "doc_id", "rnk"))
+    }),
+
     // Stopword-profile language ID. The fixed tie-break cascade
     // (en > de > fr > es > unknown) makes it deterministic.
     "t_lang_id" -> ((s: SparkSession, d: String) => {
@@ -727,6 +765,30 @@ object TextQueries {
          |LEFT JOIN counters c ON c.r = bcol.r AND c.col = bcol.col
          |GROUP BY top.b, top.n_exact
          |ORDER BY top.n_exact DESC, top.b""".stripMargin
+    },
+
+    "t_tfidf_keywords" -> {
+      import graft.functions.DetMath
+      s"""WITH t AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+         |  FROM documents),
+         |dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM t),
+         |tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+         |nn AS (SELECT count(*) AS n_docs FROM t),
+         |df AS (
+         |  SELECT token,
+         |    (((${DetMath.log2DetSql("n_docs+1")}) - (${DetMath.log2DetSql("df+1")})) * ${graft.GraftSketch.Ln2}) AS idf
+         |  FROM (SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token), nn),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.token,
+         |    (tf.tf::DOUBLE / dl.dl::DOUBLE) * df.idf AS score
+         |  FROM tf JOIN dl USING (doc_id) JOIN df USING (token))
+         |SELECT doc_id, rnk, token, round(score, 6) AS score FROM (
+         |  SELECT doc_id, token, score,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+         |  FROM sc)
+         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
     },
 
     "t_lang_id" -> {
