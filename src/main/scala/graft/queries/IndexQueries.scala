@@ -137,10 +137,6 @@ object IndexQueries {
         .orderBy("bucket")
     }),
 
-    // recall@10 of inner-product ranking vs true-L2 ground truth — the
-    // Spark analog of benchmark/recall_bench.cpp's hit counting. Both
-    // bounded heaps ride ONE aggregation over one scan of the pairs (two
-    // groupBys over the same cross join would execute it twice).
     // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
     // k-means the embedding space, then drop within-cluster ε-ball
     // duplicates — the named method for pruning web-scale corpora of
@@ -171,6 +167,10 @@ object IndexQueries {
         .orderBy("vec_id")
     }),
 
+    // recall@10 of inner-product ranking vs true-L2 ground truth — the
+    // Spark analog of benchmark/recall_bench.cpp's hit counting. Both
+    // bounded heaps ride ONE aggregation over one scan of the pairs (two
+    // groupBys over the same cross join would execute it twice).
     "v_recall_at_k" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       val e = load(s, d, "embeddings")

@@ -100,19 +100,29 @@ object TextQueries {
     // that are constants of the corpus. log2DetLong is the bit-identical
     // Scala form of the same op sequence.
     val row = stats.head()
-    val nDocs = row.getLong(0)
-    val avgdl = row.getLong(1).toDouble / nDocs.toDouble
-    val idf = BmQuery.indices.map { i =>
-      (DetMath.log2DetLong(2 * nDocs + 2) -
-        DetMath.log2DetLong(2 * row.getLong(2 + i) + 1)) * graft.GraftSketch.Ln2
+    val nDocs = row.getLong(0) // count: never null
+    if (nDocs == 0L) {
+      // empty corpus: no stats to fold — preserve the lazy form's
+      // behavior (empty result, no NPE from null sums)
+      t.select($"doc_id", lit(0.0).as("score"))
+    } else {
+      // the sums are NULL only when every input row is NULL (all-NULL
+      // text); fold as 0 — such rows then score NULL and fail the
+      // caller's score>0 gate, same as the pre-collect form
+      def longAt(i: Int): Long = if (row.isNullAt(i)) 0L else row.getLong(i)
+      val avgdl = longAt(1).toDouble / nDocs.toDouble
+      val idf = BmQuery.indices.map { i =>
+        (DetMath.log2DetLong(2 * nDocs + 2) -
+          DetMath.log2DetLong(2 * longAt(2 + i) + 1)) * graft.GraftSketch.Ln2
+      }
+      val dl = size($"toks").cast("double")
+      val terms = BmQuery.zipWithIndex.map { case (w, i) =>
+        val tf = size(filter($"toks", x => x === w)).cast("double")
+        lit(idf(i)) * (tf * lit(BmK1 + 1.0)) /
+          (tf + lit(BmK1) * (lit(1.0 - BmB) + lit(BmB) * (dl / lit(avgdl))))
+      }
+      t.select($"doc_id", terms.reduceLeft(_ + _).as("score"))
     }
-    val dl = size($"toks").cast("double")
-    val terms = BmQuery.zipWithIndex.map { case (w, i) =>
-      val tf = size(filter($"toks", x => x === w)).cast("double")
-      lit(idf(i)) * (tf * lit(BmK1 + 1.0)) /
-        (tf + lit(BmK1) * (lit(1.0 - BmB) + lit(BmB) * (dl / lit(avgdl))))
-    }
-    t.select($"doc_id", terms.reduceLeft(_ + _).as("score"))
   }
 
   /** The ranked BM25 top-`depth`: score>0 gate, (score desc, doc_id)

@@ -89,19 +89,23 @@ class Bm25FusionSpec extends SparkSpec {
 
   test("t_tfidf_keywords: ubiquitous terms score zero, rare terms lead their doc") {
     val dir = Files.createTempDirectory("graft_tfidf").toString
-    // "common" in every doc (idf = ln((N+1)/(N+1)) = 0); "rare" only in
-    // doc 1; fillers shared by two docs each
+    // 3-token docs so the top-3 window must SURFACE every term —
+    // "common" (in every doc, idf = ln((N+1)/(N+1)) = 0) is then
+    // guaranteed to appear in the output, making the zero-score law
+    // observable rather than vacuously cut by the rank filter
     writeDocs(dir, Seq(
-      1L -> "common rare alpha beta",
-      2L -> "common alpha gamma delta",
-      3L -> "common beta gamma epsilon"))
+      1L -> "common rare alpha",
+      2L -> "common alpha gamma",
+      3L -> "common gamma beta"))
     val rows = TextQueries.all("t_tfidf_keywords")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
     // rare (df=1) must be doc 1's top keyword
     val doc1 = rows.filter(_._1 == 1L).sortBy(_._2)
     assert(doc1.head._3 === "rare")
-    // a term present in EVERY doc can never be a keyword with score > 0
-    assert(rows.filter(_._3 == "common").forall(_._4 === 0.0))
+    // a term present in EVERY doc surfaces with score exactly 0
+    val common = rows.filter(_._3 == "common")
+    assert(common.length === 3)
+    assert(common.forall(_._4 === 0.0))
     // exactly top-3 per doc, ranks 1..3
     rows.groupBy(_._1).values.foreach { ks =>
       assert(ks.map(_._2).sorted.toSeq === Seq(1L, 2L, 3L))

@@ -30,7 +30,7 @@ class SemDedupSpec extends SparkSpec {
       .select($"vec_id", $"embedding", $"cluster_id")
     val expected = a.as("x").join(a.as("y"), Seq("cluster_id"))
       .filter($"y.vec_id" < $"x.vec_id" &&
-        cosine($"x.embedding", $"y.embedding") > 0.4)
+        cosine($"x.embedding", $"y.embedding") > IndexQueries.SemDedupTau)
       .select($"x.vec_id".as("v")).distinct()
       .collect().map(_.getLong(0)).toSet
     assert(rows.filter(_._3).map(_._1).toSet === expected)
