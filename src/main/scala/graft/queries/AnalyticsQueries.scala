@@ -229,6 +229,30 @@ object AnalyticsQueries {
         .orderBy("returnflag", "linestatus")
     }),
 
+    // Semi-structured extraction: events.props is a JSON payload column
+    // (the universal shape of event pipelines). Parsed scan-side with
+    // from_json + an EXPLICIT schema — the scale contract: schema
+    // inference (spark.read.json / schema_of_json sampling) costs an
+    // extra pass over the data before the real one, and a declared
+    // schema keeps the parse inside codegen. PERMISSIVE mode maps a
+    // malformed payload to NULL (counted via n_parsed, never an abort
+    // at row 10^12). Integer sums — no float discipline needed.
+    "q_json_extract" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("k", org.apache.spark.sql.types.LongType)
+      load(s, d, "events")
+        .select($"event_type",
+          from_json($"props", schema).getField("k").as("k"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          count($"k").as("n_parsed"),
+          sum($"k").as("sum_k"),
+          min($"k").as("min_k"),
+          max($"k").as("max_k"))
+        .orderBy("event_type")
+    }),
+
     // PIVOT: hour-of-day × event-type count matrix. The value list is
     // EXPLICIT (pivot(col, values)), which is the scale contract: an
     // unlisted pivot forces a blocking distinct-scan of the key column
@@ -692,6 +716,18 @@ object AnalyticsQueries {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+
+    // TRY_CAST over json_extract_string mirrors PERMISSIVE-mode NULLs
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(k) AS n_parsed,
+        |  sum(k)::BIGINT AS sum_k,
+        |  min(k) AS min_k,
+        |  max(k) AS max_k
+        |FROM (SELECT event_type,
+        |        TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // conditional aggregation — a fully disjoint derivation of the
     // same grid (no PIVOT machinery on the oracle side)

@@ -30,6 +30,22 @@ class HistQuantileSpec extends SparkSpec {
     assert(math.abs(row.getDouble(4) - exact(0.99)) <= width)
   }
 
+  test("q_json_extract: malformed payloads become NULLs, never errors") {
+    val dir = Files.createTempDirectory("graft_json").toString
+    Seq(
+      (1L, 1L, 1700000000000000000L, "a", 1.0, """{"k": 7}"""),
+      (2L, 1L, 1700000001000000000L, "a", 1.0, """not json at all"""),
+      (3L, 1L, 1700000002000000000L, "a", 1.0, """{"other": 1}"""),
+      (4L, 1L, 1700000003000000000L, "a", 1.0, """{"k": 35}"""))
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = AnalyticsQueries.all("q_json_extract")(spark, dir).collect()(0)
+    assert(r.getLong(1) === 4L) // n_events counts every row
+    assert(r.getLong(2) === 2L) // only the two well-formed k payloads parse
+    assert(r.getLong(3) === 42L)
+    assert(r.getLong(4) === 7L && r.getLong(5) === 35L)
+  }
+
   test("q_hist_quantiles: result is partition-layout independent") {
     val dir = Files.createTempDirectory("graft_hq2").toString
     val rows = (0 until 5000).map { i =>
