@@ -111,6 +111,53 @@ class LawsSpec extends SparkSpec {
     assert(whole === parts)
   }
 
+  test("bloom laws: no false negative for ANY key set; merge = bitwise OR") {
+    val setGen = Gen.chooseNum(1, 200).flatMap(k =>
+      Gen.listOfN(k, Gen.chooseNum(Long.MinValue, Long.MaxValue)))
+    cases(setGen, n = 20).foreach { keys =>
+      val buf = new graft.operators.BloomBuffer(64, 4)
+      keys.foreach(buf.add)
+      // probe through the same bit math the expression uses
+      val mBits = 64 * 64
+      def contains(b: graft.operators.BloomBuffer, k: Long): Boolean =
+        (0 until 4).forall { i =>
+          val bit = graft.operators.BloomHash.bit(k, i, mBits)
+          (wordsOf(b)(bit >>> 6) & (1L << (bit & 63))) != 0L
+        }
+      assert(keys.forall(contains(buf, _)), "false negative")
+      // merge law on a random split
+      val (l, r) = keys.splitAt(keys.length / 2)
+      val bl = new graft.operators.BloomBuffer(64, 4)
+      val br = new graft.operators.BloomBuffer(64, 4)
+      l.foreach(bl.add); r.foreach(br.add)
+      bl.mergeFrom(br)
+      assert(wordsOf(bl).sameElements(wordsOf(buf)), "merge != union build")
+    }
+  }
+
+  private def wordsOf(b: graft.operators.BloomBuffer): Array[Long] = {
+    val f = classOf[graft.operators.BloomBuffer].getDeclaredField("words")
+    f.setAccessible(true)
+    f.get(b).asInstanceOf[Array[Long]]
+  }
+
+  test("chunk-window arithmetic tiles every doc length: cover, overlap, clip") {
+    // the same integer formulas as t_chunk_windows, over all n in 1..500
+    val ctx = 32L; val stride = 24L
+    (1L to 500L).foreach { n =>
+      val nChunks = 1L + math.max(0L, n - ctx + stride - 1) / stride
+      val spans = (0L until nChunks).map { i =>
+        (i * stride, math.min(i * stride + ctx, n))
+      }
+      assert(spans.head._1 === 0L)
+      assert(spans.last._2 === n, s"n=$n: last chunk must end at n")
+      spans.foreach { case (s, e) => assert(e > s, s"n=$n: empty chunk") }
+      spans.zip(spans.tail).foreach { case ((s1, e1), (s2, _)) =>
+        assert(s2 === s1 + stride && s2 < e1, s"n=$n: gap between chunks")
+      }
+    }
+  }
+
   test("random projection is odd: project(-x) = -project(x) exactly") {
     val vecGen = Gen.listOfN(8, Gen.chooseNum(-10000, 10000).map(_ / 129.0f))
     val signs = graft.operators.RpSearch.signs(outDim = 4, inDim = 8, seed = 9L)
