@@ -229,6 +229,39 @@ object AnalyticsQueries {
         .orderBy("returnflag", "linestatus")
     }),
 
+    // Time-series resampling + forward fill: each user's event stream is
+    // regularized onto an hourly spine (min..max hour, generated — not
+    // joined against a calendar table) and every empty hour carries the
+    // user's last observed value forward — the gap-filling step that
+    // precedes any fixed-step temporal model. Scale shape: the spine is
+    // sequence+explode off a per-user (min,max) aggregate (spine size =
+    // Σ user spans, generated scan-side, never a calendar cross join);
+    // the fill is ONE user-partitioned window over spine rows. The
+    // fill picks a value (max_by over (ts, event_id) — a total order),
+    // it never sums floats, so no float discipline is needed beyond
+    // output rounding.
+    "q_resample_ffill" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val ev = load(s, d, "events").select(
+        $"user_id", $"event_id", $"value",
+        (unix_timestamp($"ts") / lit(3600)).cast("long").as("hr"),
+        unix_micros($"ts").as("us"))
+      val spine = ev.groupBy($"user_id")
+        .agg(min($"hr").as("h0"), max($"hr").as("h1"))
+        .select($"user_id", explode(sequence($"h0", $"h1")).as("hr"))
+      val hourly = ev.groupBy($"user_id", $"hr")
+        .agg(count(lit(1)).as("n"),
+          max_by($"value", struct($"us", $"event_id")).as("lastv"))
+      val w = Window.partitionBy($"user_id").orderBy($"hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("user_id", "hr"), "left")
+        .select($"user_id", $"hr".as("hour_epoch"),
+          coalesce($"n", lit(0L)).as("n_events"),
+          round(last($"lastv", ignoreNulls = true).over(w), 4)
+            .as("filled_value"))
+        .transform(DedupQueries.orderedLarge(_, "user_id", "hour_epoch"))
+    }),
+
     // Semi-structured extraction: events.props is a JSON payload column
     // (the universal shape of event pipelines). Parsed scan-side with
     // from_json + an EXPLICIT schema — the scale contract: schema
@@ -716,6 +749,34 @@ object AnalyticsQueries {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+
+    // hour bucketing re-derived via epoch_us floor division; the
+    // in-hour winner via a rank window (a derivation disjoint from the
+    // plan's max_by-over-struct); the same IGNORE NULLS running fill
+    "q_resample_ffill" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, value,
+        |    epoch_us(ts) // 1000000 // 3600 AS hr,
+        |    epoch_us(ts) AS us
+        |  FROM events),
+        |b AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM ev GROUP BY user_id),
+        |spine AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS hr FROM b),
+        |hourly AS (SELECT user_id, hr, count(*) AS n FROM ev GROUP BY user_id, hr),
+        |lastv AS (
+        |  SELECT user_id, hr, value AS lastv FROM (
+        |    SELECT user_id, hr, value,
+        |      row_number() OVER (PARTITION BY user_id, hr
+        |        ORDER BY us DESC, event_id DESC) AS rn
+        |    FROM ev) WHERE rn = 1)
+        |SELECT s.user_id, s.hr AS hour_epoch,
+        |  coalesce(h.n, 0)::BIGINT AS n_events,
+        |  round(last_value(l.lastv IGNORE NULLS) OVER (
+        |    PARTITION BY s.user_id ORDER BY s.hr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS filled_value
+        |FROM spine s
+        |LEFT JOIN hourly h ON h.user_id = s.user_id AND h.hr = s.hr
+        |LEFT JOIN lastv l ON l.user_id = s.user_id AND l.hr = s.hr
+        |ORDER BY s.user_id, hour_epoch""".stripMargin,
 
     // TRY_CAST over json_extract_string mirrors PERMISSIVE-mode NULLs
     "q_json_extract" ->

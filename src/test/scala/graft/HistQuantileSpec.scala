@@ -30,6 +30,22 @@ class HistQuantileSpec extends SparkSpec {
     assert(math.abs(row.getDouble(4) - exact(0.99)) <= width)
   }
 
+  test("q_resample_ffill: empty hours appear with the last value carried forward") {
+    val dir = Files.createTempDirectory("graft_ffill").toString
+    val h = 3600L * 1000000000L // one hour of nanos
+    val t0 = 1700000000000000000L
+    Seq(
+      (1L, 7L, t0, "a", 1.0, "{}"),
+      (2L, 7L, t0 + 3 * h, "a", 2.0, "{}"),         // 2-hour gap before this
+      (3L, 7L, t0 + 3 * h + 1000000000L, "a", 5.0, "{}")) // same hour, later ts wins
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = AnalyticsQueries.all("q_resample_ffill")(spark, dir)
+      .collect().map(r => (r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq === Seq(1L, 0L, 0L, 2L)) // spine covers the gap
+    assert(rows.map(_._2).toSeq === Seq(1.0, 1.0, 1.0, 5.0)) // fill + latest-in-hour
+  }
+
   test("q_json_extract: malformed payloads become NULLs, never errors") {
     val dir = Files.createTempDirectory("graft_json").toString
     Seq(
