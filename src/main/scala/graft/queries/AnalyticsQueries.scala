@@ -229,6 +229,29 @@ object AnalyticsQueries {
         .orderBy("returnflag", "linestatus")
     }),
 
+    // UNPIVOT (melt): lineitem's four measure columns rotated into
+    // (metric, value) rows via the Dataset.unpivot API, then profiled
+    // per metric — the wide→long inverse of q_pivot. Scale shape:
+    // unpivot is a scan-side Expand (rows × 4, no shuffle), and the
+    // profile is one map-side-combined aggregate over a 4-row key
+    // space. Stats per metric: n + round(avg) (the q1 float-agg
+    // discipline) + exact min/max (order-free picks).
+    "q_unpivot" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      load(s, d, "lineitem")
+        .select($"l_orderkey", $"l_quantity", $"l_extendedprice",
+          $"l_discount", $"l_tax")
+        .unpivot(Array($"l_orderkey"),
+          Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
+          "metric", "value")
+        .groupBy($"metric")
+        .agg(count(lit(1)).as("n"),
+          round(avg($"value"), 4).as("avg_value"),
+          min($"value").as("min_value"),
+          max($"value").as("max_value"))
+        .orderBy("metric")
+    }),
+
     // Time-series resampling + forward fill: each user's event stream is
     // regularized onto an hourly spine (min..max hour, generated — not
     // joined against a calendar table) and every empty hour carries the
@@ -749,6 +772,18 @@ object AnalyticsQueries {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+
+    // UNION ALL per measure — the melt re-derived without any UNPIVOT
+    // machinery
+    "q_unpivot" -> {
+      val metrics = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      metrics.map { m =>
+        s"""SELECT '$m' AS metric, count(*) AS n,
+           |  round(avg($m), 4) AS avg_value,
+           |  min($m) AS min_value, max($m) AS max_value
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY metric")
+    },
 
     // hour bucketing re-derived via epoch_us floor division; the
     // in-hour winner via a rank window (a derivation disjoint from the
