@@ -229,6 +229,63 @@ object AnalyticsQueries {
         .orderBy("returnflag", "linestatus")
     }),
 
+    // Funnel analysis: how far does each user get through
+    // view → click → purchase, where each stage must strictly FOLLOW
+    // the previous one in event time? Computed as chained filtered
+    // min-aggregates (first view; first click after that view; first
+    // purchase after that click) — three map-side-combined aggs and
+    // user-keyed joins. The naive form (sort each user's events and
+    // scan) collects per-user event lists; this one never materializes
+    // an ordered sequence, so a user with 10^9 events costs the same
+    // shuffle bytes as one with 10. Pure integer micros — no floats.
+    "q_funnel" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val ev = load(s, d, "events")
+        .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      val users = ev.select($"user_id").distinct()
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"us").as("view_us"))
+      val c = ev.filter($"event_type" === "click").join(v, "user_id")
+        .filter($"us" > $"view_us")
+        .groupBy($"user_id").agg(min($"us").as("click_us"))
+      val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
+        .filter($"us" > $"click_us")
+        .groupBy($"user_id").agg(min($"us").as("purchase_us"))
+      users.join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select($"user_id",
+          (when($"view_us".isNotNull, 1).otherwise(0) +
+            when($"click_us".isNotNull, 1).otherwise(0) +
+            when($"purchase_us".isNotNull, 1).otherwise(0))
+            .cast("long").as("stage"),
+          $"view_us", $"click_us", $"purchase_us")
+        .orderBy("user_id")
+    }),
+
+    // Order-free table checksum — the cross-system reconciliation
+    // primitive (is the replica byte-identical to the source?): each
+    // row renders to a canonical ASCII string (keys, integer cents,
+    // enum text — NO raw float rendering, which differs between
+    // engines), FNV-fingerprints scan-side, and XOR-folds per group.
+    // XOR is commutative+associative ⇒ partition- and order-
+    // independent, mergeable across shards/days like the sketches; a
+    // changed, missing, or extra row flips the group checksum (a
+    // DUPLICATED row pair cancels — which is why n_rows rides along).
+    "q_table_checksum" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val rowStr = concat_ws("|",
+        $"o_orderkey".cast("string"),
+        $"o_custkey".cast("string"),
+        round($"o_totalprice" * 100).cast("long").cast("string"),
+        $"o_orderpriority")
+      load(s, d, "orders")
+        .select($"o_orderstatus", graft.GraftText.rollingHash64(rowStr).as("fp"))
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(fp)").as("checksum"))
+        .orderBy("o_orderstatus")
+    }),
+
     // UNPIVOT (melt): lineitem's four measure columns rotated into
     // (metric, value) rows via the Dataset.unpivot API, then profiled
     // per metric — the wide→long inverse of q_pivot. Scale shape:
@@ -772,6 +829,44 @@ object AnalyticsQueries {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |u AS (SELECT DISTINCT user_id FROM ev),
+        |v AS (SELECT user_id, min(us) AS view_us FROM ev
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.us) AS click_us
+        |      FROM ev e JOIN v ON v.user_id = e.user_id
+        |      WHERE e.event_type = 'click' AND e.us > v.view_us
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.us) AS purchase_us
+        |      FROM ev e JOIN c ON c.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND e.us > c.click_us
+        |      GROUP BY e.user_id)
+        |SELECT u.user_id,
+        |  ((view_us IS NOT NULL)::INT + (click_us IS NOT NULL)::INT
+        |    + (purchase_us IS NOT NULL)::INT)::BIGINT AS stage,
+        |  view_us, click_us, purchase_us
+        |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    // the FNV byte fold re-derived in HUGEINT (t_fingerprint's remap),
+    // XOR-folded with DuckDB's own bit_xor
+    "q_table_checksum" -> {
+      import graft.functions.HashSql
+      val rowExpr = "concat_ws('|', o_orderkey::VARCHAR, o_custkey::VARCHAR, " +
+        "(round(o_totalprice * 100)::BIGINT)::VARCHAR, o_orderpriority)"
+      s"""SELECT o_orderstatus, count(*) AS n_rows, bit_xor(fp) AS checksum
+         |FROM (
+         |  SELECT o_orderstatus,
+         |    (CASE WHEN fp_u >= 9223372036854775808::HUGEINT
+         |          THEN fp_u - 18446744073709551616::HUGEINT ELSE fp_u END)::BIGINT AS fp
+         |  FROM (SELECT o_orderstatus, ${HashSql.fnvSql(rowExpr)} AS fp_u
+         |        FROM orders))
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    },
 
     // UNION ALL per measure — the melt re-derived without any UNPIVOT
     // machinery

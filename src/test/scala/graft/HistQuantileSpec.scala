@@ -46,6 +46,24 @@ class HistQuantileSpec extends SparkSpec {
     assert(rows.map(_._2).toSeq === Seq(1.0, 1.0, 1.0, 5.0)) // fill + latest-in-hour
   }
 
+  test("q_funnel: stages require strict event-time order, not mere presence") {
+    val dir = Files.createTempDirectory("graft_funnel").toString
+    val t0 = 1700000000000000000L
+    def ev(id: Long, uid: Long, minute: Int, typ: String) =
+      (id, uid, t0 + minute * 60000000000L, typ, 1.0, "{}")
+    Seq(
+      ev(1, 1, 0, "view"),                                        // stage 1
+      ev(2, 2, 0, "view"), ev(3, 2, 5, "click"),                  // stage 2
+      ev(4, 3, 0, "click"), ev(5, 3, 5, "view"),                  // click BEFORE view → stage 1
+      ev(6, 4, 0, "view"), ev(7, 4, 5, "click"), ev(8, 4, 9, "purchase"), // stage 3
+      ev(9, 5, 0, "purchase"), ev(10, 5, 5, "view"), ev(11, 5, 9, "click")) // purchase too early → 2
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val stages = AnalyticsQueries.all("q_funnel")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stages === Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 3L, 5L -> 2L))
+  }
+
   test("q_json_extract: malformed payloads become NULLs, never errors") {
     val dir = Files.createTempDirectory("graft_json").toString
     Seq(
