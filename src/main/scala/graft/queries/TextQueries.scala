@@ -488,6 +488,58 @@ object TextQueries {
         .transform(DedupQueries.orderedLarge(_, "doc_id", "rnk"))
     }),
 
+    // TextRank (Mihalcea & Tarau 2004): PageRank over the token
+    // co-occurrence graph — the graph-based keyword ranker next to
+    // t_tfidf_keywords' frequency-based one. Adjacent-token pairs form
+    // weighted undirected edges; 8 damped power iterations
+    // (r' = 0.15/N + 0.85·Σ_in r·w/wdeg) rank tokens; top-20 out.
+    // Determinism: every per-node sum folds contributions in sorted
+    // source order (the t_unigram_logprob discipline — bounded by node
+    // degree), and 1.0/N, 0.15/N are single exact divisions both
+    // engines compute identically. Scale shape: each iteration is one
+    // edge⋈rank join + one dst-keyed fold shuffle — O(E) per round,
+    // no adjacency materialized per node beyond its in-list; dangling
+    // mass is absent by construction (undirected edges ⇒ every node
+    // has in-edges). Lineage is cut per round (the ConnectedComponents
+    // hygiene) so 8 rounds don't stack into one 8-deep plan.
+    "t_textrank" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val bg = load(s, d, "documents")
+        .select(tokens($"text").as("toks"))
+        .filter(size($"toks") >= 2)
+        .select(explode(zip_with(
+          slice($"toks", lit(1), size($"toks") - 1),
+          slice($"toks", lit(2), size($"toks") - 1),
+          (a, b) => struct(a.as("src"), b.as("dst")))).as("p"))
+        .select($"p.src", $"p.dst")
+      val und = bg.unionByName(bg.select($"dst".as("src"), $"src".as("dst")))
+        .filter($"src" =!= $"dst")
+      val edges = und.groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+      val ew = edges.join(
+          edges.groupBy($"src").agg(sum($"w").as("wdeg")), "src")
+        .localCheckpoint(true)
+      val n = ew.select($"src").distinct().count()
+      var r = ew.select($"src".as("token")).distinct()
+        .select($"token", lit(1.0 / n).as("r"))
+      for (_ <- 1 to 8) {
+        r = ew.join(r.withColumnRenamed("token", "src"), "src")
+          .select($"dst",
+            struct($"src", (($"r" * $"w") / $"wdeg").as("term")).as("st"))
+          .groupBy($"dst")
+          .agg(sort_array(collect_list($"st")).as("lst"))
+          .select($"dst".as("token"),
+            (lit(0.15 / n) + lit(0.85) *
+              aggregate($"lst", lit(0.0), (acc, x) => acc + x("term")))
+              .as("r"))
+          .localCheckpoint(true)
+      }
+      val wTop = org.apache.spark.sql.expressions.Window
+        .orderBy($"r".desc, $"token")
+      r.orderBy($"r".desc, $"token").limit(20)
+        .withColumn("rnk", row_number().over(wTop).cast("long"))
+        .select($"rnk", $"token", round($"r", 6).as("rank_score"))
+    }),
+
     // Stopword-profile language ID. The fixed tie-break cascade
     // (en > de > fr > es > unknown) makes it deterministic.
     "t_lang_id" -> ((s: SparkSession, d: String) => {
@@ -799,6 +851,40 @@ object TextQueries {
          |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
          |  FROM sc)
          |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+    },
+
+    // the 8 power iterations unrolled as chained CTEs, each with the
+    // same ordered fold and the same exact 0.15/n, 1.0/n divisions
+    "t_textrank" -> {
+      def iter(i: Int): String =
+        s"""r$i AS (
+           |  SELECT ew.dst AS token,
+           |    0.15 / nn.n + 0.85 * list_reduce(list_prepend(0.0,
+           |      list((p.r * ew.w / ew.wdeg) ORDER BY ew.src)), (a, b) -> a + b) AS r
+           |  FROM ew JOIN r${i - 1} p ON p.token = ew.src, nn
+           |  GROUP BY ew.dst, nn.n)""".stripMargin
+      s"""WITH t AS (
+         |  SELECT regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+         |bgp AS (
+         |  SELECT unnest([struct_pack(src := toks[i], dst := toks[i+1])
+         |                 for i in range(1, len(toks))]) AS p
+         |  FROM t WHERE len(toks) >= 2),
+         |und AS (
+         |  SELECT (p).src AS src, (p).dst AS dst FROM bgp WHERE (p).src <> (p).dst
+         |  UNION ALL
+         |  SELECT (p).dst AS src, (p).src AS dst FROM bgp WHERE (p).src <> (p).dst),
+         |edges AS (SELECT src, dst, count(*) AS w FROM und GROUP BY src, dst),
+         |ew AS (
+         |  SELECT e.src, e.dst, e.w, d.wdeg
+         |  FROM edges e
+         |  JOIN (SELECT src, sum(w) AS wdeg FROM edges GROUP BY src) d USING (src)),
+         |nn AS (SELECT count(DISTINCT src) AS n FROM ew),
+         |r0 AS (SELECT DISTINCT src AS token, 1.0 / nn.n AS r FROM ew, nn),
+         |${(1 to 8).map(iter).mkString(",\n")}
+         |SELECT rnk, token, round(r, 6) AS rank_score FROM (
+         |  SELECT token, r, row_number() OVER (ORDER BY r DESC, token) AS rnk
+         |  FROM r8)
+         |WHERE rnk <= 20 ORDER BY rnk""".stripMargin
     },
 
     "t_lang_id" -> {

@@ -112,6 +112,20 @@ class Bm25FusionSpec extends SparkSpec {
     }
   }
 
+  test("t_textrank: the hub token of a star graph ranks first") {
+    val dir = Files.createTempDirectory("graft_textrank").toString
+    // every doc is "hub spokeN hub" — hub co-occurs with every spoke,
+    // spokes only with hub: a star, whose center must dominate
+    writeDocs(dir, (1L to 8L).map(i => i -> s"hub spoke$i hub"))
+    val rows = TextQueries.all("t_textrank")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.head._2 === "hub")
+    // damped PageRank floor: every rank >= 0.15/N (N = 9 nodes)
+    assert(rows.forall(_._3 >= 0.15 / 9 - 1e-9))
+    // and the hub strictly dominates every spoke
+    assert(rows.tail.forall(_._3 < rows.head._3))
+  }
+
   test("rrf fusion: document strong in BOTH lists outranks single-list documents") {
     val dir = Files.createTempDirectory("graft_rrf").toString
     // vec 0 is the query embedding; vec 1 is nearest to it AND the most
