@@ -296,9 +296,10 @@ object AnalyticsQueries {
     "q_unpivot" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       load(s, d, "lineitem")
-        .select($"l_orderkey", $"l_quantity", $"l_extendedprice",
-          $"l_discount", $"l_tax")
-        .unpivot(Array($"l_orderkey"),
+        .select($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax")
+        // no id columns: the profile needs only (metric, value), and an
+        // id would ride the Expand as rows × 4 of dead weight
+        .unpivot(Array.empty,
           Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
           "metric", "value")
         .groupBy($"metric")
@@ -908,7 +909,10 @@ object AnalyticsQueries {
         |LEFT JOIN lastv l ON l.user_id = s.user_id AND l.hr = s.hr
         |ORDER BY s.user_id, hour_epoch""".stripMargin,
 
-    // TRY_CAST over json_extract_string mirrors PERMISSIVE-mode NULLs
+    // mirrors from_json's PERMISSIVE LongType semantics EXACTLY: only a
+    // JSON integer token parses — a string-encoded "7" or a double 7.5
+    // is NULL on both engines (json_type gates what TRY_CAST alone
+    // would happily coerce)
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n_events,
         |  count(k) AS n_parsed,
@@ -916,7 +920,10 @@ object AnalyticsQueries {
         |  min(k) AS min_k,
         |  max(k) AS max_k
         |FROM (SELECT event_type,
-        |        TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |        CASE WHEN json_valid(props)
+        |              AND json_type(props::JSON, '$.k') IN ('BIGINT', 'UBIGINT')
+        |             THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |        END AS k
         |      FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 

@@ -538,6 +538,7 @@ object TextQueries {
       r.orderBy($"r".desc, $"token").limit(20)
         .withColumn("rnk", row_number().over(wTop).cast("long"))
         .select($"rnk", $"token", round($"r", 6).as("rank_score"))
+        .orderBy("rnk")
     }),
 
     // Stopword-profile language ID. The fixed tie-break cascade

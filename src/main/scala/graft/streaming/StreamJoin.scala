@@ -24,11 +24,15 @@ import org.apache.spark.sql.functions.expr
 object StreamJoin {
 
   /** events(user_id, ts, event_id) ⋈ purchases(p_uid, p_ts, p_id):
-    * same user, p_ts ∈ [ts - 1 hour, ts]. */
+    * same user, p_ts ∈ (ts - 1 hour, ts] — i.e. exactly q_range_join's
+    * half-open anchor window ts ∈ [p_ts, p_ts + 1h) seen from the
+    * event side, so the two operators agree pair-for-pair INCLUDING
+    * the one-hour boundary (an event exactly 1 h after a purchase
+    * matches in neither). */
   def attribution(events: DataFrame, purchases: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours")
       .join(purchases.withWatermark("p_ts", "2 hours"),
         expr("""user_id = p_uid AND
-                p_ts BETWEEN ts - INTERVAL 1 HOUR AND ts"""))
+                p_ts > ts - INTERVAL 1 HOUR AND p_ts <= ts"""))
       .select("event_id", "user_id", "p_id", "ts", "p_ts")
 }

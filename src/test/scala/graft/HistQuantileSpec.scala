@@ -70,12 +70,17 @@ class HistQuantileSpec extends SparkSpec {
       (1L, 1L, 1700000000000000000L, "a", 1.0, """{"k": 7}"""),
       (2L, 1L, 1700000001000000000L, "a", 1.0, """not json at all"""),
       (3L, 1L, 1700000002000000000L, "a", 1.0, """{"other": 1}"""),
-      (4L, 1L, 1700000003000000000L, "a", 1.0, """{"k": 35}"""))
+      (4L, 1L, 1700000003000000000L, "a", 1.0, """{"k": 35}"""),
+      // typed strictness: a string-encoded number and a double are NOT
+      // longs — from_json(LongType) nulls both (and the oracle's
+      // json_type gate must agree)
+      (5L, 1L, 1700000004000000000L, "a", 1.0, """{"k": "7"}"""),
+      (6L, 1L, 1700000005000000000L, "a", 1.0, """{"k": 7.5}"""))
       .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val r = AnalyticsQueries.all("q_json_extract")(spark, dir).collect()(0)
-    assert(r.getLong(1) === 4L) // n_events counts every row
-    assert(r.getLong(2) === 2L) // only the two well-formed k payloads parse
+    assert(r.getLong(1) === 6L) // n_events counts every row
+    assert(r.getLong(2) === 2L) // only the two INTEGER k payloads parse
     assert(r.getLong(3) === 42L)
     assert(r.getLong(4) === 7L && r.getLong(5) === 35L)
   }

@@ -112,33 +112,29 @@ class LawsSpec extends SparkSpec {
   }
 
   test("bloom laws: no false negative for ANY key set; merge = bitwise OR") {
+    // through the REAL aggregate and probe expression (not a re-derived
+    // bit check): one batched plan over all generated sets
     val setGen = Gen.chooseNum(1, 200).flatMap(k =>
       Gen.listOfN(k, Gen.chooseNum(Long.MinValue, Long.MaxValue)))
-    cases(setGen, n = 20).foreach { keys =>
-      val buf = new graft.operators.BloomBuffer(64, 4)
-      keys.foreach(buf.add)
-      // probe through the same bit math the expression uses
-      val mBits = 64 * 64
-      def contains(b: graft.operators.BloomBuffer, k: Long): Boolean =
-        (0 until 4).forall { i =>
-          val bit = graft.operators.BloomHash.bit(k, i, mBits)
-          (wordsOf(b)(bit >>> 6) & (1L << (bit & 63))) != 0L
-        }
-      assert(keys.forall(contains(buf, _)), "false negative")
-      // merge law on a random split
-      val (l, r) = keys.splitAt(keys.length / 2)
-      val bl = new graft.operators.BloomBuffer(64, 4)
-      val br = new graft.operators.BloomBuffer(64, 4)
-      l.foreach(bl.add); r.foreach(br.add)
-      bl.mergeFrom(br)
-      assert(wordsOf(bl).sameElements(wordsOf(buf)), "merge != union build")
-    }
-  }
-
-  private def wordsOf(b: graft.operators.BloomBuffer): Array[Long] = {
-    val f = classOf[graft.operators.BloomBuffer].getDeclaredField("words")
-    f.setAccessible(true)
-    f.get(b).asInstanceOf[Array[Long]]
+    val sets = cases(setGen, n = 20)
+    val rows = sets.zipWithIndex.flatMap { case (ks, g) =>
+      ks.zipWithIndex.map { case (k, i) => (g, i % 2, k) }
+    }.toDF("g", "half", "k")
+    // no false negative: every key probes true against its set's filter
+    val filters = rows.groupBy($"g").agg(bloomFilter($"k").as("bf"))
+    val misses = rows.join(filters, "g")
+      .filter(!bloomMightContain($"k", $"bf")).count()
+    assert(misses === 0L, "false negative through BloomMightContain")
+    // merge = bitwise OR: the half-split filters OR together into the
+    // whole-set filter, bit for bit, for every generated set
+    val halves = rows.groupBy($"g", $"half").agg(bloomFilter($"k").as("hbf"))
+      .groupBy($"g").agg(collect_list($"hbf").as("hs"))
+    val badMerges = filters.join(halves, "g")
+      .select($"bf", when(size($"hs") === 1, $"hs"(0))
+        .otherwise(zip_with($"hs"(0), $"hs"(1), (a, b) => a.bitwiseOR(b)))
+        .as("ored"))
+      .filter(!($"bf" <=> $"ored")).count()
+    assert(badMerges === 0L, "OR of split filters != whole-set filter")
   }
 
   test("chunk-window arithmetic tiles every doc length: cover, overlap, clip") {

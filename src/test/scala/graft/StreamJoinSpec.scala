@@ -28,6 +28,7 @@ class StreamJoinSpec extends SparkSpec {
       JEv(4L, 30L, ts(30)))  // user with no purchases
     val purchases = Seq(
       JPu(100L, 10L, ts(5)),
+      JPu(104L, 10L, ts(0)),  // EXACTLY 1h before event 1: boundary, no match
       JPu(101L, 10L, ts(59)),
       JPu(102L, 20L, ts(40)),
       JPu(103L, 99L, ts(60))) // user with no events
@@ -43,7 +44,9 @@ class StreamJoinSpec extends SparkSpec {
     q.processAllAvailable()
     puStream.addData(purchases.take(2))
     q.processAllAvailable()
-    puStream.addData(purchases.drop(2))
+    puStream.addData(purchases.slice(2, 4))
+    q.processAllAvailable()
+    puStream.addData(purchases.drop(4))
     q.processAllAvailable()
     evStream.addData(events.drop(2))
     q.processAllAvailable()
