@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -227,6 +227,45 @@ object AnalyticsQueries {
           coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
           $"revenue", $"n_items")
         .orderBy("returnflag", "linestatus")
+    }),
+
+    // Snapshot diff — the CDC companion of q_table_checksum: given two
+    // versions of a keyed table, classify every key as added / removed
+    // / changed / unchanged. v2 is synthesized from orders the way
+    // v_hybrid_search synthesizes deltas (every 11th key deleted,
+    // every 7th surviving key's price bumped — in integer cents — and
+    // fresh keys appended), then the diff is ONE full-outer join on
+    // the key comparing row fingerprints — no column-by-column
+    // comparison ships across the shuffle, just the 8-byte FNV of each
+    // side's canonical rendering. Output: per-status change counts.
+    "q_snapshot_diff" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      def fp(price: Column) = graft.GraftText.rollingHash64(concat_ws("|",
+        $"o_custkey".cast("string"),
+        price.cast("string"),
+        $"o_orderpriority"))
+      val cents = round($"o_totalprice" * 100).cast("long")
+      val v1 = load(s, d, "orders")
+        .select($"o_orderkey", $"o_orderstatus", fp(cents).as("fp1"))
+      val v2base = load(s, d, "orders")
+        .filter($"o_orderkey" % 11 =!= 0)
+        .select($"o_orderkey", $"o_orderstatus",
+          fp(when($"o_orderkey" % 7 === 0, cents + 100).otherwise(cents))
+            .as("fp2"))
+      val v2new = load(s, d, "orders")
+        .filter($"o_orderkey" % 13 === 0)
+        .select(($"o_orderkey" + 10000000L).as("o_orderkey"),
+          $"o_orderstatus", fp(cents).as("fp2"))
+      val v2 = v2base.unionByName(v2new)
+      v1.join(v2, Seq("o_orderkey", "o_orderstatus"), "full_outer")
+        .select($"o_orderstatus",
+          when($"fp1".isNull, "added")
+            .when($"fp2".isNull, "removed")
+            .when($"fp1" =!= $"fp2", "changed")
+            .otherwise("unchanged").as("change"))
+        .groupBy($"o_orderstatus", $"change")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus", "change")
     }),
 
     // Funnel analysis: how far does each user get through
@@ -830,6 +869,31 @@ object AnalyticsQueries {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+
+    // the diff re-derived by comparing the underlying VALUES directly
+    // (no fingerprints at all — a fully disjoint derivation; a hash
+    // collision on the Spark side would surface as a count mismatch)
+    "q_snapshot_diff" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    round(o_totalprice * 100)::BIGINT AS cents
+        |  FROM orders),
+        |v2 AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN cents + 100 ELSE cents END AS cents
+        |  FROM v1 WHERE o_orderkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderstatus, cents
+        |  FROM v1 WHERE o_orderkey % 13 = 0)
+        |SELECT o_orderstatus, change, count(*) AS n FROM (
+        |  SELECT coalesce(a.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+        |    CASE WHEN a.o_orderkey IS NULL THEN 'added'
+        |         WHEN b.o_orderkey IS NULL THEN 'removed'
+        |         WHEN a.cents <> b.cents THEN 'changed'
+        |         ELSE 'unchanged' END AS change
+        |  FROM v1 a FULL OUTER JOIN v2 b
+        |    ON a.o_orderkey = b.o_orderkey AND a.o_orderstatus = b.o_orderstatus)
+        |GROUP BY 1, 2 ORDER BY o_orderstatus, change""".stripMargin,
 
     "q_funnel" ->
       """WITH ev AS (

@@ -38,6 +38,13 @@ object TextQueries {
     "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}" -> "[IP]",
     "\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}" -> "[PHONE]")
 
+  /** Fixed linear-model weights for t_hash_features — derived from
+    * exact integer arithmetic so the doubles are identical wherever the
+    * sequence is re-generated, and interpolated into the oracle SQL
+    * literal-for-literal. */
+  private[graft] val HashFeatureWeights: Seq[Double] =
+    Seq.tabulate(64)(j => ((j * 2654435761L % 1009).toDouble / 1009) - 0.5)
+
   private def sqlStopCount(set: Seq[String]): String =
     s"len(list_filter(toks, t -> list_contains([${set.map(w => s"'$w'").mkString(",")}], t)))::BIGINT"
 
@@ -488,6 +495,31 @@ object TextQueries {
         .transform(DedupQueries.orderedLarge(_, "doc_id", "rnk"))
     }),
 
+    // Feature hashing (Weinberger et al. 2009, the Vowpal-Wabbit trick):
+    // tokens hash straight into a FIXED-width feature space (D=64 here;
+    // 2^20 at scale) — no vocabulary dictionary, no fitting pass, no
+    // OOV handling, which is the whole point at 100 TB: the featurizer
+    // is a stateless scan-side projection that never shuffles a vocab.
+    // Each doc reports its nonzero-bucket count and a linear score
+    // against a fixed literal weight vector (the model-inference-as-
+    // scan shape); the dot product folds over SORTED bucket ids so the
+    // double is order-free. Bucket = low 6 bits of the FNV-1a token
+    // hash — identical in signed (Spark) and unsigned (SQL) arithmetic
+    // because D is a power of two.
+    "t_hash_features" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val buckets = transform(tokens($"text"),
+        t => graft.GraftText.rollingHash64(t).bitwiseAND(lit(63L)))
+      load(s, d, "documents")
+        .select($"doc_id", sort_array(buckets).as("bs"))
+        .select($"doc_id",
+          size(array_distinct($"bs")).cast("long").as("nnz"),
+          round(aggregate($"bs", lit(0.0), (acc, b) =>
+            acc + element_at(typedlit(HashFeatureWeights), (b + 1).cast("int"))),
+            6).as("score"))
+        .orderBy("doc_id")
+    }),
+
     // TextRank (Mihalcea & Tarau 2004): PageRank over the token
     // co-occurrence graph — the graph-based keyword ranker next to
     // t_tfidf_keywords' frequency-based one. Adjacent-token pairs form
@@ -852,6 +884,27 @@ object TextQueries {
          |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
          |  FROM sc)
          |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+    },
+
+    // buckets re-derived via the HUGEINT FNV fold (low 6 bits agree
+    // between signed and unsigned arithmetic); the dot product folds
+    // the same sorted bucket list against the same interpolated weights
+    "t_hash_features" -> {
+      import graft.functions.HashSql
+      val wLit = HashFeatureWeights.mkString("[", ", ", "]")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, (${HashSql.fnvSql("tok")} % 64)::BIGINT AS bkt
+         |  FROM t),
+         |d AS (SELECT doc_id, list_sort(list(bkt)) AS bs FROM b GROUP BY doc_id)
+         |SELECT doc_id,
+         |  len(list_distinct(bs))::BIGINT AS nnz,
+         |  round(list_reduce(list_prepend(0.0,
+         |    list_transform(bs, bb -> ($wLit::DOUBLE[])[bb + 1])), (a, x) -> a + x), 6) AS score
+         |FROM d ORDER BY doc_id""".stripMargin
     },
 
     // the 8 power iterations unrolled as chained CTEs, each with the

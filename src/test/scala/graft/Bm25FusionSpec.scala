@@ -112,6 +112,20 @@ class Bm25FusionSpec extends SparkSpec {
     }
   }
 
+  test("t_hash_features: token-order invariant, dictionary-free, fixed width") {
+    val dir = Files.createTempDirectory("graft_hashfeat").toString
+    writeDocs(dir, Seq(
+      1L -> "alpha beta gamma delta",
+      2L -> "delta gamma beta alpha", // same multiset, different order
+      3L -> "zeta"))                  // never-seen token: no OOV concept
+    val rows = TextQueries.all("t_hash_features")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byId = rows.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byId(1L) === byId(2L), "features must be order-invariant")
+    assert(byId(3L)._1 === 1L) // one bucket, no dictionary required
+    assert(rows.forall(_._2 <= 64L), "bucket count bounded by D")
+  }
+
   test("t_textrank: the hub token of a star graph ranks first") {
     val dir = Files.createTempDirectory("graft_textrank").toString
     // every doc is "hub spokeN hub" — hub co-occurs with every spoke,
