@@ -19,6 +19,24 @@ object AnalyticsQueries {
 
   private val TsFmt = "yyyy-MM-dd HH:mm:ss"
 
+  /** FNV fingerprint of a canonical '|'-joined ASCII rendering — the
+    * row-identity primitive shared by q_table_checksum and
+    * q_snapshot_diff (keys, integer cents, enum text ONLY: raw float
+    * rendering differs between engines). One definition so the two
+    * queries' interlocked oracles can't drift apart. */
+  private def canonicalFp(cols: Column*): Column =
+    graft.GraftText.rollingHash64(concat_ws("|", cols: _*))
+
+  /** o_totalprice as integer cents — the money discipline. */
+  private def orderCents: Column =
+    round(col("o_totalprice") * 100).cast("long")
+
+  /** q_snapshot_diff's row identity: custkey|cents|priority (the join
+    * key itself is compared separately by the outer join). */
+  private def orderRowFp(price: Column): Column =
+    canonicalFp(col("o_custkey").cast("string"), price.cast("string"),
+      col("o_orderpriority"))
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 flavor: single wide scan-agg, fully map-side combinable.
     "q1_pricing_summary" -> ((s: SparkSession, d: String) => {
@@ -240,22 +258,26 @@ object AnalyticsQueries {
     // side's canonical rendering. Output: per-status change counts.
     "q_snapshot_diff" -> ((s: SparkSession, d: String) => {
       import s.implicits._
-      def fp(price: Column) = graft.GraftText.rollingHash64(concat_ws("|",
-        $"o_custkey".cast("string"),
-        price.cast("string"),
-        $"o_orderpriority"))
-      val cents = round($"o_totalprice" * 100).cast("long")
-      val v1 = load(s, d, "orders")
-        .select($"o_orderkey", $"o_orderstatus", fp(cents).as("fp1"))
-      val v2base = load(s, d, "orders")
+      // every leg derives from ONE base projection carrying both
+      // fingerprints (in production v1/v2 are two separate snapshots,
+      // one scan each — the triple derivation here is fixture
+      // synthesis, so at least the expressions exist once)
+      val base = load(s, d, "orders").select(
+        $"o_orderkey", $"o_orderstatus",
+        orderRowFp(orderCents).as("fp1"),
+        orderRowFp(orderCents + 100).as("fp_bumped"))
+      val v1 = base.select($"o_orderkey", $"o_orderstatus", $"fp1")
+      val v2base = base
         .filter($"o_orderkey" % 11 =!= 0)
         .select($"o_orderkey", $"o_orderstatus",
-          fp(when($"o_orderkey" % 7 === 0, cents + 100).otherwise(cents))
+          when($"o_orderkey" % 7 === 0, $"fp_bumped").otherwise($"fp1")
             .as("fp2"))
-      val v2new = load(s, d, "orders")
+      // fresh keys are NEGATIVE (-key-1): they can never collide with a
+      // real orderkey at any scale factor, unlike a fixed offset
+      val v2new = base
         .filter($"o_orderkey" % 13 === 0)
-        .select(($"o_orderkey" + 10000000L).as("o_orderkey"),
-          $"o_orderstatus", fp(cents).as("fp2"))
+        .select((-$"o_orderkey" - 1).as("o_orderkey"),
+          $"o_orderstatus", $"fp1".as("fp2"))
       val v2 = v2base.unionByName(v2new)
       v1.join(v2, Seq("o_orderkey", "o_orderstatus"), "full_outer")
         .select($"o_orderstatus",
@@ -313,13 +335,10 @@ object AnalyticsQueries {
     // DUPLICATED row pair cancels — which is why n_rows rides along).
     "q_table_checksum" -> ((s: SparkSession, d: String) => {
       import s.implicits._
-      val rowStr = concat_ws("|",
-        $"o_orderkey".cast("string"),
-        $"o_custkey".cast("string"),
-        round($"o_totalprice" * 100).cast("long").cast("string"),
-        $"o_orderpriority")
       load(s, d, "orders")
-        .select($"o_orderstatus", graft.GraftText.rollingHash64(rowStr).as("fp"))
+        .select($"o_orderstatus",
+          canonicalFp($"o_orderkey".cast("string"), $"o_custkey".cast("string"),
+            orderCents.cast("string"), $"o_orderpriority").as("fp"))
         .groupBy($"o_orderstatus")
         .agg(count(lit(1)).as("n_rows"), expr("bit_xor(fp)").as("checksum"))
         .orderBy("o_orderstatus")
@@ -883,7 +902,7 @@ object AnalyticsQueries {
         |    CASE WHEN o_orderkey % 7 = 0 THEN cents + 100 ELSE cents END AS cents
         |  FROM v1 WHERE o_orderkey % 11 <> 0
         |  UNION ALL
-        |  SELECT o_orderkey + 10000000, o_orderstatus, cents
+        |  SELECT -o_orderkey - 1, o_orderstatus, cents
         |  FROM v1 WHERE o_orderkey % 13 = 0)
         |SELECT o_orderstatus, change, count(*) AS n FROM (
         |  SELECT coalesce(a.o_orderstatus, b.o_orderstatus) AS o_orderstatus,

@@ -117,13 +117,17 @@ class Bm25FusionSpec extends SparkSpec {
     writeDocs(dir, Seq(
       1L -> "alpha beta gamma delta",
       2L -> "delta gamma beta alpha", // same multiset, different order
-      3L -> "zeta"))                  // never-seen token: no OOV concept
+      3L -> "zeta",                   // never-seen token: no OOV concept
+      // 200 distinct tokens — MORE than D, so the fixed-width bound is
+      // actually load-bearing, not satisfied by a short doc trivially
+      4L -> (1 to 200).map(i => s"tok$i").mkString(" ")))
     val rows = TextQueries.all("t_hash_features")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val byId = rows.map(r => r._1 -> (r._2, r._3)).toMap
     assert(byId(1L) === byId(2L), "features must be order-invariant")
     assert(byId(3L)._1 === 1L) // one bucket, no dictionary required
-    assert(rows.forall(_._2 <= 64L), "bucket count bounded by D")
+    assert(byId(4L)._1 <= 64L, "200 distinct tokens must fold into <= D buckets")
+    assert(byId(4L)._1 >= 40L, "the hash must actually spread across buckets")
   }
 
   test("t_textrank: the hub token of a star graph ranks first") {
