@@ -116,10 +116,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("graft_cms_estimate",
         "graft_cms_estimate(key, counters) - never-undercounting frequency estimate") {
       es => graft.operators.CmsEstimate(es(0), es(1)) }
-    reg("graft_bloom", "graft_bloom(key) - mergeable Bloom bit words (1024x64 bits, k=4)") {
+    reg("graft_bloom", "graft_bloom(key) - mergeable Bloom bit words (header + 1024x64 bits, k=4)") {
       es => graft.operators.BloomFilterAgg(es(0)) }
     reg("graft_bloom_contains",
-        "graft_bloom_contains(key, words) - no-false-negative membership probe") {
+        "graft_bloom_contains(key, words) - no-false-negative membership probe (k from the header word)") {
       es => graft.operators.BloomMightContain(es(0), es(1)) }
   }
 }

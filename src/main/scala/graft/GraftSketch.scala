@@ -35,10 +35,12 @@ object GraftSketch {
     Shims.column(BloomFilterAgg(Shims.expression(key.cast("long")),
       numWords, numHashes).toAggregateExpression())
 
-  /** No-false-negative membership probe against [[bloomFilter]] words. */
-  def bloomMightContain(key: Column, words: Column, numHashes: Int = 4): Column =
+  /** No-false-negative membership probe against [[bloomFilter]] words.
+    * numHashes travels in the filter's header word — build and probe
+    * cannot disagree. */
+  def bloomMightContain(key: Column, words: Column): Column =
     Shims.column(BloomMightContain(Shims.expression(key.cast("long")),
-      Shims.expression(words), numHashes))
+      Shims.expression(words)))
 
   /** α_m·m² of the raw-HLL estimator, computed once here so the Spark
     * plan and the SQL oracle consume the IDENTICAL double. */

@@ -36,6 +36,22 @@ import graft.functions.GraftHash
 object BloomHash {
   private val Golden = 0x9e3779b97f4a7c15L
 
+  /** Emitted filters carry a header word (magic tag in the high 32 bits,
+    * numHashes in the low bits): a probe run with a different numHashes
+    * than the filter was built with silently yields false negatives — the
+    * one failure mode the Bloom contract rules out — so the build-side
+    * hash count travels WITH the bits and the probe reads it from there
+    * instead of trusting its caller. */
+  val HeaderMagic: Long = 0x62664C4DL << 32 // "bfLM"
+  def header(numHashes: Int): Long = HeaderMagic | numHashes.toLong
+  def headerNumHashes(h: Long): Int = {
+    require((h & 0xFFFFFFFF00000000L) == HeaderMagic,
+      s"not a graft bloom filter: bad header word $h (missing magic)")
+    val k = (h & 0xFFFFFFFFL).toInt
+    require(k >= 1 && k <= 16, s"bloom header carries numHashes=$k, want 1..16")
+    k
+  }
+
   /** Bit index of probe `i` for `key` in an m-bit filter (m = 64·words,
     * power of two). */
   def bit(key: Long, i: Int, mBits: Int): Int = {
@@ -97,8 +113,12 @@ case class BloomFilterAgg(
     buffer.mergeFrom(other); buffer
   }
 
-  override def eval(buffer: BloomBuffer): Any =
-    new GenericArrayData(buffer.words.clone())
+  override def eval(buffer: BloomBuffer): Any = {
+    val out = new Array[Long](1 + buffer.numWords)
+    out(0) = BloomHash.header(buffer.numHashes)
+    System.arraycopy(buffer.words, 0, out, 1, buffer.numWords)
+    new GenericArrayData(out)
+  }
 
   override def serialize(buffer: BloomBuffer): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(8 + 8 * buffer.numWords)
@@ -125,11 +145,12 @@ case class BloomFilterAgg(
 }
 
 /** bloom_might_contain(key, words) → boolean: true iff all numHashes
-  * probe bits are set. Never a false negative (every inserted key's
-  * bits were set by construction); false positives at the standard
-  * (1 - e^(-kn/m))^k rate. */
-case class BloomMightContain(key: Expression, words: Expression,
-    numHashes: Int = 4)
+  * probe bits are set, with numHashes read from the filter's own header
+  * word (never caller-supplied — a probe with a larger k than the build
+  * would be a silent false-negative path). Never a false negative
+  * (every inserted key's bits were set by construction); false
+  * positives at the standard (1 - e^(-kn/m))^k rate. */
+case class BloomMightContain(key: Expression, words: Expression)
   extends BinaryExpression with CodegenFallback {
 
   override def left: Expression = key
@@ -146,17 +167,20 @@ case class BloomMightContain(key: Expression, words: Expression,
   override def nullSafeEval(a: Any, b: Any): Any = {
     val k = a.asInstanceOf[Long]
     val arr = b.asInstanceOf[ArrayData]
-    val numWords = arr.numElements()
+    require(arr.numElements() >= 2,
+      s"bloom_might_contain expects header + words, got ${arr.numElements()} elements")
+    val numHashes = BloomHash.headerNumHashes(arr.getLong(0))
+    val numWords = arr.numElements() - 1
     // a filter with a non-power-of-two word count came from a different
     // geometry and would mask wrong bit indices — a silent false-negative
     // path, the one failure mode the Bloom contract rules out
-    require(numWords >= 1 && (numWords & (numWords - 1)) == 0,
+    require((numWords & (numWords - 1)) == 0,
       s"bloom_might_contain expects a power-of-two word count, got $numWords")
     val mBits = numWords * 64
     var i = 0
     while (i < numHashes) {
       val bit = BloomHash.bit(k, i, mBits)
-      if ((arr.getLong(bit >>> 6) & (1L << (bit & 63))) == 0L) return false
+      if ((arr.getLong(1 + (bit >>> 6)) & (1L << (bit & 63))) == 0L) return false
       i += 1
     }
     true

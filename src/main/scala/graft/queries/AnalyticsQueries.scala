@@ -1045,7 +1045,7 @@ object AnalyticsQueries {
         |tgt AS (
         |  SELECT event_type, vmin, vmax, n, p,
         |    greatest(1, ceil(p * n)::BIGINT) AS target
-        |  FROM rng, (SELECT unnest([0.5, 0.9, 0.99]) AS p)),
+        |  FROM rng, (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS p)),
         |est AS (
         |  SELECT t.event_type, t.p, t.n,
         |    t.vmin + (c.bkt::DOUBLE +

@@ -508,7 +508,10 @@ object TextQueries {
     // because D is a power of two.
     "t_hash_features" -> ((s: SparkSession, d: String) => {
       import s.implicits._
-      val buckets = transform(tokens($"text"),
+      // NULL text: coalesce to '' on BOTH sides (the t_chunk_windows
+      // discipline) — tokens(NULL) would propagate a NULL row here while
+      // the oracle's unnest of a NULL array drops the doc entirely
+      val buckets = transform(tokens(coalesce($"text", lit(""))),
         t => graft.GraftText.rollingHash64(t).bitwiseAND(lit(63L)))
       load(s, d, "documents")
         .select($"doc_id", sort_array(buckets).as("bs"))
@@ -894,7 +897,7 @@ object TextQueries {
       val wLit = HashFeatureWeights.mkString("[", ", ", "]")
       s"""WITH t AS (
          |  SELECT doc_id,
-         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |    unnest(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) AS tok
          |  FROM documents),
          |b AS (
          |  SELECT doc_id, (${HashSql.fnvSql("tok")} % 64)::BIGINT AS bkt

@@ -110,10 +110,6 @@ class ExtensionsSpec extends SparkSpec {
           "array(0.0D, 0.0D), array(0.003921568627451D, 0.003921568627451D))"),
       "graft_cms_estimate" ->
         "graft_cms_estimate('k', array_repeat(1L, 1024))",
-      // all-ones words: every probe bit is set, so the result is TRUE
-      // (and non-null) whatever the key hashes to
-      "graft_bloom_contains" ->
-        "graft_bloom_contains(7L, array_repeat(-1L, 1024))",
       "graft_random_project" ->
         "graft_random_project(array(0.5f,1.5f,2.5f,3.5f), 4, 2, 42)")
     val aggregate = Map(
@@ -121,7 +117,11 @@ class ExtensionsSpec extends SparkSpec {
       "graft_vector_avg" -> "graft_vector_avg(v)",
       "graft_hll" -> "graft_hll(id)",
       "graft_cms" -> "graft_cms(CAST(id AS STRING))",
-      "graft_bloom" -> "graft_bloom(id)")
+      "graft_bloom" -> "graft_bloom(id)",
+      // probe against a really-built filter: the words array now carries
+      // a header word (magic + numHashes), so a bare literal array is no
+      // longer a valid filter — by design
+      "graft_bloom_contains" -> "graft_bloom_contains(10L, graft_bloom(id))")
     val registered = spark.sessionState.functionRegistry.listFunction()
       .map(_.funcName).filter(_.startsWith("graft_")).toSet
     assert(registered === scalar.keySet ++ aggregate.keySet,
