@@ -286,6 +286,42 @@ object IndexOracle {
        |) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** v_bq_search: sign-bit fingerprints (two 32-bit halves, the same
+    * reverse-fold acc·2+bit arithmetic as BqSearch.fingerprintHalf),
+    * Hamming shortlist by (popcount-of-xor, vec_id), exact-L2 refine —
+    * no literals at all: fingerprints, ranking, and refine are all
+    * re-derived from the raw embeddings table. */
+  def bqSearchOracle(dim: Int, k: Int, refineFactor: Int,
+      numQueries: Int): String = {
+    require(dim == 64, s"bq oracle packs exactly 64 dims, got $dim")
+    def half(vexpr: String, lo: Int): String =
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(" +
+        s"list_reverse(($vexpr)[${lo + 1}:${lo + 32}]), " +
+        s"x -> CASE WHEN x > 0 THEN 1::BIGINT ELSE 0::BIGINT END)), " +
+        s"(a, b) -> a * 2 + b)"
+    s"""WITH f AS (SELECT vec_id, ${half("embedding", 0)} AS flo,
+       |    ${half("embedding", 32)} AS fhi FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $numQueries),
+       |fq AS (SELECT vec_id AS query_id, ${half("embedding", 0)} AS qlo,
+       |    ${half("embedding", 32)} AS qhi FROM embeddings WHERE vec_id < $numQueries),
+       |short AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY hd, vec_id) AS arnk
+       |    FROM (SELECT fq.query_id, f.vec_id,
+       |            bit_count(xor(f.flo, fq.qlo)) + bit_count(xor(f.fhi, fq.qhi)) AS hd
+       |          FROM f CROSS JOIN fq)
+       |  ) WHERE arnk <= ${k * refineFactor})
+       |SELECT query_id, neighbor_id, rnk, dist FROM (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rnk,
+       |    round(sqrt(d), 4) AS dist
+       |  FROM (SELECT s.query_id, s.vec_id, ${l2sqCol("e.embedding", "q.qv", dim)} AS d
+       |        FROM short s JOIN embeddings e ON e.vec_id = s.vec_id
+       |        JOIN q ON q.query_id = s.query_id)
+       |) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** v_pq_rerank: the ADC shortlist (top k×refine by (adist, vec_id),
     * exactly the flat-PQ ranking) re-ranked by the exact squared-L2
     * fold, sqrt applied only to the rounded output — mirroring

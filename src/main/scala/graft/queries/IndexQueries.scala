@@ -127,6 +127,21 @@ object IndexQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // Binary (sign-bit) quantization search: 64 dims → 64 bits (256×
+    // compression, the ladder's last rung), Hamming shortlist via
+    // popcount-of-xor on two packed 32-bit halves, exact-L2 refine —
+    // training-free like RP, and the fingerprint is seedless: a pure
+    // scan-side function of the vector.
+    "v_bq_search" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val e = load(s, d, "embeddings")
+      val q = e.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      graft.operators.BqSearch.searchRefined(e, "vec_id", "embedding", q,
+          dim = 64, k = K, refineFactor = 8)
+        .orderBy("query_id", "rnk")
+    }),
+
     // LSH bucket histogram (8 seeded hyperplanes → 256 buckets).
     "v_lsh_bucket" -> ((s: SparkSession, d: String) => {
       import s.implicits._
@@ -246,6 +261,9 @@ object IndexQueries {
   def staticOracles: Map[String, String] = Map(
     "v_sq8_search" -> graft.operators.IndexOracle
       .sq8SearchOracle(dim = 64, K, refineFactor = 4, NumQueries),
+
+    "v_bq_search" -> graft.operators.IndexOracle
+      .bqSearchOracle(dim = 64, K, refineFactor = 8, NumQueries),
 
     "v_rp_search" -> graft.operators.IndexOracle.rpSearchOracle(
       graft.operators.RpSearch.signs(outDim = 16, inDim = 64),
