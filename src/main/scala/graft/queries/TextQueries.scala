@@ -292,6 +292,17 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // BPE merge TRAINING (Sennrich et al. 2016) — the stage that learns
+    // the tokenizer t_bpe_tokens' pretokenizer feeds: corpus → vocab
+    // frame (distinct word + freq, the statistic BPE actually needs),
+    // then R rounds of most-frequent-adjacent-pair fusion. The greedy
+    // merge is a plain replace() over a separator-wrapped symbol string
+    // (occurrences can't share characters, so LTR non-overlapping
+    // replace IS the BPE merge) — identical in Spark and the oracle's
+    // unrolled CTE rounds. Pure integer counts, total tie-break order.
+    "t_bpe_train" -> ((s: SparkSession, d: String) =>
+      graft.operators.BpeTrain.learn(load(s, d, "documents"))),
+
     // Sequence packing for training: docs are concatenated per output
     // shard (doc_id mod 8, deterministic) in doc_id order and cut into
     // 2048-token context windows; each doc reports the token offset and
@@ -694,6 +705,10 @@ object TextQueries {
         |               % 18446744073709551616::HUGEINT) AS fp_u
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // the same vocabulary collapse and R unrolled merge rounds — pair
+    // counts, (cnt DESC, lhs, rhs) argmax, wrapped-string replace-merge
+    "t_bpe_train" -> graft.operators.BpeTrain.oracleSql(),
 
     "t_bpe_tokens" -> {
       val p = BpePattern.replace("'", "''")
