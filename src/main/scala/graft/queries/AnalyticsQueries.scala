@@ -247,6 +247,63 @@ object AnalyticsQueries {
         .orderBy("returnflag", "linestatus")
     }),
 
+    // CUBE over (returnflag, linestatus) — the full grouping-sets grid
+    // beside q_rollup_revenue's hierarchy: all four aggregation levels
+    // in ONE pass (Spark plans an Expand, each input row fanned to its
+    // grouping sets, then one map-side-combined aggregate — never four
+    // scans). gid pins which dims are aggregated away; money as integer
+    // cents (float sums under Expand reorder across partitions).
+    "q_grouping_sets" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      load(s, d, "lineitem")
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(
+          (grouping($"l_returnflag") * 2 + grouping($"l_linestatus"))
+            .cast("long").as("gid"),
+          sum(round($"l_extendedprice" * 100).cast("long")).as("price_cents"),
+          count(lit(1)).as("n_items"))
+        .select($"gid",
+          coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+          round($"price_cents" / 100.0, 2).as("sum_price"),
+          $"n_items")
+        .orderBy("gid", "returnflag", "linestatus")
+    }),
+
+    // Incremental aggregate maintenance (materialized-view refresh): at
+    // 100 TB you never recompute an aggregate from scratch — you keep
+    // per-key STATE (commutative-monoid partials: integer-cent sums and
+    // counts), aggregate only the delta, and fold the two state frames
+    // together with ONE elementwise-sum merge (the same mergeability
+    // law the sketch aggregates live by). The query runs exactly that:
+    // lineitem split at a ship-date cutoff into base ∪ delta, each
+    // aggregated independently — in a deployment the base state is a
+    // persisted table and only the delta scan runs — then merged. The
+    // oracle is the FULL single-pass aggregate: the hash match IS the
+    // proof that incremental maintenance loses nothing.
+    "q_incremental_agg" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val cutoff = lit("1997-06-01").cast("timestamp")
+      val li = load(s, d, "lineitem")
+      def state(df: DataFrame): DataFrame =
+        df.groupBy($"l_returnflag", $"l_linestatus")
+          .agg(sum(round($"l_quantity" * 100).cast("long")).as("qty_cents"),
+            sum(round($"l_extendedprice" * 100).cast("long")).as("price_cents"),
+            count(lit(1)).as("n_rows"))
+      state(li.filter($"l_shipdate" < cutoff))
+        .unionByName(state(li.filter($"l_shipdate" >= cutoff)))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(sum($"qty_cents").as("qty_cents"),
+          sum($"price_cents").as("price_cents"),
+          sum($"n_rows").as("n_rows"))
+        .select($"l_returnflag", $"l_linestatus",
+          round($"qty_cents" / 100.0, 2).as("sum_qty"),
+          round($"price_cents" / 100.0, 2).as("sum_price"),
+          $"n_rows",
+          round(($"price_cents" / 100.0) / $"n_rows", 4).as("avg_price"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
     // Snapshot diff — the CDC companion of q_table_checksum: given two
     // versions of a keyed table, classify every key as added / removed
     // / changed / unchanged. v2 is synthesized from orders the way
@@ -888,6 +945,27 @@ object AnalyticsQueries {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT (2 * grouping(l_returnflag) + grouping(l_linestatus))::BIGINT AS gid,
+        |  coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  round(sum(round(l_extendedprice * 100)::BIGINT) / 100.0, 2) AS sum_price,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, returnflag, linestatus""".stripMargin,
+
+    // the full single-pass aggregate — no split, no merge: equality
+    // with the incremental plan is the maintenance-correctness proof
+    "q_incremental_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(round(l_quantity * 100)::BIGINT) / 100.0, 2) AS sum_qty,
+        |  round(sum(round(l_extendedprice * 100)::BIGINT) / 100.0, 2) AS sum_price,
+        |  count(*) AS n_rows,
+        |  round((sum(round(l_extendedprice * 100)::BIGINT) / 100.0) / count(*), 4) AS avg_price
+        |FROM lineitem
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the diff re-derived by comparing the underlying VALUES directly
     // (no fingerprints at all — a fully disjoint derivation; a hash

@@ -51,6 +51,19 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"sessionization should shuffle on user_id once:\n$p")
   }
 
+  test("cube: one Expand-fed aggregate over one scan, not four scans") {
+    val p = planOf(AnalyticsQueries.all, "q_grouping_sets")
+    assert(p.contains("Expand"), s"cube must plan an Expand:\n$p")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"cube must scan lineitem exactly once, saw $scans:\n$p")
+  }
+
+  test("incremental agg: base and delta states map-side combine into one merge") {
+    val p = planOf(AnalyticsQueries.all, "q_incremental_agg")
+    assert(p.contains("Union"), s"base ∪ delta states must union:\n$p")
+    assert(!p.toLowerCase.contains("cartesian"), "no cartesian in state merge")
+  }
+
   test("graduated near-dup operators: bucketed equi-joins, no cartesian anywhere") {
     // the round-2 graduation contract at the PLAN level: candidates come
     // from hash-join buckets (LSH bands / rare grams), never from a
