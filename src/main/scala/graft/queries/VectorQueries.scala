@@ -184,6 +184,23 @@ object VectorQueries {
     // window over the corpus); the fusion join and final re-rank touch
     // only the two bounded lists. RRF scores are sums of exact integer
     // reciprocals — no float discipline needed beyond fixed term order.
+    // MMR diversified retrieval (Carbonell & Goldstein 1998): greedy
+    // re-ranking of the cosine top-30 shortlist by λ·relevance −
+    // (1−λ)·max-similarity-to-selected — the query-time face of the
+    // dedup stage's cosine-redundancy measure. One corpus scan builds
+    // the bounded shortlist; the k greedy rounds (inherently sequential
+    // — each pick reprices the rest) run on the bounded candidate
+    // frame only. Oracle unrolls the rounds as chained CTEs with the
+    // identical λ/(1−λ) literals and (score desc, id) argmax.
+    "v_mmr" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val e = load(s, d, "embeddings")
+      val q = e.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      graft.operators.MmrSelect.diversify(e, "vec_id", "embedding", q,
+        nCandidates = 30, k = 8, lambda = 0.7)
+    }),
+
     "v_rrf_fusion" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       val RrfK = 60
@@ -360,6 +377,9 @@ object VectorQueries {
          |  JOIN embeddings eb ON eb.vec_id = cand.vec_b
          |) WHERE dist < 1.1 ORDER BY vec_a, vec_b""".stripMargin
     },
+
+    "v_mmr" -> graft.operators.MmrSelect.oracleSql(
+      nCandidates = 30, k = 8, lambda = 0.7, numQueries = NumQueries),
 
     // BM25 CTEs shared verbatim with t_bm25's oracle; the vector list
     // ranks by list_distance like every knn oracle (monotone with the
