@@ -37,6 +37,26 @@ object AnalyticsQueries {
     canonicalFp(col("o_custkey").cast("string"), price.cast("string"),
       col("o_orderpriority"))
 
+  /** q_scd2 before its output ordering (orderedLarge's checkpoint cuts
+    * the plan at an ExistingRDD scan; Scd2Spec's exchange guard needs
+    * the real shape — the mixtureSampleRaw pattern). */
+  private[graft] def scd2Raw(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    load(s, d, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+        $"o_orderpriority", orderCents.as("price_cents"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("nxt", lead($"o_orderdate", 1).over(w))
+      .select($"o_custkey", $"version",
+        date_format($"o_orderdate", TsFmt).as("valid_from"),
+        coalesce(date_format($"nxt", TsFmt), lit("9999-12-31 00:00:00"))
+          .as("valid_to"),
+        $"nxt".isNull.as("is_current"),
+        $"o_orderpriority", $"price_cents")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 flavor: single wide scan-agg, fully map-side combinable.
     "q1_pricing_summary" -> ((s: SparkSession, d: String) => {
@@ -246,6 +266,18 @@ object AnalyticsQueries {
           $"revenue", $"n_items")
         .orderBy("returnflag", "linestatus")
     }),
+
+    // SCD Type-2 dimension history (the Kimball warehouse staple): each
+    // customer's order stream becomes versioned attribute rows with
+    // [valid_from, valid_to) intervals — valid_to = the NEXT version's
+    // start (lead), open versions carry the 9999-12-31 sentinel and an
+    // is_current flag. ONE shuffle on the dimension key: version
+    // number, lead, and the flag all ride the same (custkey sorted by
+    // date, orderkey) window sort. Money as integer cents; the
+    // (orderdate, orderkey) tie-break makes versions total-ordered.
+    "q_scd2" -> ((s: SparkSession, d: String) =>
+      scd2Raw(s, d)
+        .transform(DedupQueries.orderedLarge(_, "o_custkey", "version"))),
 
     // CUBE over (returnflag, linestatus) — the full grouping-sets grid
     // beside q_rollup_revenue's hierarchy: all four aggregation levels
@@ -945,6 +977,19 @@ object AnalyticsQueries {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q_scd2" ->
+      """SELECT o_custkey,
+        |  row_number() OVER w AS version,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  coalesce(strftime(lead(o_orderdate, 1) OVER w, '%Y-%m-%d %H:%M:%S'),
+        |           '9999-12-31 00:00:00') AS valid_to,
+        |  lead(o_orderdate, 1) OVER w IS NULL AS is_current,
+        |  o_orderpriority,
+        |  round(o_totalprice * 100)::BIGINT AS price_cents
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, version""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT (2 * grouping(l_returnflag) + grouping(l_linestatus))::BIGINT AS gid,

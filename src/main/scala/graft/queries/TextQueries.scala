@@ -407,6 +407,46 @@ object TextQueries {
         .transform(DedupQueries.orderedLarge(_, "doc_id"))
     }),
 
+    // Bigram LM quality scoring — the conditional-model step up from
+    // t_unigram_logprob's bag-of-words (the KenLM-shaped filter of the
+    // CCNet pipeline): mean bits per bigram under an add-one-smoothed
+    // corpus bigram model, P(b|a) = (c(a,b)+1)/(c(a·)+V). Every log2
+    // argument is an INTEGER (cab+1, ca+V), so DetMath makes the score
+    // bit-identical cross-engine; bits are computed on the DISTINCT-
+    // bigram frame (one log row per bigram type, never per occurrence),
+    // and each doc's fold runs in sorted (a,b) order. Docs with fewer
+    // than 2 tokens have no bigrams and drop out — by contract.
+    "t_ngram_lm" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      import graft.functions.DetMath
+      val bg = load(s, d, "documents")
+        .select($"doc_id", tokens($"text").as("toks"))
+        .select($"doc_id", explode(zip_with(
+          slice($"toks", lit(1), size($"toks") - 1),
+          slice($"toks", lit(2), size($"toks") - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .select($"doc_id", $"p.a".as("a"), $"p.b".as("b"))
+      val cab = bg.groupBy($"a", $"b").agg(count(lit(1)).as("cab"))
+      val ca = cab.groupBy($"a").agg(sum($"cab").as("ca"))
+      val vocab = load(s, d, "documents")
+        .select(explode(tokens($"text")).as("t"))
+        .agg(count_distinct($"t").as("v"))
+      val bits = cab.join(ca, "a").crossJoin(broadcast(vocab))
+        .withColumn("bits",
+          DetMath.log2Det($"ca" + $"v") - DetMath.log2Det($"cab" + 1))
+        .select($"a", $"b", $"bits")
+      bg.groupBy($"doc_id", $"a", $"b").agg(count(lit(1)).as("m"))
+        .join(bits, Seq("a", "b"))
+        .withColumn("term", $"m".cast("double") * $"bits")
+        .groupBy($"doc_id")
+        .agg(sum($"m").as("n_bigrams"),
+          sort_array(collect_list(struct($"a", $"b", $"term"))).as("lst"))
+        .select($"doc_id", $"n_bigrams",
+          round(aggregate($"lst", lit(0.0), (acc, x) => acc + x("term"))
+            / $"n_bigrams", 4).as("bits_per_bigram"))
+        .transform(DedupQueries.orderedLarge(_, "doc_id"))
+    }),
+
     // PII scrubbing — the redaction pass every released training corpus
     // runs (emails, IPs, phone numbers → typed placeholder tokens).
     // Pure scan-side regexp projection; match counting happens on the
@@ -797,6 +837,39 @@ object TextQueries {
          |SELECT doc_id, n_tokens,
          |  round(list_reduce(list_prepend(0.0, lst), (a, b) -> a + b)
          |    / n_tokens, 4) AS bits_per_token
+         |FROM doc ORDER BY doc_id""".stripMargin
+    },
+
+    // same integer-argument DetMath logs, same sorted-bigram fold
+    "t_ngram_lm" -> {
+      import graft.functions.DetMath
+      s"""WITH t AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, (p).a AS a, (p).b AS b FROM (
+         |    SELECT doc_id, unnest([struct_pack(a := toks[i], b := toks[i+1])
+         |                           for i in range(1, len(toks))]) AS p
+         |    FROM t)),
+         |cab AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY a, b),
+         |ca AS (SELECT a, sum(cab)::BIGINT AS ca FROM cab GROUP BY a),
+         |vv AS (SELECT count(DISTINCT tk)::BIGINT AS v FROM (
+         |  SELECT unnest(toks) AS tk FROM t)),
+         |bits AS (
+         |  SELECT a, b,
+         |    ${DetMath.log2DetSql("(ca + v)")} - ${DetMath.log2DetSql("(cab + 1)")} AS bits
+         |  FROM cab JOIN ca USING (a), vv),
+         |dm AS (SELECT doc_id, a, b, count(*) AS m FROM bg GROUP BY doc_id, a, b),
+         |terms AS (
+         |  SELECT doc_id, a, b, m, m::DOUBLE * bits AS term
+         |  FROM dm JOIN bits USING (a, b)),
+         |doc AS (
+         |  SELECT doc_id, sum(m)::BIGINT AS n_bigrams,
+         |    list(term ORDER BY a, b) AS lst
+         |  FROM terms GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams,
+         |  round(list_reduce(list_prepend(0.0, lst), (x, y) -> x + y)
+         |    / n_bigrams, 4) AS bits_per_bigram
          |FROM doc ORDER BY doc_id""".stripMargin
     },
 

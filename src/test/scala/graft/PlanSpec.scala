@@ -51,6 +51,13 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"sessionization should shuffle on user_id once:\n$p")
   }
 
+  test("scd2: one exchange on the dimension key feeds version, lead, and flag") {
+    val p = freshPlan(AnalyticsQueries.scd2Raw(spark, sfDir))
+    val exchanges = p.linesIterator
+      .count(_.trim.contains("Exchange hashpartitioning(o_custkey"))
+    assert(exchanges === 1, s"SCD2 must shuffle on o_custkey exactly once:\n$p")
+  }
+
   test("cube: one Expand-fed aggregate over one scan, not four scans") {
     val p = planOf(AnalyticsQueries.all, "q_grouping_sets")
     assert(p.contains("Expand"), s"cube must plan an Expand:\n$p")
