@@ -184,6 +184,39 @@ object VectorQueries {
     // window over the corpus); the fusion join and final re-rank touch
     // only the two bounded lists. RRF scores are sums of exact integer
     // reciprocals — no float discipline needed beyond fixed term order.
+    // ivecs interop — the OTHER half of utils.h's I/O surface (fvecs
+    // carries vectors, ivecs carries ground-truth neighbor-id lists for
+    // recall eval): the exact kNN id lists are written once in the
+    // reference's int32 record layout, read back, and re-exploded into
+    // the ranked-pairs form. The oracle re-derives the same lists from
+    // parquet — one bit of framing/endianness drift breaks the match.
+    "v_ivecs_roundtrip" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-ivecs-" + graft.operators.IndexStore.sfKey(d))
+      val file = new java.io.File(dir, "groundtruth.ivecs")
+      if (!file.exists()) {
+        dir.mkdirs()
+        val e = load(s, d, "embeddings")
+        val q = e.filter($"vec_id" < NumQueries)
+          .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+        val lists = e.crossJoin(broadcast(q))
+          .groupBy($"query_id")
+          .agg(topK(l2Sq($"embedding", $"qv"), $"vec_id", K).as("nn"))
+          .select($"query_id".as("id"),
+            transform($"nn", x => x.getField("id").cast("int")).as("neighbors"))
+          .orderBy("id")
+        val tmp = new java.io.File(dir, "groundtruth.ivecs.tmp")
+        graft.sources.Fvecs.writeIvecs(lists, tmp.getPath)
+        if (!tmp.renameTo(file)) sys.error(s"ivecs cache rename failed: $file")
+      }
+      graft.sources.Fvecs.readIvecs(s, file.getPath)
+        .select($"id".as("query_id"), posexplode($"neighbors"))
+        .select($"query_id", ($"pos" + 1).cast("long").as("rnk"),
+          $"col".cast("long").as("neighbor_id"))
+        .orderBy("query_id", "rnk")
+    }),
+
     // MMR diversified retrieval (Carbonell & Goldstein 1998): greedy
     // re-ranking of the cosine top-30 shortlist by λ·relevance −
     // (1−λ)·max-similarity-to-selected — the query-time face of the
@@ -377,6 +410,16 @@ object VectorQueries {
          |  JOIN embeddings eb ON eb.vec_id = cand.vec_b
          |) WHERE dist < 1.1 ORDER BY vec_a, vec_b""".stripMargin
     },
+
+    // the knn oracle's ranked id lists, minus the distance column —
+    // what survives the int32 ivecs cycle
+    "v_ivecs_roundtrip" ->
+      """SELECT query_id, rnk, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_distance(b.embedding::DOUBLE[], q.embedding::DOUBLE[]), b.vec_id) AS rnk
+        |  FROM embeddings b CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q
+        |) WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
 
     "v_mmr" -> graft.operators.MmrSelect.oracleSql(
       nCandidates = 30, k = 8, lambda = 0.7, numQueries = NumQueries),

@@ -59,6 +59,22 @@ object Fvecs {
       .toDF("id", "neighbors")
   }
 
+  /** Write a DataFrame(id, neighbors array<int>) as a single .ivecs file
+    * (utils.h's ground-truth layout) — records in the frame's row order,
+    * so callers order by id first. */
+  def writeIvecs(df: DataFrame, file: String): Unit = {
+    val rows = df.collect()
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(new java.io.FileOutputStream(file)))
+    try rows.foreach { r =>
+      val ids = r.getSeq[Int](r.fieldIndex("neighbors"))
+      val bb = ByteBuffer.allocate(4 + 4 * ids.length).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(ids.length)
+      ids.foreach(bb.putInt)
+      out.write(bb.array())
+    } finally out.close()
+  }
+
   /** Write a DataFrame(id, vector array<float>) as a single .fvecs file —
     * test fixture + interop writer. */
   def writeFvecs(df: DataFrame, file: String): Unit = {

@@ -44,6 +44,25 @@ class FvecsSpec extends SparkSpec {
     assert(v2 === rdd)
   }
 
+  test("ivecs round-trip: write then read preserves lists, order, and widths") {
+    val dir = Files.createDirectories(Paths.get("target/tmp-fvecs"))
+    val f = dir.resolve("rt.ivecs").toString
+    // variable-length records and values beyond one byte exercise the
+    // int32 framing (a UInt8/endianness bug would corrupt these)
+    val src = Seq(
+      (0L, Seq(7, 300, 65539)),
+      (1L, Seq(2147483647, -1)),
+      (2L, Seq(42)))
+      .toDF("id", "neighbors")
+    Fvecs.writeIvecs(src, f)
+    val back = Fvecs.readIvecs(spark, f).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1)))
+    assert(back.toSeq === Seq(
+      (0L, Seq(7, 300, 65539)),
+      (1L, Seq(2147483647, -1)),
+      (2L, Seq(42))))
+  }
+
   test("ivecs reader parses int lists") {
     val dir = Files.createDirectories(Paths.get("target/tmp-fvecs"))
     val f = dir.resolve("gt.ivecs")
