@@ -108,6 +108,40 @@ object IndexOracle {
        |) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** v_ivf_filtered: the ivfSearchOracle pipeline with the metadata
+    * predicate applied to candidates BEFORE ranking (the pre-filter
+    * contract: the heap only sees label-passing vectors). */
+  def ivfFilteredSearchOracle(centroids: Seq[(Int, Seq[Float])],
+      k: Int, nprobe: Int, numQueries: Int, labels: Seq[Int]): String = {
+    val qdists = centroids.map { case (_, c) => l2sqLit("qv", 0, c) }
+      .mkString("[", ",\n ", "]")
+    val cids = centroids.map(_._1).mkString("[", ",", "]")
+    val labelList = labels.mkString("(", ", ", ")")
+    s"""WITH ${assignCte(centroids)},
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $numQueries),
+       |probes AS (
+       |  SELECT query_id, cluster_id FROM (
+       |    SELECT query_id, cid AS cluster_id, d,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY d, cid) AS crnk
+       |    FROM (SELECT query_id, unnest($cids) AS cid, unnest(ds) AS d
+       |          FROM (SELECT query_id, $qdists AS ds FROM q))
+       |  ) WHERE crnk <= $nprobe
+       |),
+       |cand AS (
+       |  SELECT p.query_id, q.qv, a.vec_id, a.embedding
+       |  FROM probes p JOIN a ON a.cluster_id = p.cluster_id
+       |  JOIN embeddings em ON em.vec_id = a.vec_id
+       |  JOIN q ON q.query_id = p.query_id
+       |  WHERE em.label IN $labelList
+       |)
+       |SELECT query_id, neighbor_id, rnk, dist FROM (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rnk,
+       |    round(sqrt(d), 4) AS dist
+       |  FROM (SELECT query_id, vec_id, ${l2sqCol("embedding", "qv", 64)} AS d FROM cand)
+       |) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** The shared PQ SQL fragments: per-sub distance lists against the
     * literal codebooks, argmin code derivation, per-query ADC lists, and
     * the subspace-ordered adist fold — used identically by the flat PQ

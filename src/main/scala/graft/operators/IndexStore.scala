@@ -47,7 +47,11 @@ object IndexStore {
     * ~10⁴ training points; full-corpus Lloyd passes are waste). */
   def ivf(spark: SparkSession, sfDir: String, k: Int = 16): String =
     lock.synchronized {
-      val dir = s"$root/${sfKey(sfDir)}/ivf$k"
+      // "m": assignments carry metadata (label) — the filtered-ANN
+      // contract is that payload columns ride IN the index partitions,
+      // so a metadata predicate pushes into the pruned scan instead of
+      // forcing a corpus-wide id-join at query time
+      val dir = s"$root/${sfKey(sfDir)}/ivf${k}m"
       if (!done(dir, "centroids", "assignments")) {
         val e = Tables.load(spark, sfDir, "embeddings")
         val (cent, assign) = IvfIndex.buildSampled(e, "vec_id", "embedding", k)
@@ -55,6 +59,7 @@ object IndexStore {
         // one shuffle on cluster_id before the partitioned write — without
         // it every task writes a file per cluster (tasks × k tiny files)
         assign.select("vec_id", "embedding", "cluster_id")
+          .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
           .repartition(col("cluster_id"))
           .write.partitionBy("cluster_id").mode("overwrite")
           .parquet(s"$dir/assignments")

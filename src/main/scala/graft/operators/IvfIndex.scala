@@ -158,6 +158,55 @@ object IvfIndex {
         round(sqrt($"col.score"), 4).as("dist"))
   }
 
+  /** Filtered ANN — the pre-filtered variant of [[searchPruned]] (the
+    * problem FAISS/Milvus call metadata filtering; post-filtering a
+    * plain top-k under-fills when matches are rare): the label
+    * predicate lands on the SCAN of the probed cluster partitions
+    * (metadata rides in the index — [[IndexStore.ivf]] persists it
+    * beside each vector precisely so this is a pushed parquet filter,
+    * not a corpus-wide id-join), and the top-k heap only ever sees
+    * predicate-passing candidates, so it always fills to k when k
+    * matches exist in the probed clusters. Write-buffer rows shadow
+    * the index exactly as in searchPruned; their labels are looked up
+    * from the persisted assignments by id (metadata is immutable here —
+    * a moved vector keeps its label). */
+  def searchPrunedFiltered(spark: SparkSession, indexDir: String,
+      queries: DataFrame, k: Int, nprobe: Int, labels: Seq[Int]): DataFrame = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    val probes = resolveProbes(queries, centroids, nprobe)
+    val probeIds = collectProbeIds(probes)
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(s"$indexDir/assignments")
+      .filter($"cluster_id".isin(probeIds.map(i => i: Any): _*))
+      .filter($"label".isin(labels.map(i => i: Any): _*))
+      .select($"vec_id", $"embedding", $"cluster_id")
+    val pairs = graft.streaming.IvfDeltaIngest.deltaLatest(spark, indexDir) match {
+      case None =>
+        raw.join(broadcast(probes), "cluster_id")
+      case Some(delta) =>
+        val labelOk = spark.read.option("mergeSchema", "true")
+          .parquet(s"$indexDir/assignments")
+          .filter($"label".isin(labels.map(i => i: Any): _*))
+          .select($"vec_id")
+        val buf = broadcast(delta.select($"vec_id", $"embedding")
+          .join(labelOk, "vec_id"))
+        val uniqueQueries = queries.select($"query_id", $"qv")
+        raw.join(broadcast(buf.select($"vec_id")), Seq("vec_id"), "left_anti")
+          .join(broadcast(probes), "cluster_id")
+          .select($"query_id", $"qv", $"vec_id", $"embedding")
+          .unionByName(buf.crossJoin(broadcast(uniqueQueries))
+            .select($"query_id", $"qv", $"vec_id", $"embedding"))
+    }
+    pairs
+      .groupBy($"query_id")
+      .agg(topK(l2Sq($"embedding", $"qv"), $"vec_id", k).as("nn"))
+      .select($"query_id", posexplode($"nn"))
+      .select($"query_id", $"col.id".as("neighbor_id"),
+        ($"pos" + 1).cast("long").as("rnk"),
+        round(sqrt($"col.score"), 4).as("dist"))
+  }
+
   /** ANN top-k: probe the nprobe nearest clusters per query. */
   def search(centroids: DataFrame, assignments: DataFrame,
       queries: DataFrame, // (query_id, qv array<float>)

@@ -49,6 +49,23 @@ object IndexQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // Filtered ANN (FAISS/Milvus "metadata filtering"): the label
+    // predicate pushes into the SCAN of the probed cluster partitions —
+    // metadata rides in the index beside each vector, so this is a
+    // parquet filter under the partition pruning, not a corpus id-join
+    // — and the top-k heap only sees predicate-passing candidates
+    // (pre-filter: always fills to k when k matches exist in the
+    // probed clusters, where post-filtering a plain top-k under-fills).
+    "v_ivf_filtered" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val dir = IndexStore.ivf(s, d, k = 16)
+      val q = load(s, d, "embeddings").filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      IvfIndex.searchPrunedFiltered(s, dir, q, K, nprobe = 4,
+          labels = Seq(1, 2, 3))
+        .orderBy("query_id", "rnk")
+    }),
+
     // Product-quantization ANN: 8×16 codebooks (32× compression),
     // asymmetric-distance top-k as a join-aggregate over the PERSISTED
     // codes table — search cost is ADC, not codebook training.
@@ -218,8 +235,8 @@ object IndexQueries {
     * (VerifyOne) consults this to avoid paying a full IVF+PQ fit just
     * to materialize oracle strings for unrelated queries. */
   val AnnOracleKeys: Set[String] =
-    Set("v_ivf_build", "v_ivf_search", "v_pq_search", "v_pq_rerank",
-      "v_ivfpq_search", "d_semantic_dedup")
+    Set("v_ivf_build", "v_ivf_search", "v_ivf_filtered", "v_pq_search",
+      "v_pq_rerank", "v_ivfpq_search", "d_semantic_dedup")
 
   private def annOracles: Map[String, String] = try {
     val s = SparkSession.active
@@ -234,6 +251,9 @@ object IndexQueries {
       "v_ivf_build" -> graft.operators.IndexOracle.ivfBuildOracle(cent),
       "v_ivf_search" -> graft.operators.IndexOracle
         .ivfSearchOracle(cent, K, nprobe = 4, NumQueries),
+      "v_ivf_filtered" -> graft.operators.IndexOracle
+        .ivfFilteredSearchOracle(cent, K, nprobe = 4, NumQueries,
+          labels = Seq(1, 2, 3)),
       "v_pq_search" -> graft.operators.IndexOracle
         .pqSearchOracle(books, numSub = 8, subDim = 8, K, NumQueries),
       "v_pq_rerank" -> graft.operators.IndexOracle

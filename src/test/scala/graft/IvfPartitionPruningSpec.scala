@@ -35,6 +35,37 @@ class IvfPartitionPruningSpec extends SparkSpec {
     assert(clusters.subsetOf(Set(1, 3)))
   }
 
+  test("filtered search: label predicate pushes into the pruned scan; pre-filter fills to k") {
+    val prev = sys.props.get("graft.index.dir")
+    sys.props("graft.index.dir") = "target/tmp-ivf-store"
+    try {
+      val df = graft.queries.IndexQueries.all("v_ivf_filtered")(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      // both prunings visible on the same scan: cluster partitions at the
+      // file level, label at the parquet row-group level
+      assert(plan.linesIterator.exists(l =>
+          l.contains("PartitionFilters") && l.contains("cluster_id")),
+        s"cluster_id not in partition filters:\n$plan")
+      assert(plan.linesIterator.exists(l =>
+          l.contains("PushedFilters") && l.contains("In(label, [1,2,3])")),
+        s"label filter not pushed to the scan:\n$plan")
+      val rows = df.collect()
+      // pre-filter contract: every query fills to k (matches are ~3/5 of
+      // the corpus), and every result carries an allowed label
+      assert(rows.length === 8 * 10)
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select($"vec_id", $"label").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(rows.forall(r => Set(1, 2, 3)(e(r.getLong(1)))),
+        "a result escaped the label predicate")
+    } finally {
+      prev match {
+        case Some(p) => sys.props("graft.index.dir") = p
+        case None => sys.props.remove("graft.index.dir")
+      }
+    }
+  }
+
   test("v_ivf_search operator itself runs partition-pruned against the persisted index") {
     // hermetic store location for the test
     val prev = sys.props.get("graft.index.dir")
