@@ -800,6 +800,87 @@ object AnalyticsQueries {
           $"n_users_exact", hllEstimate($"ru").as("n_users_hll"),
           $"n_events_exact", hllEstimate($"re").as("n_events_hll"))
         .orderBy("event_type")
+    }),
+
+    // Cohort retention: users grouped by the epoch-week of their FIRST
+    // event; for each (cohort, weeks-since) cell, how many of them were
+    // active? Pure integer week indexes (epoch-micros div week-micros)
+    // — no calendar truncation, whose week-start convention differs
+    // between engines. Shape: one user-keyed agg for first-touch, one
+    // user-keyed join back (same key — AQE reuses the exchange), one
+    // distinct-count agg on the bounded (cohort, offset) grid. Nothing
+    // holds per-user event lists; a user with 10^9 events costs the
+    // same state as one with 10.
+    "q_retention_cohort" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val weekUs = 7L * 86400L * 1000000L
+      val ev = load(s, d, "events")
+        .select($"user_id", expr(s"unix_micros(ts) div ${weekUs}L").as("week"))
+      val first = ev.groupBy($"user_id").agg(min($"week").as("cohort_week"))
+      val sizes = first.groupBy($"cohort_week")
+        .agg(count(lit(1)).as("cohort_size"))
+      ev.join(first, "user_id")
+        .select($"cohort_week", ($"week" - $"cohort_week").as("week_offset"),
+          $"user_id")
+        .groupBy($"cohort_week", $"week_offset")
+        .agg(countDistinct($"user_id").as("active_users"))
+        .join(sizes, "cohort_week")
+        .select($"cohort_week", $"week_offset", $"active_users", $"cohort_size")
+        .orderBy($"cohort_week", $"week_offset")
+    }),
+
+    // First-order Markov transition matrix over per-user event
+    // sequences (ts order, event_id tiebreak so duplicate timestamps
+    // can't make the sequence engine-dependent): the
+    // what-follows-what table behind session modeling and funnel
+    // design. One user-keyed window pass (single exchange + in-
+    // partition sort), then a map-side-combined count over the tiny
+    // (from, to) grid; p_next is exact-integer division so the double
+    // is bit-identical in any engine.
+    "q_event_transitions" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val wf = Window.partitionBy($"from_event")
+      load(s, d, "events")
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("to_event", lead($"event_type", 1).over(w))
+        .filter($"to_event".isNotNull)
+        .select($"event_type".as("from_event"), $"to_event")
+        .groupBy($"from_event", $"to_event")
+        .agg(count(lit(1)).as("n_transitions"))
+        .withColumn("p_next",
+          $"n_transitions" / sum($"n_transitions").over(wf))
+        .select($"from_event", $"to_event", $"n_transitions",
+          round($"p_next", 6).as("p_next"))
+        .orderBy($"from_event", $"to_event")
+    }),
+
+    // Per-group z-score outliers with EXACT arithmetic: |x − μ| > 3s is
+    // decided entirely in 128-bit integers by clearing denominators —
+    // (n·x − Σx)²·(n−1) > 9·(n·Σx² − (Σx)²)·n — over integer cents, so
+    // the flag can never flip on float summation order (a parallel
+    // sum(double) is partition-order dependent; a threshold comparison
+    // against it is not reproducible, let alone oracle-matchable).
+    // Decimal(38) holds the products to n ≈ 10^8 rows per group at
+    // cents ≤ 10^5. Shape: one map-side-combined stats agg (5 rows) +
+    // a broadcast join back onto the scan — no second shuffle.
+    "q_zscore_outliers" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val dec = "decimal(38,0)"
+      val ev = load(s, d, "events")
+        .select($"event_id", $"event_type",
+          round($"value" * 100).cast("long").as("value_cents"))
+      val stats = ev.groupBy($"event_type").agg(
+        count(lit(1)).cast(dec).as("n"),
+        sum($"value_cents".cast(dec)).as("sx"),
+        sum(($"value_cents" * $"value_cents").cast(dec)).as("sxx"))
+      val xd = $"value_cents".cast(dec)
+      val dev = $"n" * xd - $"sx"
+      ev.join(broadcast(stats), "event_type")
+        .filter(dev * dev * ($"n" - lit(1)) >
+          lit(9) * ($"n" * $"sxx" - $"sx" * $"sx") * $"n")
+        .select($"event_id", $"event_type", $"value_cents")
+        .orderBy($"event_id")
     })
   )
 
@@ -1268,6 +1349,52 @@ object AnalyticsQueries {
         |SELECT e.event_type AS event_type, count(*) AS n,
         |  round(sum(e.value - d.type_avg), 2) AS dev_sum
         |FROM events e JOIN dim d USING (event_type)
-        |GROUP BY e.event_type ORDER BY event_type""".stripMargin
+        |GROUP BY e.event_type ORDER BY event_type""".stripMargin,
+
+    // integer week indexes on both sides: epoch-micros floor-divided by
+    // the week in micros (positive epochs ⇒ floor == truncation)
+    "q_retention_cohort" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id),
+        |sz AS (SELECT cohort_week, count(*) AS cohort_size FROM f GROUP BY 1),
+        |act AS (
+        |  SELECT cohort_week, week - cohort_week AS week_offset,
+        |    count(DISTINCT ev.user_id) AS active_users
+        |  FROM ev JOIN f USING (user_id) GROUP BY 1, 2)
+        |SELECT cohort_week, week_offset, active_users, cohort_size
+        |FROM act JOIN sz USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q_event_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_event,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_event
+        |  FROM events),
+        |c AS (
+        |  SELECT from_event, to_event, count(*) AS n_transitions
+        |  FROM seq WHERE to_event IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_event, to_event, n_transitions,
+        |  round(n_transitions::DOUBLE /
+        |    sum(n_transitions) OVER (PARTITION BY from_event), 6) AS p_next
+        |FROM c ORDER BY from_event, to_event""".stripMargin,
+
+    // the cleared-denominator inequality in HUGEINT — DuckDB's sum over
+    // BIGINT is already exact 128-bit, mirroring Spark's Decimal(38)
+    "q_zscore_outliers" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, round(value * 100)::BIGINT AS value_cents
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type, count(*)::HUGEINT AS n,
+        |    sum(value_cents::HUGEINT) AS sx,
+        |    sum(value_cents::HUGEINT * value_cents::HUGEINT) AS sxx
+        |  FROM ev GROUP BY event_type)
+        |SELECT event_id, event_type, value_cents
+        |FROM ev JOIN st USING (event_type)
+        |WHERE (n * value_cents - sx) * (n * value_cents - sx) * (n - 1)
+        |      > 9 * (n * sxx - sx * sx) * n
+        |ORDER BY event_id""".stripMargin
   )
 }

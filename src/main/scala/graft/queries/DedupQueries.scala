@@ -478,6 +478,43 @@ object DedupQueries {
         .filter($"cos_sim" > 0.4)
         .select($"vec_a", $"vec_b", round($"cos_sim", 4).as("cos_sim"))
         .transform(ordered(_, "vec_a", "vec_b"))
+    }),
+
+    // Cross-source contamination matrix: for every pair of corpus
+    // sources, how much 5-gram shingle mass do they share? The corpus-
+    // audit face of d_decontaminate (there: corpus vs a bounded eval
+    // set; here: every source against every other). Distinct
+    // (source, shingle-hash) is one shuffle; the pair counts come from
+    // a shingle-keyed self-join whose fan-out per shingle is bounded by
+    // #sources², never by rows — so the plan survives any corpus size
+    // with a fixed source vocabulary. Jaccard and containment are
+    // exact-integer divisions. Same hash-vs-string independence as the
+    // d_decontaminate oracle: the engine joins 8-byte FNV shingle
+    // hashes, the oracle joins shingle strings — equal modulo 64-bit
+    // collisions, which the hash gate itself would expose.
+    "d_source_overlap" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val n = 5
+      val sg = load(s, d, "documents")
+        .select($"source", toks($"text").as("toks"))
+        .filter(size($"toks") >= n)
+        .select($"source",
+          explode(graft.GraftText.wordShingleHashes($"toks", n)).as("sh"))
+        .distinct()
+      val sizes = sg.groupBy($"source").agg(count(lit(1)).as("nsh"))
+      sg.select($"source".as("src_a"), $"sh")
+        .join(sg.select($"source".as("src_b"), $"sh"), "sh")
+        .filter($"src_a" < $"src_b")
+        .groupBy($"src_a", $"src_b")
+        .agg(count(lit(1)).as("n_common"))
+        .join(broadcast(sizes.select($"source".as("src_a"), $"nsh".as("n_a"))),
+          "src_a")
+        .join(broadcast(sizes.select($"source".as("src_b"), $"nsh".as("n_b"))),
+          "src_b")
+        .select($"src_a", $"src_b", $"n_common", $"n_a", $"n_b",
+          round($"n_common" / ($"n_a" + $"n_b" - $"n_common"), 4).as("jaccard"),
+          round($"n_common" / least($"n_a", $"n_b"), 4).as("containment"))
+        .orderBy($"src_a", $"src_b")
     })
   )
 
@@ -671,6 +708,28 @@ object DedupQueries {
          |  JOIN embeddings ea ON ea.vec_id = cand.vec_a
          |  JOIN embeddings eb ON eb.vec_id = cand.vec_b
          |) WHERE cos_sim > 0.4 ORDER BY vec_a, vec_b""".stripMargin
-    }
+    },
+
+    // shingle STRINGS where the engine joins shingle hashes — the
+    // d_decontaminate equivalence argument
+    "d_source_overlap" ->
+      """WITH t AS (
+        |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source, array_to_string(toks[i:i+4], ' ') AS s
+        |  FROM (SELECT source, toks, unnest(range(1, len(toks) - 3)) AS i
+        |        FROM t WHERE len(toks) >= 5)),
+        |sz AS (SELECT source, count(*) AS nsh FROM sh GROUP BY source),
+        |iv AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_common, sa.nsh AS n_a, sb.nsh AS n_b,
+        |  round(n_common::DOUBLE / (sa.nsh + sb.nsh - n_common), 4) AS jaccard,
+        |  round(n_common::DOUBLE / least(sa.nsh, sb.nsh), 4) AS containment
+        |FROM iv JOIN sz sa ON iv.src_a = sa.source
+        |        JOIN sz sb ON iv.src_b = sb.source
+        |ORDER BY src_a, src_b""".stripMargin
   )
 }

@@ -220,4 +220,33 @@ class PlanSpec extends SparkSpec {
       .orderBy("event_type")
     assert(got.collect().toSeq === builtin.collect().toSeq)
   }
+
+  test("q_zscore_outliers: stats broadcast back onto the scan — no second fact shuffle") {
+    val p = planOf(AnalyticsQueries.all, "q_zscore_outliers")
+    assert(p.contains("BroadcastHashJoin"), "per-type stats must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      s"fact side must not shuffle for the stats join:\n$p")
+  }
+
+  test("q_event_transitions: one user_id exchange feeds the sequence window") {
+    val p = planOf(AnalyticsQueries.all, "q_event_transitions")
+    val userExchanges = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning(user_id"))
+    assert(userExchanges === 1,
+      s"sequence pass must shuffle on user_id exactly once:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_retention_cohort: first-touch join is user-keyed — no cartesian, no nested loop") {
+    val p = planOf(AnalyticsQueries.all, "q_retention_cohort")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cohort join must stay key-equi:\n$p")
+  }
+
+  test("d_source_overlap: pair counts come from a shingle-keyed equi-join, sizes broadcast") {
+    val p = planOf(graft.queries.DedupQueries.all, "d_source_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"source pairing must be a shingle equi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "per-source sizes must broadcast")
+  }
 }
