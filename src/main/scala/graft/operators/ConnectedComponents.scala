@@ -41,10 +41,16 @@ object ConnectedComponents {
     * 100 TB the first rounds run distributed; the tail always lands
     * here. 2²⁰ edges collect as primitive Long pairs — tens of MB of
     * transient driver heap, well under any realistic driver budget; 0
-    * disables the finish (pure distributed loop, spec-compared). */
+    * disables the finish (pure distributed loop, spec-compared).
+    *
+    * `validateNodes`: the throw-don't-degrade guard that every edge
+    * endpoint exists in `nodes`. It costs one full pass over the edge
+    * set, so a call site where endpoints ⊆ nodes holds BY CONSTRUCTION
+    * (both frames projected from the same source) may pass false; any
+    * edge set of independent provenance must keep the default. */
   def minLabel(nodes: DataFrame, idCol: String, edges: DataFrame,
       aCol: String, bCol: String, maxIter: Int = 20,
-      smallFinish: Int = 1 << 20): DataFrame = {
+      smallFinish: Int = 1 << 20, validateNodes: Boolean = true): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     require(smallFinish >= 0, s"smallFinish must be >= 0, got $smallFinish")
     val spark = nodes.sparkSession
@@ -65,11 +71,27 @@ object ConnectedComponents {
       .filter($"a" =!= $"b").distinct().localCheckpoint(false)
     // an edge endpoint absent from `nodes` would be silently dropped by
     // the contraction joins below — a partial clustering with no error,
-    // against this operator's throw-don't-degrade contract
-    val orphans = eo.select($"a".as("id")).union(eo.select($"b".as("id")))
-      .distinct().join(labels.select($"id"), Seq("id"), "left_anti")
-    require(orphans.head(1).isEmpty,
-      "edges reference node ids absent from the nodes DataFrame")
+    // against this operator's throw-don't-degrade contract. Costs one
+    // pass over the edges; skippable ONLY where endpoints ⊆ nodes holds
+    // by construction (see scaladoc).
+    if (validateNodes) {
+      val orphans = eo.select($"a".as("id")).union(eo.select($"b".as("id")))
+        .distinct().join(labels.select($"id"), Seq("id"), "left_anti")
+      require(orphans.head(1).isEmpty,
+        "edges reference node ids absent from the nodes DataFrame")
+    }
+    // zero-round finish: labels start as identity, so the first round's
+    // LABEL graph is exactly eo — if that already fits the bounded
+    // finish, the contraction joins would be pure stage overhead (each
+    // round is ~6 tiny shuffle stages; on an already-small graph that
+    // overhead dominates the whole operator). The count rides the eo
+    // checkpoint it forces either way; big graphs fall through to the
+    // distributed loop unchanged.
+    if (smallFinish > 0 && eo.count() <= smallFinish) {
+      val mapDf = unionFindMap(spark, eo.as[(Long, Long)].collect())
+      return labels.join(mapDf, Seq("lab"), "left")
+        .select($"id", coalesce($"root", $"lab").as("component"))
+    }
     var iter = 0
     var converged = false
     while (!converged) {
@@ -94,25 +116,7 @@ object ConnectedComponents {
         // label, so the final root IS the min node id) and map every
         // node label through the broadcast result. Same fixpoint as
         // letting the loop run; ComponentsSpec compares the two paths.
-        val parent = new java.util.HashMap[Long, Long]()
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrDefault(r, r) != r) r = parent.get(r)
-          var c = x // path compression
-          while (parent.getOrDefault(c, c) != c) {
-            val nxt = parent.get(c); parent.put(c, r); c = nxt
-          }
-          r
-        }
-        e2.as[(Long, Long)].collect().foreach { case (a, b) =>
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) {
-            if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
-          }
-        }
-        val mapped = parent.keySet().toArray(Array.empty[java.lang.Long])
-          .map(l => (l.longValue(), find(l))).toSeq
-        val mapDf = broadcast(mapped.toDF("lab", "root"))
+        val mapDf = unionFindMap(spark, e2.as[(Long, Long)].collect())
         labels = labels.join(mapDf, Seq("lab"), "left")
           .select($"id", coalesce($"root", $"lab").as("lab"))
         converged = true
@@ -143,5 +147,33 @@ object ConnectedComponents {
       }
     }
     labels.select($"id", $"lab".as("component"))
+  }
+
+  /** Driver union-find over a bounded edge list → broadcast (lab, root)
+    * map. Union-by-min, so every root is the minimum id reachable in
+    * the collected graph — the fixpoint the distributed loop converges
+    * to. */
+  private def unionFindMap(spark: org.apache.spark.sql.SparkSession,
+      pairs: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.getOrDefault(c, c) != c) {
+        val nxt = parent.get(c); parent.put(c, r); c = nxt
+      }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val mapped = parent.keySet().toArray(Array.empty[java.lang.Long])
+      .map(l => (l.longValue(), find(l))).toSeq
+    broadcast(mapped.toDF("lab", "root"))
   }
 }

@@ -91,6 +91,10 @@ object DedupQueries {
         sort_array(collect_list($"wid")).as("ws"))
       .withColumn("nw", size($"ws").cast("long"))
       .withColumn("band", ($"nw" / 25).cast("long"))
+      // both sides of the banded self-join read this frame; uncached,
+      // the explode→dictionary→collect_list subtree runs TWICE (the
+      // d_ngram_jaccard discipline)
+      .cache()
     val a = docs.select($"doc_id".as("doc_a"), $"lang", $"band",
       $"ws".as("wa"), $"nw".as("na"))
     val b = docs.select($"doc_id".as("doc_b"), $"lang", $"band",
@@ -168,8 +172,12 @@ object DedupQueries {
     "d_dedup_cluster" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       val docs = load(s, d, "documents").select($"doc_id")
+      // validateNodes=false: the edges are jaccardPairsRaw over the SAME
+      // documents table — endpoints ⊆ nodes by construction, so the
+      // orphan pass would re-scan the edge set to prove an invariant
       val comp = graft.operators.ConnectedComponents.minLabel(
-        docs, "doc_id", jaccardPairsRaw(s, d), "doc_a", "doc_b")
+        docs, "doc_id", jaccardPairsRaw(s, d), "doc_a", "doc_b",
+        validateNodes = false)
       val sizes = comp.groupBy($"component").agg(count(lit(1)).as("cluster_size"))
       comp.join(sizes, "component")
         .select($"id".as("doc_id"), $"component".as("cluster_id"),

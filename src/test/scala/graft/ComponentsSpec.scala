@@ -49,6 +49,15 @@ class ComponentsSpec extends SparkSpec {
     assert(ex.getMessage.contains("absent from the nodes"))
   }
 
+  test("validateNodes=false skips the orphan pass but changes nothing on valid input") {
+    val nodes = (1L to 6L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    def run(v: Boolean) =
+      ConnectedComponents.minLabel(nodes, "id", edges, "a", "b", validateNodes = v)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(run(true) === run(false))
+  }
+
   test("random graph matches a driver-side BFS reference") {
     val n = 200
     val rnd = new scala.util.Random(7)
