@@ -120,16 +120,19 @@ object HashSql {
     * Jaccard verification, smallest-verified-keeper — replicated in SQL.
     * `wsDef` must be a SELECT producing (doc_id, ws) with ws the sorted
     * distinct token list exactly as the Spark plan builds it. */
-  def minhashKeeperOracle(wsDef: String, jaccardThreshold: Double,
-      numHashes: Int = 64, numBands: Int = 16,
-      tokenHashSql: String => String = fnvSql): String = {
+  /** The seeded-minhash CTE prefix shared by the keeper and eval
+    * oracles: (doc_id, ws) → per-token FNV → numHashes affine
+    * permutations with signed mins → numBands FNV band folds →
+    * `buckets(doc_id, band_id, bh)`. Byte-for-byte MinHashBands. */
+  private def minhashBucketsCtes(wsDef: String, numHashes: Int,
+      numBands: Int, tokenHashSql: String => String): String = {
     require(numHashes % numBands == 0)
     val sigExpr = (0 until numHashes).map(permMinExpr)
       .mkString("[", ",\n ", "]")
     val bandsExpr = (0 until numBands).map(bandExpr(_, numHashes / numBands))
       .mkString("[", ",\n ", "]")
     val bandIds = (0 until numBands).mkString("[", ",", "]")
-    s"""WITH d AS ($wsDef),
+    s"""d AS ($wsDef),
        |tok AS (SELECT DISTINCT unnest(ws) AS t FROM d),
        |th AS (SELECT t, (${tokenHashSql("t")})::HUGEINT AS hu FROM tok),
        |dh AS (
@@ -142,7 +145,13 @@ object HashSql {
        |  v -> CASE WHEN v < 0::HUGEINT THEN v + $Mod ELSE v END) AS su FROM sigs),
        |buckets AS (
        |  SELECT doc_id, unnest($bandIds) AS band_id, unnest($bandsExpr) AS bh FROM su
-       |),
+       |)""".stripMargin
+  }
+
+  def minhashKeeperOracle(wsDef: String, jaccardThreshold: Double,
+      numHashes: Int = 64, numBands: Int = 16,
+      tokenHashSql: String => String = fnvSql): String = {
+    s"""WITH ${minhashBucketsCtes(wsDef, numHashes, numBands, tokenHashSql)},
        |reps AS (SELECT band_id, bh, min(doc_id) AS rep FROM buckets GROUP BY band_id, bh),
        |edges AS (
        |  SELECT DISTINCT b.doc_id, r.rep FROM buckets b
@@ -162,6 +171,38 @@ object HashSql {
        |       coalesce(v.keeper, d.doc_id) != d.doc_id AS is_dup
        |FROM d LEFT JOIN verified v ON d.doc_id = v.doc_id
        |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Full oracle for d_minhash_eval: candidate pairs = bucket-mates in
+    * ANY band (the same seeded pipeline), truth = the UNFILTERED
+    * quadratic j ≥ threshold pair set — so the hash match also proves,
+    * against an independent derivation, that the engine's banded truth
+    * side lost nothing. One summary row. */
+  def minhashEvalOracle(wsDef: String, jaccardThreshold: Double,
+      numHashes: Int = 64, numBands: Int = 16,
+      tokenHashSql: String => String = fnvSql): String = {
+    val jac = (a: String, b: String) =>
+      s"len(list_intersect($a.ws, $b.ws))::DOUBLE" +
+        s" / len(list_distinct(list_concat($a.ws, $b.ws)))"
+    s"""WITH ${minhashBucketsCtes(wsDef, numHashes, numBands, tokenHashSql)},
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM buckets x JOIN buckets y
+       |    ON x.band_id = y.band_id AND x.bh = y.bh AND x.doc_id < y.doc_id),
+       |hits AS (
+       |  SELECT count(*)::BIGINT AS n_hits FROM cand c
+       |  JOIN d da ON da.doc_id = c.doc_a
+       |  JOIN d db ON db.doc_id = c.doc_b
+       |  WHERE ${jac("da", "db")} >= $jaccardThreshold),
+       |truth AS (
+       |  SELECT count(*)::BIGINT AS n_truth
+       |  FROM d da JOIN d db ON da.doc_id < db.doc_id
+       |  WHERE ${jac("da", "db")} >= $jaccardThreshold),
+       |nc AS (SELECT count(*)::BIGINT AS n_candidates FROM cand)
+       |SELECT n_truth, n_candidates, n_hits,
+       |  round(n_hits::DOUBLE / n_candidates, 4) AS precision_at_j,
+       |  round(n_hits::DOUBLE / n_truth, 4) AS recall_at_j
+       |FROM truth, nc, hits""".stripMargin
   }
 
   /** (doc_id, ws) definition for word-token minhash (d_dedup_minhash). */

@@ -881,6 +881,36 @@ object AnalyticsQueries {
           lit(9) * ($"n" * $"sxx" - $"sx" * $"sx") * $"n")
         .select($"event_id", $"event_type", $"value_cents")
         .orderBy($"event_id")
+    }),
+
+    // Key-skew profiler — the diagnosis you run BEFORE choosing a join
+    // strategy (salting? AQE skew split? broadcast?): the frequency
+    // SPECTRUM of each candidate join key as log2 buckets (how many
+    // keys occur 2^b..2^(b+1)−1 times, carrying how much row mass),
+    // plus the hottest key's share. floor(log2 c) is computed as
+    // length(bin(c))−1 — exact integer arithmetic, no float log at
+    // bucket boundaries. Two aggregations per key column, both over the
+    // per-key count frame (|keys| rows, not |rows|); the bounded
+    // summary joins broadcast. Never a global sort: a rank-based
+    // profile (Gini over sorted counts) needs a total order over the
+    // key frame — this spectrum is order-free and mergeable.
+    "q_skew_metrics" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val li = load(s, d, "lineitem")
+      def spectrum(keyCol: String): DataFrame = {
+        val cnts = li.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+        val hist = cnts
+          .groupBy((length(bin($"c")) - 1).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n_keys"), sum($"c").as("n_rows"))
+        val summary = cnts.agg(max($"c").as("max_cnt"),
+          sum($"c").as("total_rows"))
+        hist.crossJoin(broadcast(summary))
+          .select(lit(keyCol).as("key_col"), $"bucket", $"n_keys", $"n_rows",
+            $"total_rows", $"max_cnt",
+            round($"max_cnt" / $"total_rows", 6).as("top1_share"))
+      }
+      spectrum("l_suppkey").unionAll(spectrum("l_partkey"))
+        .orderBy($"key_col", $"bucket")
     })
   )
 
@@ -1395,6 +1425,29 @@ object AnalyticsQueries {
         |FROM ev JOIN st USING (event_type)
         |WHERE (n * value_cents - sx) * (n * value_cents - sx) * (n - 1)
         |      > 9 * (n * sxx - sx * sx) * n
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    // identical exact-integer bucketing: length(bin(c)) - 1 == floor(log2 c)
+    "q_skew_metrics" -> {
+      def one(k: String) =
+        s"""sp_$k AS (
+           |  SELECT '$k' AS key_col, (length(bin(c)) - 1)::BIGINT AS bucket,
+           |    count(*) AS n_keys, sum(c)::BIGINT AS n_rows
+           |  FROM c_$k GROUP BY 1, 2),
+           |sm_$k AS (
+           |  SELECT '$k' AS key_col, max(c)::BIGINT AS max_cnt,
+           |    sum(c)::BIGINT AS total_rows
+           |  FROM c_$k)""".stripMargin
+      s"""WITH c_l_suppkey AS (SELECT l_suppkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+         |c_l_partkey AS (SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+         |${one("l_suppkey")},
+         |${one("l_partkey")}
+         |SELECT key_col, bucket, n_keys, n_rows, total_rows, max_cnt,
+         |  round(max_cnt::DOUBLE / total_rows, 6) AS top1_share
+         |FROM (SELECT * FROM sp_l_suppkey UNION ALL SELECT * FROM sp_l_partkey) sp
+         |JOIN (SELECT * FROM sm_l_suppkey UNION ALL SELECT * FROM sm_l_partkey) sm
+         |  USING (key_col)
+         |ORDER BY key_col, bucket""".stripMargin
+    }
   )
 }

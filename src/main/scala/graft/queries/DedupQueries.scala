@@ -523,6 +523,63 @@ object DedupQueries {
           round($"n_common" / ($"n_a" + $"n_b" - $"n_common"), 4).as("jaccard"),
           round($"n_common" / least($"n_a", $"n_b"), 4).as("containment"))
         .orderBy($"src_a", $"src_b")
+    }),
+
+    // Dedup-quality evaluation — the measure-your-recall audit every
+    // approximate dedup deployment runs before trusting it at 100 TB.
+    // Methodology: a deterministic 20 % Knuth-hash document sample (the
+    // d_stratified_sample discipline — retry-safe, no rand()); within
+    // it, candidate pairs = word-set minhash bucket-mates (the exact
+    // d_dedup_minhash banding: 64 perms, 16 bands) and truth = ALL
+    // pairs with exact word-set j ≥ 0.8 — no language or equi-band
+    // restriction. The truth side still never materializes a cartesian:
+    // j ≥ 0.8 forces 4·max(|a|,|b|) ≤ 5·min(|a|,|b|), so each doc
+    // explodes to the bounded RANGE of length-bands a qualifying
+    // partner can occupy and the pair generator is an equi-join on that
+    // band — lossless by the ratio bound, linear in feasible pairs.
+    // One summary row; divisions exact long→double. The oracle's truth
+    // side is the UNFILTERED quadratic join over the same sample, so
+    // the hash match independently proves the range-banding lossless.
+    "d_minhash_eval" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val rate = lit(858993459L) // floor(0.2 * 2^32)
+      val docs = load(s, d, "documents")
+        .filter(pmod($"doc_id" * lit(2654435761L), lit(4294967296L)) < rate)
+        .select($"doc_id", sort_array(array_distinct(toks($"text"))).as("ws"))
+        .withColumn("nw", size($"ws").cast("long"))
+        .cache()
+      val buckets = docs.select($"doc_id",
+        posexplode(GraftText.minhashBands($"ws", 1, 64, 16))
+          .as(Seq("band_id", "bh")))
+      val cand = buckets.select($"doc_id".as("doc_a"), $"band_id", $"bh")
+        .join(buckets.select($"doc_id".as("doc_b"), $"band_id", $"bh"),
+          Seq("band_id", "bh"))
+        .filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b")
+        .distinct()
+        .cache()
+      val hits = cand
+        .join(docs.select($"doc_id".as("doc_a"), $"ws".as("wa")), "doc_a")
+        .join(docs.select($"doc_id".as("doc_b"), $"ws".as("wb")), "doc_b")
+        .filter(GraftText.jaccardSorted($"wa", $"wb") >= 0.8)
+        .agg(count(lit(1)).as("n_hits"))
+      // feasible partner lengths for j >= 0.8: nb in [ceil(4na/5),
+      // floor(5na/4)] — the left side explodes to that band range, the
+      // right side sits in its own single band (monotone div 25)
+      val lhs = docs.select($"doc_id".as("doc_a"), $"ws".as("wa"),
+          explode(sequence(expr("((nw * 4 + 4) div 5) div 25"),
+            expr("(nw * 5 div 4) div 25"))).as("band"))
+      val rhs = docs.select($"doc_id".as("doc_b"), $"ws".as("wb"),
+        expr("nw div 25").as("band"))
+      val truth = lhs.join(rhs, "band")
+        .filter($"doc_a" < $"doc_b" &&
+          GraftText.jaccardSorted($"wa", $"wb") >= 0.8)
+        .agg(count(lit(1)).as("n_truth"))
+      val nc = cand.agg(count(lit(1)).as("n_candidates"))
+      truth.crossJoin(nc).crossJoin(hits)
+        .select($"n_truth", $"n_candidates", $"n_hits",
+          round($"n_hits" / $"n_candidates", 4).as("precision_at_j"),
+          round($"n_hits" / $"n_truth", 4).as("recall_at_j"))
     })
   )
 
@@ -738,6 +795,13 @@ object DedupQueries {
         |  round(n_common::DOUBLE / least(sa.nsh, sb.nsh), 4) AS containment
         |FROM iv JOIN sz sa ON iv.src_a = sa.source
         |        JOIN sz sb ON iv.src_b = sb.source
-        |ORDER BY src_a, src_b""".stripMargin
+        |ORDER BY src_a, src_b""".stripMargin,
+
+    // same deterministic 20% Knuth-hash sample gate on the wsDef; the
+    // truth CTE inside is the unfiltered quadratic over that sample
+    "d_minhash_eval" ->
+      graft.functions.HashSql.minhashEvalOracle(
+        graft.functions.HashSql.wordSetDef +
+          " WHERE (doc_id * 2654435761) % 4294967296 < 858993459", 0.8)
   )
 }

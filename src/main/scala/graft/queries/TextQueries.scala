@@ -646,6 +646,45 @@ object TextQueries {
             .when($"c_fr" >= $"c_es", "fr")
             .otherwise("es").as("lang_pred"))
         .orderBy("doc_id")
+    }),
+
+    // Per-document token Shannon entropy — the distributional quality
+    // signal beside the LM scores (#27d corpus-LM, #27o bigram-LM):
+    // low entropy = repetitive/templated text, entropy near the
+    // log2(n_distinct) ceiling = flat token use. H = (1/n)·Σ m·(log2 n
+    // − log2 m): every log2 argument is an INTEGER (per-doc counts), so
+    // DetMath keeps the doubles bit-identical cross-engine; the fold
+    // runs in sorted-token order (float addition is not associative).
+    // norm_entropy = H / log2(n_distinct) for multi-token-type docs.
+    // Shape: explode → (doc, token) counts → one doc rollup; scan-side
+    // arithmetic, nothing corpus-global.
+    "t_entropy" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      import graft.functions.DetMath
+      // per-doc totals via a doc-keyed window so `term` is computed
+      // SCAN-SIDE on the (doc, token, m) frame — one log row per token
+      // TYPE; folding logs inside the per-doc aggregate lambda instead
+      // re-evaluates them per element (measured 4×)
+      val wd = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+      load(s, d, "documents")
+        .select($"doc_id", explode(tokens($"text")).as("token"))
+        .groupBy($"doc_id", $"token").agg(count(lit(1)).as("m"))
+        .withColumn("n_tokens", sum($"m").over(wd))
+        .withColumn("term", $"m".cast("double") *
+          (DetMath.log2Det($"n_tokens") - DetMath.log2Det($"m")))
+        .groupBy($"doc_id")
+        .agg(first($"n_tokens").as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sort_array(collect_list(struct($"token", $"term"))).as("lst"))
+        .withColumn("h",
+          aggregate($"lst", lit(0.0), (acc, x) => acc + x("term"))
+            / $"n_tokens")
+        .select($"doc_id", $"n_tokens", $"n_distinct",
+          round($"h", 4).as("entropy_bits"),
+          when($"n_distinct" > 1,
+            round($"h" / DetMath.log2Det($"n_distinct"), 4))
+            .as("norm_entropy"))
+        .transform(graft.queries.DedupQueries.orderedLarge(_, "doc_id"))
     })
   )
 
@@ -1045,6 +1084,33 @@ object TextQueries {
          |  SELECT doc_id, $cEn AS c_en, $cDe AS c_de, $cFr AS c_fr, $cEs AS c_es
          |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)
          |) ORDER BY doc_id""".stripMargin
+    },
+
+    // same integer-argument DetMath logs, same sorted-token fold
+    "t_entropy" -> {
+      import graft.functions.DetMath
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+         |  FROM documents),
+         |dt AS (SELECT doc_id, token, count(*) AS m FROM tok GROUP BY doc_id, token),
+         |nt AS (SELECT doc_id, sum(m)::BIGINT AS n_tokens,
+         |         count(*)::BIGINT AS n_distinct FROM dt GROUP BY doc_id),
+         |terms AS (
+         |  SELECT dt.doc_id, token,
+         |    m::DOUBLE * (${DetMath.log2DetSql("n_tokens")}
+         |      - ${DetMath.log2DetSql("m")}) AS term
+         |  FROM dt JOIN nt USING (doc_id)),
+         |doc AS (SELECT doc_id, list(term ORDER BY token) AS lst
+         |        FROM terms GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_distinct,
+         |  round(h, 4) AS entropy_bits,
+         |  CASE WHEN n_distinct > 1
+         |       THEN round(h / ${DetMath.log2DetSql("n_distinct")}, 4)
+         |       END AS norm_entropy
+         |FROM (SELECT doc_id, n_tokens, n_distinct,
+         |        list_reduce(list_prepend(0.0, lst), (a, b) -> a + b) / n_tokens AS h
+         |      FROM doc JOIN nt USING (doc_id)) t
+         |ORDER BY doc_id""".stripMargin
     }
   )
 }

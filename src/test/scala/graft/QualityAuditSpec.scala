@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.queries.{AnalyticsQueries, DedupQueries, TextQueries}
+
+/** Hand-computed fixtures for the corpus-quality/audit additions:
+  * per-doc token entropy, the key-skew spectrum, and the minhash
+  * dedup-quality evaluation. */
+class QualityAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("t_entropy: uniform tokens hit the log2 ceiling, constant docs hit zero") {
+    val dir = Files.createTempDirectory("graft_ent").toString
+    Seq(
+      (1L, "a a a a", "en", "s1"),   // H = 0, norm undefined (1 type)
+      (2L, "a b c d", "en", "s1"),   // H = 2 bits, norm = 1
+      (3L, "a a b b", "en", "s1"),   // H = 1 bit, norm = 1
+      (4L, "a a a b", "en", "s1"))   // H = 0.8113, norm = 0.8113
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextQueries.all("t_entropy")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(rows.toSeq === Seq(
+      (1L, 4L, 1L, 0.0, None),
+      (2L, 4L, 4L, 2.0, Some(1.0)),
+      (3L, 4L, 2L, 1.0, Some(1.0)),
+      (4L, 4L, 2L, 0.8113, Some(0.8113))))
+  }
+
+  test("q_skew_metrics: log2 frequency spectrum with exact bucket boundaries") {
+    val dir = Files.createTempDirectory("graft_skew").toString
+    // l_suppkey counts: k1:1, k2:1, k3:2, k4:4 → buckets 0(2 keys,2 rows),
+    // 1(1 key,2 rows), 2(1 key,4 rows); l_partkey: all 8 rows one key
+    val supp = Seq(1L, 2L, 3L, 3L, 4L, 4L, 4L, 4L)
+    supp.map(k => (k, 77L)).toDF("l_suppkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = AnalyticsQueries.all("q_skew_metrics")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(rows.toSeq === Seq(
+      ("l_partkey", 3L, 1L, 8L, 8L, 8L, 1.0),
+      ("l_suppkey", 0L, 2L, 2L, 8L, 4L, 0.5),
+      ("l_suppkey", 1L, 1L, 2L, 8L, 4L, 0.5),
+      ("l_suppkey", 2L, 1L, 4L, 8L, 4L, 0.5)))
+  }
+
+  test("d_minhash_eval: planted duplicates are recalled; sample gate and truth are exact") {
+    // doc ids that PASS the 20% Knuth gate: (id * 2654435761) % 2^32 < 0.2*2^32
+    def inSample(id: Long) =
+      java.lang.Long.remainderUnsigned(id * 2654435761L, 4294967296L) < 858993459L
+    val ids = (1L to 200L).filter(inSample).take(4)
+    assert(ids.size === 4, s"need 4 in-sample ids, got $ids")
+    val Seq(a, b, c, e) = ids
+    val dup = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val dir = Files.createTempDirectory("graft_mhe").toString
+    (Seq(
+      (a, dup, "en", "s1"),                      // identical pair: j = 1
+      (b, dup, "en", "s1"),
+      (c, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10", "en", "s1"), // disjoint
+      (e, "y1 y2", "en", "s1"),                  // short + disjoint
+      (9999L, dup, "en", "s1"))                  // OUT of sample (gate must drop)
+      ).toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(!inSample(9999L), "fixture expects 9999 outside the sample")
+    val r = DedupQueries.all("d_minhash_eval")(spark, dir).collect()(0)
+    val (truth, cand, hits) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(truth === 1L, "exactly the planted identical pair is truth")
+    assert(hits === 1L, "the identical pair must be recalled")
+    assert(r.getDouble(4) === 1.0, "recall must be 1.0")
+    assert(cand >= 1L)
+  }
+
+  test("d_minhash_eval: no cartesian — truth pairs come from the length-range band join") {
+    spark.catalog.clearCache()
+    val p = DedupQueries.all("d_minhash_eval")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"truth/candidate generation must never be a cartesian:\n$p")
+  }
+}
