@@ -108,6 +108,55 @@ object IndexOracle {
        |) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** v_nprobe_sweep: recall@k vs exact ground truth for EVERY swept
+    * nprobe in one statement — probes ranked once, each sweep point
+    * takes its crnk ≤ nprobe prefix (non-equi join on the bounded
+    * ranked-cluster frame). avg_recall is total_hits / (k·n_queries):
+    * one exact integer division, never a float average of per-query
+    * recalls (whose summation order is engine-dependent). */
+  def nprobeSweepOracle(centroids: Seq[(Int, Seq[Float])],
+      k: Int, nprobes: Seq[Int], numQueries: Int): String = {
+    val qdists = centroids.map { case (_, c) => l2sqLit("qv", 0, c) }
+      .mkString("[", ",\n ", "]")
+    val cids = centroids.map(_._1).mkString("[", ",", "]")
+    s"""WITH ${assignCte(centroids)},
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $numQueries),
+       |ranked AS (
+       |  SELECT query_id, cid AS cluster_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY d, cid) AS crnk
+       |  FROM (SELECT query_id, unnest($cids) AS cid, unnest(ds) AS d
+       |        FROM (SELECT query_id, $qdists AS ds FROM q))),
+       |gt AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.query_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${l2sqCol("e.embedding", "q.qv", 64)}, e.vec_id) AS rnk
+       |    FROM embeddings e, q) WHERE rnk <= $k),
+       |np AS (SELECT unnest([${nprobes.mkString(",")}]) AS nprobe),
+       |cand AS (
+       |  SELECT n.nprobe, r.query_id, a.vec_id,
+       |    ${l2sqCol("a.embedding", "q.qv", 64)} AS dd
+       |  FROM np n
+       |  JOIN ranked r ON r.crnk <= n.nprobe
+       |  JOIN a ON a.cluster_id = r.cluster_id
+       |  JOIN q ON q.query_id = r.query_id),
+       |res AS (
+       |  SELECT nprobe, query_id, vec_id FROM (
+       |    SELECT nprobe, query_id, vec_id,
+       |      row_number() OVER (PARTITION BY nprobe, query_id
+       |        ORDER BY dd, vec_id) AS rnk
+       |    FROM cand) WHERE rnk <= $k),
+       |hits AS (
+       |  SELECT nprobe, count(*) AS total_hits
+       |  FROM res JOIN gt USING (query_id, vec_id) GROUP BY nprobe),
+       |nq AS (SELECT count(*)::BIGINT AS n_queries FROM q)
+       |SELECT n.nprobe::BIGINT AS nprobe, n_queries,
+       |  coalesce(total_hits, 0)::BIGINT AS total_hits,
+       |  round(coalesce(total_hits, 0)::DOUBLE / ($k * n_queries), 4) AS avg_recall
+       |FROM np n LEFT JOIN hits h ON h.nprobe = n.nprobe, nq
+       |ORDER BY nprobe""".stripMargin
+  }
+
   /** v_ivf_filtered: the ivfSearchOracle pipeline with the metadata
     * predicate applied to candidates BEFORE ranking (the pre-filter
     * contract: the heap only sees label-passing vectors). */

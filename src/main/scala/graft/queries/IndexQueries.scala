@@ -219,8 +219,43 @@ object IndexQueries {
               transform($"ap", x => x.getField("id")))).cast("double") / K,
             4).as("recall"))
         .orderBy("query_id")
+    }),
+
+    // The recall-vs-cost curve (recall_bench.cpp's ef_search sweep,
+    // IVF-shaped): recall@k against exact ground truth at nprobe = 1,
+    // 2, 4, 8 of 16 clusters — the table an operator consults to pick
+    // its quality/cost point before a production run. Each sweep point
+    // searches the SAME persisted index (partition-pruned scans, no
+    // re-fit anywhere); ground truth is one broadcast-kNN pass.
+    // avg_recall = Σ hits / (k·|Q|): a single exact long→double
+    // division — never a float MEAN of per-query recalls, whose
+    // summation order is engine-dependent.
+    "v_nprobe_sweep" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val dir = IndexStore.ivf(s, d, k = 16)
+      val e = load(s, d, "embeddings")
+      val q = e.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      val gt = e.crossJoin(broadcast(q))
+        .groupBy($"query_id")
+        .agg(topK(l2Sq($"embedding", $"qv"), $"vec_id", K).as("gt"))
+        .select($"query_id",
+          explode(transform($"gt", x => x.getField("id"))).as("neighbor_id"))
+      val nq = q.agg(count(lit(1)).as("n_queries"))
+      NprobeSweep.map { np =>
+        IvfIndex.searchPruned(s, dir, q, K, nprobe = np)
+          .join(gt, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("total_hits"))
+          .select(lit(np.toLong).as("nprobe"), $"total_hits")
+      }.reduce(_ unionAll _)
+        .crossJoin(broadcast(nq))
+        .select($"nprobe", $"n_queries", $"total_hits",
+          round($"total_hits" / (lit(K) * $"n_queries"), 4).as("avg_recall"))
+        .orderBy("nprobe")
     })
   )
+
+  private val NprobeSweep = Seq(1, 2, 4, 8)
 
   /** Oracles for the seeded-KMeans entries, generated from the PERSISTED
     * index (see [[graft.operators.IndexOracle]]): centroids/codebooks are
@@ -236,7 +271,8 @@ object IndexQueries {
     * to materialize oracle strings for unrelated queries. */
   val AnnOracleKeys: Set[String] =
     Set("v_ivf_build", "v_ivf_search", "v_ivf_filtered", "v_pq_search",
-      "v_pq_rerank", "v_ivfpq_search", "d_semantic_dedup")
+      "v_pq_rerank", "v_ivfpq_search", "d_semantic_dedup",
+      "v_nprobe_sweep")
 
   private def annOracles: Map[String, String] = try {
     val s = SparkSession.active
@@ -263,7 +299,9 @@ object IndexQueries {
         .ivfPqSearchOracle(cent, books, numSub = 8, subDim = 8, K,
           nprobe = 4, NumQueries),
       "d_semantic_dedup" -> graft.operators.IndexOracle
-        .semanticDedupOracle(cent, SemDedupTau))
+        .semanticDedupOracle(cent, SemDedupTau),
+      "v_nprobe_sweep" -> graft.operators.IndexOracle
+        .nprobeSweepOracle(cent, K, NprobeSweep, NumQueries))
   } catch {
     // the documented degrade-to-rows-only cases (no live session / no
     // index context) — but NEVER silently: a generation regression that

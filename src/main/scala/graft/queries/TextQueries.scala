@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.load
@@ -23,6 +24,31 @@ object TextQueries {
   private def stopCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
       .cast("long")
+
+  /** The stopword-evidence language rule shared by t_lang_id and
+    * t_lang_confusion (one definition, so the audit can never drift
+    * from the classifier it audits). Tie order: en ≥ de ≥ fr ≥ es. */
+  private def langPred(toks: Column): Column = {
+    val (cEn, cDe, cFr, cEs) = (stopCount(toks, StopEn),
+      stopCount(toks, StopDe), stopCount(toks, StopFr),
+      stopCount(toks, StopEs))
+    when(greatest(cEn, cDe, cFr, cEs) === 0, "unknown")
+      .when(cEn >= greatest(cDe, cFr, cEs), "en")
+      .when(cDe >= greatest(cFr, cEs), "de")
+      .when(cFr >= cEs, "fr")
+      .otherwise("es")
+  }
+
+  /** The same rule over a SQL `toks` list column (the oracle side). */
+  private def langPredSql: String = {
+    val cEn = sqlStopCount(StopEn); val cDe = sqlStopCount(StopDe)
+    val cFr = sqlStopCount(StopFr); val cEs = sqlStopCount(StopEs)
+    s"""CASE WHEN greatest($cEn, $cDe, $cFr, $cEs) = 0 THEN 'unknown'
+       |     WHEN $cEn >= greatest($cDe, $cFr, $cEs) THEN 'en'
+       |     WHEN $cDe >= greatest($cFr, $cEs) THEN 'de'
+       |     WHEN $cFr >= $cEs THEN 'fr'
+       |     ELSE 'es' END""".stripMargin
+  }
 
   /** GPT-2-style pretokenizer regex, ASCII-simplified; no lookarounds so
     * Java regex (Spark) and RE2 (DuckDB) agree on every match. */
@@ -631,21 +657,28 @@ object TextQueries {
     // (en > de > fr > es > unknown) makes it deterministic.
     "t_lang_id" -> ((s: SparkSession, d: String) => {
       import s.implicits._
-      val toks = tokens($"text")
       load(s, d, "documents")
-        .select($"doc_id", toks.as("toks"))
-        .select($"doc_id",
-          stopCount($"toks", StopEn).as("c_en"),
-          stopCount($"toks", StopDe).as("c_de"),
-          stopCount($"toks", StopFr).as("c_fr"),
-          stopCount($"toks", StopEs).as("c_es"))
-        .select($"doc_id",
-          when(greatest($"c_en", $"c_de", $"c_fr", $"c_es") === 0, "unknown")
-            .when($"c_en" >= greatest($"c_de", $"c_fr", $"c_es"), "en")
-            .when($"c_de" >= greatest($"c_fr", $"c_es"), "de")
-            .when($"c_fr" >= $"c_es", "fr")
-            .otherwise("es").as("lang_pred"))
+        .select($"doc_id", tokens($"text").as("toks"))
+        .select($"doc_id", langPred($"toks").as("lang_pred"))
         .orderBy("doc_id")
+    }),
+
+    // Language-ID confusion matrix — the classifier AUDIT beside
+    // #27's prediction (you don't ship a filter model without its
+    // confusion table): declared lang × predicted lang counts + the
+    // within-declared-lang share (exact long→double division). One
+    // scan-side prediction, one bounded-grid aggregate — the grid is
+    // |langs|², never rows.
+    "t_lang_confusion" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val wl = Window.partitionBy($"lang")
+      load(s, d, "documents")
+        .select($"lang", langPred(tokens($"text")).as("lang_pred"))
+        .groupBy($"lang", $"lang_pred")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("share_of_lang",
+          round($"n_docs" / sum($"n_docs").over(wl), 4))
+        .orderBy($"lang", $"lang_pred")
     }),
 
     // Per-document token Shannon entropy — the distributional quality
@@ -1071,20 +1104,23 @@ object TextQueries {
          |WHERE rnk <= 20 ORDER BY rnk""".stripMargin
     },
 
-    "t_lang_id" -> {
-      val cEn = sqlStopCount(StopEn); val cDe = sqlStopCount(StopDe)
-      val cFr = sqlStopCount(StopFr); val cEs = sqlStopCount(StopEs)
-      s"""SELECT doc_id,
-         |  CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'unknown'
-         |       WHEN c_en >= greatest(c_de, c_fr, c_es) THEN 'en'
-         |       WHEN c_de >= greatest(c_fr, c_es) THEN 'de'
-         |       WHEN c_fr >= c_es THEN 'fr'
-         |       ELSE 'es' END AS lang_pred
-         |FROM (
-         |  SELECT doc_id, $cEn AS c_en, $cDe AS c_de, $cFr AS c_fr, $cEs AS c_es
-         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)
-         |) ORDER BY doc_id""".stripMargin
-    },
+    "t_lang_id" ->
+      s"""SELECT doc_id, $langPredSql AS lang_pred
+         |FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    // the same shared rule string — audit and classifier cannot drift
+    "t_lang_confusion" ->
+      s"""WITH pred AS (
+         |  SELECT lang, $langPredSql AS lang_pred
+         |  FROM (SELECT lang, regexp_split_to_array(trim(text), '\\s+') AS toks
+         |        FROM documents)),
+         |c AS (SELECT lang, lang_pred, count(*) AS n_docs
+         |      FROM pred GROUP BY lang, lang_pred)
+         |SELECT lang, lang_pred, n_docs,
+         |  round(n_docs::DOUBLE / sum(n_docs) OVER (PARTITION BY lang), 4)
+         |    AS share_of_lang
+         |FROM c ORDER BY lang, lang_pred""".stripMargin,
 
     // same integer-argument DetMath logs, same sorted-token fold
     "t_entropy" -> {

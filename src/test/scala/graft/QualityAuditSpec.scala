@@ -74,6 +74,40 @@ class QualityAuditSpec extends SparkSpec {
     assert(cand >= 1L)
   }
 
+  test("t_lang_confusion: misdeclared docs land off-diagonal with exact shares") {
+    val dir = Files.createTempDirectory("graft_lc").toString
+    Seq(
+      (1L, "the cat and the dog", "en", "s1"),  // en → en
+      (2L, "the fish and a bird", "en", "s1"),  // en → en
+      (3L, "the boat and a car", "de", "s1"),   // declared de, reads en
+      (4L, "der hund ist und das", "de", "s1"), // de → de
+      (5L, "zzz qqq www", "fr", "s1"))          // no evidence → unknown
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextQueries.all("t_lang_confusion")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq === Seq(
+      ("de", "de", 1L, 0.5), ("de", "en", 1L, 0.5),
+      ("en", "en", 2L, 1.0),
+      ("fr", "unknown", 1L, 1.0)))
+  }
+
+  test("v_nprobe_sweep: recall is monotone in nprobe and exactly hit-counted") {
+    val rows = graft.queries.IndexQueries.all("v_nprobe_sweep")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 4L, 8L))
+    val recalls = rows.map(_._4)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall must not decrease with nprobe: ${recalls.toSeq}")
+    assert(recalls.forall(r => r >= 0.0 && r <= 1.0))
+    // avg_recall must be the exact integer ratio, not a float mean
+    rows.foreach { case (_, nq, hits, rec) =>
+      assert(rec === math.rint(hits.toDouble / (10 * nq) * 10000) / 10000)
+    }
+  }
+
   test("d_minhash_eval: no cartesian — truth pairs come from the length-range band join") {
     spark.catalog.clearCache()
     val p = DedupQueries.all("d_minhash_eval")(spark, sfDir)
