@@ -911,6 +911,46 @@ object AnalyticsQueries {
       }
       spectrum("l_suppkey").unionAll(spectrum("l_partkey"))
         .orderBy($"key_col", $"bucket")
+    }),
+
+    // ANALYZE-style table profile (the stats pass planners and data
+    // contracts run on every ingest): per column — rows, nulls, min,
+    // max, distinct count. Null/min/max for ALL columns ride ONE
+    // map-side-combined pass over the scan (typed min/max computed
+    // before rendering to canonical strings — string ordering would
+    // rank "10" < "9"); money profiles as integer cents, timestamps as
+    // formatted UTC. Exact distincts run as per-column distinct
+    // aggregations (bounded column count); when exact distinct is the
+    // bottleneck at scale, q_hll_distinct's mergeable sketch is the
+    // drop-in — same pass, constant state.
+    "q_data_profile" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val o = load(s, d, "orders").select(
+        $"o_orderkey", $"o_custkey", orderCents.as("o_totalprice_cents"),
+        date_format($"o_orderdate", TsFmt).as("o_orderdate"),
+        $"o_orderpriority", $"o_orderstatus")
+      val cols = o.columns.toSeq
+      val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+          min(col(c)).cast("string").as(s"min_$c"),
+          max(col(c)).cast("string").as(s"max_$c"))
+      }
+      val melted = o.agg(aggs.head, aggs.tail: _*)
+        .select($"n_rows", explode(array(cols.map { c =>
+          struct(lit(c).as("col_name"), col(s"nn_$c").as("n_null"),
+            col(s"min_$c").as("min_val"), col(s"max_$c").as("max_val"))
+        }: _*)).as("s"))
+        .select($"s.col_name", $"n_rows", $"s.n_null", $"s.min_val",
+          $"s.max_val")
+      val distincts = cols.map { c =>
+        o.select(col(c)).filter(col(c).isNotNull).distinct()
+          .agg(count(lit(1)).as("n_distinct"))
+          .select(lit(c).as("col_name"), $"n_distinct")
+      }.reduce(_ unionAll _)
+      melted.join(broadcast(distincts), "col_name")
+        .select($"col_name", $"n_rows", $"n_null", $"n_distinct",
+          $"min_val", $"max_val")
+        .orderBy("col_name")
     })
   )
 
@@ -1448,6 +1488,27 @@ object AnalyticsQueries {
          |JOIN (SELECT * FROM sm_l_suppkey UNION ALL SELECT * FROM sm_l_partkey) sm
          |  USING (key_col)
          |ORDER BY key_col, bucket""".stripMargin
+    },
+
+    // typed min/max rendered to the same canonical strings (cents,
+    // formatted UTC timestamps) — never string-ordered stats
+    "q_data_profile" -> {
+      def prof(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  sum(($c IS NULL)::INT)::BIGINT AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  min($c)::VARCHAR AS min_val, max($c)::VARCHAR AS max_val
+           |FROM t""".stripMargin
+      val cols = Seq("o_orderkey", "o_custkey", "o_totalprice_cents",
+        "o_orderdate", "o_orderpriority", "o_orderstatus")
+      s"""WITH t AS (
+         |  SELECT o_orderkey, o_custkey,
+         |    round(o_totalprice * 100)::BIGINT AS o_totalprice_cents,
+         |    strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+         |    o_orderpriority, o_orderstatus
+         |  FROM orders)
+         |${cols.map(prof).mkString("", "\nUNION ALL\n", "")}
+         |ORDER BY col_name""".stripMargin
     }
   )
 }

@@ -74,6 +74,28 @@ class QualityAuditSpec extends SparkSpec {
     assert(cand >= 1L)
   }
 
+  test("q_data_profile: typed min/max (never string-ordered), nulls and distincts counted") {
+    val dir = Files.createTempDirectory("graft_prof").toString
+    val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    Seq(
+      (9L, Some(1L), 10.00, ts, "1-URGENT", "F"),
+      (10L, Some(1L), 2.50, ts, "5-LOW", "O"),   // key 10 > 9 numerically, "10" < "9" as strings
+      (2L, None, 7.25, ts, "5-LOW", "F"))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+        "o_orderpriority", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val rows = AnalyticsQueries.all("q_data_profile")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))))
+      .toMap
+    assert(rows("o_orderkey") === ((3L, 0L, 3L, "2", "10")),
+      "max must be typed (10), not string-ordered (9)")
+    assert(rows("o_custkey") === ((3L, 1L, 1L, "1", "1")),
+      "nulls counted and excluded from distinct/min/max")
+    assert(rows("o_totalprice_cents") === ((3L, 0L, 3L, "250", "1000")))
+  }
+
   test("t_lang_confusion: misdeclared docs land off-diagonal with exact shares") {
     val dir = Files.createTempDirectory("graft_lc").toString
     Seq(
