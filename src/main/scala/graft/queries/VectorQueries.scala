@@ -338,6 +338,57 @@ object VectorQueries {
         .groupBy($"vec_id")
         .agg(max_by($"label", $"pri").as("label"))
         .orderBy("vec_id")
+    }),
+
+    // Top principal component by power iteration — the embedding-space
+    // analysis step (dominant direction / ABTT-style common-component
+    // removal) done with the t_textrank discipline: a FIXED number of
+    // rounds (8) whose every float operation has a pinned order, so the
+    // result is bit-reproducible and oracle-matchable. Each round is
+    // (XᵀX)v: per-vector dot (LTR fold), then the 64-dim weighted SUM
+    // folded in TWO deterministic levels — within a vec_id-div-4096
+    // bucket in id order, then across buckets in bucket order — the
+    // hierarchical shape that stays a bounded per-group fold at any
+    // corpus size (one global id-ordered fold would be a single task
+    // holding every vector). v advances through a driver collect of 64
+    // doubles per round (the collectProbeIds precedent: bounded driver
+    // state, never row data). Normalization splits sqrt/divide in the
+    // same pinned order both engines use. Start vector = 1/8 ones
+    // (exact in binary); sign of the result is fixed by the iteration
+    // itself.
+    "v_pca_power" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val dim = 64
+      val e = load(s, d, "embeddings").select($"vec_id", $"embedding").cache()
+      val zero = typedlit(Seq.fill(dim)(0.0))
+      var v = Array.fill(dim)(1.0 / 8.0) // ones / ||ones||, exact
+      (1 to 8).foreach { _ =>
+        val sv = typedlit(v.toSeq)
+        val scored = e.select($"vec_id", $"embedding",
+          aggregate(zip_with($"embedding", sv, (x, vj) => x.cast("double") * vj),
+            lit(0.0), (a, b) => a + b).as("s"))
+        val buckets = scored
+          .groupBy(expr("vec_id div 4096").as("bkt"))
+          .agg(sort_array(collect_list(struct($"vec_id", $"s", $"embedding")))
+            .as("lst"))
+          .select($"bkt",
+            aggregate($"lst", zero, (acc, p) =>
+              zip_with(acc, p("embedding"),
+                (a, x) => a + x.cast("double") * p("s"))).as("wb"))
+        val w = buckets
+          .agg(sort_array(collect_list(struct($"bkt", $"wb"))).as("l2"))
+          .select(aggregate($"l2", zero,
+            (acc, q) => zip_with(acc, q("wb"), (a, x) => a + x)).as("w"))
+          .head().getSeq[Double](0).toArray
+        val norm = math.sqrt(w.foldLeft(0.0)((a, x) => a + x * x))
+        v = w.map(_ / norm)
+      }
+      e.unpersist()
+      v.toSeq.zipWithIndex
+        .map { case (x, i) => ((i + 1).toLong, x) }
+        .toDF("idx", "pc_raw")
+        .select($"idx", round($"pc_raw", 6).as("pc"))
+        .orderBy("idx")
     })
   )
 
@@ -498,6 +549,49 @@ object VectorQueries {
         |  FROM embeddings WHERE vec_id % 7 = 0
         |)
         |SELECT vec_id, max_by(label, pri) AS label FROM u
-        |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // the ENTIRE 8-round iteration re-derived (no engine literals):
+    // same LTR dot fold, same two-level id/bucket-ordered vector sum,
+    // same split normalization — any order-of-operations drift in
+    // either engine breaks the hash
+    "v_pca_power" -> {
+      val dim = 64
+      val v0 = Seq.fill(dim)("0.125").mkString("[", ", ", "]")
+      val rounds = (1 to 8).map { r =>
+        s"""s_$r AS (
+           |  SELECT vec_id, embedding,
+           |    list_reduce(list_prepend(0.0,
+           |      [embedding[i]::DOUBLE * v[i] for i in range(1, ${dim + 1})]),
+           |      (a, b) -> a + b) AS s
+           |  FROM embeddings, v_${r - 1}),
+           |b_$r AS (
+           |  SELECT vec_id // 4096 AS bkt,
+           |    list(struct_pack(id := vec_id, s := s, x := embedding)
+           |      ORDER BY vec_id) AS lst
+           |  FROM s_$r GROUP BY 1),
+           |wb_$r AS (
+           |  SELECT bkt, [list_reduce(list_prepend(0.0,
+           |      list_transform(lst, p -> p.x[j]::DOUBLE * p.s)),
+           |      (a, b) -> a + b) for j in range(1, ${dim + 1})] AS wb
+           |  FROM b_$r),
+           |w_$r AS (
+           |  SELECT [list_reduce(list_prepend(0.0,
+           |      list_transform(l2, q -> q.wb[j])), (a, b) -> a + b)
+           |    for j in range(1, ${dim + 1})] AS w
+           |  FROM (SELECT list(struct_pack(bkt := bkt, wb := wb)
+           |          ORDER BY bkt) AS l2 FROM wb_$r)),
+           |v_$r AS (
+           |  SELECT list_transform(w, x -> x / sqrt(list_reduce(
+           |    list_prepend(0.0, list_transform(w, y -> y * y)),
+           |    (a, b) -> a + b))) AS v
+           |  FROM w_$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH v_0 AS (SELECT $v0 AS v),
+         |$rounds
+         |SELECT idx::BIGINT AS idx, round(v[idx], 6) AS pc
+         |FROM v_8, (SELECT unnest(range(1, ${dim + 1})) AS idx)
+         |ORDER BY idx""".stripMargin
+    }
   )
 }
