@@ -358,39 +358,72 @@ object VectorQueries {
     // itself.
     "v_pca_power" -> ((s: SparkSession, d: String) => {
       import s.implicits._
-      val dim = 64
-      val e = load(s, d, "embeddings").select($"vec_id", $"embedding").cache()
-      val zero = typedlit(Seq.fill(dim)(0.0))
-      var v = Array.fill(dim)(1.0 / 8.0) // ones / ||ones||, exact
-      (1 to 8).foreach { _ =>
-        val sv = typedlit(v.toSeq)
-        val scored = e.select($"vec_id", $"embedding",
-          aggregate(zip_with($"embedding", sv, (x, vj) => x.cast("double") * vj),
-            lit(0.0), (a, b) => a + b).as("s"))
-        val buckets = scored
-          .groupBy(expr("vec_id div 4096").as("bkt"))
-          .agg(sort_array(collect_list(struct($"vec_id", $"s", $"embedding")))
-            .as("lst"))
-          .select($"bkt",
-            aggregate($"lst", zero, (acc, p) =>
-              zip_with(acc, p("embedding"),
-                (a, x) => a + x.cast("double") * p("s"))).as("wb"))
-        val w = buckets
-          .agg(sort_array(collect_list(struct($"bkt", $"wb"))).as("l2"))
-          .select(aggregate($"l2", zero,
-            (acc, q) => zip_with(acc, q("wb"), (a, x) => a + x)).as("w"))
-          .head().getSeq[Double](0).toArray
-        val norm = math.sqrt(w.foldLeft(0.0)((a, x) => a + x * x))
-        v = w.map(_ / norm)
-      }
-      e.unpersist()
+      val v = powerIterate(s, d)
       v.toSeq.zipWithIndex
         .map { case (x, i) => ((i + 1).toLong, x) }
         .toDF("idx", "pc_raw")
         .select($"idx", round($"pc_raw", 6).as("pc"))
         .orderBy("idx")
+    }),
+
+    // Common-component removal (the all-but-the-top post-processing of
+    // Arora et al. 2017 / Mu & Viswanath 2018): project every embedding
+    // off the v_pca_power component — e' = e − (e·v)v — reporting the
+    // projection and residual norm. The iteration is shared code with
+    // v_pca_power; the removal itself is one scan-side pass with the
+    // component as a 64-double literal (no joins, nothing corpus-global
+    // at query time).
+    "v_pca_remove" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val sv = typedlit(powerIterate(s, d).toSeq)
+      load(s, d, "embeddings")
+        .select($"vec_id", $"embedding",
+          aggregate(zip_with($"embedding", sv, (x, vj) => x.cast("double") * vj),
+            lit(0.0), (a, b) => a + b).as("proj"))
+        .select($"vec_id", round($"proj", 4).as("proj"),
+          round(sqrt(aggregate(
+            zip_with($"embedding", sv, (x, vj) =>
+              (x.cast("double") - $"proj" * vj) *
+                (x.cast("double") - $"proj" * vj)),
+            lit(0.0), (a, b) => a + b)), 4).as("resid_norm"))
+        .transform(graft.queries.DedupQueries.orderedLarge(_, "vec_id"))
     })
   )
+
+  /** The shared 8-round power iteration behind v_pca_power and
+    * v_pca_remove (one definition — the removal can never drift from
+    * the component it removes). See v_pca_power's scaladoc for the
+    * determinism contract. */
+  private def powerIterate(s: SparkSession, d: String): Array[Double] = {
+    import s.implicits._
+    val dim = 64
+    val e = load(s, d, "embeddings").select($"vec_id", $"embedding").cache()
+    val zero = typedlit(Seq.fill(dim)(0.0))
+    var v = Array.fill(dim)(1.0 / 8.0) // ones / ||ones||, exact
+    (1 to 8).foreach { _ =>
+      val sv = typedlit(v.toSeq)
+      val scored = e.select($"vec_id", $"embedding",
+        aggregate(zip_with($"embedding", sv, (x, vj) => x.cast("double") * vj),
+          lit(0.0), (a, b) => a + b).as("s"))
+      val buckets = scored
+        .groupBy(expr("vec_id div 4096").as("bkt"))
+        .agg(sort_array(collect_list(struct($"vec_id", $"s", $"embedding")))
+          .as("lst"))
+        .select($"bkt",
+          aggregate($"lst", zero, (acc, p) =>
+            zip_with(acc, p("embedding"),
+              (a, x) => a + x.cast("double") * p("s"))).as("wb"))
+      val w = buckets
+        .agg(sort_array(collect_list(struct($"bkt", $"wb"))).as("l2"))
+        .select(aggregate($"l2", zero,
+          (acc, q) => zip_with(acc, q("wb"), (a, x) => a + x)).as("w"))
+        .head().getSeq[Double](0).toArray
+      val norm = math.sqrt(w.foldLeft(0.0)((a, x) => a + x * x))
+      v = w.map(_ / norm)
+    }
+    e.unpersist()
+    v
+  }
 
   def oracles: Map[String, String] = Map(
     "v_l2_distance" ->
@@ -555,43 +588,65 @@ object VectorQueries {
     // same LTR dot fold, same two-level id/bucket-ordered vector sum,
     // same split normalization — any order-of-operations drift in
     // either engine breaks the hash
-    "v_pca_power" -> {
-      val dim = 64
-      val v0 = Seq.fill(dim)("0.125").mkString("[", ", ", "]")
-      val rounds = (1 to 8).map { r =>
-        s"""s_$r AS (
-           |  SELECT vec_id, embedding,
-           |    list_reduce(list_prepend(0.0,
-           |      [embedding[i]::DOUBLE * v[i] for i in range(1, ${dim + 1})]),
-           |      (a, b) -> a + b) AS s
-           |  FROM embeddings, v_${r - 1}),
-           |b_$r AS (
-           |  SELECT vec_id // 4096 AS bkt,
-           |    list(struct_pack(id := vec_id, s := s, x := embedding)
-           |      ORDER BY vec_id) AS lst
-           |  FROM s_$r GROUP BY 1),
-           |wb_$r AS (
-           |  SELECT bkt, [list_reduce(list_prepend(0.0,
-           |      list_transform(lst, p -> p.x[j]::DOUBLE * p.s)),
-           |      (a, b) -> a + b) for j in range(1, ${dim + 1})] AS wb
-           |  FROM b_$r),
-           |w_$r AS (
-           |  SELECT [list_reduce(list_prepend(0.0,
-           |      list_transform(l2, q -> q.wb[j])), (a, b) -> a + b)
-           |    for j in range(1, ${dim + 1})] AS w
-           |  FROM (SELECT list(struct_pack(bkt := bkt, wb := wb)
-           |          ORDER BY bkt) AS l2 FROM wb_$r)),
-           |v_$r AS (
-           |  SELECT list_transform(w, x -> x / sqrt(list_reduce(
-           |    list_prepend(0.0, list_transform(w, y -> y * y)),
-           |    (a, b) -> a + b))) AS v
-           |  FROM w_$r)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH v_0 AS (SELECT $v0 AS v),
-         |$rounds
+    "v_pca_power" ->
+      s"""WITH $pcaRoundsSql
          |SELECT idx::BIGINT AS idx, round(v[idx], 6) AS pc
-         |FROM v_8, (SELECT unnest(range(1, ${dim + 1})) AS idx)
-         |ORDER BY idx""".stripMargin
-    }
+         |FROM v_8, (SELECT unnest(range(1, 65)) AS idx)
+         |ORDER BY idx""".stripMargin,
+
+    // same shared rounds string, then the projection/residual pass with
+    // the UNROUNDED proj inside the residual — exactly as the plan
+    "v_pca_remove" ->
+      s"""WITH $pcaRoundsSql,
+         |pr AS (
+         |  SELECT vec_id, embedding,
+         |    list_reduce(list_prepend(0.0,
+         |      [embedding[i]::DOUBLE * v[i] for i in range(1, 65)]),
+         |      (a, b) -> a + b) AS proj
+         |  FROM embeddings, v_8)
+         |SELECT vec_id, round(proj, 4) AS proj,
+         |  round(sqrt(list_reduce(list_prepend(0.0,
+         |    [(embedding[i]::DOUBLE - proj * v[i])
+         |       * (embedding[i]::DOUBLE - proj * v[i])
+         |     for i in range(1, 65)]), (a, b) -> a + b)), 4) AS resid_norm
+         |FROM pr, v_8 ORDER BY vec_id""".stripMargin
   )
+
+  /** The 8 unrolled power-iteration rounds (CTEs v_0..v_8) shared by
+    * the v_pca_power and v_pca_remove oracles. */
+  private def pcaRoundsSql: String = {
+    val dim = 64
+    val v0 = Seq.fill(dim)("0.125").mkString("[", ", ", "]")
+    val rounds = (1 to 8).map { r =>
+      s"""s_$r AS (
+         |  SELECT vec_id, embedding,
+         |    list_reduce(list_prepend(0.0,
+         |      [embedding[i]::DOUBLE * v[i] for i in range(1, ${dim + 1})]),
+         |      (a, b) -> a + b) AS s
+         |  FROM embeddings, v_${r - 1}),
+         |b_$r AS (
+         |  SELECT vec_id // 4096 AS bkt,
+         |    list(struct_pack(id := vec_id, s := s, x := embedding)
+         |      ORDER BY vec_id) AS lst
+         |  FROM s_$r GROUP BY 1),
+         |wb_$r AS (
+         |  SELECT bkt, [list_reduce(list_prepend(0.0,
+         |      list_transform(lst, p -> p.x[j]::DOUBLE * p.s)),
+         |      (a, b) -> a + b) for j in range(1, ${dim + 1})] AS wb
+         |  FROM b_$r),
+         |w_$r AS (
+         |  SELECT [list_reduce(list_prepend(0.0,
+         |      list_transform(l2, q -> q.wb[j])), (a, b) -> a + b)
+         |    for j in range(1, ${dim + 1})] AS w
+         |  FROM (SELECT list(struct_pack(bkt := bkt, wb := wb)
+         |          ORDER BY bkt) AS l2 FROM wb_$r)),
+         |v_$r AS (
+         |  SELECT list_transform(w, x -> x / sqrt(list_reduce(
+         |    list_prepend(0.0, list_transform(w, y -> y * y)),
+         |    (a, b) -> a + b))) AS v
+         |  FROM w_$r)""".stripMargin
+    }.mkString(",\n")
+    s"""v_0 AS (SELECT $v0 AS v),
+       |$rounds""".stripMargin
+  }
 }

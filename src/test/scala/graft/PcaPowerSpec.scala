@@ -36,6 +36,18 @@ class PcaPowerSpec extends SparkSpec {
     assert(math.abs(norm - 1.0) < 1e-3, s"unit vector expected, norm $norm")
   }
 
+  test("v_pca_remove: removing the dominant component collapses on-axis mass") {
+    val dir = Files.createTempDirectory("graft_pcar").toString
+    planted(dir, 2)
+    val rows = VectorQueries.all("v_pca_remove")(spark, dir)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    // on-axis vectors have |proj| ≈ their norm (≈3) and tiny residual
+    val meanAbsProj = rows.map(p => math.abs(p._1)).sum / rows.length
+    val meanResid = rows.map(_._2).sum / rows.length
+    assert(meanAbsProj > 2.5, s"projection must carry the axis mass: $meanAbsProj")
+    assert(meanResid < 0.2, s"residual must be the off-axis wobble only: $meanResid")
+  }
+
   test("v_pca_power: byte-identical under different physical partitionings") {
     val d1 = Files.createTempDirectory("graft_pca1").toString
     val d2 = Files.createTempDirectory("graft_pca2").toString
