@@ -191,6 +191,67 @@ object IndexOracle {
        |) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** v_quantize_error: reconstruction-error audit of the compression
+    * ladder. The SQ8 half re-derives grid and codes from raw (the
+    * sq8SearchOracle derivation); the PQ half re-derives codes from the
+    * literal codebooks and decodes through a nested codebook literal.
+    * Per-vector squared error folds in dimension order, then rounds to
+    * integer MICROS before the cross-vector sum — a float sum across
+    * vectors would be partition/scan-order dependent. */
+  def quantizeErrorOracle(books: Seq[(Int, Int, Seq[Float])],
+      numSub: Int, subDim: Int, dim: Int): String = {
+    val d1 = dim + 1
+    val PqSqlParts(dsExprs, codeExprs, _, _) = pqParts(books, numSub, subDim)
+    val clList = (0 until numSub).map(s => s"code$s").mkString("[", ",", "]")
+    val cb = (0 until numSub).map { s =>
+      books.filter(_._1 == s).sortBy(_._2).map { case (_, _, c) => lit(c) }
+        .mkString("[", ",", "]")
+    }.mkString("[", ",\n ", "]")
+    val sq8Term =
+      "(e.embedding[j]::DOUBLE - (sgl.mns[j] + c.cs[j] * sgl.scales[j]))"
+    val sub = s"((j-1)//$subDim)+1"
+    val pqTerm =
+      s"(e.embedding[j]::DOUBLE - cbv.cb[$sub][cl[$sub]+1][((j-1)%$subDim)+1])"
+    s"""WITH sg AS (
+       |  SELECT j, min(x)::DOUBLE AS mn,
+       |    (max(x)::DOUBLE - min(x)::DOUBLE) / 255.0 AS scale
+       |  FROM (SELECT unnest(embedding) AS x, unnest(range(1, $d1)) AS j FROM embeddings)
+       |  GROUP BY j),
+       |sgl AS (SELECT list(mn ORDER BY j) AS mns, list(scale ORDER BY j) AS scales FROM sg),
+       |scodes AS (
+       |  SELECT vec_id, list(code ORDER BY j) AS cs FROM (
+       |    SELECT v.vec_id, v.j,
+       |      CASE WHEN g.scale = 0.0 THEN 0.0
+       |           ELSE least(greatest(floor((v.x::DOUBLE - g.mn) / g.scale + 0.5), 0.0), 255.0) END AS code
+       |    FROM (SELECT vec_id, unnest(embedding) AS x, unnest(range(1, $d1)) AS j FROM embeddings) v
+       |    JOIN sg g USING (j))
+       |  GROUP BY vec_id),
+       |sq8e AS (
+       |  SELECT e.vec_id, round(list_reduce(list_prepend(0.0,
+       |    [$sq8Term * $sq8Term for j in range(1, $d1)]),
+       |    (a, b) -> a + b) * 1000000)::BIGINT AS em
+       |  FROM embeddings e JOIN scodes c USING (vec_id), sgl),
+       |pcodes AS (
+       |  SELECT vec_id, $clList AS cl FROM (
+       |    SELECT vec_id, $codeExprs
+       |    FROM (SELECT vec_id, $dsExprs FROM embeddings))),
+       |cbv AS (SELECT $cb AS cb),
+       |pqe AS (
+       |  SELECT e.vec_id, round(list_reduce(list_prepend(0.0,
+       |    [$pqTerm * $pqTerm for j in range(1, $d1)]),
+       |    (a, b) -> a + b) * 1000000)::BIGINT AS em
+       |  FROM embeddings e JOIN pcodes USING (vec_id), cbv)
+       |SELECT method, n_vectors, total_err_micro,
+       |  round((total_err_micro::DOUBLE / n_vectors) / 1000000.0, 6) AS mean_sq_err
+       |FROM (
+       |  SELECT 'pq${numSub}x${books.map(_._2).max + 1}' AS method,
+       |    count(*)::BIGINT AS n_vectors, sum(em)::BIGINT AS total_err_micro
+       |  FROM pqe
+       |  UNION ALL
+       |  SELECT 'sq8', count(*)::BIGINT, sum(em)::BIGINT FROM sq8e)
+       |ORDER BY method""".stripMargin
+  }
+
   /** The shared PQ SQL fragments: per-sub distance lists against the
     * literal codebooks, argmin code derivation, per-query ADC lists, and
     * the subspace-ordered adist fold — used identically by the flat PQ

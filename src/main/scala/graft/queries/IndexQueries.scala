@@ -252,6 +252,57 @@ object IndexQueries {
         .select($"nprobe", $"n_queries", $"total_hits",
           round($"total_hits" / (lit(K) * $"n_queries"), 4).as("avg_recall"))
         .orderBy("nprobe")
+    }),
+
+    // Reconstruction-error audit of the compression ladder — the
+    // companion table to v_nprobe_sweep (that one: recall per probe
+    // cost; this one: information lost per compression rung). Mean
+    // squared reconstruction error of SQ8 (4×) and PQ (32×) against the
+    // raw vectors, each decoded exactly as its ADC scorer decodes.
+    // Per-vector errors fold in dimension order, then round to integer
+    // MICROS before the cross-vector sum — a float sum across a
+    // distributed scan has no defined order, so the corpus total rides
+    // exact longs (the q_zscore_outliers discipline).
+    "v_quantize_error" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val dim = 64
+      val e = load(s, d, "embeddings").select($"vec_id", $"embedding")
+      def err(xhat: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        round(aggregate(sequence(lit(1), lit(dim)), lit(0.0), (acc, j) => {
+          val xj = element_at($"embedding", j).cast("double")
+          val dlt = xj - xhat(j)
+          acc + dlt * dlt
+        }) * 1e6).cast("long").as("em")
+      val sqDir = IndexStore.sq8(s, d)
+      val (mins, scales) = graft.operators.Sq8Index
+        .gridArrays(s.read.parquet(s"$sqDir/grid"))
+      val (mn, sc) = (typedlit(mins), typedlit(scales))
+      val sq8 = e.join(s.read.parquet(s"$sqDir/codes"), "vec_id")
+        .select(err(j => element_at(mn, j) +
+          element_at($"codes", j).cast("double") * element_at(sc, j)))
+        .agg(count(lit(1)).as("n_vectors"), sum($"em").as("total_err_micro"))
+        .select(lit("sq8").as("method"), $"n_vectors", $"total_err_micro")
+      val pqDir = IndexStore.pq(s, d)
+      val books = s.read.parquet(s"$pqDir/codebooks").orderBy("sub", "code")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+      val cb: Seq[Seq[Seq[Double]]] = (0 until 8).map(su =>
+        books.filter(_._1 == su).sortBy(_._2)
+          .map(_._3.map(_.toDouble).toSeq).toSeq)
+      val cbLit = typedlit(cb)
+      val pq = e.join(s.read.parquet(s"$pqDir/codes"), "vec_id")
+        .select(err { j =>
+          val sub = floor((j - 1) / 8).cast("int")
+          val pos = pmod(j - 1, lit(8)).cast("int")
+          element_at(element_at(element_at(cbLit, sub + 1),
+            element_at($"codes", sub + 1) + 1), pos + 1)
+        })
+        .agg(count(lit(1)).as("n_vectors"), sum($"em").as("total_err_micro"))
+        .select(lit("pq8x16").as("method"), $"n_vectors", $"total_err_micro")
+      pq.unionAll(sq8)
+        .select($"method", $"n_vectors", $"total_err_micro",
+          round(($"total_err_micro".cast("double") / $"n_vectors") / 1e6, 6)
+            .as("mean_sq_err"))
+        .orderBy("method")
     })
   )
 
@@ -272,7 +323,7 @@ object IndexQueries {
   val AnnOracleKeys: Set[String] =
     Set("v_ivf_build", "v_ivf_search", "v_ivf_filtered", "v_pq_search",
       "v_pq_rerank", "v_ivfpq_search", "d_semantic_dedup",
-      "v_nprobe_sweep")
+      "v_nprobe_sweep", "v_quantize_error")
 
   private def annOracles: Map[String, String] = try {
     val s = SparkSession.active
@@ -301,7 +352,9 @@ object IndexQueries {
       "d_semantic_dedup" -> graft.operators.IndexOracle
         .semanticDedupOracle(cent, SemDedupTau),
       "v_nprobe_sweep" -> graft.operators.IndexOracle
-        .nprobeSweepOracle(cent, K, NprobeSweep, NumQueries))
+        .nprobeSweepOracle(cent, K, NprobeSweep, NumQueries),
+      "v_quantize_error" -> graft.operators.IndexOracle
+        .quantizeErrorOracle(books, numSub = 8, subDim = 8, dim = 64))
   } catch {
     // the documented degrade-to-rows-only cases (no live session / no
     // index context) — but NEVER silently: a generation regression that

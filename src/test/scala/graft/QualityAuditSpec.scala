@@ -96,6 +96,19 @@ class QualityAuditSpec extends SparkSpec {
     assert(rows("o_totalprice_cents") === ((3L, 0L, 3L, "250", "1000")))
   }
 
+  test("v_quantize_error: the ladder trades error for compression (sq8 << pq)") {
+    val rows = graft.queries.IndexQueries.all("v_quantize_error")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val (nPq, _, ePq) = rows("pq8x16")
+    val (nSq, _, eSq) = rows("sq8")
+    assert(nPq === nSq, "both rungs must cover the whole corpus")
+    assert(eSq >= 0.0 && ePq >= 0.0)
+    assert(eSq < ePq / 100,
+      s"4x compression must reconstruct far better than 32x: sq8=$eSq pq=$ePq")
+  }
+
   test("t_lang_confusion: misdeclared docs land off-diagonal with exact shares") {
     val dir = Files.createTempDirectory("graft_lc").toString
     Seq(
