@@ -55,6 +55,7 @@ object Bench {
       graft.operators.IndexStore.ivf(spark, sfDir, k = 16)
       graft.operators.IndexStore.pq(spark, sfDir)
       graft.operators.IndexStore.ivfpq(spark, sfDir)
+      graft.operators.IndexStore.sq8(spark, sfDir)
     } catch { case _: Throwable => () }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -91,11 +92,16 @@ object Bench {
     println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     // Compact headline line LAST, kept under a hard byte budget so it
     // always lands *intact* inside a tail-of-output capture window:
-    // total + error count + the slowest queries that fit the budget.
+    // total + error COUNT + a bounded head of error names + the slowest
+    // successful queries that fit the budget. Full error messages live
+    // only in the detail line — embedding them here would blow the
+    // budget exactly when queries fail, and errored queries carry no
+    // timing signal (-1), so they never spend query-entry bytes.
     val budget = 1500
-    val sfx = s""","errors":$errs,"sf":"$sfDir"}"""
+    val errHead = errors.keys.take(5).map(jstr).mkString("[", ",", "]")
+    val sfx = s""","n_errors":${errors.size},"err_head":$errHead,"sf":"$sfDir"}"""
     val head = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":{"""
-    val slowestFirst = results.sortBy { case (_, v) => -(if (v < 0) Double.MaxValue else v) }
+    val slowestFirst = results.filter(_._2 >= 0).sortBy(-_._2)
       .map { case (k, v) => jstr(k) + ":" + v }
     val sb = new StringBuilder(head)
     var used = head.length + sfx.length + 1 // +1 for the closing '}'

@@ -200,8 +200,10 @@ object HashSql {
        |  WHERE ${jac("da", "db")} >= $jaccardThreshold),
        |nc AS (SELECT count(*)::BIGINT AS n_candidates FROM cand)
        |SELECT n_truth, n_candidates, n_hits,
-       |  round(n_hits::DOUBLE / n_candidates, 4) AS precision_at_j,
-       |  round(n_hits::DOUBLE / n_truth, 4) AS recall_at_j
+       |  CASE WHEN n_candidates > 0
+       |       THEN round(n_hits::DOUBLE / n_candidates, 4) END AS precision_at_j,
+       |  CASE WHEN n_truth > 0
+       |       THEN round(n_hits::DOUBLE / n_truth, 4) END AS recall_at_j
        |FROM truth, nc, hits""".stripMargin
   }
 

@@ -47,7 +47,9 @@ object ConnectedComponents {
     * endpoint exists in `nodes`. It costs one full pass over the edge
     * set, so a call site where endpoints ⊆ nodes holds BY CONSTRUCTION
     * (both frames projected from the same source) may pass false; any
-    * edge set of independent provenance must keep the default. */
+    * edge set of independent provenance must keep the default. Passing
+    * false also forgoes the zero-round small finish — the shortcut is
+    * only provably equivalent to the loop on a validated edge set. */
   def minLabel(nodes: DataFrame, idCol: String, edges: DataFrame,
       aCol: String, bCol: String, maxIter: Int = 20,
       smallFinish: Int = 1 << 20, validateNodes: Boolean = true): DataFrame = {
@@ -86,8 +88,12 @@ object ConnectedComponents {
     // round is ~6 tiny shuffle stages; on an already-small graph that
     // overhead dominates the whole operator). The count rides the eo
     // checkpoint it forces either way; big graphs fall through to the
-    // distributed loop unchanged.
-    if (smallFinish > 0 && eo.count() <= smallFinish) {
+    // distributed loop unchanged. Gated on validateNodes: the collected
+    // union-find would happily merge components THROUGH an orphan
+    // endpoint that the loop's contraction joins drop — on a validated
+    // edge set the two paths are provably identical, on an unvalidated
+    // one only the loop runs (no size-dependent semantic fork).
+    if (smallFinish > 0 && validateNodes && eo.count() <= smallFinish) {
       val mapDf = unionFindMap(spark, eo.as[(Long, Long)].collect())
       return labels.join(mapDf, Seq("lab"), "left")
         .select($"id", coalesce($"root", $"lab").as("component"))

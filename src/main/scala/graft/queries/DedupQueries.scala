@@ -172,12 +172,12 @@ object DedupQueries {
     "d_dedup_cluster" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       val docs = load(s, d, "documents").select($"doc_id")
-      // validateNodes=false: the edges are jaccardPairsRaw over the SAME
-      // documents table — endpoints ⊆ nodes by construction, so the
-      // orphan pass would re-scan the edge set to prove an invariant
+      // validation stays ON: it is what qualifies the edge set for the
+      // zero-round small finish (ConnectedComponents only takes the
+      // collected-union-find shortcut on validated edges), and the
+      // orphan pass itself measured as noise next to the pair verifier
       val comp = graft.operators.ConnectedComponents.minLabel(
-        docs, "doc_id", jaccardPairsRaw(s, d), "doc_a", "doc_b",
-        validateNodes = false)
+        docs, "doc_id", jaccardPairsRaw(s, d), "doc_a", "doc_b")
       val sizes = comp.groupBy($"component").agg(count(lit(1)).as("cluster_size"))
       comp.join(sizes, "component")
         .select($"id".as("doc_id"), $"component".as("cluster_id"),
@@ -509,6 +509,9 @@ object DedupQueries {
         .select($"source",
           explode(graft.GraftText.wordShingleHashes($"toks", n)).as("sh"))
         .distinct()
+        // consumed by both self-join sides AND the sizes aggregate: the
+        // scan→explode→distinct subtree must compute once
+        .cache()
       val sizes = sg.groupBy($"source").agg(count(lit(1)).as("nsh"))
       sg.select($"source".as("src_a"), $"sh")
         .join(sg.select($"source".as("src_b"), $"sh"), "sh")
@@ -578,8 +581,12 @@ object DedupQueries {
       val nc = cand.agg(count(lit(1)).as("n_candidates"))
       truth.crossJoin(nc).crossJoin(hits)
         .select($"n_truth", $"n_candidates", $"n_hits",
-          round($"n_hits" / $"n_candidates", 4).as("precision_at_j"),
-          round($"n_hits" / $"n_truth", 4).as("recall_at_j"))
+          // NULL (not 0/0) on a duplicate-free corpus — the guard is
+          // mirrored in the oracle (Spark's 0/0 is NULL, DuckDB's NaN)
+          when($"n_candidates" > 0, round($"n_hits" / $"n_candidates", 4))
+            .as("precision_at_j"),
+          when($"n_truth" > 0, round($"n_hits" / $"n_truth", 4))
+            .as("recall_at_j"))
     })
   )
 

@@ -241,6 +241,11 @@ object IndexQueries {
         .agg(topK(l2Sq($"embedding", $"qv"), $"vec_id", K).as("gt"))
         .select($"query_id",
           explode(transform($"gt", x => x.getField("id"))).as("neighbor_id"))
+        // deliberately NOT cached: the four sweep branches' gt subtrees
+        // are plan-identical, and measured runs show exchange reuse
+        // collapses them (2.4 s); forcing a cache materialization
+        // measured 4.5 s — the jaccardPairsRaw recompute pathology
+        // needs a lazy-checkpoint race this shape doesn't have
       val nq = q.agg(count(lit(1)).as("n_queries"))
       NprobeSweep.map { np =>
         IvfIndex.searchPruned(s, dir, q, K, nprobe = np)
