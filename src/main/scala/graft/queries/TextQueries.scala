@@ -681,6 +681,43 @@ object TextQueries {
         .orderBy($"lang", $"lang_pred")
     }),
 
+    // PMI-ranked collocations (Church & Hanks 1990) — the phrase-mining
+    // pass that feeds tokenizer merge candidates and quality heuristics
+    // (which adjacent pairs co-occur far beyond chance?): pmi(a,b) =
+    // log2(c_ab·N·N / (N_b·c_a·c_b)) computed as a pinned-order chain
+    // of INTEGER-argument DetMath logs, over the bounded distinct-
+    // bigram frame; min support c_ab ≥ 5 kills the noise tail; top-20
+    // by (pmi, a, b) is a TakeOrdered — bit-identical scores make the
+    // cross-engine ordering exact. Unigram counts join on token (vocab
+    // never broadcast — unbounded at scale, the t_unigram discipline).
+    "t_collocations" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      import graft.functions.DetMath
+      val docs = load(s, d, "documents").select(tokens($"text").as("toks"))
+      val bg = docs.select(explode(zip_with(
+          slice($"toks", lit(1), size($"toks") - 1),
+          slice($"toks", lit(2), size($"toks") - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .select($"p.a".as("a"), $"p.b".as("b"))
+      val cab = bg.groupBy($"a", $"b").agg(count(lit(1)).as("cab"))
+      val tok = docs.select(explode($"toks").as("token"))
+      val ct = tok.groupBy($"token").agg(count(lit(1)).as("c"))
+      val nt = tok.agg(count(lit(1)).as("nt"))
+      val nb = bg.agg(count(lit(1)).as("nb"))
+      val pmi =
+        DetMath.log2Det($"cab") + DetMath.log2Det($"nt") +
+          DetMath.log2Det($"nt") - DetMath.log2Det($"nb") -
+          DetMath.log2Det($"ca") - DetMath.log2Det($"cb")
+      cab.filter($"cab" >= 5)
+        .join(ct.select($"token".as("a"), $"c".as("ca")), "a")
+        .join(ct.select($"token".as("b"), $"c".as("cb")), "b")
+        .crossJoin(broadcast(nt)).crossJoin(broadcast(nb))
+        .withColumn("pmi_raw", pmi)
+        .orderBy($"pmi_raw".desc, $"a", $"b")
+        .limit(20)
+        .select($"a", $"b", $"cab", round($"pmi_raw", 4).as("pmi"))
+    }),
+
     // Per-document token Shannon entropy — the distributional quality
     // signal beside the LM scores (#27d corpus-LM, #27o bigram-LM):
     // low entropy = repetitive/templated text, entropy near the
@@ -1121,6 +1158,34 @@ object TextQueries {
          |  round(n_docs::DOUBLE / sum(n_docs) OVER (PARTITION BY lang), 4)
          |    AS share_of_lang
          |FROM c ORDER BY lang, lang_pred""".stripMargin,
+
+    // same pinned left-associative log chain; ordering on the
+    // bit-identical raw pmi, rounding only in the projection
+    "t_collocations" -> {
+      import graft.functions.DetMath
+      val pmi = s"(((((${DetMath.log2DetSql("cab.cab")} + ${DetMath.log2DetSql("nt")})" +
+        s" + ${DetMath.log2DetSql("nt")}) - ${DetMath.log2DetSql("nb")})" +
+        s" - ${DetMath.log2DetSql("ta.c")}) - ${DetMath.log2DetSql("tb.c")})"
+      s"""WITH t AS (
+         |  SELECT regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+         |bg AS (
+         |  SELECT (p).a AS a, (p).b AS b FROM (
+         |    SELECT unnest([struct_pack(a := toks[i], b := toks[i+1])
+         |                   for i in range(1, len(toks))]) AS p
+         |    FROM t)),
+         |cab AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY a, b),
+         |ct AS (SELECT token, count(*) AS c FROM (
+         |  SELECT unnest(toks) AS token FROM t) GROUP BY token),
+         |ntv AS (SELECT count(*)::BIGINT AS nt FROM (SELECT unnest(toks) FROM t)),
+         |nbv AS (SELECT count(*)::BIGINT AS nb FROM bg)
+         |SELECT a, b, cab, round(pmi_raw, 4) AS pmi FROM (
+         |  SELECT cab.a, cab.b, cab.cab, $pmi AS pmi_raw
+         |  FROM cab
+         |  JOIN ct ta ON ta.token = cab.a
+         |  JOIN ct tb ON tb.token = cab.b, ntv, nbv
+         |  WHERE cab.cab >= 5)
+         |ORDER BY pmi_raw DESC, a, b LIMIT 20""".stripMargin
+    },
 
     // same integer-argument DetMath logs, same sorted-token fold
     "t_entropy" -> {

@@ -96,6 +96,29 @@ class QualityAuditSpec extends SparkSpec {
     assert(rows("o_totalprice_cents") === ((3L, 0L, 3L, "250", "1000")))
   }
 
+  test("t_collocations: a fused pair tops PMI; an independent pair scores near zero") {
+    val dir = Files.createTempDirectory("graft_coll").toString
+    // "aa bb" always adjacent (fused); "xx"/"yy" frequent but paired
+    // with everything equally (independent)
+    val fused = Seq.fill(8)("aa bb").mkString(" ")
+    val indep = (1 to 8).map(i => s"xx w$i yy v$i").mkString(" ")
+    Seq((1L, fused, "en", "s1"), (2L, indep, "en", "s1"),
+      (3L, fused + " " + indep, "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextQueries.all("t_collocations")(spark, dir)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(rows.head._1 === (("aa", "bb")),
+      s"the fused bigram must rank first: ${rows.take(3).toSeq}")
+    // TakeOrdered, never a global sort of the bigram frame
+    spark.catalog.clearCache()
+    val p = TextQueries.all("t_collocations")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be a bounded TakeOrdered:\n$p")
+  }
+
   test("v_quantize_error: the ladder trades error for compression (sq8 << pq)") {
     val rows = graft.queries.IndexQueries.all("v_quantize_error")(spark, sfDir)
       .collect()
