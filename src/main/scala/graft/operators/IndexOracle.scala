@@ -191,6 +191,38 @@ object IndexOracle {
        |) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** v_knn_graph: every vector re-assigned (assignCte), every vector's
+    * nprobe nearest clusters re-ranked from the literal centroids, the
+    * probed members ranked by exact L2 with self-pairs dropped before
+    * ranking — byte-for-byte the graph construction, re-derived. */
+  def knnGraphOracle(centroids: Seq[(Int, Seq[Float])],
+      k: Int, nprobe: Int): String = {
+    val qdists = centroids.map { case (_, c) => l2sqLit("embedding", 0, c) }
+      .mkString("[", ",\n ", "]")
+    val cids = centroids.map(_._1).mkString("[", ",", "]")
+    s"""WITH ${assignCte(centroids)},
+       |probes AS (
+       |  SELECT query_id, cluster_id FROM (
+       |    SELECT query_id, cid AS cluster_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY d, cid) AS crnk
+       |    FROM (SELECT query_id, unnest($cids) AS cid, unnest(ds) AS d
+       |          FROM (SELECT vec_id AS query_id, $qdists AS ds FROM embeddings))
+       |  ) WHERE crnk <= $nprobe),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id,
+       |    ${l2sqCol("a.embedding", "q.embedding", 64)} AS d
+       |  FROM probes p
+       |  JOIN a ON a.cluster_id = p.cluster_id
+       |  JOIN embeddings q ON q.vec_id = p.query_id
+       |  WHERE a.vec_id != p.query_id)
+       |SELECT vec_id, neighbor_id, rnk, dist FROM (
+       |  SELECT query_id AS vec_id, cand.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY d, cand.vec_id) AS rnk,
+       |    round(sqrt(d), 4) AS dist
+       |  FROM cand
+       |) WHERE rnk <= $k ORDER BY vec_id, rnk""".stripMargin
+  }
+
   /** v_quantize_error: reconstruction-error audit of the compression
     * ladder. The SQ8 half re-derives grid and codes from raw (the
     * sq8SearchOracle derivation); the PQ half re-derives codes from the

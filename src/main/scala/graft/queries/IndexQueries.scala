@@ -259,6 +259,43 @@ object IndexQueries {
         .orderBy("nprobe")
     }),
 
+    // Approximate kNN-GRAPH construction (the all-vectors-are-queries
+    // face of IVF search — input to graph clustering, NN-Descent
+    // refinement, offline HNSW builds): every vector probes its
+    // nprobe=2 nearest clusters and ranks the members it finds there.
+    // No query-side broadcast anywhere — probe selection is a bounded
+    // map-side top-k against the broadcast CENTROIDS (16 rows), and
+    // candidates come from a cluster_id-keyed join whose fan-out is
+    // cluster population × probing queries, never corpus². Self-pairs
+    // drop BEFORE ranking.
+    "v_knn_graph" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val dir = IndexStore.ivf(s, d, k = 16)
+      val cent = s.read.parquet(s"$dir/centroids")
+        .select($"cluster_id", $"centroid")
+      val e = load(s, d, "embeddings").select($"vec_id", $"embedding")
+      val probes = e.crossJoin(broadcast(cent))
+        .groupBy($"vec_id")
+        .agg(topK(l2Sq($"embedding", $"centroid"), $"cluster_id".cast("long"), 2)
+          .as("ps"))
+        .select($"vec_id".as("query_id"),
+          explode(transform($"ps", p => p.getField("id"))).as("cluster_id"))
+      val members = s.read.parquet(s"$dir/assignments")
+        .select($"vec_id".as("neighbor_id"), $"embedding".as("nv"),
+          $"cluster_id".cast("long").as("cluster_id"))
+      probes.join(members, "cluster_id")
+        .filter($"neighbor_id" =!= $"query_id")
+        .join(e.select($"vec_id".as("query_id"), $"embedding".as("qv")),
+          "query_id")
+        .groupBy($"query_id")
+        .agg(topK(l2Sq($"nv", $"qv"), $"neighbor_id", 5).as("nn"))
+        .select($"query_id".as("vec_id"), posexplode($"nn"))
+        .select($"vec_id", $"col.id".as("neighbor_id"),
+          ($"pos" + 1).cast("long").as("rnk"),
+          round(sqrt($"col.score"), 4).as("dist"))
+        .transform(graft.queries.DedupQueries.orderedLarge(_, "vec_id", "rnk"))
+    }),
+
     // Reconstruction-error audit of the compression ladder — the
     // companion table to v_nprobe_sweep (that one: recall per probe
     // cost; this one: information lost per compression rung). Mean
@@ -328,7 +365,7 @@ object IndexQueries {
   val AnnOracleKeys: Set[String] =
     Set("v_ivf_build", "v_ivf_search", "v_ivf_filtered", "v_pq_search",
       "v_pq_rerank", "v_ivfpq_search", "d_semantic_dedup",
-      "v_nprobe_sweep", "v_quantize_error")
+      "v_nprobe_sweep", "v_quantize_error", "v_knn_graph")
 
   private def annOracles: Map[String, String] = try {
     val s = SparkSession.active
@@ -359,7 +396,9 @@ object IndexQueries {
       "v_nprobe_sweep" -> graft.operators.IndexOracle
         .nprobeSweepOracle(cent, K, NprobeSweep, NumQueries),
       "v_quantize_error" -> graft.operators.IndexOracle
-        .quantizeErrorOracle(books, numSub = 8, subDim = 8, dim = 64))
+        .quantizeErrorOracle(books, numSub = 8, subDim = 8, dim = 64),
+      "v_knn_graph" -> graft.operators.IndexOracle
+        .knnGraphOracle(cent, k = 5, nprobe = 2))
   } catch {
     // the documented degrade-to-rows-only cases (no live session / no
     // index context) — but NEVER silently: a generation regression that

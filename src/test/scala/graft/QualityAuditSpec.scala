@@ -166,6 +166,23 @@ class QualityAuditSpec extends SparkSpec {
     }
   }
 
+  test("v_knn_graph: no self-loops, ranks dense, distances monotone per vector") {
+    val rows = graft.queries.IndexQueries.all("v_knn_graph")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (v, n, _, _) => v != n }, "self-loops must be dropped")
+    rows.groupBy(_._1).foreach { case (v, ns) =>
+      val byRnk = ns.sortBy(_._3)
+      assert(byRnk.map(_._3).toSeq === (1L to byRnk.length).toSeq,
+        s"ranks must be dense for $v")
+      val ds = byRnk.map(_._4)
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b },
+        s"distances must be monotone in rank for $v")
+      assert(ns.length <= 5)
+    }
+  }
+
   test("d_minhash_eval: no cartesian — truth pairs come from the length-range band join") {
     spark.catalog.clearCache()
     val p = DedupQueries.all("d_minhash_eval")(spark, sfDir)
