@@ -89,6 +89,43 @@ object TextQueries {
       },
       st => st("best"))
 
+  /** Per-document bigram-LM score frame `(doc_id, n_bigrams, bits_raw)`
+    * — the t_ngram_lm pipeline BEFORE output rounding, shared with
+    * t_ccnet_bucket so the perplexity bucketing can never drift from
+    * the score it buckets (the bm25Scored discipline). `bits_raw` is
+    * bit-identical cross-engine: integer-argument DetMath logs, terms
+    * folded in sorted (a, b) order, one exact IEEE division. Docs with
+    * fewer than 2 tokens have no bigrams and drop out — by contract. */
+  private[graft] def ngramLmScored(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.DetMath
+    val bg = load(s, d, "documents")
+      .select($"doc_id", tokens($"text").as("toks"))
+      .select($"doc_id", explode(zip_with(
+        slice($"toks", lit(1), size($"toks") - 1),
+        slice($"toks", lit(2), size($"toks") - 1),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .select($"doc_id", $"p.a".as("a"), $"p.b".as("b"))
+    val cab = bg.groupBy($"a", $"b").agg(count(lit(1)).as("cab"))
+    val ca = cab.groupBy($"a").agg(sum($"cab").as("ca"))
+    val vocab = load(s, d, "documents")
+      .select(explode(tokens($"text")).as("t"))
+      .agg(count_distinct($"t").as("v"))
+    val bits = cab.join(ca, "a").crossJoin(broadcast(vocab))
+      .withColumn("bits",
+        DetMath.log2Det($"ca" + $"v") - DetMath.log2Det($"cab" + 1))
+      .select($"a", $"b", $"bits")
+    bg.groupBy($"doc_id", $"a", $"b").agg(count(lit(1)).as("m"))
+      .join(bits, Seq("a", "b"))
+      .withColumn("term", $"m".cast("double") * $"bits")
+      .groupBy($"doc_id")
+      .agg(sum($"m").as("n_bigrams"),
+        sort_array(collect_list(struct($"a", $"b", $"term"))).as("lst"))
+      .select($"doc_id", $"n_bigrams",
+        (aggregate($"lst", lit(0.0), (acc, x) => acc + x("term"))
+          / $"n_bigrams").as("bits_raw"))
+  }
+
   /** BM25 constants, consumed literal-for-literal by the oracle: the
     * SQL interpolates the SAME Scala doubles (shortest round-trip repr,
     * which DuckDB parses back to the identical IEEE value), so derived
@@ -444,33 +481,74 @@ object TextQueries {
     // than 2 tokens have no bigrams and drop out — by contract.
     "t_ngram_lm" -> ((s: SparkSession, d: String) => {
       import s.implicits._
-      import graft.functions.DetMath
-      val bg = load(s, d, "documents")
-        .select($"doc_id", tokens($"text").as("toks"))
-        .select($"doc_id", explode(zip_with(
-          slice($"toks", lit(1), size($"toks") - 1),
-          slice($"toks", lit(2), size($"toks") - 1),
-          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
-        .select($"doc_id", $"p.a".as("a"), $"p.b".as("b"))
-      val cab = bg.groupBy($"a", $"b").agg(count(lit(1)).as("cab"))
-      val ca = cab.groupBy($"a").agg(sum($"cab").as("ca"))
-      val vocab = load(s, d, "documents")
-        .select(explode(tokens($"text")).as("t"))
-        .agg(count_distinct($"t").as("v"))
-      val bits = cab.join(ca, "a").crossJoin(broadcast(vocab))
-        .withColumn("bits",
-          DetMath.log2Det($"ca" + $"v") - DetMath.log2Det($"cab" + 1))
-        .select($"a", $"b", $"bits")
-      bg.groupBy($"doc_id", $"a", $"b").agg(count(lit(1)).as("m"))
-        .join(bits, Seq("a", "b"))
-        .withColumn("term", $"m".cast("double") * $"bits")
-        .groupBy($"doc_id")
-        .agg(sum($"m").as("n_bigrams"),
-          sort_array(collect_list(struct($"a", $"b", $"term"))).as("lst"))
+      ngramLmScored(s, d)
         .select($"doc_id", $"n_bigrams",
-          round(aggregate($"lst", lit(0.0), (acc, x) => acc + x("term"))
-            / $"n_bigrams", 4).as("bits_per_bigram"))
+          round($"bits_raw", 4).as("bits_per_bigram"))
         .transform(DedupQueries.orderedLarge(_, "doc_id"))
+    }),
+
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): each
+    // language's documents split into head/middle/tail TERCILES of the
+    // bigram-LM score — the stage that keeps "head" (lowest perplexity,
+    // most natural) text and drops or down-weights the tail. Shares ONE
+    // score definition with t_ngram_lm ([[ngramLmScored]]) so the
+    // bucketing can never drift from the score it buckets. The tercile
+    // boundary is pure integer arithmetic on the per-lang rank:
+    // (rnk−1)·3 < n ⇒ head, < 2n ⇒ middle, else tail — no float
+    // division anywhere near the cut. Ranking compares RAW DetMath
+    // scores (bit-identical cross-engine by construction) with doc_id
+    // as total tie-break. Exact per-lang rank is the gate form; at
+    // 100 TB the documented drop-in is per-lang score thresholds from
+    // q_hist_quantiles' mergeable histogram (error ≤ one bin width) —
+    // CCNet itself computes its cuts from a sample for the same reason.
+    "t_ccnet_bucket" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val wr = Window.partitionBy($"lang").orderBy($"bits_raw", $"doc_id")
+      val wn = Window.partitionBy($"lang")
+      ngramLmScored(s, d)
+        .join(load(s, d, "documents").select($"doc_id", $"lang"), "doc_id")
+        .withColumn("rnk", row_number().over(wr))
+        .withColumn("n_lang", count(lit(1)).over(wn))
+        .select($"doc_id", $"lang",
+          round($"bits_raw", 4).as("bits_per_bigram"),
+          when(($"rnk" - 1) * 3 < $"n_lang", "head")
+            .when(($"rnk" - 1) * 3 < $"n_lang" * 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .transform(DedupQueries.orderedLarge(_, "doc_id"))
+    }),
+
+    // Vocabulary growth curve (Heaps' law in data — the table consulted
+    // to size tokenizer vocabularies and spot corpus drift): documents
+    // fall into 16 equal doc_id spans; per span — docs, token
+    // occurrences, NEW token types (types whose first occurrence is in
+    // that span), plus running totals. Everything is exact integer
+    // arithmetic: span = (doc_id·16) div n_docs (clamped), first
+    // occurrence is a map-side-combinable min over the (token, span)
+    // frame, and the running sums ride a 16-row window. One shuffle on
+    // token; nothing corpus-global beyond the bounded span frame.
+    "t_vocab_growth" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val docs = load(s, d, "documents")
+        .select($"doc_id", tokens($"text").as("toks"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val b = docs.crossJoin(broadcast(n))
+        .select(least(expr("(doc_id * 16) DIV n_docs"), lit(15L))
+            .as("bucket"),
+          $"toks")
+      val per = b.groupBy($"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size($"toks")).cast("long").as("n_tokens"))
+      val newTypes = b.select($"bucket", explode($"toks").as("tk"))
+        .groupBy($"tk").agg(min($"bucket").as("bucket"))
+        .groupBy($"bucket").agg(count(lit(1)).as("new_types"))
+      val wc = Window.orderBy($"bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      per.join(newTypes, Seq("bucket"), "left")
+        .select($"bucket", $"n_docs", $"n_tokens",
+          coalesce($"new_types", lit(0L)).as("new_types"))
+        .withColumn("tokens_cum", sum($"n_tokens").over(wc))
+        .withColumn("vocab_cum", sum($"new_types").over(wc))
+        .orderBy("bucket")
     }),
 
     // PII scrubbing — the redaction pass every released training corpus
@@ -758,6 +836,39 @@ object TextQueries {
     })
   )
 
+  /** DuckDB CTE block ending in `lmdoc(doc_id, n_bigrams, bits_raw)` —
+    * the [[ngramLmScored]] plan op-for-op (same DetMath logs on integer
+    * arguments, same sorted (a, b) fold, same exact division). Shared
+    * by the t_ngram_lm and t_ccnet_bucket oracles. */
+  private[graft] def ngramLmScoredSql: String = {
+    import graft.functions.DetMath
+    s"""lmt AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |lmbg AS (
+       |  SELECT doc_id, (p).a AS a, (p).b AS b FROM (
+       |    SELECT doc_id, unnest([struct_pack(a := toks[i], b := toks[i+1])
+       |                           for i in range(1, len(toks))]) AS p
+       |    FROM lmt)),
+       |lmcab AS (SELECT a, b, count(*) AS cab FROM lmbg GROUP BY a, b),
+       |lmca AS (SELECT a, sum(cab)::BIGINT AS ca FROM lmcab GROUP BY a),
+       |lmvv AS (SELECT count(DISTINCT tk)::BIGINT AS v FROM (
+       |  SELECT unnest(toks) AS tk FROM lmt)),
+       |lmbits AS (
+       |  SELECT a, b,
+       |    ${DetMath.log2DetSql("(ca + v)")} - ${DetMath.log2DetSql("(cab + 1)")} AS bits
+       |  FROM lmcab JOIN lmca USING (a), lmvv),
+       |lmdm AS (SELECT doc_id, a, b, count(*) AS m FROM lmbg GROUP BY doc_id, a, b),
+       |lmterms AS (
+       |  SELECT doc_id, a, b, m, m::DOUBLE * bits AS term
+       |  FROM lmdm JOIN lmbits USING (a, b)),
+       |lmdoc AS (
+       |  SELECT doc_id, sum(m)::BIGINT AS n_bigrams,
+       |    list_reduce(list_prepend(0.0, list(term ORDER BY a, b)),
+       |      (x, y) -> x + y) / sum(m)::BIGINT AS bits_raw
+       |  FROM lmterms GROUP BY doc_id)""".stripMargin
+  }
+
   /** DuckDB CTE block ending in `bmsc(doc_id, score)` — the
     * [[bm25Scored]] plan op-for-op: same interpolated double literals,
     * same association order, the same [[DetMath.log2DetSql]] log. Shared
@@ -950,37 +1061,49 @@ object TextQueries {
     },
 
     // same integer-argument DetMath logs, same sorted-bigram fold
-    "t_ngram_lm" -> {
-      import graft.functions.DetMath
-      s"""WITH t AS (
-         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-         |  FROM documents),
-         |bg AS (
-         |  SELECT doc_id, (p).a AS a, (p).b AS b FROM (
-         |    SELECT doc_id, unnest([struct_pack(a := toks[i], b := toks[i+1])
-         |                           for i in range(1, len(toks))]) AS p
-         |    FROM t)),
-         |cab AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY a, b),
-         |ca AS (SELECT a, sum(cab)::BIGINT AS ca FROM cab GROUP BY a),
-         |vv AS (SELECT count(DISTINCT tk)::BIGINT AS v FROM (
-         |  SELECT unnest(toks) AS tk FROM t)),
-         |bits AS (
-         |  SELECT a, b,
-         |    ${DetMath.log2DetSql("(ca + v)")} - ${DetMath.log2DetSql("(cab + 1)")} AS bits
-         |  FROM cab JOIN ca USING (a), vv),
-         |dm AS (SELECT doc_id, a, b, count(*) AS m FROM bg GROUP BY doc_id, a, b),
-         |terms AS (
-         |  SELECT doc_id, a, b, m, m::DOUBLE * bits AS term
-         |  FROM dm JOIN bits USING (a, b)),
-         |doc AS (
-         |  SELECT doc_id, sum(m)::BIGINT AS n_bigrams,
-         |    list(term ORDER BY a, b) AS lst
-         |  FROM terms GROUP BY doc_id)
-         |SELECT doc_id, n_bigrams,
-         |  round(list_reduce(list_prepend(0.0, lst), (x, y) -> x + y)
-         |    / n_bigrams, 4) AS bits_per_bigram
-         |FROM doc ORDER BY doc_id""".stripMargin
-    },
+    "t_ngram_lm" ->
+      s"""WITH $ngramLmScoredSql
+         |SELECT doc_id, n_bigrams, round(bits_raw, 4) AS bits_per_bigram
+         |FROM lmdoc ORDER BY doc_id""".stripMargin,
+
+    // shared scored CTEs + the same integer tercile cut on the raw rank
+    "t_ccnet_bucket" ->
+      s"""WITH $ngramLmScoredSql,
+         |lcl AS (
+         |  SELECT l.doc_id, dd.lang, l.bits_raw,
+         |    row_number() OVER (PARTITION BY dd.lang
+         |      ORDER BY l.bits_raw, l.doc_id) AS rnk,
+         |    count(*) OVER (PARTITION BY dd.lang) AS n_lang
+         |  FROM lmdoc l JOIN documents dd USING (doc_id))
+         |SELECT doc_id, lang, round(bits_raw, 4) AS bits_per_bigram,
+         |  CASE WHEN (rnk - 1) * 3 < n_lang THEN 'head'
+         |       WHEN (rnk - 1) * 3 < n_lang * 2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM lcl ORDER BY doc_id""".stripMargin,
+
+    // identical integer span arithmetic and first-occurrence min
+    "t_vocab_growth" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |nn AS (SELECT count(*) AS n_docs FROM t),
+        |b AS (
+        |  SELECT least((doc_id * 16) // n_docs, 15)::BIGINT AS bucket, toks
+        |  FROM t, nn),
+        |per AS (
+        |  SELECT bucket, count(*)::BIGINT AS n_docs,
+        |    sum(len(toks))::BIGINT AS n_tokens
+        |  FROM b GROUP BY bucket),
+        |fb AS (SELECT tk, min(bucket) AS bucket FROM (
+        |  SELECT bucket, unnest(toks) AS tk FROM b) GROUP BY tk),
+        |nt AS (SELECT bucket, count(*)::BIGINT AS new_types
+        |  FROM fb GROUP BY bucket)
+        |SELECT p.bucket, p.n_docs, p.n_tokens,
+        |  coalesce(nt.new_types, 0)::BIGINT AS new_types,
+        |  (sum(p.n_tokens) OVER (ORDER BY p.bucket))::BIGINT AS tokens_cum,
+        |  (sum(coalesce(nt.new_types, 0)) OVER (ORDER BY p.bucket))::BIGINT
+        |    AS vocab_cum
+        |FROM per p LEFT JOIN nt USING (bucket) ORDER BY bucket""".stripMargin,
 
     // same raw-double comparisons, same stop lists, same PII regexes —
     // the reasons string is order-fixed so both engines emit identical
