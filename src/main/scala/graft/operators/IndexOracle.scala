@@ -498,6 +498,29 @@ object IndexOracle {
        |) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** v_matryoshka_search: prefix-L2 shortlist over the first prefixDim
+    * coordinates of the raw embedding — no literals, no seed, nothing
+    * derived: both stages are the same column-vs-column fold differing
+    * only in how far it runs. */
+  def matryoshkaOracle(dim: Int, prefixDim: Int, k: Int,
+      refineFactor: Int, numQueries: Int): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $numQueries),
+       |short AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY pd, vec_id) AS arnk
+       |    FROM (SELECT q.query_id, e.vec_id, ${l2sqCol("e.embedding", "q.qv", prefixDim)} AS pd
+       |          FROM embeddings e CROSS JOIN q)
+       |  ) WHERE arnk <= ${k * refineFactor})
+       |SELECT query_id, neighbor_id, rnk, dist FROM (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rnk,
+       |    round(sqrt(d), 4) AS dist
+       |  FROM (SELECT s.query_id, s.vec_id, ${l2sqCol("e.embedding", "q.qv", dim)} AS d
+       |        FROM short s JOIN embeddings e ON e.vec_id = s.vec_id
+       |        JOIN q ON q.query_id = s.query_id)
+       |) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+
   /** v_pq_rerank: the ADC shortlist (top k×refine by (adist, vec_id),
     * exactly the flat-PQ ranking) re-ranked by the exact squared-L2
     * fold, sqrt applied only to the rounded output — mirroring

@@ -159,6 +159,23 @@ object IndexQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // Matryoshka (prefix-dimension) search: coarse rank on the first 16
+    // of 64 coordinates (4× less data in the hot scan — and a column
+    // slice, so there is no index to build, persist, or invalidate),
+    // exact-L2 refine on the full vectors. Training-free AND seedless
+    // like v_bq_search; the fidelity knob is just how much of the
+    // stored column the scan reads.
+    "v_matryoshka_search" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val e = load(s, d, "embeddings")
+      val q = e.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      graft.operators.MatryoshkaSearch.searchRefined(
+          e, "vec_id", "embedding", q,
+          dim = 64, prefixDim = 16, k = K, refineFactor = 4)
+        .orderBy("query_id", "rnk")
+    }),
+
     // LSH bucket histogram (8 seeded hyperplanes → 256 buckets).
     "v_lsh_bucket" -> ((s: SparkSession, d: String) => {
       import s.implicits._
@@ -423,6 +440,10 @@ object IndexQueries {
     "v_rp_search" -> graft.operators.IndexOracle.rpSearchOracle(
       graft.operators.RpSearch.signs(outDim = 16, inDim = 64),
       dim = 64, outDim = 16, K, refineFactor = 4, NumQueries),
+
+    "v_matryoshka_search" -> graft.operators.IndexOracle
+      .matryoshkaOracle(dim = 64, prefixDim = 16, K,
+        refineFactor = 4, NumQueries),
 
     "v_lsh_bucket" -> {
       val b = LshBuckets.bucketSql("embedding", 64, 8)
