@@ -91,6 +91,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("graft_shingle_hashes",
         "graft_shingle_hashes(tokens, width) - FNV-1a hash per word shingle") {
       es => WordShingleHashes(es(0), intArg(es(1))) }
+    reg("graft_winnow",
+        "graft_winnow(text, k, w) - winnowing fingerprints (distinct " +
+        "window minima of k-byte gram hashes)") {
+      es => WinnowFingerprints(es(0), intArg(es(1)), intArg(es(2))) }
     reg("graft_sq8_adc",
         "graft_sq8_adc(codes, qv, mins, scales) - decoded-ADC squared distance " +
         "against a literal SQ8 grid") {

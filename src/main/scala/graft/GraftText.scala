@@ -47,4 +47,9 @@ object GraftText {
   /** FNV-1a hash per width-word shingle, one pass (array<long>). */
   def wordShingleHashes(tokens: Column, width: Int): Column =
     Shims.column(WordShingleHashes(Shims.expression(tokens), width))
+
+  /** Winnowing fingerprints: sorted distinct w-window minima of k-byte
+    * gram FNV hashes (array<long>), one pass. */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    Shims.column(WinnowFingerprints(Shims.expression(text), k, w))
 }

@@ -442,6 +442,77 @@ case class RollingHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** winnow_fingerprints(text, k, w) → array<bigint>: MOSS winnowing
+  * (Schleimer et al. 2003) — FNV-1a hash of every k-byte character
+  * gram, then the minimum of each w-gram sliding window, distinct and
+  * sorted. The winnowing guarantee: any substring of length ≥ k+w−1
+  * shared by two documents contributes at least one shared fingerprint
+  * (some window lies wholly inside the shared region on both sides and
+  * selects the same minimal gram value), while expected density is only
+  * 2/(w+1) of the grams — the local-fingerprinting contract that lets
+  * plagiarism/overlap detection shuffle ~2n/(w+1) 8-byte keys instead
+  * of n. Window minima compare as SIGNED longs (the DuckDB oracle
+  * converts each gram hash to BIGINT before list_min, so both engines
+  * rank identically). Docs with fewer than k+w−1 bytes yield an empty
+  * array — no full window exists, by contract. One pass, scan-side,
+  * O(len·w) with w small; nothing corpus-global. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got k=$k w=$w")
+
+  override def prettyName: String = "winnow_fingerprints"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprints requires string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val nGrams = bytes.length - k + 1
+    val nWindows = nGrams - w + 1
+    if (nWindows <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val gh = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      var h = 0xcbf29ce484222325L
+      var j = i
+      while (j < i + k) {
+        h ^= (bytes(j) & 0xffL)
+        h *= 0x100000001b3L
+        j += 1
+      }
+      gh(i) = h
+      i += 1
+    }
+    val sel = new Array[Long](nWindows)
+    i = 0
+    while (i < nWindows) {
+      var m = gh(i)
+      var j = i + 1
+      while (j < i + w) {
+        if (gh(j) < m) m = gh(j)
+        j += 1
+      }
+      sel(i) = m
+      i += 1
+    }
+    java.util.Arrays.sort(sel)
+    var out = 1
+    i = 1
+    while (i < nWindows) {
+      if (sel(i) != sel(out - 1)) { sel(out) = sel(i); out += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(sel, out))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** word_shingle_hashes(tokens, width) → array<bigint>: FNV-1a hash of
   * every width-word shingle (tokens i..i+width-1 joined by a single
   * space), one output element per start position, in one pass — the

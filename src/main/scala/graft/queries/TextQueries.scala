@@ -551,6 +551,26 @@ object TextQueries {
         .orderBy("bucket")
     }),
 
+    // Winnowing fingerprints (Schleimer et al. 2003 — the MOSS local
+    // fingerprinting scheme): FNV-1a over every 8-byte character gram,
+    // keep the minimum of each 4-gram sliding window, distinct. The
+    // guarantee that makes it THE overlap-detection primitive: any
+    // shared substring of length >= k+w-1 = 11 bytes between two docs
+    // yields a shared fingerprint, at an expected density of only
+    // 2/(w+1) of the grams — so cross-doc overlap joins shuffle
+    // ~0.4·len 8-byte keys, never text. Pure scan-side one-pass native
+    // expression; window minima compare as SIGNED longs in both
+    // engines. Docs shorter than 11 bytes have no full window and drop
+    // out — by contract.
+    "t_winnowing" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      load(s, d, "documents")
+        .select($"doc_id",
+          explode(graft.GraftText.winnowFingerprints(
+            coalesce($"text", lit("")), 8, 4)).as("fp"))
+        .transform(DedupQueries.orderedLarge(_, "doc_id", "fp"))
+    }),
+
     // PII scrubbing — the redaction pass every released training corpus
     // runs (emails, IPs, phone numbers → typed placeholder tokens).
     // Pure scan-side regexp projection; match counting happens on the
@@ -1104,6 +1124,29 @@ object TextQueries {
         |  (sum(coalesce(nt.new_types, 0)) OVER (ORDER BY p.bucket))::BIGINT
         |    AS vocab_cum
         |FROM per p LEFT JOIN nt USING (bucket) ORDER BY bucket""".stripMargin,
+
+    // the same FNV fold per 8-byte gram (HUGEINT modular arithmetic,
+    // the t_fingerprint discipline), signed BIGINT conversion BEFORE
+    // list_min so both engines rank window minima identically
+    "t_winnowing" ->
+      """WITH wt AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+        |wgh AS (
+        |  SELECT doc_id, [
+        |    (CASE WHEN u >= 9223372036854775808::HUGEINT
+        |          THEN u - 18446744073709551616::HUGEINT ELSE u END)::BIGINT
+        |    FOR u IN [
+        |      list_reduce(list_prepend(14695981039346656037::HUGEINT,
+        |        [ord(text[j]) for j in range(i, i+8)]::HUGEINT[]),
+        |        (h, b) -> ((xor(h::UBIGINT, b::UBIGINT))::HUGEINT
+        |                    * 1099511628211::HUGEINT)
+        |                   % 18446744073709551616::HUGEINT)
+        |      for i in range(1, length(text) - 8 + 2)]
+        |  ] AS gh FROM wt),
+        |wfp AS (
+        |  SELECT doc_id, list_sort(list_distinct(
+        |    [list_min(gh[i:i+3]) for i in range(1, len(gh) - 4 + 2)])) AS fps
+        |  FROM wgh)
+        |SELECT doc_id, unnest(fps) AS fp FROM wfp ORDER BY doc_id, fp""".stripMargin,
 
     // same raw-double comparisons, same stop lists, same PII regexes —
     // the reasons string is order-fixed so both engines emit identical
