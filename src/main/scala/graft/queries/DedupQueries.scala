@@ -528,6 +528,55 @@ object DedupQueries {
         .orderBy($"src_a", $"src_b")
     }),
 
+    // DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    // arXiv:2302.03169): score every raw document by how much more
+    // likely its hashed-token profile is under a TARGET slice's
+    // distribution than under the raw pool's — the stage that upsamples
+    // Wikipedia-like text out of a web crawl. Target = sources
+    // src0/src1/src2 (the "curated" 15 %); features = tokens FNV-hashed
+    // into 64 buckets (the t_hash_features space); both distributions
+    // add-one smoothed. Log importance weight = Σ_b m_b·bits_b with
+    // bits_b = ((log2(ct+1) − log2(Nt+64)) − log2(cr+1)) + log2(Nr+64)
+    // — every log2 argument an INTEGER (DetMath ⇒ bit-identical
+    // doubles), per-doc fold in sorted bucket order (≤64 terms).
+    // Scale shape: bucket stats are a 64-row broadcast frame; each raw
+    // doc costs one map-side-combinable (doc, bucket) count plus a
+    // bounded fold; top-100 selection is a TakeOrdered on the RAW
+    // weight with doc_id tie-break (rounding only in the projection).
+    // DSIR proper resamples with Gumbel noise; the deterministic top-k
+    // is its documented no-noise variant — and the one a hash-compared
+    // oracle can gate.
+    "d_dsir_weights" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      import graft.functions.DetMath
+      val tb = load(s, d, "documents")
+        .select($"doc_id", $"source",
+          explode(toks(coalesce($"text", lit("")))).as("tok"))
+        .select($"doc_id",
+          $"source".isin("src0", "src1", "src2").as("is_t"),
+          GraftText.rollingHash64($"tok").bitwiseAND(lit(63L)).as("bkt"))
+      val stats = tb.groupBy($"bkt").agg(
+        sum(when($"is_t", 1L).otherwise(0L)).as("ct"),
+        sum(when(!$"is_t", 1L).otherwise(0L)).as("cr"))
+      val totals = stats.agg(sum($"ct").as("nt"), sum($"cr").as("nr"))
+      val bits = stats.crossJoin(broadcast(totals))
+        .select($"bkt",
+          ((DetMath.log2Det($"ct" + 1) - DetMath.log2Det($"nt" + 64)) -
+            DetMath.log2Det($"cr" + 1) + DetMath.log2Det($"nr" + 64))
+            .as("bits"))
+      tb.filter(!$"is_t")
+        .groupBy($"doc_id", $"bkt").agg(count(lit(1)).as("m"))
+        .join(broadcast(bits), "bkt")
+        .groupBy($"doc_id")
+        .agg(sort_array(collect_list(struct($"bkt",
+          ($"m".cast("double") * $"bits").as("term")))).as("lst"))
+        .select($"doc_id",
+          aggregate($"lst", lit(0.0), (acc, x) => acc + x("term")).as("w"))
+        .orderBy($"w".desc, $"doc_id")
+        .limit(100)
+        .select($"doc_id", round($"w", 4).as("li_weight"))
+    }),
+
     // Dedup-quality evaluation — the measure-your-recall audit every
     // approximate dedup deployment runs before trusting it at 100 TB.
     // Methodology: a deterministic 20 % Knuth-hash document sample (the
@@ -609,6 +658,35 @@ object DedupQueries {
       |) WHERE jaccard >= 0.8""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // same FNV%64 buckets, same add-one-smoothed DetMath log chain in
+    // the same left-associative order, same sorted-bucket fold, ranking
+    // on the RAW weight with doc_id tie-break
+    "d_dsir_weights" -> {
+      import graft.functions.{DetMath, HashSql}
+      s"""WITH it AS (
+         |  SELECT doc_id, source IN ('src0', 'src1', 'src2') AS is_t,
+         |    unnest(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) AS tok
+         |  FROM documents),
+         |ib AS (SELECT doc_id, is_t,
+         |    (${HashSql.fnvSql("tok")} % 64)::BIGINT AS bkt FROM it),
+         |ist AS (SELECT bkt,
+         |    sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS ct,
+         |    sum(CASE WHEN is_t THEN 0 ELSE 1 END)::BIGINT AS cr
+         |  FROM ib GROUP BY bkt),
+         |itot AS (SELECT sum(ct)::BIGINT AS nt, sum(cr)::BIGINT AS nr FROM ist),
+         |ibits AS (SELECT bkt,
+         |    ((${DetMath.log2DetSql("(ct + 1)")} - ${DetMath.log2DetSql("(nt + 64)")})
+         |      - ${DetMath.log2DetSql("(cr + 1)")}) + ${DetMath.log2DetSql("(nr + 64)")} AS bits
+         |  FROM ist, itot),
+         |im AS (SELECT doc_id, bkt, count(*)::BIGINT AS m
+         |  FROM ib WHERE NOT is_t GROUP BY doc_id, bkt),
+         |iw AS (SELECT doc_id, list_reduce(list_prepend(0.0,
+         |    list(m::DOUBLE * bits ORDER BY bkt)), (a, b) -> a + b) AS w
+         |  FROM im JOIN ibits USING (bkt) GROUP BY doc_id)
+         |SELECT doc_id, round(w, 4) AS li_weight
+         |FROM iw ORDER BY w DESC, doc_id LIMIT 100""".stripMargin
+    },
+
     "d_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
         |FROM (SELECT doc_id,
