@@ -86,6 +86,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dsir: 64-row bits frame broadcasts; top-100 is a TakeOrdered, no window") {
+    val p = planOf(graft.queries.DedupQueries.all, "d_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket-bits frame must broadcast-join the per-doc counts:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 selection must be a TakeOrdered, not sort-then-limit")
+    assert(!p.contains("Window"), "dsir must not rank via a window")
+  }
+
+  test("matryoshka: broadcast queries + partial top-k, no window ranking") {
+    val p = planOf(graft.queries.IndexQueries.all, "v_matryoshka_search")
+    assert(p.contains("BroadcastNestedLoopJoin"), "queries must broadcast")
+    assert(p.contains("partial_v_top_k"), "shortlist must partial-aggregate map-side")
+    assert(!p.contains("Window"), "matryoshka must not rank a materialized cross join")
+  }
+
   /** Plan of a DataFrame after clearing the relation cache — other
     * suites cache the same parquet relations, which would swap scans
     * for InMemoryTableScan and change pushdown info/exchange counts.
