@@ -100,11 +100,50 @@ object BpeTrain {
     rep.stripPrefix(Sep).stripSuffix(Sep).split(s"$Sep$Sep").toSeq
   }
 
+  /** Per-document encode statistics — the INFERENCE side of the
+    * tokenizer, as a corpus operator: the learned merges applied in
+    * rank order to every alphabetic token (same wrapped-separator
+    * replace as training — LTR non-overlap == greedy BPE), reporting
+    * words, characters, and post-merge symbol counts per doc. The
+    * merge list rides the bounded-driver-scalar pattern (R rows,
+    * O(1) whatever the corpus size — the PQ-codebook discipline);
+    * the encode itself is a pure scan-side projection chain, one
+    * doc-keyed aggregate, nothing corpus-global. Docs without
+    * qualifying tokens drop out — by contract. */
+  def encodeStats(docs: DataFrame, rounds: Int = Rounds): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val merges = learn(docs, rounds).collect()
+      .map(r => (r.getString(1), r.getString(2))) // rank order by contract
+    val base = docs.select($"doc_id",
+        explode(graft.GraftText.whitespaceTokens(
+          coalesce(col("text"), lit("")))).as("w"))
+      .filter($"w".rlike("^[a-z]+$") && length($"w") >= 2)
+    val rep = merges.foldLeft(wrap($"w")) { case (c, (l, r)) =>
+      replace(c, lit(s"$Sep$l$Sep$Sep$r$Sep"), lit(s"$Sep$l$r$Sep")) }
+    base.select($"doc_id", length($"w").cast("long").as("n_chars"),
+        size(symbols(rep)).cast("long").as("n_syms"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"), sum($"n_chars").as("n_chars"),
+        sum($"n_syms").as("n_symbols"))
+  }
+
   /** The DuckDB oracle: the same vocabulary collapse, the same wrapped
     * representation (chr(31) separators), R rounds unrolled as chained
     * CTEs — pair counts, (cnt DESC, lhs, rhs) argmax, replace-merge —
     * then the merge list unioned back in rank order. */
   def oracleSql(rounds: Int = Rounds): String = {
+    s"""WITH ${trainCtes(rounds)}
+       |SELECT merge_rank, lhs, rhs, lhs || rhs AS merged, cnt AS pair_count FROM (
+       |${(1 to rounds).map(i =>
+           s"  SELECT ${i}::BIGINT AS merge_rank, lhs, rhs, cnt FROM m$i")
+          .mkString("\n  UNION ALL\n")}
+       |) ORDER BY merge_rank""".stripMargin
+  }
+
+  /** Shared CTE block `w0, p1/m1/w1, …, pR/mR/wR` — the training rounds
+    * both oracles chain from. */
+  private def trainCtes(rounds: Int): String = {
     val sep = "chr(31)"
     def round(i: Int): String =
       s"""p$i AS (
@@ -119,7 +158,7 @@ object BpeTrain {
          |  SELECT replace(rep, $sep||lhs||$sep||$sep||rhs||$sep,
          |                 $sep||lhs||rhs||$sep) AS rep, freq
          |  FROM w${i - 1} CROSS JOIN m$i)""".stripMargin
-    s"""WITH w0 AS (
+    s"""w0 AS (
        |  SELECT regexp_replace(w, '(.)', $sep || '\\1' || $sep, 'g') AS rep, freq
        |  FROM (
        |    SELECT w, count(*)::BIGINT AS freq FROM (
@@ -127,11 +166,31 @@ object BpeTrain {
        |      FROM documents)
        |    WHERE regexp_matches(w, '^[a-z]+$$') AND len(w) >= 2
        |    GROUP BY w)),
-       |${(1 to rounds).map(round).mkString(",\n")}
-       |SELECT merge_rank, lhs, rhs, lhs || rhs AS merged, cnt AS pair_count FROM (
-       |${(1 to rounds).map(i =>
-           s"  SELECT ${i}::BIGINT AS merge_rank, lhs, rhs, cnt FROM m$i")
-          .mkString("\n  UNION ALL\n")}
-       |) ORDER BY merge_rank""".stripMargin
+       |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  /** t_bpe_encode oracle: the training CTEs re-derive the merge list,
+    * then each alphabetic token runs the SAME rank-ordered replace
+    * chain (each round's pattern/replacement a scalar subquery against
+    * that round's single-row m_i) before the per-doc aggregate. */
+  def encodeOracleSql(rounds: Int = Rounds): String = {
+    val sep = "chr(31)"
+    val rep = (1 to rounds).foldLeft(
+      s"regexp_replace(w, '(.)', $sep || '\\1' || $sep, 'g')") { (acc, i) =>
+      s"replace($acc,\n      (SELECT $sep||lhs||$sep||$sep||rhs||$sep FROM m$i)," +
+        s"\n      (SELECT $sep||lhs||rhs||$sep FROM m$i))"
+    }
+    s"""WITH ${trainCtes(rounds)},
+       |etok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) AS w
+       |  FROM documents),
+       |eal AS (SELECT doc_id, w FROM etok
+       |  WHERE regexp_matches(w, '^[a-z]+$$') AND len(w) >= 2),
+       |eenc AS (SELECT doc_id, length(w)::BIGINT AS n_chars,
+       |    len(string_split(trim($rep, $sep), $sep||$sep))::BIGINT AS n_syms
+       |  FROM eal)
+       |SELECT doc_id, count(*)::BIGINT AS n_words, sum(n_chars)::BIGINT AS n_chars,
+       |  sum(n_syms)::BIGINT AS n_symbols
+       |FROM eenc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 }

@@ -366,6 +366,17 @@ object TextQueries {
     "t_bpe_train" -> ((s: SparkSession, d: String) =>
       graft.operators.BpeTrain.learn(load(s, d, "documents"))),
 
+    // BPE ENCODE — the inference side of the tokenizer t_bpe_train
+    // learns: every alphabetic token re-tokenized by the rank-ordered
+    // merge list (same wrapped-separator replace as training), per-doc
+    // word/char/symbol counts out. The merge list is a bounded driver
+    // scalar (R rows); the encode is a scan-side projection chain plus
+    // one doc-keyed aggregate. Docs without qualifying tokens drop out
+    // — by contract.
+    "t_bpe_encode" -> ((s: SparkSession, d: String) =>
+      graft.operators.BpeTrain.encodeStats(load(s, d, "documents"))
+        .transform(DedupQueries.orderedLarge(_, "doc_id"))),
+
     // Sequence packing for training: docs are concatenated per output
     // shard (doc_id mod 8, deterministic) in doc_id order and cut into
     // 2048-token context windows; each doc reports the token offset and
@@ -989,6 +1000,10 @@ object TextQueries {
     // the same vocabulary collapse and R unrolled merge rounds — pair
     // counts, (cnt DESC, lhs, rhs) argmax, wrapped-string replace-merge
     "t_bpe_train" -> graft.operators.BpeTrain.oracleSql(),
+
+    // training CTEs re-derive the merges, then the same rank-ordered
+    // replace chain runs per token before the per-doc aggregate
+    "t_bpe_encode" -> graft.operators.BpeTrain.encodeOracleSql(),
 
     "t_bpe_tokens" -> {
       val p = BpePattern.replace("'", "''")

@@ -25,6 +25,37 @@ class BpeTrainSpec extends SparkSpec {
       (2L, "ab", "ab", "abab", 3L)))
   }
 
+  test("encodeStats agrees with driver-side applyMerges doc for doc") {
+    val docs = corpus("abab abab cc dd", "abc abab xyz", "zz9 A", "ee abab")
+    val merges = BpeTrain.learn(docs, rounds = 3).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val expected = docs.collect().map { r =>
+      val toks = r.getString(1).split("\\s+").toSeq
+        .filter(w => w.matches("^[a-z]+$") && w.length >= 2)
+      (r.getLong(0), toks.size.toLong,
+        toks.map(_.length.toLong).sum,
+        toks.map(w => BpeTrain.applyMerges(w, merges).size.toLong).sum)
+    }.filter(_._2 > 0).toSet
+    val got = BpeTrain.encodeStats(docs, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === expected)
+  }
+
+  test("encode compression laws: words <= symbols <= chars, doc 2 drops") {
+    val docs = corpus("abab abab abab", "xy wz", "A9 77") // doc 2: nothing
+    val out = BpeTrain.encodeStats(docs, rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSet === Set(0L, 1L))
+    out.foreach { case (id, words, chars, syms) =>
+      assert(words <= syms && syms <= chars, s"doc $id: $words/$syms/$chars")
+    }
+    // the merge-heavy doc compresses strictly; the untouched one doesn't
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(0L)._4 < byId(0L)._3, "abab doc must compress")
+    assert(byId(1L)._4 === byId(1L)._3, "xy/wz doc must stay at chars")
+  }
+
   test("merge application is greedy left-to-right, non-overlapping") {
     // "aaa" under (a,a): LTR gives [aa, a] — never [a, aa], never [aa, aa]
     assert(BpeTrain.applyMerges("aaa", Seq(("a", "a"))) === Seq("aa", "a"))
