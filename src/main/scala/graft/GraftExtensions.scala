@@ -69,6 +69,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => VectorNorm(es(0)) }
     reg("graft_simhash", "graft_simhash(tokens) - 64-bit simhash") {
       es => SimHash64(es(0)) }
+    reg("graft_simhash_votes",
+        "graft_simhash_votes(tokens) - pre-sign simhash vote accumulator") {
+      es => SimHashVotes(es(0)) }
     reg("graft_fingerprint", "graft_fingerprint(text) - FNV-1a 64 fingerprint") {
       es => RollingHash64(es(0)) }
     reg("graft_minhash", "graft_minhash(tokens, width, n) - minhash signature") {

@@ -25,6 +25,10 @@ object GraftText {
   def simhash64(tokens: Column): Column =
     Shims.column(SimHash64(Shims.expression(tokens)))
 
+  /** Pre-sign SimHash vote accumulator (array<int>, 64 dims). */
+  def simhashVotes(tokens: Column): Column =
+    Shims.column(SimHashVotes(Shims.expression(tokens)))
+
   def rollingHash64(text: Column): Column =
     Shims.column(RollingHash64(Shims.expression(text)))
 

@@ -246,6 +246,48 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** simhash_votes(tokens) → array<int>(64): the PRE-SIGN SimHash
+  * accumulator — votes(b) = #{tokens with bit b of FNV-1a set} −
+  * #{without}, exactly [[SimHash64]]'s internal state exposed as a
+  * vector. Normalized by token count it is a dense document embedding
+  * on the hashing family's own axes (the charikar-hyperplane reading
+  * of SimHash): sign(votes) recovers the fingerprint, magnitude says
+  * how decisively each bit voted. Integer state end-to-end. */
+case class SimHashVotes(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "simhash_votes"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash_votes requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (t != null) {
+        val h = GraftHash.fnv1a64(t.getBytes, 0L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(votes)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** jaccard_sorted(a, b) → double: Jaccard similarity |A∩B| / |A∪B| of two
   * SORTED, DISTINCT string arrays via a single merge scan — no per-call
   * hash sets (array_intersect + array_union each build one), ~4× cheaper

@@ -222,6 +222,22 @@ object HashSql {
       "for i in range(1, greatest(length(text)-1, 1))])) AS ws " +
       "FROM documents) WHERE len(ws) > 0"
 
+  /** t_doc_embed oracle: the SimHash vote accumulator per (doc, bit),
+    * normalized by the doc's token-occurrence count — same token-hash
+    * CTEs as the simhash oracle, per-bit ±1 sums in pure integers, ONE
+    * exact IEEE division per cell, rounding only in the projection. */
+  def docEmbedOracle(table: String = "documents"): String =
+    s"""WITH ${tokenHashCtes(table)},
+       |nv AS (SELECT doc_id, count(*)::BIGINT AS n FROM dv GROUP BY doc_id),
+       |vb AS (
+       |  SELECT doc_id, bb.dim,
+       |    sum(CASE WHEN (hu >> bb.dim) & 1 = 1 THEN 1 ELSE -1 END)::BIGINT AS v
+       |  FROM dv CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) bb
+       |  GROUP BY doc_id, bb.dim)
+       |SELECT vb.doc_id, vb.dim::BIGINT AS dim,
+       |  round(vb.v::DOUBLE / nv.n, 4) AS value
+       |FROM vb JOIN nv USING (doc_id) ORDER BY doc_id, dim""".stripMargin
+
   /** Full oracle for d_dedup_simhash: SimHash64 per document replicated
     * bit-for-bit, then ALL pairs within `maxHamming` — the straight
     * quadratic contract. The Spark plan answers it through 16-bit chunk

@@ -562,6 +562,26 @@ object TextQueries {
         .orderBy("bucket")
     }),
 
+    // Dense document embedding as model-inference-as-scan: the PRE-SIGN
+    // SimHash accumulator (votes per bit, the Charikar-hyperplane
+    // reading) normalized by token count — a 64-dim text embedding
+    // computed entirely scan-side from the corpus's own hashing family,
+    // the bridge between the documents and embeddings table families.
+    // sign(value) recovers d_dedup_simhash's fingerprint bit for bit;
+    // |value| says how decisively the bit voted. Integer votes, one
+    // exact IEEE division per cell, rounding only in the projection;
+    // exploded to (doc_id, dim, value) rows for the gate.
+    "t_doc_embed" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      load(s, d, "documents")
+        .select($"doc_id", tokens($"text").as("toks"))
+        .select($"doc_id", size($"toks").cast("long").as("n"),
+          posexplode(graft.GraftText.simhashVotes($"toks")))
+        .select($"doc_id", $"pos".cast("long").as("dim"),
+          round($"col".cast("double") / $"n", 4).as("value"))
+        .transform(DedupQueries.orderedLarge(_, "doc_id", "dim"))
+    }),
+
     // Winnowing fingerprints (Schleimer et al. 2003 — the MOSS local
     // fingerprinting scheme): FNV-1a over every 8-byte character gram,
     // keep the minimum of each 4-gram sliding window, distinct. The
@@ -1139,6 +1159,9 @@ object TextQueries {
         |  (sum(coalesce(nt.new_types, 0)) OVER (ORDER BY p.bucket))::BIGINT
         |    AS vocab_cum
         |FROM per p LEFT JOIN nt USING (bucket) ORDER BY bucket""".stripMargin,
+
+    // same token-hash CTEs as the simhash oracle, per-bit integer sums
+    "t_doc_embed" -> graft.functions.HashSql.docEmbedOracle(),
 
     // the same FNV fold per 8-byte gram (HUGEINT modular arithmetic,
     // the t_fingerprint discipline), signed BIGINT conversion BEFORE

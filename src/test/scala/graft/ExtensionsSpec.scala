@@ -106,6 +106,7 @@ class ExtensionsSpec extends SparkSpec {
         "graft_lsh_bands(array(0.1f,0.2f,0.3f,0.4f), 4, 2, 4, 42)",
       "graft_shingle_hashes" -> "graft_shingle_hashes(array('a','b','c'), 2)",
       "graft_winnow" -> "graft_winnow('abcdefghijklmnop', 8, 4)",
+      "graft_simhash_votes" -> "graft_simhash_votes(array('a','b','c'))",
       "graft_sq8_adc" ->
         ("graft_sq8_adc(array(0, 255), array(0.0f, 1.0f), " +
           "array(0.0D, 0.0D), array(0.003921568627451D, 0.003921568627451D))"),
