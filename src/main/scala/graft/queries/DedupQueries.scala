@@ -528,6 +528,36 @@ object DedupQueries {
         .orderBy($"src_a", $"src_b")
     }),
 
+    // Cross-document overlap via winnowing fingerprints — the join
+    // t_winnowing's local fingerprints exist for (the MOSS workload):
+    // doc pairs sharing >= 3 RARE fingerprints, where rare = document
+    // frequency <= 10. The df cap is MOSS's own "too common to mean
+    // anything" rule AND the scale guarantee: per-fingerprint fanout is
+    // bounded by C(10,2) pairs, so the self-join is linear in the
+    // fingerprint count — never quadratic in docs — and the shuffle
+    // carries 8-byte keys, never text. Exploded frame consumed three
+    // times (df counts + both join sides): cached, the
+    // d_source_overlap discipline.
+    "d_winnow_overlap" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val e = load(s, d, "documents")
+        .select($"doc_id",
+          explode(GraftText.winnowFingerprints(
+            coalesce($"text", lit("")), 8, 4)).as("fp"))
+        .cache()
+      val rare = e.join(
+        e.groupBy($"fp").agg(count(lit(1)).as("df"))
+          .filter($"df" <= 10).select($"fp"),
+        Seq("fp"), "left_semi")
+      rare.select($"doc_id".as("doc_a"), $"fp")
+        .join(rare.select($"doc_id".as("doc_b"), $"fp"), "fp")
+        .filter($"doc_a" < $"doc_b")
+        .groupBy($"doc_a", $"doc_b")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter($"n_shared" >= 3)
+        .transform(ordered(_, "doc_a", "doc_b"))
+    }),
+
     // DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
     // arXiv:2302.03169): score every raw document by how much more
     // likely its hashed-token profile is under a TARGET slice's
@@ -658,6 +688,19 @@ object DedupQueries {
       |) WHERE jaccard >= 0.8""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // shared winnowing CTEs + the same df cap and pair threshold
+    "d_winnow_overlap" ->
+      s"""WITH ${TextQueries.winnowCtesSql},
+         |wrare AS (
+         |  SELECT doc_id, fp FROM wexp
+         |  WHERE fp IN (SELECT fp FROM wexp GROUP BY fp HAVING count(*) <= 10)),
+         |wpair AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |  FROM wrare a JOIN wrare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_shared FROM wpair
+         |WHERE n_shared >= 3 ORDER BY doc_a, doc_b""".stripMargin,
+
     // same FNV%64 buckets, same add-one-smoothed DetMath log chain in
     // the same left-associative order, same sorted-bucket fold, ranking
     // on the RAW weight with doc_id tie-break

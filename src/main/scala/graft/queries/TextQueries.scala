@@ -887,6 +887,30 @@ object TextQueries {
     })
   )
 
+  /** DuckDB CTE block ending in `wexp(doc_id, fp)` — one row per
+    * (document, winnowing fingerprint), the [[GraftText
+    * .winnowFingerprints]](text, 8, 4) evaluation op-for-op. Shared by
+    * the t_winnowing and d_winnow_overlap oracles. */
+  private[graft] def winnowCtesSql: String =
+    """wt AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+      |wgh AS (
+      |  SELECT doc_id, [
+      |    (CASE WHEN u >= 9223372036854775808::HUGEINT
+      |          THEN u - 18446744073709551616::HUGEINT ELSE u END)::BIGINT
+      |    FOR u IN [
+      |      list_reduce(list_prepend(14695981039346656037::HUGEINT,
+      |        [ord(text[j]) for j in range(i, i+8)]::HUGEINT[]),
+      |        (h, b) -> ((xor(h::UBIGINT, b::UBIGINT))::HUGEINT
+      |                    * 1099511628211::HUGEINT)
+      |                   % 18446744073709551616::HUGEINT)
+      |      for i in range(1, length(text) - 8 + 2)]
+      |  ] AS gh FROM wt),
+      |wfp AS (
+      |  SELECT doc_id, list_sort(list_distinct(
+      |    [list_min(gh[i:i+3]) for i in range(1, len(gh) - 4 + 2)])) AS fps
+      |  FROM wgh),
+      |wexp AS (SELECT doc_id, unnest(fps) AS fp FROM wfp)""".stripMargin
+
   /** DuckDB CTE block ending in `lmdoc(doc_id, n_bigrams, bits_raw)` —
     * the [[ngramLmScored]] plan op-for-op (same DetMath logs on integer
     * arguments, same sorted (a, b) fold, same exact division). Shared
@@ -1167,24 +1191,8 @@ object TextQueries {
     // the t_fingerprint discipline), signed BIGINT conversion BEFORE
     // list_min so both engines rank window minima identically
     "t_winnowing" ->
-      """WITH wt AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
-        |wgh AS (
-        |  SELECT doc_id, [
-        |    (CASE WHEN u >= 9223372036854775808::HUGEINT
-        |          THEN u - 18446744073709551616::HUGEINT ELSE u END)::BIGINT
-        |    FOR u IN [
-        |      list_reduce(list_prepend(14695981039346656037::HUGEINT,
-        |        [ord(text[j]) for j in range(i, i+8)]::HUGEINT[]),
-        |        (h, b) -> ((xor(h::UBIGINT, b::UBIGINT))::HUGEINT
-        |                    * 1099511628211::HUGEINT)
-        |                   % 18446744073709551616::HUGEINT)
-        |      for i in range(1, length(text) - 8 + 2)]
-        |  ] AS gh FROM wt),
-        |wfp AS (
-        |  SELECT doc_id, list_sort(list_distinct(
-        |    [list_min(gh[i:i+3]) for i in range(1, len(gh) - 4 + 2)])) AS fps
-        |  FROM wgh)
-        |SELECT doc_id, unnest(fps) AS fp FROM wfp ORDER BY doc_id, fp""".stripMargin,
+      s"""WITH $winnowCtesSql
+         |SELECT doc_id, fp FROM wexp ORDER BY doc_id, fp""".stripMargin,
 
     // same raw-double comparisons, same stop lists, same PII regexes —
     // the reasons string is order-fixed so both engines emit identical

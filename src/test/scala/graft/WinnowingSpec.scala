@@ -52,6 +52,23 @@ class WinnowingSpec extends SparkSpec {
     assert(f.size < nWindows / 4, s"${f.size} of $nWindows")
   }
 
+  test("overlap join: rare shared region pairs; df-capped common text does not") {
+    val dir = java.nio.file.Files.createTempDirectory("winnow").toString
+    val rare = "the quick brown fox jumps over the lazy dog again and again today"
+    val common = "all of these documents carry exactly this same boilerplate banner"
+    val docs =
+      Seq((0L, s"unique left context $rare"),
+        (1L, s"$rare completely different right side")) ++
+        (2L until 15L).map(i => (i, common)) // 13 identical docs: df > 10
+    docs.toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = queries.DedupQueries.all("d_winnow_overlap")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(p => (p._1, p._2)).toSeq === Seq((0L, 1L)),
+      s"expected only the rare-region pair: ${out.toSeq}")
+    assert(out.head._3 >= 3, s"shared fingerprints: ${out.head._3}")
+  }
+
   test("fingerprints are a pure function of text; disjoint texts disjoint") {
     val Seq(a, b) = fps("the quick brown fox jumps over it",
       "the quick brown fox jumps over it")
