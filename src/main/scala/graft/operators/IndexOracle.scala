@@ -498,6 +498,22 @@ object IndexOracle {
        |) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** v_ood_score: every vector's distance to its nearest literal
+    * centroid (list_min of the same per-centroid fold assignCte ranks
+    * with — nearest IS assigned, first-position tie-break), top-N
+    * farthest by RAW squared distance with vec_id tie-break, sqrt only
+    * in the projection. */
+  def oodScoreOracle(centroids: Seq[(Int, Seq[Float])], topN: Int): String = {
+    val dists = centroids.map { case (_, c) => l2sqLit("embedding", 0, c) }
+      .mkString("[", ",\n ", "]")
+    s"""WITH oo AS (
+       |  SELECT vec_id, list_min(ds) AS d2,
+       |    list_position(ds, list_min(ds)) - 1 AS cluster_id
+       |  FROM (SELECT vec_id, $dists AS ds FROM embeddings))
+       |SELECT vec_id, cluster_id::BIGINT AS cluster_id, round(sqrt(d2), 4) AS dist
+       |FROM oo ORDER BY d2 DESC, vec_id LIMIT $topN""".stripMargin
+  }
+
   /** v_matryoshka_search: prefix-L2 shortlist over the first prefixDim
     * coordinates of the raw embedding — no literals, no seed, nothing
     * derived: both stages are the same column-vs-column fold differing

@@ -159,6 +159,29 @@ object IndexQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // Embedding outlier audit (OOD screening for curation): distance of
+    // every vector to its ASSIGNED centroid in the persisted IVF
+    // clustering, top-50 farthest — the vectors no cluster explains,
+    // flagged for review before they pollute dedup/retrieval quality.
+    // One scan of the assignments table against the broadcast 16-row
+    // centroid frame; ranking on RAW squared distance (sqrt only in the
+    // projection — the refineExact discipline) with vec_id tie-break;
+    // top-50 is a TakeOrdered.
+    "v_ood_score" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      import graft.GraftVector._
+      val dir = IndexStore.ivf(s, d, k = 16)
+      val cent = s.read.parquet(s"$dir/centroids")
+      s.read.parquet(s"$dir/assignments")
+        .select($"vec_id", $"embedding", $"cluster_id")
+        .join(broadcast(cent), "cluster_id")
+        .withColumn("d2", l2Sq($"embedding", $"centroid"))
+        .orderBy($"d2".desc, $"vec_id")
+        .limit(50)
+        .select($"vec_id", $"cluster_id".cast("long").as("cluster_id"),
+          round(sqrt($"d2"), 4).as("dist"))
+    }),
+
     // Matryoshka (prefix-dimension) search: coarse rank on the first 16
     // of 64 coordinates (4× less data in the hot scan — and a column
     // slice, so there is no index to build, persist, or invalidate),
@@ -410,6 +433,8 @@ object IndexQueries {
           nprobe = 4, NumQueries),
       "d_semantic_dedup" -> graft.operators.IndexOracle
         .semanticDedupOracle(cent, SemDedupTau),
+      "v_ood_score" -> graft.operators.IndexOracle
+        .oodScoreOracle(cent, topN = 50),
       "v_nprobe_sweep" -> graft.operators.IndexOracle
         .nprobeSweepOracle(cent, K, NprobeSweep, NumQueries),
       "v_quantize_error" -> graft.operators.IndexOracle

@@ -30,6 +30,32 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("OOD score = exact top-50 by distance to the NEAREST centroid") {
+    // independent reference: min distance over ALL centroids per vector
+    // (the operator ranks by distance to the ASSIGNED one — equality is
+    // the argmin-assignment law the oracle's list_min derivation needs;
+    // a far outlier that was in the build set can capture its own
+    // centroid, which is why the audit's contract is nearest-centroid
+    // distance, not planted-outlier semantics)
+    val dir = graft.operators.IndexStore.ivf(spark, sfDir, k = 16)
+    val cent = spark.read.parquet(s"$dir/centroids")
+      .select($"cluster_id".as("c2"), $"centroid")
+    val expected = e.crossJoin(broadcast(cent))
+      .groupBy($"vec_id")
+      .agg(min(l2Sq($"embedding", $"centroid")).as("d2"))
+      .orderBy($"d2".desc, $"vec_id").limit(50)
+      .collect().map(r => (r.getLong(0),
+        BigDecimal(math.sqrt(r.getDouble(1)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSeq
+    val out = graft.queries.IndexQueries.all("v_ood_score")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(out.size === 50)
+    assert(out.map(_._1) === expected.map(_._1),
+      "assigned-centroid ranking must equal nearest-centroid ranking")
+    out.zip(expected).foreach { case ((id, d), (_, ed)) =>
+      assert(math.abs(d - ed) < 1e-9, s"vec $id: $d vs $ed") }
+  }
+
   test("IVF partial probe trades recall for work but stays useful") {
     val (cent, assign) = IvfIndex.build(e, "vec_id", "embedding", k = 8)
     val res = IvfIndex.search(cent, assign, q, "vec_id", "embedding", 10, nprobe = 3)
