@@ -38,6 +38,34 @@ object PipelineQueries {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // Decode → featurize → similarity search: the full multimodal
+    // pipeline (the reason media features exist at all) — stub
+    // featurizer output treated as a 16-dim embedding, top-5 nearest
+    // media per query payload by exact L2 over the feature space. Same
+    // scale shape as v_knn_bruteforce: one feature-table scan against
+    // the broadcast query features, bounded map-side top-k heap,
+    // ranking on RAW d² with doc_id tie-break, sqrt only in the
+    // projection. With a real decoder the features column would be CNN
+    // embeddings; nothing else in the plan changes.
+    "m_feature_knn" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      import graft.GraftVector._
+      val f = Multimodal.featurize(Multimodal.asMedia(load(s, d, "documents")))
+        .toDF().select($"doc_id", $"features")
+      val q = f.filter($"doc_id" < 8)
+        .select($"doc_id".as("query_id"), $"features".as("qv"))
+      f.select($"doc_id".as("neighbor_id"), $"features")
+        .crossJoin(broadcast(q))
+        .withColumn("d2", l2Sq($"features", $"qv"))
+        .groupBy($"query_id")
+        .agg(topK($"d2", $"neighbor_id", 5).as("nn"))
+        .select($"query_id", posexplode($"nn"))
+        .select($"query_id", $"col.id".as("neighbor_id"),
+          ($"pos" + 1).cast("long").as("rnk"),
+          round(sqrt($"col.score"), 4).as("dist"))
+        .orderBy("query_id", "rnk")
+    }),
+
     // Latest event per user — the materialized state the streaming
     // ingest maintains incrementally.
     "s_stream_ingest" -> ((s: SparkSession, d: String) => {
@@ -69,6 +97,30 @@ object PipelineQueries {
         |FROM (SELECT doc_id, 'application/x-fake' AS mime,
         |        length(text)::BIGINT AS n_bytes, text FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // same float-exact histogram, then the v_knn ranking contract:
+    // shared feature CTE, raw-d² ordering with doc_id tie-break
+    "m_feature_knn" ->
+      """WITH mf AS (
+        |  SELECT doc_id,
+        |    [ (len(list_filter(bs, b -> b // 16 = bin))::FLOAT
+        |       / greatest(n, 1)::FLOAT) for bin in range(0, 16) ] AS fv
+        |  FROM (SELECT doc_id,
+        |          [ord(text[i]) for i in range(1, length(text)+1)] AS bs,
+        |          length(text) AS n
+        |        FROM documents)),
+        |mq AS (SELECT doc_id AS query_id, fv AS qv FROM mf WHERE doc_id < 8)
+        |SELECT query_id, neighbor_id, rnk, dist FROM (
+        |  SELECT query_id, doc_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY d, doc_id) AS rnk,
+        |    round(sqrt(d), 4) AS dist
+        |  FROM (SELECT mq.query_id, mf.doc_id,
+        |          list_reduce(list_prepend(0.0,
+        |            [ (mf.fv[i]::DOUBLE - mq.qv[i]::DOUBLE)
+        |              * (mf.fv[i]::DOUBLE - mq.qv[i]::DOUBLE)
+        |              for i in range(1, 17) ]), (x, y) -> x + y) AS d
+        |        FROM mf CROSS JOIN mq)
+        |) WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
     // same float-exact histogram replication as m_multimodal_meta, per
     // 256-char frame window

@@ -50,6 +50,21 @@ class MultimodalSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("feature kNN: 8 queries x 5 ranked rows, rank-1 at distance zero") {
+    val out = graft.queries.PipelineQueries.all("m_feature_knn")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length === 40)
+    assert(out.map(_._1).distinct.sorted === (0L until 8L))
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted === (1L to 5L), s"query $q ranks")
+      // some doc at distance 0 exists (the query payload itself), so
+      // rank 1 must sit at 0; distances are non-decreasing in rank
+      val byRank = rows.sortBy(_._3)
+      assert(byRank.head._4 === 0.0, s"query $q rank-1 dist")
+      assert(byRank.map(_._4) === byRank.map(_._4).sorted, s"query $q order")
+    }
+  }
+
   test("stub featurizer is deterministic and produces unit-L1 features") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(20)
     val f1 = Multimodal.featurize(Multimodal.asMedia(docs)).collect()
