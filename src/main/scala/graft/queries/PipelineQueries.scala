@@ -66,6 +66,23 @@ object PipelineQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // Streaming exact dedup's materialized state, batch-gated: the
+    // keepers (first doc per content fingerprint, keep-min rule) that
+    // streaming/StreamDedup.firstPerFingerprint emits for a
+    // doc_id-ordered stream — the stream≡batch equivalence is proven
+    // pair-for-pair in StreamDedupSpec; this entry puts the state
+    // itself under the DuckDB oracle. Shuffles (fp → min doc_id) 8-byte
+    // pairs, never text.
+    "s_stream_dedup" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      load(s, d, "documents")
+        .select($"doc_id", graft.GraftText.rollingHash64($"text").as("fp"))
+        .groupBy($"fp")
+        .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_seen"))
+        .select($"doc_id", $"fp", $"n_seen")
+        .orderBy("doc_id")
+    }),
+
     // Latest event per user — the materialized state the streaming
     // ingest maintains incrementally.
     "s_stream_ingest" -> ((s: SparkSession, d: String) => {
@@ -97,6 +114,19 @@ object PipelineQueries {
         |FROM (SELECT doc_id, 'application/x-fake' AS mime,
         |        length(text)::BIGINT AS n_bytes, text FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // the t_fingerprint FNV fold, keep-min + count per fingerprint —
+    // the state StreamDedupSpec proves the live stream converges to
+    "s_stream_dedup" -> {
+      import graft.functions.HashSql
+      s"""WITH sfp AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN u >= 9223372036854775808::HUGEINT
+         |          THEN u - 18446744073709551616::HUGEINT ELSE u END)::BIGINT AS fp
+         |  FROM (SELECT doc_id, (${HashSql.fnvSql("text")}) AS u FROM documents))
+         |SELECT min(doc_id) AS doc_id, fp, count(*)::BIGINT AS n_seen
+         |FROM sfp GROUP BY fp ORDER BY doc_id""".stripMargin
+    },
 
     // same float-exact histogram, then the v_knn ranking contract:
     // shared feature CTE, raw-d² ordering with doc_id tie-break

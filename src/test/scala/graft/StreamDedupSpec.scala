@@ -36,6 +36,21 @@ class StreamDedupSpec extends SparkSpec {
     assert(out.map(_.fp).distinct.size === out.size, "fingerprint emitted twice")
   }
 
+  test("the gated batch entry equals the streamed state on real documents") {
+    val dir = java.nio.file.Files.createTempDirectory("sdd").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").limit(40).cache()
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val arrival = docs
+      .select($"doc_id", GraftText.rollingHash64($"text").as("fp"))
+      .as[Doc].collect().toSeq.sortBy(_.doc_id)
+    val streamed = runBatches(arrival.grouped(7).toSeq)
+      .map(d => (d.doc_id, d.fp)).toSet
+    val gated = queries.PipelineQueries.all("s_stream_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gated === streamed)
+  }
+
   test("a duplicate arriving many batches later is still dropped") {
     val out = runBatches(Seq(
       Seq(Doc(1, 7)), Seq(Doc(10, 8)), Seq(Doc(20, 9)), Seq(Doc(30, 7))))
