@@ -714,7 +714,9 @@ object DedupQueries {
          |    (${HashSql.fnvSql("tok")} % 64)::BIGINT AS bkt FROM it),
          |ist AS (SELECT bkt,
          |    sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS ct,
-         |    sum(CASE WHEN is_t THEN 0 ELSE 1 END)::BIGINT AS cr
+         |    -- NOT is_t (not ELSE): a NULL source must count into
+         |    -- NEITHER pool, matching when(!is_t, 1).otherwise(0)
+         |    sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END)::BIGINT AS cr
          |  FROM ib GROUP BY bkt),
          |itot AS (SELECT sum(ct)::BIGINT AS nt, sum(cr)::BIGINT AS nr FROM ist),
          |ibits AS (SELECT bkt,
