@@ -19,7 +19,9 @@ object Verify {
     sys.props("graft.oracle.sfDir") = sfDir
     new java.io.File(outDir).mkdirs()
     // local-iteration filter (comma-separated names); driver never sets it
-    val only = sys.env.get("GRAFT_VERIFY_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

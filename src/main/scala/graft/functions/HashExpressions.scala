@@ -217,22 +217,7 @@ case class SimHash64(child: Expression)
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
-    val n = toks.numElements()
-    val votes = new Array[Int](64)
-    var i = 0
-    while (i < n) {
-      val t = toks.getUTF8String(i)
-      if (t != null) {
-        val h = GraftHash.fnv1a64(t.getBytes, 0L)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
-      }
-      i += 1
-    }
+    val votes = SimHashVotes.accumulate(input.asInstanceOf[ArrayData])
     var fp = 0L
     var b = 0
     while (b < 64) {
@@ -264,8 +249,18 @@ case class SimHashVotes(child: Expression)
       s"simhash_votes requires array<string>, got ${other.simpleString}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(SimHashVotes.accumulate(input.asInstanceOf[ArrayData]))
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHashVotes {
+  /** THE vote accumulator — [[SimHash64]] signs exactly this array, so
+    * the sign(votes)==fingerprint law (DocEmbedSpec) holds by shared
+    * code, not by two loops staying in sync. */
+  private[functions] def accumulate(toks: ArrayData): Array[Int] = {
     val n = toks.numElements()
     val votes = new Array[Int](64)
     var i = 0
@@ -281,11 +276,8 @@ case class SimHashVotes(child: Expression)
       }
       i += 1
     }
-    new GenericArrayData(votes)
+    votes
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }
 
 /** jaccard_sorted(a, b) → double: Jaccard similarity |A∩B| / |A∪B| of two

@@ -175,10 +175,15 @@ object BpeTrain {
     * that round's single-row m_i) before the per-doc aggregate. */
   def encodeOracleSql(rounds: Int = Rounds): String = {
     val sep = "chr(31)"
+    // coalesce to a sentinel that cannot occur in a wrapped rep
+    // (chr(30); symbols are [a-z] + chr(31)): if training exhausts
+    // before round i, m_i is empty and the scalar subquery is NULL —
+    // without the guard replace(acc, NULL, NULL) would NULL every
+    // doc's counts, while encodeStats just applies fewer merges
     val rep = (1 to rounds).foldLeft(
       s"regexp_replace(w, '(.)', $sep || '\\1' || $sep, 'g')") { (acc, i) =>
-      s"replace($acc,\n      (SELECT $sep||lhs||$sep||$sep||rhs||$sep FROM m$i)," +
-        s"\n      (SELECT $sep||lhs||rhs||$sep FROM m$i))"
+      s"replace($acc,\n      coalesce((SELECT $sep||lhs||$sep||$sep||rhs||$sep FROM m$i), chr(30))," +
+        s"\n      coalesce((SELECT $sep||lhs||rhs||$sep FROM m$i), chr(30)))"
     }
     s"""WITH ${trainCtes(rounds)},
        |etok AS (

@@ -579,12 +579,16 @@ object DedupQueries {
     "d_dsir_weights" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       import graft.functions.DetMath
+      // consumed three times (bucket stats, totals, per-doc counts):
+      // cached so the corpus tokenize+hash scan runs once — the
+      // d_winnow_overlap discipline
       val tb = load(s, d, "documents")
         .select($"doc_id", $"source",
           explode(toks(coalesce($"text", lit("")))).as("tok"))
         .select($"doc_id",
           $"source".isin("src0", "src1", "src2").as("is_t"),
           GraftText.rollingHash64($"tok").bitwiseAND(lit(63L)).as("bkt"))
+        .cache()
       val stats = tb.groupBy($"bkt").agg(
         sum(when($"is_t", 1L).otherwise(0L)).as("ct"),
         sum(when(!$"is_t", 1L).otherwise(0L)).as("cr"))

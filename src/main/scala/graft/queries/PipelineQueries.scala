@@ -52,8 +52,13 @@ object PipelineQueries {
       import graft.GraftVector._
       val f = Multimodal.featurize(Multimodal.asMedia(load(s, d, "documents")))
         .toDF().select($"doc_id", $"features")
-      val q = f.filter($"doc_id" < 8)
-        .select($"doc_id".as("query_id"), $"features".as("qv"))
+      // query branch filters BEFORE the featurizer: mapPartitions is an
+      // optimization barrier, so a post-featurize filter would re-run
+      // the full corpus featurize just to keep 8 rows (the parquet
+      // pushdown lands on the scan this way)
+      val q = Multimodal.featurize(Multimodal.asMedia(
+          load(s, d, "documents").filter($"doc_id" < 8)))
+        .toDF().select($"doc_id".as("query_id"), $"features".as("qv"))
       f.select($"doc_id".as("neighbor_id"), $"features")
         .crossJoin(broadcast(q))
         .withColumn("d2", l2Sq($"features", $"qv"))

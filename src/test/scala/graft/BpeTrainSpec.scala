@@ -42,6 +42,18 @@ class BpeTrainSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("encode survives training exhaustion: fewer merges than rounds") {
+    // vocab {ab}: round 1 merges (a,b), round 2 finds no pairs -> learn
+    // stops with 1 merge; encode must apply just that one (the oracle's
+    // coalesce-to-sentinel guard covers the same case in SQL)
+    val docs = corpus("ab ab", "ab")
+    assert(BpeTrain.learn(docs, rounds = 6).count() === 1)
+    val out = BpeTrain.encodeStats(docs, rounds = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out === Seq((0L, 2L, 4L, 2L), (1L, 1L, 2L, 1L)))
+  }
+
   test("encode compression laws: words <= symbols <= chars, doc 2 drops") {
     val docs = corpus("abab abab abab", "xy wz", "A9 77") // doc 2: nothing
     val out = BpeTrain.encodeStats(docs, rounds = 2).collect()
