@@ -95,6 +95,48 @@ object AnalyticsQueries {
         .limit(10)
     }),
 
+    // TPC-H Q10 flavor: returned-item revenue per customer — fact⋈fact
+    // on the order key, customer dim shuffles on its key, nation
+    // broadcast; top-20 on the ROUNDED revenue with custkey tie-break
+    // (the q3 determinism contract).
+    "q10_returned_item" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val li = load(s, d, "lineitem").filter($"l_returnflag" === "R")
+      val ord = load(s, d, "orders")
+        .filter($"o_orderdate" >= lit("1998-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1998-04-01").cast("timestamp"))
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(load(s, d, "customer"), $"o_custkey" === $"c_custkey")
+        .join(broadcast(load(s, d, "nation")),
+          $"c_nationkey" === $"n_nationkey")
+        .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2)
+          .as("revenue"))
+        .select($"c_custkey", $"c_name", $"revenue",
+          round($"c_acctbal", 2).as("acctbal"), $"n_name")
+        .orderBy($"revenue".desc, $"c_custkey")
+        .limit(20)
+    }),
+
+    // TPC-H Q18 flavor: large-volume orders — the per-order quantity
+    // rollup is a map-side-combinable aggregate used as a semi-filter
+    // (never a correlated subquery per row); facts join on the order
+    // key, customer dim on its key.
+    "q18_large_orders" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val big = load(s, d, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(round(sum($"l_quantity"), 2).as("sum_qty"))
+        .filter($"sum_qty" > 300)
+      big.join(load(s, d, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(load(s, d, "customer"), $"o_custkey" === $"c_custkey")
+        .select($"c_name", $"c_custkey", $"o_orderkey",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"),
+          round($"o_totalprice", 2).as("totalprice"), $"sum_qty")
+        .orderBy($"totalprice".desc, $"o_orderkey")
+        .limit(100)
+    }),
+
     // TPC-H Q5 flavor: 5-way join, broadcast region+nation dims.
     "q5_local_supplier" -> ((s: SparkSession, d: String) => {
       import s.implicits._
@@ -1005,6 +1047,33 @@ object AnalyticsQueries {
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q10_returned_item" ->
+      """SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        |  round(c.c_acctbal, 2) AS acctbal, n.n_name AS n_name
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1998-04-01'
+        |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 300)
+        |SELECT c.c_name AS c_name, c.c_custkey AS c_custkey,
+        |  o.o_orderkey AS o_orderkey,
+        |  strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  round(o.o_totalprice, 2) AS totalprice, b.sum_qty AS sum_qty
+        |FROM big b
+        |JOIN orders o ON b.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "q3_shipping_priority" ->
       """SELECT l.l_orderkey AS l_orderkey,
