@@ -514,6 +514,33 @@ object IndexOracle {
        |FROM oo ORDER BY d2 DESC, vec_id LIMIT $topN""".stripMargin
   }
 
+  /** v_lsh_multiprobe: the seeded sign-bucket code re-derived from
+    * plane literals ([[LshBuckets.bucketSql]]), the same 1+nPlanes
+    * Hamming-1 probe set via xor, candidate equi-join on the code,
+    * exact-L2 refine under the standard ranking contract. */
+  def multiprobeOracle(dim: Int, nPlanes: Int, k: Int,
+      numQueries: Int): String = {
+    val b = LshBuckets.bucketSql("embedding", dim, nPlanes)
+    val bq = LshBuckets.bucketSql("qv", dim, nPlanes)
+    val probeList = (0L +: (0 until nPlanes).map(i => 1L << i))
+      .mkString("[", ", ", "]")
+    s"""WITH mb AS (SELECT vec_id, $b AS b FROM embeddings),
+       |mq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $numQueries),
+       |mqb AS (SELECT query_id, $bq AS qb FROM mq),
+       |mpr AS (SELECT query_id, xor(qb::UBIGINT, p::UBIGINT)::BIGINT AS pb
+       |  FROM mqb, (SELECT unnest($probeList) AS p)),
+       |mcand AS (SELECT DISTINCT p.query_id, mb.vec_id
+       |  FROM mpr p JOIN mb ON mb.b = p.pb)
+       |SELECT query_id, neighbor_id, rnk, dist FROM (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rnk,
+       |    round(sqrt(d), 4) AS dist
+       |  FROM (SELECT c.query_id, c.vec_id, ${l2sqCol("e.embedding", "q.qv", dim)} AS d
+       |        FROM mcand c JOIN embeddings e ON e.vec_id = c.vec_id
+       |        JOIN mq q ON q.query_id = c.query_id)
+       |) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** v_matryoshka_search: prefix-L2 shortlist over the first prefixDim
     * coordinates of the raw embedding — no literals, no seed, nothing
     * derived: both stages are the same column-vs-column fold differing

@@ -54,6 +54,35 @@ object LshBuckets {
       s"(CASE WHEN list_inner_product($vecSql::DOUBLE[], $arr::DOUBLE[]) > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")::BIGINT")
 
+  /** Multiprobe LSH search (Lv et al. 2007, VLDB): instead of paying
+    * more tables for recall, each query probes its own sign bucket AND
+    * the `nPlanes` buckets at Hamming distance 1 (one sign bit flipped
+    * — the buckets a near neighbor most likely fell into when a
+    * projection landed near zero), then the candidate union gets the
+    * exact-L2 refine that decides. 1+nPlanes probes of ONE table ≈ the
+    * recall of many tables at 1/nTables the index footprint — the
+    * trade the paper is about. Scale shape: candidates come from an
+    * equi-join on the bucket code (at 100 TB nPlanes grows so
+    * 2^nPlanes buckets keep per-bucket populations bounded — the knob
+    * is the same bits-per-table one [[bucketBands]] documents), then
+    * [[PqIndex.refineExact]] touches raw vectors for candidates only. */
+  def multiprobeSearch(embeddings: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, dim: Int, nPlanes: Int, k: Int,
+      seed: Long = 42L): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val b = embeddings.select(col(idCol).cast("long").as("neighbor_id"),
+      bucket(col(vecCol), dim, nPlanes, seed).as("b"))
+    val qcode = bucket($"qv", dim, nPlanes, seed)
+    val probes = array(qcode +:
+      (0 until nPlanes).map(i => qcode.bitwiseXOR(lit(1L << i))): _*)
+    val shortlist = queries
+      .select($"query_id", explode(probes).as("pb"))
+      .join(b, $"pb" === $"b")
+      .select($"query_id", $"neighbor_id").distinct()
+    PqIndex.refineExact(shortlist, embeddings, idCol, vecCol, queries, k)
+  }
+
   /** Banded candidate pairs (vec_a, vec_b): explode the [[bucketBands]]
     * keys, self-join on the band key plus any `extraKeys` equi-columns
     * (e.g. a label/shard column), distinct with vec_a < vec_b. The one

@@ -199,6 +199,21 @@ object IndexQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // Multiprobe LSH search (Lv et al. 2007): each query probes its own
+    // sign bucket + the 8 Hamming-1 flips of one table, exact-L2 refine
+    // decides — many-table recall at one table's footprint. Candidates
+    // are an equi-join on the bucket code; raw vectors touched for
+    // candidates only.
+    "v_lsh_multiprobe" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val e = load(s, d, "embeddings")
+      val q = e.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      LshBuckets.multiprobeSearch(e, "vec_id", "embedding", q,
+          dim = 64, nPlanes = 8, k = K)
+        .orderBy("query_id", "rnk")
+    }),
+
     // LSH bucket histogram (8 seeded hyperplanes → 256 buckets).
     "v_lsh_bucket" -> ((s: SparkSession, d: String) => {
       import s.implicits._
@@ -469,6 +484,9 @@ object IndexQueries {
     "v_matryoshka_search" -> graft.operators.IndexOracle
       .matryoshkaOracle(dim = 64, prefixDim = 16, K,
         refineFactor = 4, NumQueries),
+
+    "v_lsh_multiprobe" -> graft.operators.IndexOracle
+      .multiprobeOracle(dim = 64, nPlanes = 8, K, NumQueries),
 
     "v_lsh_bucket" -> {
       val b = LshBuckets.bucketSql("embedding", 64, 8)

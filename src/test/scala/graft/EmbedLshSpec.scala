@@ -40,4 +40,50 @@ class EmbedLshSpec extends SparkSpec {
     assert(frac < 0.15, s"LSH did not prune: candidate fraction $frac")
     cand.unpersist(); e.unpersist()
   }
+
+  test("multiprobe strictly dominates single-probe recall (superset law)") {
+    // clustered fixture: the workload where bucket collisions carry signal
+    val rnd = new scala.util.Random(123)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextGaussian().toFloat * 3f))
+    val e = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(v => v + rnd.nextGaussian().toFloat * 0.3f).toSeq)
+    }.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      .cache()
+    val q = e.filter($"vec_id" < 16)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val gt = e.crossJoin(broadcast(q))
+      .groupBy($"query_id")
+      .agg(topK(l2Sq($"embedding", $"qv"), $"vec_id", 10).as("nn"))
+      .select($"query_id", transform($"nn", x => x.getField("id")).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    def recallOf(res: Map[Long, Set[Long]]): Double =
+      gt.map { case (k, ids) =>
+        (res.getOrElse(k, Set.empty) & ids).size.toDouble / ids.size
+      }.sum / gt.size
+    val multi = LshBuckets.multiprobeSearch(e, "vec_id", "embedding", q,
+        dim = 64, nPlanes = 8, k = 10)
+      .groupBy($"query_id").agg(collect_list($"neighbor_id").as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // single-probe ceiling: the candidates an own-bucket-only probe
+    // could ever deliver
+    val b = e.select($"vec_id".as("neighbor_id"),
+      LshBuckets.bucket($"embedding", 64, 8).as("b"))
+    val singleCand = q.select($"query_id",
+        LshBuckets.bucket($"qv", 64, 8).as("pb"))
+      .join(b, $"pb" === $"b")
+      .groupBy($"query_id").agg(collect_set($"neighbor_id").as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val rMulti = recallOf(multi)
+    val rSingleCand = gt.map { case (k, ids) =>
+      (singleCand.getOrElse(k, Set.empty) & ids).size.toDouble / ids.size
+    }.sum / gt.size
+    // multiprobe's refined top-10 must recall at least what single-probe
+    // CANDIDATES could ever deliver (candidate superset + the k>=10
+    // refine keeps every true neighbor present — the matryoshka law)
+    assert(rMulti >= rSingleCand - 1e-12, s"$rMulti < $rSingleCand")
+    assert(rMulti >= 0.6, s"multiprobe clustered recall $rMulti")
+    e.unpersist()
+  }
 }
