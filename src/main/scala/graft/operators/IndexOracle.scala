@@ -514,6 +514,44 @@ object IndexOracle {
        |FROM oo ORDER BY d2 DESC, vec_id LIMIT $topN""".stripMargin
   }
 
+  /** v_refine_sweep: the matryoshka prefix shortlist ranked ONCE, then
+    * each refine factor takes its own prefix of it, exact-refines, and
+    * scores against the brute-force truth — no literals anywhere. */
+  def refineSweepOracle(dim: Int, prefixDim: Int, k: Int,
+      factors: Seq[Int], numQueries: Int): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $numQueries),
+       |sr AS (
+       |  SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY pd, vec_id) AS arnk
+       |  FROM (SELECT q.query_id, e.vec_id, ${l2sqCol("e.embedding", "q.qv", prefixDim)} AS pd
+       |        FROM embeddings e CROSS JOIN q)),
+       |gt AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.query_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${l2sqCol("e.embedding", "q.qv", dim)}, e.vec_id) AS rnk
+       |    FROM embeddings e, q) WHERE rnk <= $k),
+       |rf AS (SELECT unnest([${factors.mkString(",")}]) AS refine_factor),
+       |res AS (
+       |  SELECT refine_factor, query_id, vec_id FROM (
+       |    SELECT f.refine_factor, s.query_id, s.vec_id,
+       |      row_number() OVER (PARTITION BY f.refine_factor, s.query_id
+       |        ORDER BY ${l2sqCol("e.embedding", "q.qv", dim)}, s.vec_id) AS rnk
+       |    FROM rf f
+       |    JOIN sr s ON s.arnk <= $k * f.refine_factor
+       |    JOIN embeddings e ON e.vec_id = s.vec_id
+       |    JOIN q ON q.query_id = s.query_id
+       |  ) WHERE rnk <= $k),
+       |hits AS (
+       |  SELECT refine_factor, count(*) AS total_hits
+       |  FROM res JOIN gt USING (query_id, vec_id) GROUP BY refine_factor),
+       |nq AS (SELECT count(*)::BIGINT AS n_queries FROM q)
+       |SELECT f.refine_factor::BIGINT AS refine_factor, n_queries,
+       |  coalesce(total_hits, 0)::BIGINT AS total_hits,
+       |  round(coalesce(total_hits, 0)::DOUBLE / ($k * n_queries), 4) AS avg_recall
+       |FROM rf f LEFT JOIN hits h ON h.refine_factor = f.refine_factor, nq
+       |ORDER BY refine_factor""".stripMargin
+
   /** v_lsh_multiprobe: the seeded sign-bucket code re-derived from
     * plane literals ([[LshBuckets.bucketSql]]), the same 1+nPlanes
     * Hamming-1 probe set via xor, candidate equi-join on the code,

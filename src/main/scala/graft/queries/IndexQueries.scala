@@ -214,6 +214,40 @@ object IndexQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // Refine-factor sweep — the quantization ladder's analog of
+    // v_nprobe_sweep (recall per probe cost there; recall per shortlist
+    // cost here): matryoshka prefix-16 recall@10 vs exact truth at
+    // refineFactor 1/2/4/8. Recall is non-decreasing in the factor by
+    // the nested-shortlist law (MatryoshkaSpec) — this table shows
+    // where the curve flattens, i.e. the cheapest factor that buys full
+    // recall. Same exchange-reuse shape as the nprobe sweep: the four
+    // branches share plan-identical gt/shortlist subtrees.
+    "v_refine_sweep" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val e = load(s, d, "embeddings")
+      val q = e.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      val gt = e.crossJoin(broadcast(q))
+        .groupBy($"query_id")
+        .agg(topK(l2Sq($"embedding", $"qv"), $"vec_id", K).as("gt"))
+        .select($"query_id",
+          explode(transform($"gt", x => x.getField("id"))).as("neighbor_id"))
+      val nq = q.agg(count(lit(1)).as("n_queries"))
+      Seq(1, 2, 4, 8).map { rf =>
+        graft.operators.MatryoshkaSearch
+          .searchRefined(e, "vec_id", "embedding", q,
+            dim = 64, prefixDim = 16, k = K, refineFactor = rf)
+          .select($"query_id", $"neighbor_id")
+          .join(gt, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("total_hits"))
+          .select(lit(rf.toLong).as("refine_factor"), $"total_hits")
+      }.reduce(_ unionAll _)
+        .crossJoin(broadcast(nq))
+        .select($"refine_factor", $"n_queries", $"total_hits",
+          round($"total_hits" / (lit(K) * $"n_queries"), 4).as("avg_recall"))
+        .orderBy("refine_factor")
+    }),
+
     // LSH bucket histogram (8 seeded hyperplanes → 256 buckets).
     "v_lsh_bucket" -> ((s: SparkSession, d: String) => {
       import s.implicits._
@@ -487,6 +521,10 @@ object IndexQueries {
 
     "v_lsh_multiprobe" -> graft.operators.IndexOracle
       .multiprobeOracle(dim = 64, nPlanes = 8, K, NumQueries),
+
+    "v_refine_sweep" -> graft.operators.IndexOracle
+      .refineSweepOracle(dim = 64, prefixDim = 16, K,
+        factors = Seq(1, 2, 4, 8), NumQueries),
 
     "v_lsh_bucket" -> {
       val b = LshBuckets.bucketSql("embedding", 64, 8)

@@ -77,6 +77,15 @@ class MatryoshkaSpec extends SparkSpec {
     assert(r1 <= r4 + 1e-12 && r4 <= r8 + 1e-12, s"$r1 / $r4 / $r8")
   }
 
+  test("refine sweep: recall column is monotone non-decreasing in factor") {
+    val out = graft.queries.IndexQueries.all("v_refine_sweep")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(out.map(_._1) === Array(1L, 2L, 4L, 8L))
+    val rec = out.map(_._2)
+    assert(rec.zip(rec.tail).forall { case (a, b) => a <= b + 1e-12 },
+      s"recall not monotone: ${rec.toSeq}")
+  }
+
   test("invalid prefix and refine arguments are rejected") {
     intercept[IllegalArgumentException] {
       MatryoshkaSearch.searchRefined(clustered, "vec_id", "embedding",
