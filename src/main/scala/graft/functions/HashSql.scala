@@ -238,6 +238,38 @@ object HashSql {
        |  round(vb.v::DOUBLE / nv.n, 4) AS value
        |FROM vb JOIN nv USING (doc_id) ORDER BY doc_id, dim""".stripMargin
 
+  /** d_hard_negatives oracle: the t_doc_embed vectors re-derived (per-bit
+    * vote sums / token count), other-source filter BEFORE ranking, exact
+    * per-dim fold in index order — the same left fold as zip_with →
+    * aggregate — rank on raw d² with doc_id tie-break. */
+  def hardNegativesOracle(k: Int, numQueries: Int): String = {
+    val votesArr = (0 until 64).map { b =>
+      s"sum(CASE WHEN (hu >> $b) & 1 = 1 THEN 1 ELSE -1 END)"
+    }.mkString("[", ",\n     ", "]")
+    s"""WITH ${tokenHashCtes()},
+       |hn AS (SELECT doc_id, count(*)::BIGINT AS n FROM dv GROUP BY doc_id),
+       |hv AS (SELECT doc_id, $votesArr AS vs FROM dv GROUP BY doc_id),
+       |he AS (
+       |  SELECT v.doc_id, d.source,
+       |    list_transform(v.vs, s -> s::DOUBLE / n.n) AS ev
+       |  FROM hv v JOIN hn n ON n.doc_id = v.doc_id
+       |  JOIN documents d ON d.doc_id = v.doc_id),
+       |hq AS (SELECT doc_id AS query_id, source AS q_source, ev AS qv
+       |  FROM he WHERE doc_id < $numQueries)
+       |SELECT query_id, neighbor_id, rnk, dist FROM (
+       |  SELECT query_id, doc_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY dd, doc_id) AS rnk,
+       |    round(sqrt(dd), 4) AS dist
+       |  FROM (
+       |    SELECT hq.query_id, he.doc_id,
+       |      list_reduce(list_prepend(0.0,
+       |        [ (he.ev[i] - hq.qv[i]) * (he.ev[i] - hq.qv[i])
+       |          for i in range(1, 65) ]), (x, y) -> x + y) AS dd
+       |    FROM he CROSS JOIN hq
+       |    WHERE he.source <> hq.q_source)
+       |) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** Full oracle for d_dedup_simhash: SimHash64 per document replicated
     * bit-for-bit, then ALL pairs within `maxHamming` — the straight
     * quadratic contract. The Spark plan answers it through 16-bit chunk

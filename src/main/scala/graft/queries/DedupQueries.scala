@@ -528,6 +528,42 @@ object DedupQueries {
         .orderBy($"src_a", $"src_b")
     }),
 
+    // Hard-negative mining for contrastive retrieval training (the
+    // DPR/Contriever data-prep stage): for each query document, the
+    // top-5 nearest OTHER-SOURCE documents in the scan-side t_doc_embed
+    // space — near enough to be confusable, from a different source so
+    // they're (heuristically) not positives. Embedding cells are exact
+    // IEEE divisions of integer votes; distances fold per-dim in fixed
+    // order (zip_with → left fold, = the oracle's list_reduce), so
+    // ranking compares bit-identical doubles with doc_id tie-break.
+    // Scale shape: v_knn_bruteforce's — embed scan × broadcast query
+    // embeds, bounded map-side top-k heap, source filter BEFORE the
+    // heap (pre-filter fill-to-k semantics, the v_ivf_filtered rule).
+    "d_hard_negatives" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val emb = load(s, d, "documents")
+        .select($"doc_id", $"source", toks($"text").as("tk"))
+        .select($"doc_id", $"source",
+          transform(graft.GraftText.simhashVotes($"tk"),
+            v => v.cast("double") / size($"tk")).as("ev"))
+      val q = emb.filter($"doc_id" < 8)
+        .select($"doc_id".as("query_id"), $"source".as("q_source"),
+          $"ev".as("qv"))
+      emb.select($"doc_id".as("neighbor_id"), $"source", $"ev")
+        .crossJoin(broadcast(q))
+        .filter($"source" =!= $"q_source")
+        .withColumn("d2", aggregate(
+          zip_with($"ev", $"qv", (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+        .groupBy($"query_id")
+        .agg(GraftVector.topK($"d2", $"neighbor_id", 5).as("nn"))
+        .select($"query_id", posexplode($"nn"))
+        .select($"query_id", $"col.id".as("neighbor_id"),
+          ($"pos" + 1).cast("long").as("rnk"),
+          round(sqrt($"col.score"), 4).as("dist"))
+        .orderBy("query_id", "rnk")
+    }),
+
     // Cross-document overlap via winnowing fingerprints — the join
     // t_winnowing's local fingerprints exist for (the MOSS workload):
     // doc pairs sharing >= 3 RARE fingerprints, where rare = document
@@ -692,6 +728,11 @@ object DedupQueries {
       |) WHERE jaccard >= 0.8""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // t_doc_embed vectors re-derived, other-source pre-filter, same
+    // fixed-order per-dim fold and (d², doc_id) ranking
+    "d_hard_negatives" ->
+      graft.functions.HashSql.hardNegativesOracle(k = 5, numQueries = 8),
+
     // shared winnowing CTEs + the same df cap and pair threshold
     "d_winnow_overlap" ->
       s"""WITH ${TextQueries.winnowCtesSql},

@@ -36,6 +36,23 @@ class DocEmbedSpec extends SparkSpec {
     }
   }
 
+  test("hard negatives: never the query's own source, ranked, complete") {
+    val src = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = queries.DedupQueries.all("d_hard_negatives")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length === 40)
+    out.foreach { case (q, n, _, _) =>
+      assert(src(q) !== src(n), s"neighbor $n shares source with query $q")
+    }
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_._3)
+      assert(byRank.map(_._3) === (1L to 5L), s"query $q ranks")
+      assert(byRank.map(_._4) === byRank.map(_._4).sorted, s"query $q order")
+    }
+  }
+
   test("embedding is a pure function of text") {
     val out = Seq(("a b c a", 0), ("a b c a", 1)).toDF("text", "i")
       .select(simhashVotes(whitespaceTokens($"text")).as("v"))
