@@ -13,6 +13,11 @@ class EntrySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("every query is oracle-gated (full-oracle invariant since round 3)") {
+    val unGated = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unGated.isEmpty, s"queries without oracles: $unGated")
+  }
+
   test("all queries run at sf0.001 and return rows") {
     val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sfDir).count()
