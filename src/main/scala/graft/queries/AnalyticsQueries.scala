@@ -95,6 +95,45 @@ object AnalyticsQueries {
         .limit(10)
     }),
 
+    // Referential-integrity audit across the star schema: per FK
+    // relation, row count + orphan count (fk with no matching pk) via
+    // LEFT join against the DISTINCT key set + a null-probe sum — the
+    // data-quality gate run before trusting any join's completeness.
+    // NULL fks count as orphans (they match nothing), identically in
+    // both engines. Scale shape: dims broadcast; the two fact-keyed
+    // relations shuffle on their join key only after pruning to the
+    // key column — a key-only shuffle, never wide rows; pure integer
+    // outputs.
+    "q_fk_audit" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      def rel(name: String, fact: org.apache.spark.sql.DataFrame, fk: String,
+          dim: org.apache.spark.sql.DataFrame, pk: String) =
+        fact.select(col(fk).as("fk"))
+          .join(dim.select(col(pk).as("pk")).distinct(),
+            $"fk" === $"pk", "left")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when($"pk".isNull, 1L).otherwise(0L)).as("n_orphans"))
+          .select(lit(name).as("relation"), $"n_rows", $"n_orphans")
+      val orders = load(s, d, "orders"); val lineitem = load(s, d, "lineitem")
+      Seq(
+        rel("customer.c_nationkey->nation", load(s, d, "customer"),
+          "c_nationkey", load(s, d, "nation"), "n_nationkey"),
+        rel("lineitem.l_orderkey->orders", lineitem, "l_orderkey",
+          orders, "o_orderkey"),
+        rel("lineitem.l_partkey->part", lineitem, "l_partkey",
+          load(s, d, "part"), "p_partkey"),
+        rel("lineitem.l_suppkey->supplier", lineitem, "l_suppkey",
+          load(s, d, "supplier"), "s_suppkey"),
+        rel("nation.n_regionkey->region", load(s, d, "nation"),
+          "n_regionkey", load(s, d, "region"), "r_regionkey"),
+        rel("orders.o_custkey->customer", orders, "o_custkey",
+          load(s, d, "customer"), "c_custkey"),
+        rel("supplier.s_nationkey->nation", load(s, d, "supplier"),
+          "s_nationkey", load(s, d, "nation"), "n_nationkey"))
+        .reduce(_ unionAll _)
+        .orderBy("relation")
+    }),
+
     // TPC-H Q10 flavor: returned-item revenue per customer — fact⋈fact
     // on the order key, customer dim shuffles on its key, nation
     // broadcast; top-20 on the ROUNDED revenue with custkey tie-break
@@ -1047,6 +1086,31 @@ object AnalyticsQueries {
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_fk_audit" -> {
+      def rel(name: String, fact: String, fk: String,
+          dim: String, pk: String) =
+        s"""SELECT '$name' AS relation, count(*) AS n_rows,
+           |  sum(CASE WHEN d.pk IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_orphans
+           |FROM $fact f LEFT JOIN (SELECT DISTINCT $pk AS pk FROM $dim) d
+           |  ON f.$fk = d.pk""".stripMargin
+      Seq(
+        rel("customer.c_nationkey->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        rel("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        rel("lineitem.l_partkey->part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        rel("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        rel("nation.n_regionkey->region", "nation", "n_regionkey",
+          "region", "r_regionkey"),
+        rel("orders.o_custkey->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        rel("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+          "nation", "n_nationkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+    },
 
     "q10_returned_item" ->
       """SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,

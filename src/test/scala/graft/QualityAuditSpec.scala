@@ -10,6 +10,34 @@ import graft.queries.{AnalyticsQueries, DedupQueries, TextQueries}
 class QualityAuditSpec extends SparkSpec {
   import spark.implicits._
 
+  test("q_fk_audit counts planted orphans and NULL fks; clean rels at zero") {
+    val dir = Files.createTempDirectory("graft_fk").toString
+    def pq(name: String, df: org.apache.spark.sql.DataFrame) =
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    pq("region", Seq((0L, "R0")).toDF("r_regionkey", "r_name"))
+    pq("nation", Seq((0L, "N0", 0L), (1L, "N1", 7L), (2L, "N2", 0L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")) // regionkey 7: orphan
+    pq("customer", Seq((0L, "C0", 0L), (1L, "C1", 9L))
+      .toDF("c_custkey", "c_name", "c_nationkey")) // nationkey 9: orphan
+    pq("supplier", Seq((0L, "S0", 1L)).toDF("s_suppkey", "s_name", "s_nationkey"))
+    pq("orders", Seq((0L, 0L), (1L, 1L), (2L, 5L))
+      .toDF("o_orderkey", "o_custkey")) // custkey 5: orphan
+    pq("part", Seq((0L, "P0")).toDF("p_partkey", "p_name"))
+    pq("lineitem",
+      Seq((0L, Some(0L), 0L), (1L, None, 0L), (9L, Some(0L), 0L))
+        .toDF("l_orderkey", "l_partkey", "l_suppkey")) // NULL partkey
+        // orphan; l_orderkey 9 orphan
+    val out = AnalyticsQueries.all("q_fk_audit")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("nation.n_regionkey->region") === ((3L, 1L)))
+    assert(out("customer.c_nationkey->nation") === ((2L, 1L)))
+    assert(out("orders.o_custkey->customer") === ((3L, 1L)))
+    assert(out("lineitem.l_partkey->part") === ((3L, 1L)), "NULL fk is an orphan")
+    assert(out("lineitem.l_orderkey->orders") === ((3L, 1L)))
+    assert(out("lineitem.l_suppkey->supplier") === ((3L, 0L)))
+    assert(out("supplier.s_nationkey->nation") === ((1L, 0L)))
+  }
+
   test("t_entropy: uniform tokens hit the log2 ceiling, constant docs hit zero") {
     val dir = Files.createTempDirectory("graft_ent").toString
     Seq(
