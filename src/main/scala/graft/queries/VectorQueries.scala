@@ -340,6 +340,35 @@ object VectorQueries {
         .orderBy("vec_id")
     }),
 
+    // Tombstone-aware merge — v_insert_merge completed to full LSM
+    // compaction semantics (the delete path every write buffer needs):
+    // three generations (base puts, an update wave, a delete wave);
+    // per id the HIGHEST-seq operation wins and a winning tombstone
+    // removes the row entirely. Both engines resolve via max_by on the
+    // unique per-id seq (label and op independently — same unique
+    // ordering key, so they cannot disagree); one id-keyed map-side-
+    // combinable aggregate, no window, no self-join.
+    "v_delete_merge" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val e = load(s, d, "embeddings")
+      val base = e.select($"vec_id", $"label".cast("long").as("label"),
+        lit(0L).as("seq"), lit("put").as("op"))
+      val upd = e.filter($"vec_id" % 7 === 0)
+        .select($"vec_id", ($"label" + 1000).cast("long").as("label"),
+          lit(1L).as("seq"), lit("put").as("op"))
+      val del = e.filter($"vec_id" % 11 === 0)
+        .select($"vec_id", lit(0L).as("label"),
+          lit(2L).as("seq"), lit("del").as("op"))
+      base.unionAll(upd).unionAll(del)
+        .groupBy($"vec_id")
+        .agg(max_by($"label", $"seq").as("label"),
+          max_by($"op", $"seq").as("op"),
+          max($"seq").as("last_seq"))
+        .filter($"op" =!= "del")
+        .select($"vec_id", $"label", $"last_seq")
+        .orderBy("vec_id")
+    }),
+
     // Top principal component by power iteration — the embedding-space
     // analysis step (dominant direction / ABTT-style common-component
     // removal) done with the t_textrank discipline: a FIXED number of
@@ -573,6 +602,23 @@ object VectorQueries {
       """SELECT label, i - 1 AS idx, round(avg(embedding[i]), 4) AS v
         |FROM embeddings, range(1, 65) t(i)
         |GROUP BY label, i ORDER BY label, idx""".stripMargin,
+
+    // same unique-seq max_by resolution, same tombstone filter
+    "v_delete_merge" ->
+      """WITH u AS (
+        |  SELECT vec_id, label::BIGINT AS label, 0::BIGINT AS seq, 'put' AS op
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id, (label + 1000)::BIGINT, 1::BIGINT, 'put'
+        |  FROM embeddings WHERE vec_id % 7 = 0
+        |  UNION ALL
+        |  SELECT vec_id, 0::BIGINT, 2::BIGINT, 'del'
+        |  FROM embeddings WHERE vec_id % 11 = 0)
+        |SELECT vec_id, label, last_seq FROM (
+        |  SELECT vec_id, max_by(label, seq) AS label, max_by(op, seq) AS op,
+        |    max(seq) AS last_seq
+        |  FROM u GROUP BY vec_id)
+        |WHERE op <> 'del' ORDER BY vec_id""".stripMargin,
 
     "v_insert_merge" ->
       """WITH u AS (

@@ -39,6 +39,23 @@ class StreamIngestSpec extends SparkSpec {
     assert(merged === Set((1L, 2L, 11.0), (2L, 1L, 20.0), (3L, 1L, 30.0)))
   }
 
+  test("tombstone merge: deletes win by seq, updates land, rest untouched") {
+    val out = graft.queries.VectorQueries.all("v_delete_merge")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val labels = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val ids = out.map(_._1).toSet
+    labels.keys.foreach { id =>
+      if (id % 11 == 0) assert(!ids.contains(id), s"tombstoned $id survived")
+      else assert(ids.contains(id), s"live id $id missing")
+    }
+    out.foreach { case (id, label, seq) =>
+      if (id % 7 == 0) assert(label === labels(id) + 1000 && seq === 1L, s"$id")
+      else assert(label === labels(id) && seq === 0L, s"$id")
+    }
+  }
+
   test("file-source readStream + foreachBatch merge reaches batch state") {
     import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.streaming.Trigger
