@@ -102,6 +102,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "matryoshka must not rank a materialized cross join")
   }
 
+  test("delete merge: one map-side-combinable aggregate, no window") {
+    val p = planOf(VectorQueries.all, "v_delete_merge")
+    assert(!p.contains("Window"), "tombstone resolution must not use a window")
+    assert(p.contains("partial_max_by") || p.contains("HashAggregate"),
+      "merge must map-side combine")
+  }
+
+  test("fk audit: dimension key sets broadcast to the fact side") {
+    val p = planOf(graft.queries.AnalyticsQueries.all, "q_fk_audit")
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(!p.contains("CartesianProduct"), "no cartesian in the audit")
+  }
+
   /** Plan of a DataFrame after clearing the relation cache — other
     * suites cache the same parquet relations, which would swap scans
     * for InMemoryTableScan and change pushdown info/exchange counts.
