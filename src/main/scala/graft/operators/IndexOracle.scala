@@ -195,12 +195,14 @@ object IndexOracle {
     * nprobe nearest clusters re-ranked from the literal centroids, the
     * probed members ranked by exact L2 with self-pairs dropped before
     * ranking — byte-for-byte the graph construction, re-derived. */
-  def knnGraphOracle(centroids: Seq[(Int, Seq[Float])],
+  /** CTE block ending in `kg(vec_id, neighbor_id, rnk, dist)` — the
+    * approximate kNN graph, shared by the graph and clustering oracles. */
+  private def knnGraphCtes(centroids: Seq[(Int, Seq[Float])],
       k: Int, nprobe: Int): String = {
     val qdists = centroids.map { case (_, c) => l2sqLit("embedding", 0, c) }
       .mkString("[", ",\n ", "]")
     val cids = centroids.map(_._1).mkString("[", ",", "]")
-    s"""WITH ${assignCte(centroids)},
+    s"""${assignCte(centroids)},
        |probes AS (
        |  SELECT query_id, cluster_id FROM (
        |    SELECT query_id, cid AS cluster_id,
@@ -214,13 +216,53 @@ object IndexOracle {
        |  FROM probes p
        |  JOIN a ON a.cluster_id = p.cluster_id
        |  JOIN embeddings q ON q.vec_id = p.query_id
-       |  WHERE a.vec_id != p.query_id)
-       |SELECT vec_id, neighbor_id, rnk, dist FROM (
-       |  SELECT query_id AS vec_id, cand.vec_id AS neighbor_id,
-       |    row_number() OVER (PARTITION BY query_id ORDER BY d, cand.vec_id) AS rnk,
-       |    round(sqrt(d), 4) AS dist
-       |  FROM cand
-       |) WHERE rnk <= $k ORDER BY vec_id, rnk""".stripMargin
+       |  WHERE a.vec_id != p.query_id),
+       |kg AS (
+       |  SELECT vec_id, neighbor_id, rnk, dist FROM (
+       |    SELECT query_id AS vec_id, cand.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY d, cand.vec_id) AS rnk,
+       |      round(sqrt(d), 4) AS dist
+       |    FROM cand
+       |  ) WHERE rnk <= $k)""".stripMargin
+  }
+
+  def knnGraphOracle(centroids: Seq[(Int, Seq[Float])],
+      k: Int, nprobe: Int): String =
+    s"""WITH ${knnGraphCtes(centroids, k, nprobe)}
+       |SELECT vec_id, neighbor_id, rnk, dist FROM kg
+       |ORDER BY vec_id, rnk""".stripMargin
+
+  /** v_embed_clusters: connected components over the MUTUAL edges of
+    * the kNN graph (a↔b both within each other's top-k — the
+    * reciprocity filter that keeps hubs from gluing everything into
+    * one blob), flooded with the d_dedup_cluster recursive CTE. */
+  def embedClustersOracle(centroids: Seq[(Int, Seq[Float])],
+      k: Int, nprobe: Int): String = {
+    // MATERIALIZED is load-bearing, not a hint to taste: inside WITH
+    // RECURSIVE the engine may re-inline upstream CTEs into every flood
+    // round, re-evaluating the literal-fold kNN graph per iteration
+    // (measured: >500 s inlined vs ~10 s materialized at sf0.01)
+    val ctes = knnGraphCtes(centroids, k, nprobe)
+      .replaceFirst("\\Aa AS \\(", "a AS MATERIALIZED (")
+      .replace("kg AS (", "kg AS MATERIALIZED (")
+    s"""WITH RECURSIVE $ctes,
+       |me AS MATERIALIZED (
+       |  SELECT g1.vec_id AS a, g1.neighbor_id AS b
+       |  FROM kg g1 JOIN kg g2
+       |    ON g2.vec_id = g1.neighbor_id AND g2.neighbor_id = g1.vec_id
+       |  WHERE g1.vec_id < g1.neighbor_id),
+       |sym AS MATERIALIZED (SELECT a, b FROM me UNION ALL SELECT b, a FROM me),
+       |reach(node, lab) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT sym.b, r.lab FROM reach r JOIN sym ON sym.a = r.node),
+       |comp AS (SELECT node AS vec_id, min(lab) AS cluster_id
+       |         FROM reach GROUP BY node),
+       |sizes AS (SELECT cluster_id, count(*) AS cluster_size
+       |          FROM comp GROUP BY cluster_id)
+       |SELECT c.vec_id, c.cluster_id, z.cluster_size
+       |FROM comp c JOIN sizes z USING (cluster_id)
+       |ORDER BY c.vec_id""".stripMargin
   }
 
   /** v_quantize_error: reconstruction-error audit of the compression

@@ -357,32 +357,35 @@ object IndexQueries {
     // candidates come from a cluster_id-keyed join whose fan-out is
     // cluster population × probing queries, never corpus². Self-pairs
     // drop BEFORE ranking.
-    "v_knn_graph" -> ((s: SparkSession, d: String) => {
+    "v_knn_graph" -> ((s: SparkSession, d: String) =>
+      knnGraphRaw(s, d)
+        .transform(graft.queries.DedupQueries.orderedLarge(_, "vec_id", "rnk"))),
+
+    // Mutual-kNN clustering (the curation grouping pass: concept /
+    // near-duplicate families over the embedding space): keep only
+    // RECIPROCAL kNN-graph edges — a↔b each in the other's top-5, the
+    // standard filter that stops hub vectors gluing everything into one
+    // blob — then connected components (the d_dedup_cluster machinery)
+    // label the families, with sizes. Edge set is bounded by n·k before
+    // the reciprocity join; components contract label edges, never
+    // enumerate pairs.
+    "v_embed_clusters" -> ((s: SparkSession, d: String) => {
       import s.implicits._
-      val dir = IndexStore.ivf(s, d, k = 16)
-      val cent = s.read.parquet(s"$dir/centroids")
-        .select($"cluster_id", $"centroid")
-      val e = load(s, d, "embeddings").select($"vec_id", $"embedding")
-      val probes = e.crossJoin(broadcast(cent))
-        .groupBy($"vec_id")
-        .agg(topK(l2Sq($"embedding", $"centroid"), $"cluster_id".cast("long"), 2)
-          .as("ps"))
-        .select($"vec_id".as("query_id"),
-          explode(transform($"ps", p => p.getField("id"))).as("cluster_id"))
-      val members = s.read.parquet(s"$dir/assignments")
-        .select($"vec_id".as("neighbor_id"), $"embedding".as("nv"),
-          $"cluster_id".cast("long").as("cluster_id"))
-      probes.join(members, "cluster_id")
-        .filter($"neighbor_id" =!= $"query_id")
-        .join(e.select($"vec_id".as("query_id"), $"embedding".as("qv")),
-          "query_id")
-        .groupBy($"query_id")
-        .agg(topK(l2Sq($"nv", $"qv"), $"neighbor_id", 5).as("nn"))
-        .select($"query_id".as("vec_id"), posexplode($"nn"))
-        .select($"vec_id", $"col.id".as("neighbor_id"),
-          ($"pos" + 1).cast("long").as("rnk"),
-          round(sqrt($"col.score"), 4).as("dist"))
-        .transform(graft.queries.DedupQueries.orderedLarge(_, "vec_id", "rnk"))
+      // consumed on both sides of the reciprocity join: cache so the
+      // probe→topK pipeline computes once
+      val g = knnGraphRaw(s, d).select($"vec_id".as("a"), $"neighbor_id".as("b"))
+        .cache()
+      val mutual = g.join(g.select($"a".as("b2"), $"b".as("a2")),
+          $"a" === $"a2" && $"b" === $"b2")
+        .filter($"a" < $"b").select($"a", $"b").distinct()
+      val nodes = load(s, d, "embeddings").select($"vec_id")
+      val comp = graft.operators.ConnectedComponents.minLabel(
+        nodes, "vec_id", mutual, "a", "b")
+      val sizes = comp.groupBy($"component").agg(count(lit(1)).as("cluster_size"))
+      comp.join(sizes, "component")
+        .select($"id".as("vec_id"), $"component".as("cluster_id"),
+          $"cluster_size")
+        .transform(graft.queries.DedupQueries.orderedLarge(_, "vec_id"))
     }),
 
     // Reconstruction-error audit of the compression ladder — the
@@ -456,6 +459,38 @@ object IndexQueries {
       "v_pq_rerank", "v_ivfpq_search", "d_semantic_dedup",
       "v_nprobe_sweep", "v_quantize_error", "v_knn_graph")
 
+  /** The approximate kNN graph (v_knn_graph before output ordering):
+    * every vector probes its 2 nearest persisted IVF centroids and
+    * ranks candidates from those clusters — shared by the graph entry
+    * and the mutual-kNN clustering. */
+  private def knnGraphRaw(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val dir = IndexStore.ivf(s, d, k = 16)
+    val cent = s.read.parquet(s"$dir/centroids")
+      .select($"cluster_id", $"centroid")
+    val e = load(s, d, "embeddings").select($"vec_id", $"embedding")
+    val probes = e.crossJoin(broadcast(cent))
+      .groupBy($"vec_id")
+      .agg(topK(l2Sq($"embedding", $"centroid"), $"cluster_id".cast("long"), 2)
+        .as("ps"))
+      .select($"vec_id".as("query_id"),
+        explode(transform($"ps", p => p.getField("id"))).as("cluster_id"))
+    val members = s.read.parquet(s"$dir/assignments")
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("nv"),
+        $"cluster_id".cast("long").as("cluster_id"))
+    probes.join(members, "cluster_id")
+      .filter($"neighbor_id" =!= $"query_id")
+      .join(e.select($"vec_id".as("query_id"), $"embedding".as("qv")),
+        "query_id")
+      .groupBy($"query_id")
+      .agg(topK(l2Sq($"nv", $"qv"), $"neighbor_id", 5).as("nn"))
+      .select($"query_id".as("vec_id"), posexplode($"nn"))
+      .select($"vec_id", $"col.id".as("neighbor_id"),
+        ($"pos" + 1).cast("long").as("rnk"),
+        round(sqrt($"col.score"), 4).as("dist"))
+  }
+
   private def annOracles: Map[String, String] = try {
     val s = SparkSession.active
     val d = sys.props.getOrElse("graft.oracle.sfDir", "/root/testdata/sf0.01")
@@ -489,7 +524,9 @@ object IndexQueries {
       "v_quantize_error" -> graft.operators.IndexOracle
         .quantizeErrorOracle(books, numSub = 8, subDim = 8, dim = 64),
       "v_knn_graph" -> graft.operators.IndexOracle
-        .knnGraphOracle(cent, k = 5, nprobe = 2))
+        .knnGraphOracle(cent, k = 5, nprobe = 2),
+      "v_embed_clusters" -> graft.operators.IndexOracle
+        .embedClustersOracle(cent, k = 5, nprobe = 2))
   } catch {
     // the documented degrade-to-rows-only cases (no live session / no
     // index context) — but NEVER silently: a generation regression that

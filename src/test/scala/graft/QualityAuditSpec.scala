@@ -10,6 +10,20 @@ import graft.queries.{AnalyticsQueries, DedupQueries, TextQueries}
 class QualityAuditSpec extends SparkSpec {
   import spark.implicits._
 
+  test("v_embed_clusters: exact partition, min-label ids, sizes account") {
+    val out = graft.queries.IndexQueries.all("v_embed_clusters")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(out.length === n, "every vector labeled exactly once")
+    assert(out.map(_._1).distinct.length === n)
+    out.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).min === cid, s"cluster $cid not min-labeled")
+      assert(members.forall(_._3 === members.size), s"cluster $cid size")
+    }
+    assert(out.map(_._1).toSet.intersect(out.map(_._2).toSet).size ===
+      out.map(_._2).distinct.size, "cluster ids are member ids")
+  }
+
   test("q_fk_audit counts planted orphans and NULL fks; clean rels at zero") {
     val dir = Files.createTempDirectory("graft_fk").toString
     def pq(name: String, df: org.apache.spark.sql.DataFrame) =
