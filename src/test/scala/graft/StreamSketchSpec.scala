@@ -43,6 +43,30 @@ class StreamSketchSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming bounded top-k state equals the batch heap of the union") {
+    // the top-k partial-agg law, streamed: k rows of state per group
+    // survive micro-batch merges exactly as map-side combines do
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Double, Long)]
+    val query = stream.toDS().toDF("g", "score", "id")
+      .groupBy($"g").agg(GraftVector.topK($"score", $"id", 5).as("nn"))
+      .writeStream.format("memory").queryName("topk_state")
+      .outputMode(OutputMode.Complete()).start()
+    val batch1 = (0L until 300L).map(v => (v % 3, (v * 37 % 101).toDouble, v))
+    val batch2 = (300L until 700L).map(v => (v % 3, (v * 37 % 101).toDouble, v))
+    stream.addData(batch1); query.processAllAvailable()
+    stream.addData(batch2); query.processAllAvailable()
+    def render(df: org.apache.spark.sql.DataFrame) =
+      df.select($"g", $"nn").collect()
+        .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getDouble(0), x.getLong(1)))).toMap
+    val streamed = render(spark.table("topk_state"))
+    query.stop()
+    val batch = render((batch1 ++ batch2).toDF("g", "score", "id")
+      .groupBy($"g").agg(GraftVector.topK($"score", $"id", 5).as("nn")))
+    assert(streamed === batch)
+  }
+
   test("streaming CMS counters equal the batch counters of the union") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[String]
