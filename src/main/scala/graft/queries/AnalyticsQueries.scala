@@ -95,6 +95,33 @@ object AnalyticsQueries {
         .limit(10)
     }),
 
+    // DAU/WAU stickiness — the engagement table every event warehouse
+    // serves: per day, distinct daily actives, distinct 7-day-window
+    // actives, and their ratio. The rolling window is NOT a non-equi
+    // join or a window-function scan: each (day, user) activity row
+    // explodes to the 7 window-days it covers (the q_range_join
+    // bucketization discipline) and WAU becomes a plain equi-keyed
+    // distinct count — linear 7× fan-out of the deduped activity frame,
+    // no nested loop at any scale. Stickiness is one exact int/int IEEE
+    // division.
+    "q_dau_wau" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val active = load(s, d, "events")
+        .select(to_date($"ts").as("day"), $"user_id").distinct()
+      val days = active.select($"day").distinct()
+      val dau = active.groupBy($"day")
+        .agg(count_distinct($"user_id").as("dau"))
+      val wau = active
+        .select(explode(expr("sequence(day, date_add(day, 6))")).as("day"),
+          $"user_id")
+        .join(days, "day")
+        .groupBy($"day").agg(count_distinct($"user_id").as("wau"))
+      dau.join(wau, "day")
+        .select(date_format($"day", "yyyy-MM-dd").as("day"), $"dau", $"wau",
+          round($"dau".cast("double") / $"wau", 4).as("stickiness"))
+        .orderBy("day")
+    }),
+
     // Referential-integrity audit across the star schema: per FK
     // relation, row count + orphan count (fk with no matching pk) via
     // LEFT join against the DISTINCT key set + a null-probe sum — the
@@ -1086,6 +1113,20 @@ object AnalyticsQueries {
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // same 7-day cover expansion, same distinct frames, one division
+    "q_dau_wau" ->
+      """WITH act AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+        |ddays AS (SELECT DISTINCT day FROM act),
+        |dau AS (SELECT day, count(DISTINCT user_id)::BIGINT AS dau
+        |        FROM act GROUP BY day),
+        |cover AS (SELECT unnest([day + i::INTEGER for i in range(0, 7)]) AS day, user_id
+        |          FROM act),
+        |wau AS (SELECT c.day, count(DISTINCT c.user_id)::BIGINT AS wau
+        |        FROM cover c JOIN ddays USING (day) GROUP BY c.day)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
+        |  round(d.dau::DOUBLE / w.wau, 4) AS stickiness
+        |FROM dau d JOIN wau w USING (day) ORDER BY day""".stripMargin,
 
     "q_fk_audit" -> {
       def rel(name: String, fact: String, fk: String,

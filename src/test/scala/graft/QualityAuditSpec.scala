@@ -10,6 +10,31 @@ import graft.queries.{AnalyticsQueries, DedupQueries, TextQueries}
 class QualityAuditSpec extends SparkSpec {
   import spark.implicits._
 
+  test("q_dau_wau: hand-computed 7-day windows on a 3-day fixture") {
+    val dir = Files.createTempDirectory("graft_dw").toString
+    // day 1: users {1,2}; day 3: {2,3}; day 8: {4}
+    // WAU(1)=[day -5..1]={1,2}; WAU(3)=[day -3..3]={1,2,3};
+    // WAU(8)=[day 2..8]={2,3,4} (day 1 outside the window)
+    // ts is stored as epoch NANOS in a long, the events.parquet layout
+    // Tables.loadEvents expects
+    Seq(
+      (0L, "2024-01-01 10:00:00", 1L), (1L, "2024-01-01 11:00:00", 2L),
+      (2L, "2024-01-03 10:00:00", 2L), (3L, "2024-01-03 11:00:00", 3L),
+      (4L, "2024-01-08 10:00:00", 4L))
+      .toDF("event_id", "ts_s", "user_id")
+      .select($"event_id",
+        (org.apache.spark.sql.functions.unix_timestamp(
+          $"ts_s".cast("timestamp")) * 1000000000L).as("ts"),
+        $"user_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AnalyticsQueries.all("q_dau_wau")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      ("2024-01-01", 2L, 2L, 1.0),
+      ("2024-01-03", 2L, 3L, 0.6667),
+      ("2024-01-08", 1L, 3L, 0.3333)))
+  }
+
   test("v_embed_clusters: exact partition, min-label ids, sizes account") {
     val out = graft.queries.IndexQueries.all("v_embed_clusters")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
