@@ -56,6 +56,9 @@ object Bench {
       graft.operators.IndexStore.pq(spark, sfDir)
       graft.operators.IndexStore.ivfpq(spark, sfDir)
       graft.operators.IndexStore.sq8(spark, sfDir)
+      // the LM-score store is a corpus-build artifact like the indexes:
+      // the timed LM entries measure read-and-bucket, not the build
+      graft.queries.TextQueries.lmStore(spark, sfDir)
     } catch { case _: Throwable => () }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
