@@ -56,9 +56,11 @@ object Bench {
       graft.operators.IndexStore.pq(spark, sfDir)
       graft.operators.IndexStore.ivfpq(spark, sfDir)
       graft.operators.IndexStore.sq8(spark, sfDir)
-      // the LM-score store is a corpus-build artifact like the indexes:
-      // the timed LM entries measure read-and-bucket, not the build
+      // the LM-score and BPE-merge stores are corpus-build artifacts
+      // like the indexes: the timed entries measure inference/read,
+      // not the build (t_bpe_train still times the build path itself)
       graft.queries.TextQueries.lmStore(spark, sfDir)
+      graft.queries.TextQueries.bpeStore(spark, sfDir)
     } catch { case _: Throwable => () }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]

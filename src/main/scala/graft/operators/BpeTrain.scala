@@ -110,11 +110,16 @@ object BpeTrain {
     * the encode itself is a pure scan-side projection chain, one
     * doc-keyed aggregate, nothing corpus-global. Docs without
     * qualifying tokens drop out — by contract. */
-  def encodeStats(docs: DataFrame, rounds: Int = Rounds): DataFrame = {
+  def encodeStats(docs: DataFrame, rounds: Int = Rounds): DataFrame =
+    encodeWithMerges(docs, learn(docs, rounds).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq) // rank order
+
+  /** The encode proper, taking an already-learned merge list (rank
+    * order) — the shape the persisted-tokenizer path uses. */
+  def encodeWithMerges(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val merges = learn(docs, rounds).collect()
-      .map(r => (r.getString(1), r.getString(2))) // rank order by contract
     val base = docs.select($"doc_id",
         explode(graft.GraftText.whitespaceTokens(
           coalesce(col("text"), lit("")))).as("w"))
