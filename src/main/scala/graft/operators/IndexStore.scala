@@ -30,9 +30,11 @@ object IndexStore {
     new File(sys.props("java.io.tmpdir"), "graft-index").getPath)
 
   /** Cache key folding in the source parquet's mtime/size so regenerated
-    * data self-invalidates (shared by every derived-artifact cache). */
-  private[graft] def sfKey(sfDir: String): String = {
-    val src = new File(sfDir, "embeddings.parquet")
+    * data self-invalidates (shared by every derived-artifact cache —
+    * pass the table the artifact actually derives from). */
+  private[graft] def sfKey(sfDir: String,
+      srcTable: String = "embeddings"): String = {
+    val src = new File(sfDir, s"$srcTable.parquet")
     val stamp = Option(src.listFiles()).map(_.map(f => f.lastModified ^ f.length)
       .foldLeft(0L)(_ ^ _)).getOrElse(src.lastModified ^ src.length)
     sfDir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + java.lang.Long.toHexString(stamp)

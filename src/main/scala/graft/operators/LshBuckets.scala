@@ -76,10 +76,14 @@ object LshBuckets {
     val qcode = bucket($"qv", dim, nPlanes, seed)
     val probes = array(qcode +:
       (0 until nPlanes).map(i => qcode.bitwiseXOR(lit(1L << i))): _*)
+    // no distinct needed: each vector has ONE bucket code and the
+    // 1+nPlanes probe codes of a query are pairwise distinct, so a
+    // (query, neighbor) pair can match at most one probe — a distinct
+    // here would only add a shuffle
     val shortlist = queries
       .select($"query_id", explode(probes).as("pb"))
       .join(b, $"pb" === $"b")
-      .select($"query_id", $"neighbor_id").distinct()
+      .select($"query_id", $"neighbor_id")
     PqIndex.refineExact(shortlist, embeddings, idCol, vecCol, queries, k)
   }
 

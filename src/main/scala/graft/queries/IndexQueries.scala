@@ -457,7 +457,8 @@ object IndexQueries {
   val AnnOracleKeys: Set[String] =
     Set("v_ivf_build", "v_ivf_search", "v_ivf_filtered", "v_pq_search",
       "v_pq_rerank", "v_ivfpq_search", "d_semantic_dedup",
-      "v_nprobe_sweep", "v_quantize_error", "v_knn_graph")
+      "v_nprobe_sweep", "v_quantize_error", "v_knn_graph",
+      "v_ood_score", "v_embed_clusters")
 
   /** The approximate kNN graph (v_knn_graph before output ordering):
     * every vector probes its 2 nearest persisted IVF centroids and
@@ -500,7 +501,7 @@ object IndexQueries {
     val pqDir = IndexStore.pq(s, d)
     val books = s.read.parquet(s"$pqDir/codebooks").orderBy("sub", "code")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2))).toSeq
-    Map(
+    val built = Map(
       "v_ivf_build" -> graft.operators.IndexOracle.ivfBuildOracle(cent),
       "v_ivf_search" -> graft.operators.IndexOracle
         .ivfSearchOracle(cent, K, nprobe = 4, NumQueries),
@@ -527,6 +528,13 @@ object IndexQueries {
         .knnGraphOracle(cent, k = 5, nprobe = 2),
       "v_embed_clusters" -> graft.operators.IndexOracle
         .embedClustersOracle(cent, k = 5, nprobe = 2))
+    // AnnOracleKeys is VerifyOne's routing table for exactly this map:
+    // a key added here but not there would silently route to the static
+    // maps and emit no oracle
+    require(built.keySet == AnnOracleKeys,
+      s"AnnOracleKeys out of sync: ${built.keySet.diff(AnnOracleKeys)} / " +
+        s"${AnnOracleKeys.diff(built.keySet)}")
+    built
   } catch {
     // the documented degrade-to-rows-only cases (no live session / no
     // index context) — but NEVER silently: a generation regression that

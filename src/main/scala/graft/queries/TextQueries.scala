@@ -134,12 +134,7 @@ object TextQueries {
     * when absent; returns the artifact directory. */
   private def docArtifact(d: String, name: String)(
       build: String => Unit): String = storeLock.synchronized {
-    val src = new java.io.File(d, "documents.parquet")
-    val stamp = Option(src.listFiles())
-      .map(_.map(f => f.lastModified ^ f.length).foldLeft(0L)(_ ^ _))
-      .getOrElse(src.lastModified ^ src.length)
-    val key = d.replaceAll("[^A-Za-z0-9._-]", "_") + "-" +
-      java.lang.Long.toHexString(stamp)
+    val key = graft.operators.IndexStore.sfKey(d, "documents")
     val dir = new java.io.File(
       new java.io.File(graft.operators.IndexStore.root, s"$name-$key"),
       "data")
