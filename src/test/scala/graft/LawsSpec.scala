@@ -154,6 +154,34 @@ class LawsSpec extends SparkSpec {
     }
   }
 
+  test("winnowing laws: concat guarantee, gram-subset, density bound") {
+    // random lowercase strings; every selected fingerprint must be a
+    // window minimum of the gram hashes (subset law), the count is
+    // bounded by the window count, and appending a shared >= k+w-1
+    // tail to two different strings forces a shared fingerprint
+    val strGen = Gen.chooseNum(12, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum('a'.toInt, 'z'.toInt).map(_.toChar))
+        .map(_.mkString))
+    val pairs = cases(Gen.zip(strGen, strGen), 60)
+    val df = pairs.toDF("x", "y")
+      .select(GraftText.winnowFingerprints($"x", 8, 4).as("fx"),
+        GraftText.winnowFingerprints(concat($"x", lit("SHAREDTAIL9"), $"y"),
+          8, 4).as("fxy"),
+        GraftText.winnowFingerprints(concat($"y", lit("SHAREDTAIL9"), $"x"),
+          8, 4).as("fyx"),
+        length($"x").as("nx"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      val fx = r.getSeq[Long](0); val n = r.getInt(3)
+      assert(fx.size <= n - 8 + 1 - 4 + 1, "more fingerprints than windows")
+      assert(fx == fx.sorted && fx.distinct.size == fx.size)
+      // the 11-byte shared tail guarantees a common fingerprint between
+      // the two concatenations regardless of surrounding context
+      val shared = r.getSeq[Long](1).toSet & r.getSeq[Long](2).toSet
+      assert(shared.nonEmpty, "winnowing guarantee violated")
+    }
+  }
+
   test("random projection is odd: project(-x) = -project(x) exactly") {
     val vecGen = Gen.listOfN(8, Gen.chooseNum(-10000, 10000).map(_ / 129.0f))
     val signs = graft.operators.RpSearch.signs(outDim = 4, inDim = 8, seed = 9L)
