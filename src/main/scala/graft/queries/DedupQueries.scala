@@ -26,6 +26,13 @@ object DedupQueries {
 
   private def toks(c: Column): Column = GraftText.whitespaceTokens(c)
 
+  /** d_minhash_eval's audit-sample size — a fixed COUNT (smallest-N
+    * Knuth-hash docs), not a rate: the eval's exact-truth side is
+    * quadratic in the sample, so only an absolute cap keeps the audit
+    * corpus-size-independent at 100 TB. Shared verbatim by the Spark
+    * plan and the DuckDB oracle. */
+  private val MinhashEvalSample = 256
+
   /** Deterministic total order for a SMALL final result without a
     * range-partitioned sort: `orderBy` samples its child to plan range
     * boundaries, which RE-EXECUTES the whole upstream pipeline a second
@@ -95,16 +102,31 @@ object DedupQueries {
       // the explode→dictionary→collect_list subtree runs TWICE (the
       // d_ngram_jaccard discipline)
       .cache()
+    // populate the cache with one job BEFORE the self-join reads it
+    // from two sides: a lazy cache is RACED by the join's concurrent
+    // scans — two tasks needing the same uncached partition both
+    // compute it (the block manager does not serialize builders), so
+    // the dictionary subtree ran 1–2x nondeterministically (measured
+    // 3.8 s vs 11.3 s bimodality across bench runs)
+    docs.count()
     val a = docs.select($"doc_id".as("doc_a"), $"lang", $"band",
       $"ws".as("wa"), $"nw".as("na"))
     val b = docs.select($"doc_id".as("doc_b"), $"lang", $"band",
       $"ws".as("wb"), $"nw".as("nb"))
-    a.join(b, Seq("lang", "band"))
+    val pairs = a.join(b, Seq("lang", "band"))
       .filter($"doc_a" < $"doc_b" &&
         lit(5) * least($"na", $"nb") >= lit(4) * greatest($"na", $"nb"))
       .withColumn("jaccard", GraftText.jaccardSortedLong($"wa", $"wb"))
       .filter($"jaccard" >= 0.8)
       .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
+    // materialize the verified edge set eagerly (it is the operator's
+    // own bounded output), then drop the signature cache: callers — the
+    // d_jaccard_pairs entry and the cluster's contraction rounds —
+    // re-read EDGES, never the word-id signatures, and a lingering
+    // cache occupies executor storage for the rest of a 128-query run
+    val out = pairs.localCheckpoint(true)
+    docs.unpersist(false)
+    out
   }
 
   /** Banded Hamming-ball pairs over (doc_id, fp bigint): explode each
@@ -512,8 +534,11 @@ object DedupQueries {
         // consumed by both self-join sides AND the sizes aggregate: the
         // scan→explode→distinct subtree must compute once
         .cache()
+      // eager population — a lazy cache read concurrently by the two
+      // self-join sides gets computed twice (the jaccardPairsRaw race)
+      sg.count()
       val sizes = sg.groupBy($"source").agg(count(lit(1)).as("nsh"))
-      sg.select($"source".as("src_a"), $"sh")
+      val res = sg.select($"source".as("src_a"), $"sh")
         .join(sg.select($"source".as("src_b"), $"sh"), "sh")
         .filter($"src_a" < $"src_b")
         .groupBy($"src_a", $"src_b")
@@ -526,6 +551,10 @@ object DedupQueries {
           round($"n_common" / ($"n_a" + $"n_b" - $"n_common"), 4).as("jaccard"),
           round($"n_common" / least($"n_a", $"n_b"), 4).as("containment"))
         .orderBy($"src_a", $"src_b")
+        // #sources² rows: materialize, then release the shingle cache
+        .localCheckpoint(true)
+      sg.unpersist(false)
+      res
     }),
 
     // Hard-negative mining for contrastive retrieval training (the
@@ -581,17 +610,24 @@ object DedupQueries {
           explode(GraftText.winnowFingerprints(
             coalesce($"text", lit("")), 8, 4)).as("fp"))
         .cache()
+      // eager population before the concurrent multi-side reads
+      e.count()
       val rare = e.join(
         e.groupBy($"fp").agg(count(lit(1)).as("df"))
           .filter($"df" <= 10).select($"fp"),
         Seq("fp"), "left_semi")
-      rare.select($"doc_id".as("doc_a"), $"fp")
+      val res = rare.select($"doc_id".as("doc_a"), $"fp")
         .join(rare.select($"doc_id".as("doc_b"), $"fp"), "fp")
         .filter($"doc_a" < $"doc_b")
         .groupBy($"doc_a", $"doc_b")
         .agg(count(lit(1)).as("n_shared"))
         .filter($"n_shared" >= 3)
         .transform(ordered(_, "doc_a", "doc_b"))
+        // bounded by the df-cap pair fanout: materialize, drop the
+        // exploded-fingerprint cache
+        .localCheckpoint(true)
+      e.unpersist(false)
+      res
     }),
 
     // DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
@@ -634,7 +670,7 @@ object DedupQueries {
           ((DetMath.log2Det($"ct" + 1) - DetMath.log2Det($"nt" + 64)) -
             DetMath.log2Det($"cr" + 1) + DetMath.log2Det($"nr" + 64))
             .as("bits"))
-      tb.filter(!$"is_t")
+      val res = tb.filter(!$"is_t")
         .groupBy($"doc_id", $"bkt").agg(count(lit(1)).as("m"))
         .join(broadcast(bits), "bkt")
         .groupBy($"doc_id")
@@ -645,28 +681,40 @@ object DedupQueries {
         .orderBy($"w".desc, $"doc_id")
         .limit(100)
         .select($"doc_id", round($"w", 4).as("li_weight"))
+        // top-100: materialize, drop the tokenize+hash cache
+        .localCheckpoint(true)
+      tb.unpersist(false)
+      res
     }),
 
     // Dedup-quality evaluation — the measure-your-recall audit every
     // approximate dedup deployment runs before trusting it at 100 TB.
-    // Methodology: a deterministic 20 % Knuth-hash document sample (the
-    // d_stratified_sample discipline — retry-safe, no rand()); within
-    // it, candidate pairs = word-set minhash bucket-mates (the exact
-    // d_dedup_minhash banding: 64 perms, 16 bands) and truth = ALL
-    // pairs with exact word-set j ≥ 0.8 — no language or equi-band
-    // restriction. The truth side still never materializes a cartesian:
-    // j ≥ 0.8 forces 4·max(|a|,|b|) ≤ 5·min(|a|,|b|), so each doc
-    // explodes to the bounded RANGE of length-bands a qualifying
-    // partner can occupy and the pair generator is an equi-join on that
-    // band — lossless by the ratio bound, linear in feasible pairs.
-    // One summary row; divisions exact long→double. The oracle's truth
-    // side is the UNFILTERED quadratic join over the same sample, so
-    // the hash match independently proves the range-banding lossless.
+    // Methodology: a deterministic FIXED-SIZE audit sample — the
+    // MinhashEvalSample docs with the smallest Knuth-hash values
+    // (injective: the multiplier is odd, so ·2654435761 mod 2³² is a
+    // bijection — no ties, retry-safe, no rand()). A fixed COUNT, not a
+    // rate: the truth side is quadratic in the sample, so a constant
+    // FRACTION of the corpus is unbounded at 100 TB while a constant
+    // count costs the same on any corpus (the top-N select itself is
+    // one map-side bounded-heap pass — TakeOrderedAndProject).
+    // Within the sample, candidate pairs = word-set minhash
+    // bucket-mates (the exact d_dedup_minhash banding: 64 perms, 16
+    // bands) and truth = ALL pairs with exact word-set j ≥ 0.8 — no
+    // language or equi-band restriction. The truth side still never
+    // materializes a cartesian: j ≥ 0.8 forces 4·max(|a|,|b|) ≤
+    // 5·min(|a|,|b|), so each doc explodes to the bounded RANGE of
+    // length-bands a qualifying partner can occupy and the pair
+    // generator is an equi-join on that band — lossless by the ratio
+    // bound, linear in feasible pairs. One summary row; divisions
+    // exact long→double. The oracle's truth side is the UNFILTERED
+    // quadratic join over the same sample, so the hash match
+    // independently proves the range-banding lossless.
     "d_minhash_eval" -> ((s: SparkSession, d: String) => {
       import s.implicits._
-      val rate = lit(858993459L) // floor(0.2 * 2^32)
       val docs = load(s, d, "documents")
-        .filter(pmod($"doc_id" * lit(2654435761L), lit(4294967296L)) < rate)
+        .withColumn("hk", pmod($"doc_id" * lit(2654435761L), lit(4294967296L)))
+        .orderBy($"hk")
+        .limit(MinhashEvalSample)
         .select($"doc_id", sort_array(array_distinct(toks($"text"))).as("ws"))
         .withColumn("nw", size($"ws").cast("long"))
         .cache()
@@ -698,7 +746,7 @@ object DedupQueries {
           GraftText.jaccardSorted($"wa", $"wb") >= 0.8)
         .agg(count(lit(1)).as("n_truth"))
       val nc = cand.agg(count(lit(1)).as("n_candidates"))
-      truth.crossJoin(nc).crossJoin(hits)
+      val res = truth.crossJoin(nc).crossJoin(hits)
         .select($"n_truth", $"n_candidates", $"n_hits",
           // NULL (not 0/0) on a duplicate-free corpus — the guard is
           // mirrored in the oracle (Spark's 0/0 is NULL, DuckDB's NaN)
@@ -706,6 +754,12 @@ object DedupQueries {
             .as("precision_at_j"),
           when($"n_truth" > 0, round($"n_hits" / $"n_truth", 4))
             .as("recall_at_j"))
+        // one summary row: materialize it eagerly so the two audit
+        // caches can be dropped before the frame leaves this scope
+        .localCheckpoint(true)
+      docs.unpersist(false)
+      cand.unpersist(false)
+      res
     })
   )
 
@@ -972,11 +1026,14 @@ object DedupQueries {
         |        JOIN sz sb ON iv.src_b = sb.source
         |ORDER BY src_a, src_b""".stripMargin,
 
-    // same deterministic 20% Knuth-hash sample gate on the wsDef; the
-    // truth CTE inside is the unfiltered quadratic over that sample
+    // same deterministic fixed-size smallest-N Knuth-hash sample on the
+    // wsDef (the hash is injective over doc_id, so ORDER BY … LIMIT is
+    // unambiguous); the truth CTE inside is the unfiltered quadratic
+    // over that sample
     "d_minhash_eval" ->
       graft.functions.HashSql.minhashEvalOracle(
         graft.functions.HashSql.wordSetDef +
-          " WHERE (doc_id * 2654435761) % 4294967296 < 858993459", 0.8)
+          " ORDER BY (doc_id * 2654435761) % 4294967296" +
+          s" LIMIT $MinhashEvalSample", 0.8)
   )
 }

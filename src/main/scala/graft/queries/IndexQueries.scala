@@ -372,15 +372,20 @@ object IndexQueries {
     "v_embed_clusters" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       // consumed on both sides of the reciprocity join: cache so the
-      // probe→topK pipeline computes once
+      // probe→topK pipeline computes once — populated EAGERLY, or the
+      // join's concurrent scans compute uncached partitions twice
       val g = knnGraphRaw(s, d).select($"vec_id".as("a"), $"neighbor_id".as("b"))
         .cache()
+      g.count()
       val mutual = g.join(g.select($"a".as("b2"), $"b".as("a2")),
           $"a" === $"a2" && $"b" === $"b2")
         .filter($"a" < $"b").select($"a", $"b").distinct()
       val nodes = load(s, d, "embeddings").select($"vec_id")
       val comp = graft.operators.ConnectedComponents.minLabel(
         nodes, "vec_id", mutual, "a", "b")
+      // minLabel checkpoints and validates its edge set on entry, so by
+      // now the reciprocity join has run — the graph cache is dead
+      g.unpersist(false)
       val sizes = comp.groupBy($"component").agg(count(lit(1)).as("cluster_size"))
       comp.join(sizes, "component")
         .select($"id".as("vec_id"), $"component".as("cluster_id"),
