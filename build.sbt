@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: at 8g the 128-query bench run sat near the heap
+  // ceiling (unified-memory caches + 32 task threads), and GC pressure
+  // showed up as broad 2-3x slowdowns on queries whose plans had not
+  // changed. The box has 128 GiB; local[32] IS the executor.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

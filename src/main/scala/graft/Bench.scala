@@ -13,13 +13,67 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * columns, so projection-only queries (token counting, fingerprints,
   * norms) would be timed as empty scans. Failures are NOT swallowed:
   * the query records -1 and its error lands in the `errors` JSON field,
-  * so a broken query can never masquerade as a fast green number.
+  * so a broken query can never masquerade as a fast green number — and
+  * warm-up/store-build failures are recorded the same way (a failed
+  * store build would otherwise shift its cost invisibly into the first
+  * timed query that touches the artifact).
+  *
+  * Concurrent throughput (the client_bench.cpp analog —
+  * /root/reference/benchmark/client_bench.cpp measures multi-client QPS
+  * against the serving path): N client threads submit independent
+  * partition-pruned IVF searches against ONE session under the FAIR
+  * scheduler and the aggregate queries/sec lands in the `throughput`
+  * field. This is the Spark serving shape: one long-lived session, many
+  * concurrent bounded search jobs sharing the executor pool.
   */
 object Bench {
 
   /** Force full evaluation of a DataFrame without collecting it. */
   def exhaust(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
+
+  /** Multi-client aggregate QPS: `clients` threads × `perClient` pruned
+    * IVF searches each (k=10, nprobe=4, 8 query vectors per search —
+    * the v_ivf_search shape) against the shared session. Returns
+    * (clients, total searches, elapsed sec, qps). FAIR scheduling keeps
+    * one client's stage queue from starving the rest — the Spark analog
+    * of the reference server's request concurrency. */
+  def throughput(spark: SparkSession, sfDir: String,
+      clients: Int = 8, perClient: Int = 4): (Int, Int, Double, Double) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = graft.operators.IndexStore.ivf(spark, sfDir, k = 16)
+    // one warm search outside the clock: parquet footers + codegen
+    val warmQ = Tables.load(spark, sfDir, "embeddings")
+      .filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    exhaust(graft.operators.IvfIndex.searchPruned(spark, dir, warmQ, 10, 4))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(clients)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val t0 = System.nanoTime()
+    val futures = (0 until clients).map { c =>
+      scala.concurrent.Future {
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"client$c")
+        (0 until perClient).foreach { r =>
+          // distinct query window per (client, round) so no two jobs
+          // share a plan: each is a REAL independent search request
+          val lo = (c * perClient + r) * 8
+          val q = Tables.load(spark, sfDir, "embeddings")
+            .filter($"vec_id" >= lo && $"vec_id" < lo + 8)
+            .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+          exhaust(graft.operators.IvfIndex.searchPruned(spark, dir, q, 10, 4))
+        }
+      }
+    }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures),
+      scala.concurrent.duration.Duration(600, "s"))
+    pool.shutdown()
+    val sec = math.rint((System.nanoTime() - t0) / 1e6) / 1e3
+    val n = clients * perClient
+    (clients, n, sec, math.rint(n / sec * 1000) / 1000)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -29,8 +83,16 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // FAIR so the throughput section's concurrent clients share the
+      // executor pool instead of FIFO-queueing whole jobs
+      .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def errMsg(e: Throwable): String =
+      Option(e.getMessage).getOrElse(e.getClass.getName)
+        .linesIterator.take(1).mkString.take(200)
 
     // warm-up: JVM + codegen + parquet footer caches, plus the one-time
     // ANN index builds (IndexStore) so the *search* entries measure
@@ -42,44 +104,51 @@ object Bench {
     // whole-stage-codegen compilation is identical across scale factors
     // for the same query, so this strips per-plan compile cost out of
     // the timed numbers (which claim steady-state execution) at
-    // near-zero data cost.
+    // near-zero data cost. Warm-up failures are RECORDED (not timed):
+    // a query that can only fail at warm-up scale would otherwise hide.
     val warmDir = {
       val w = new java.io.File(new java.io.File(sfDir).getParent, "sf0.001")
       if (w.isDirectory) w.getPath else sfDir
     }
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try exhaust(fn(spark, warmDir)) catch { case _: Throwable => () }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try exhaust(fn(spark, warmDir))
+      catch { case e: Throwable => errors(s"warmup:$name") = errMsg(e) }
       spark.catalog.clearCache()
     }
-    try {
-      graft.operators.IndexStore.ivf(spark, sfDir, k = 16)
-      graft.operators.IndexStore.pq(spark, sfDir)
-      graft.operators.IndexStore.ivfpq(spark, sfDir)
-      graft.operators.IndexStore.sq8(spark, sfDir)
+    // store builds fail LOUDLY into `errors`: a silently-failed build
+    // shifts its full cost into the first timed query that rebuilds it
+    val stores: Seq[(String, () => Any)] = Seq(
+      "store:ivf" -> (() => graft.operators.IndexStore.ivf(spark, sfDir, k = 16)),
+      "store:pq" -> (() => graft.operators.IndexStore.pq(spark, sfDir)),
+      "store:ivfpq" -> (() => graft.operators.IndexStore.ivfpq(spark, sfDir)),
+      "store:sq8" -> (() => graft.operators.IndexStore.sq8(spark, sfDir)),
       // the LM-score and BPE-merge stores are corpus-build artifacts
       // like the indexes: the timed entries measure inference/read,
       // not the build (t_bpe_train still times the build path itself)
-      graft.queries.TextQueries.lmStore(spark, sfDir)
-      graft.queries.TextQueries.bpeStore(spark, sfDir)
-    } catch { case _: Throwable => () }
+      "store:lm" -> (() => graft.queries.TextQueries.lmStore(spark, sfDir)),
+      "store:bpe" -> (() => graft.queries.TextQueries.bpeStore(spark, sfDir)))
+    stores.foreach { case (key, build) =>
+      try build() catch { case e: Throwable => errors(key) = errMsg(e) }
+    }
 
-    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { exhaust(fn(spark, sfDir)); true }
-        catch {
-          case e: Throwable =>
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-              .linesIterator.take(1).mkString.take(200)
-            false
-        }
+        catch { case e: Throwable => errors(name) = errMsg(e); false }
       val sec = math.rint((System.nanoTime() - t0) / 1e6) / 1e3
       // a query may cache its own shared subtrees; drop them so pinned
       // blocks never bleed into (or evict under) later measurements
       spark.catalog.clearCache()
       name -> (if (ok) sec else -1.0)
     }
+
+    // multi-client serving throughput, AFTER the serial loop so its
+    // contention never perturbs per-query numbers
+    val tput =
+      try { val t = throughput(spark, sfDir); Some(t) }
+      catch { case e: Throwable => errors("throughput") = errMsg(e); None }
+
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"
@@ -91,10 +160,21 @@ object Bench {
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = math.rint(results.map(_._2).filter(_ >= 0).sum * 1000) / 1000
-    // Full per-query detail first: for humans reading the whole log. This
-    // line exceeds the harness's bounded tail capture once the inventory
+    val tputJson = tput.map { case (c, n, sec, qps) =>
+      s"""{"clients":$c,"searches":$n,"elapsed_sec":$sec,"qps":$qps}"""
+    }.getOrElse("null")
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"errors":$errs,"throughput":$tputJson,"sf":"$sfDir"}"""
+    // The machine-readable artifact: the COMPLETE result object as one
+    // JSON file. Five rounds of stdout-only emission parsed as null —
+    // sbt appends "[success] Total time: …" after the last println, so
+    // a tail-of-output capture never ends on the JSON line. The file
+    // has no such failure mode.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), detail + "\n")
+    // Full per-query detail for humans reading the whole log. This line
+    // exceeds the harness's bounded tail capture once the inventory
     // passed ~80 queries, so it must NOT be the final line.
-    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(detail)
     // Compact headline line LAST, kept under a hard byte budget so it
     // always lands *intact* inside a tail-of-output capture window:
     // total + error COUNT + a bounded head of error names + the slowest
@@ -104,7 +184,7 @@ object Bench {
     // timing signal (-1), so they never spend query-entry bytes.
     val budget = 1500
     val errHead = errors.keys.take(5).map(jstr).mkString("[", ",", "]")
-    val sfx = s""","n_errors":${errors.size},"err_head":$errHead,"sf":"$sfDir"}"""
+    val sfx = s""","n_errors":${errors.size},"err_head":$errHead,"throughput":$tputJson,"sf":"$sfDir"}"""
     val head = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":{"""
     val slowestFirst = results.filter(_._2 >= 0).sortBy(-_._2)
       .map { case (k, v) => jstr(k) + ":" + v }

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftVector._
+
+/** Graph-traversal ANN search — the distributable analog of the
+  * reference's HNSW beam search (/root/reference/include/hnsw_index.h:268-330:
+  * greedy descent to an entry point, then best-first expansion over a
+  * neighbor graph with an ef-bounded result heap).
+  *
+  * A literal HNSW port is the wrong shape for Spark — its search walks
+  * one node at a time through pointer-chased adjacency, a latency
+  * design for a single address space. The same *semantics* re-expressed
+  * set-at-a-time: a persisted kNN-graph edge TABLE, an entry point per
+  * query (the medoid of its nearest coarse centroid — the "layer-0
+  * entry" role HNSW's upper layers play), and a fixed number of
+  * BEAM-EXPANSION rounds — each round expands the current beam through
+  * the edge table, scores candidates by exact L2, and keeps the ef best
+  * per query. Every round is two broadcast-side equi-joins (the beam is
+  * |Q|·ef rows — always the broadcast side; the edge and vector tables
+  * are the big sides, hit by key), so on a 1000-executor cluster each
+  * hop is a map-side probe of the partitioned graph, never a shuffle of
+  * it. Fixed rounds instead of converge-detection keeps the operator
+  * deterministic and lets an unrolled-CTE oracle replicate it hop for
+  * hop; ranks everywhere break ties by node id, so the whole traversal
+  * is a pure function of the persisted artifacts.
+  */
+object GraphSearch {
+
+  /** The approximate kNN graph: every vector probes its `nprobe`
+    * nearest persisted-IVF centroids and keeps the `k` nearest members
+    * found there (self-pairs dropped before ranking). Output:
+    * (vec_id, neighbor_id, rnk, dist) — the v_knn_graph frame. */
+  def knnGraph(s: SparkSession, ivfDir: String, e: DataFrame,
+      k: Int = 5, nprobe: Int = 2): DataFrame = {
+    import s.implicits._
+    val cent = s.read.parquet(s"$ivfDir/centroids")
+      .select($"cluster_id", $"centroid")
+    val probes = e.crossJoin(broadcast(cent))
+      .groupBy($"vec_id")
+      .agg(topK(l2Sq($"embedding", $"centroid"), $"cluster_id".cast("long"),
+        nprobe).as("ps"))
+      .select($"vec_id".as("query_id"),
+        explode(transform($"ps", p => p.getField("id"))).as("cluster_id"))
+    val members = s.read.parquet(s"$ivfDir/assignments")
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("nv"),
+        $"cluster_id".cast("long").as("cluster_id"))
+    probes.join(members, "cluster_id")
+      .filter($"neighbor_id" =!= $"query_id")
+      .join(e.select($"vec_id".as("query_id"), $"embedding".as("qv")),
+        "query_id")
+      .groupBy($"query_id")
+      .agg(topK(l2Sq($"nv", $"qv"), $"neighbor_id", k).as("nn"))
+      .select($"query_id".as("vec_id"), posexplode($"nn"))
+      .select($"vec_id", $"col.id".as("neighbor_id"),
+        ($"pos" + 1).cast("long").as("rnk"),
+        round(sqrt($"col.score"), 4).as("dist"))
+  }
+
+  /** Per-cluster medoids — the entry-point table: for each cluster, the
+    * member nearest its own centroid (ties by vec_id). k rows. */
+  def medoids(s: SparkSession, ivfDir: String): DataFrame = {
+    import s.implicits._
+    val cent = s.read.parquet(s"$ivfDir/centroids")
+      .select($"cluster_id".cast("long").as("cluster_id"), $"centroid")
+    s.read.parquet(s"$ivfDir/assignments")
+      .select($"vec_id", $"embedding", $"cluster_id".cast("long").as("cluster_id"))
+      .join(broadcast(cent), "cluster_id")
+      .groupBy($"cluster_id")
+      .agg(topK(l2Sq($"embedding", $"centroid"), $"vec_id", 1).as("m"))
+      .select($"cluster_id", element_at($"m", 1).getField("id").as("medoid_id"))
+  }
+
+  /** Beam search over the persisted graph: entry = the medoid of each
+    * query's nearest centroid; `hops` rounds of expand-through-edges →
+    * exact-L2 score → keep-ef; final answer = the k best of the last
+    * scored candidate set (k ≤ ef, so this equals the k best of the
+    * final beam). Output: (query_id, neighbor_id, rnk, dist). */
+  def search(s: SparkSession, ivfDir: String, graphDir: String,
+      e: DataFrame, q: DataFrame, k: Int, ef: Int, hops: Int): DataFrame = {
+    require(k <= ef, s"k=$k must be <= ef=$ef")
+    require(hops >= 1, s"hops must be >= 1, got $hops")
+    import s.implicits._
+    val cent = s.read.parquet(s"$ivfDir/centroids")
+      .select($"cluster_id", $"centroid")
+    val med = s.read.parquet(s"$graphDir/medoids")
+    val edges = s.read.parquet(s"$graphDir/edges")
+      .select($"vec_id".as("node"), $"neighbor_id")
+    val vecs = e.select($"vec_id".as("node"), $"embedding".as("nv"))
+    // entry: nearest centroid per query (rank by (d, cluster_id)) → the
+    // medoid of that cluster
+    var beam = q.crossJoin(broadcast(cent))
+      .groupBy($"query_id")
+      .agg(topK(l2Sq($"qv", $"centroid"), $"cluster_id".cast("long"), 1)
+        .as("c"))
+      .select($"query_id",
+        element_at($"c", 1).getField("id").as("cluster_id"))
+      .join(broadcast(med), "cluster_id")
+      .select($"query_id", $"medoid_id".as("node"))
+    var scored: DataFrame = null
+    for (_ <- 1 to hops) {
+      // candidates = beam ∪ graph-neighbors(beam). The beam is the
+      // broadcast side of BOTH joins: the edge/vector tables are the
+      // corpus-scale sides and are probed by key, never shuffled.
+      val cand = beam.union(
+          edges.join(broadcast(beam), "node")
+            .select($"query_id", $"neighbor_id".as("node")))
+        .distinct()
+      scored = vecs.join(broadcast(cand), "node")
+        .join(broadcast(q), "query_id")
+        .groupBy($"query_id")
+        .agg(topK(l2Sq($"nv", $"qv"), $"node", ef).as("beam"))
+      beam = scored.select($"query_id",
+        explode(transform($"beam", x => x.getField("id"))).as("node"))
+    }
+    scored
+      .select($"query_id", posexplode($"beam"))
+      .filter($"pos" < k)
+      .select($"query_id", $"col.id".as("neighbor_id"),
+        ($"pos" + 1).cast("long").as("rnk"),
+        round(sqrt($"col.score"), 4).as("dist"))
+  }
+}

@@ -232,6 +232,69 @@ object IndexOracle {
        |SELECT vec_id, neighbor_id, rnk, dist FROM kg
        |ORDER BY vec_id, rnk""".stripMargin
 
+  /** v_graph_search: the beam search over the kNN graph, re-derived end
+    * to end — graph edges from the literal centroids (knnGraphCtes),
+    * per-cluster medoids (nearest-own-centroid member, ties by vec_id),
+    * entry = the medoid of each query's nearest centroid, then `hops`
+    * UNROLLED expand→score→keep-ef rounds (UNION dedup == the engine's
+    * distinct), final answer = the k best of the last scored set. Every
+    * rank orders by (exact-fold d, node), so the traversal is replayed
+    * decision for decision. */
+  def graphSearchOracle(centroids: Seq[(Int, Seq[Float])], k: Int, ef: Int,
+      hops: Int, numQueries: Int, graphK: Int, graphNprobe: Int): String = {
+    val edists = centroids.map { case (_, c) => l2sqLit("embedding", 0, c) }
+      .mkString("[", ",\n ", "]")
+    val qdists = centroids.map { case (_, c) => l2sqLit("qv", 0, c) }
+      .mkString("[", ",\n ", "]")
+    val cids = centroids.map(_._1).mkString("[", ",", "]")
+    // a and kg are read in every unrolled round: MATERIALIZED, or the
+    // engine may re-inline the literal-fold graph per reference (the
+    // embedClustersOracle lesson)
+    val ctes = knnGraphCtes(centroids, graphK, graphNprobe)
+      .replaceFirst("\\Aa AS \\(", "a AS MATERIALIZED (")
+      .replace("kg AS (", "kg AS MATERIALIZED (")
+    val rounds = (1 to hops).map { h =>
+      val prev = if (h == 1) "b0" else s"b${h - 1}"
+      s"""c$h AS (
+         |  SELECT query_id, node FROM $prev
+         |  UNION
+         |  SELECT b.query_id, kg.neighbor_id AS node
+         |  FROM $prev b JOIN kg ON kg.vec_id = b.node),
+         |s$h AS (
+         |  SELECT query_id, node, d,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY d, node) AS r
+         |  FROM (SELECT c.query_id, c.node,
+         |          ${l2sqCol("e.embedding", "q2.qv", 64)} AS d
+         |        FROM c$h c
+         |        JOIN embeddings e ON e.vec_id = c.node
+         |        JOIN q q2 ON q2.query_id = c.query_id)),
+         |b$h AS (SELECT query_id, node FROM s$h WHERE r <= $ef)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $ctes,
+       |med AS (
+       |  SELECT cluster_id, vec_id AS medoid FROM (
+       |    SELECT cluster_id, vec_id,
+       |      row_number() OVER (PARTITION BY cluster_id
+       |        ORDER BY ds[cluster_id + 1], vec_id) AS r
+       |    FROM (SELECT vec_id, cluster_id, $edists AS ds FROM a)
+       |  ) WHERE r = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv
+       |      FROM embeddings WHERE vec_id < $numQueries),
+       |qc AS (
+       |  SELECT query_id, cluster_id FROM (
+       |    SELECT query_id, cid AS cluster_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY d, cid) AS crnk
+       |    FROM (SELECT query_id, unnest($cids) AS cid, unnest(ds) AS d
+       |          FROM (SELECT query_id, $qdists AS ds FROM q))
+       |  ) WHERE crnk = 1),
+       |b0 AS (SELECT qc.query_id, med.medoid AS node
+       |       FROM qc JOIN med USING (cluster_id)),
+       |$rounds
+       |SELECT query_id, node AS neighbor_id, r AS rnk,
+       |  round(sqrt(d), 4) AS dist
+       |FROM s$hops WHERE r <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** v_embed_clusters: connected components over the MUTUAL edges of
     * the kNN graph (a↔b both within each other's top-k — the
     * reciprocity filter that keeps hubs from gluing everything into

@@ -103,6 +103,29 @@ object IndexStore {
       dir
     }
 
+  /** Ensure the persisted kNN GRAPH artifact (the reference's navigable
+    * graph re-expressed as tables): `edges` — every vector's k nearest
+    * neighbors found through nprobe IVF probes (the v_knn_graph frame,
+    * written partitioned only by parquet's own row groups; search joins
+    * it BY KEY with a broadcast beam, so no layout constraint) — and
+    * `medoids` — one entry-point row per cluster. Built once from the
+    * persisted IVF index; [[GraphSearch.search]] only reads. */
+  def knnGraph(spark: SparkSession, sfDir: String, k: Int = 5,
+      nprobe: Int = 2): String =
+    lock.synchronized {
+      val dir = s"$root/${sfKey(sfDir)}/knng${k}x$nprobe"
+      if (!done(dir, "edges", "medoids")) {
+        val ivfDir = ivf(spark, sfDir, k = 16)
+        val e = Tables.load(spark, sfDir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        GraphSearch.knnGraph(spark, ivfDir, e, k, nprobe)
+          .write.mode("overwrite").parquet(s"$dir/edges")
+        GraphSearch.medoids(spark, ivfDir)
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/medoids")
+      }
+      dir
+    }
+
   /** Ensure the composite IVF-PQ inverted lists: each vector's PQ codes
     * stored INSIDE its cluster partition, so a probe reads only its
     * clusters' codes — nprobe/k of the corpus at numSub-byte width (the

@@ -16,6 +16,10 @@ object IndexQueries {
 
   private val NumQueries = 8
   private val K = 10
+  /** v_graph_search beam width / hop budget (k ≤ ef required: the final
+    * top-k is read off the last ef-beam's scored set). */
+  private val GraphEf = 16
+  private val GraphHops = 3
   /** d_semantic_dedup's cosine ε-ball (same radius family as the
     * embed-neardup operators — the synthetic corpus' planted near-dups
     * sit well above it, the random mass well below). */
@@ -361,6 +365,30 @@ object IndexQueries {
       knnGraphRaw(s, d)
         .transform(graft.queries.DedupQueries.orderedLarge(_, "vec_id", "rnk"))),
 
+    // Graph-traversal ANN search — the reference's HNSW beam search
+    // (hnsw_index.h:268-330) re-expressed set-at-a-time: entry = the
+    // medoid of the query's nearest coarse centroid, then 3 rounds of
+    // expand-through-the-persisted-edge-table → exact-L2 → keep-ef=16,
+    // final top-10 from the last scored set. Graph + medoids are
+    // build-once artifacts (IndexStore.knnGraph); search joins them BY
+    // KEY with a broadcast beam (|Q|·ef rows), so each hop is a
+    // map-side probe of the partitioned graph — never a scan of it.
+    // The recall-vs-probe-cost story is spec-gated (GraphSearchSpec:
+    // clustered recall floor vs brute force); the traversal itself is
+    // fully oracle-replayed (unrolled CTE rounds, every rank tie-broken
+    // by node id).
+    "v_graph_search" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val ivfDir = IndexStore.ivf(s, d, k = 16)
+      val gDir = IndexStore.knnGraph(s, d, k = 5, nprobe = 2)
+      val e = load(s, d, "embeddings").select($"vec_id", $"embedding")
+      val q = e.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      graft.operators.GraphSearch.search(s, ivfDir, gDir, e, q,
+          k = K, ef = GraphEf, hops = GraphHops)
+        .orderBy("query_id", "rnk")
+    }),
+
     // Mutual-kNN clustering (the curation grouping pass: concept /
     // near-duplicate families over the embedding space): keep only
     // RECIPROCAL kNN-graph edges — a↔b each in the other's top-5, the
@@ -463,7 +491,7 @@ object IndexQueries {
     Set("v_ivf_build", "v_ivf_search", "v_ivf_filtered", "v_pq_search",
       "v_pq_rerank", "v_ivfpq_search", "d_semantic_dedup",
       "v_nprobe_sweep", "v_quantize_error", "v_knn_graph",
-      "v_ood_score", "v_embed_clusters")
+      "v_ood_score", "v_embed_clusters", "v_graph_search")
 
   /** The approximate kNN graph (v_knn_graph before output ordering):
     * every vector probes its 2 nearest persisted IVF centroids and
@@ -532,7 +560,10 @@ object IndexQueries {
       "v_knn_graph" -> graft.operators.IndexOracle
         .knnGraphOracle(cent, k = 5, nprobe = 2),
       "v_embed_clusters" -> graft.operators.IndexOracle
-        .embedClustersOracle(cent, k = 5, nprobe = 2))
+        .embedClustersOracle(cent, k = 5, nprobe = 2),
+      "v_graph_search" -> graft.operators.IndexOracle
+        .graphSearchOracle(cent, K, GraphEf, GraphHops, NumQueries,
+          graphK = 5, graphNprobe = 2))
     // AnnOracleKeys is VerifyOne's routing table for exactly this map:
     // a key added here but not there would silently route to the static
     // maps and emit no oracle

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.GraftVector._
+import graft.operators.{GraphSearch, IndexStore}
+
+/** Beam search over the persisted kNN graph (the HNSW-analog serving
+  * path). Recall guards run on PLANTED CLUSTERED data — the regime
+  * navigable-graph search exists for (ClusteredRecallSpec's argument);
+  * the laws (hop monotonicity, determinism) hold on any input.
+  */
+class GraphSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A self-contained sf-dir fixture: 8 well-separated Gaussian
+    * clusters, 50 points each, dim 64, written as embeddings.parquet so
+    * the IndexStore build/serve path runs exactly as in production. */
+  private lazy val fixtureDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-graph-spec")
+      .toString
+    val rnd = new scala.util.Random(321)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextGaussian().toFloat * 3f))
+    val rows = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(v => v + rnd.nextGaussian().toFloat * 0.3f).toSeq,
+        (i % 4).toInt)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"),
+        $"label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private lazy val emb: DataFrame =
+    spark.read.parquet(s"$fixtureDir/embeddings.parquet")
+      .select($"vec_id", $"embedding").cache()
+
+  private lazy val queries = emb.filter($"vec_id" < 16)
+    .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+
+  private def groundTruth(k: Int): Map[Long, Set[Long]] =
+    emb.crossJoin(broadcast(queries))
+      .groupBy($"query_id")
+      .agg(topK(l2Sq($"embedding", $"qv"), $"vec_id", k).as("nn"))
+      .select($"query_id", transform($"nn", x => x.getField("id")).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+
+  private def recallAt(k: Int, ef: Int, hops: Int): Double = {
+    val ivfDir = IndexStore.ivf(spark, fixtureDir)
+    val gDir = IndexStore.knnGraph(spark, fixtureDir)
+    val res = GraphSearch.search(spark, ivfDir, gDir, emb, queries,
+        k, ef, hops)
+      .groupBy($"query_id").agg(collect_list($"neighbor_id").as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val gt = groundTruth(k)
+    gt.map { case (qid, ids) =>
+      (res.getOrElse(qid, Set.empty) & ids).size.toDouble / ids.size
+    }.sum / gt.size
+  }
+
+  test("beam search recall@10 >= 0.9 on clustered data (production ef/hops)") {
+    val r = recallAt(10, ef = 16, hops = 3)
+    assert(r >= 0.9, s"clustered graph-search recall $r < 0.9")
+  }
+
+  test("recall is non-decreasing in hops (beam ⊆ next candidate set)") {
+    // candidates at hop h+1 always include the hop-h beam, so the kept
+    // ef-best can only improve — the ef_search-style knob a user turns
+    val curve = Seq(1, 2, 3).map(h => h -> recallAt(10, ef = 16, hops = h))
+    curve.sliding(2).foreach { case Seq((h1, r1), (h2, r2)) =>
+      assert(r2 >= r1, s"recall fell from $r1 (hops=$h1) to $r2 (hops=$h2)")
+    }
+  }
+
+  test("traversal is deterministic: two runs return identical rows") {
+    val ivfDir = IndexStore.ivf(spark, fixtureDir)
+    val gDir = IndexStore.knnGraph(spark, fixtureDir)
+    def run() = GraphSearch.search(spark, ivfDir, gDir, emb, queries,
+        k = 10, ef = 16, hops = 3)
+      .orderBy("query_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(run() == run())
+  }
+
+  test("k > ef is rejected (final top-k is read off the ef-beam)") {
+    val ivfDir = IndexStore.ivf(spark, fixtureDir)
+    val gDir = IndexStore.knnGraph(spark, fixtureDir)
+    intercept[IllegalArgumentException] {
+      GraphSearch.search(spark, ivfDir, gDir, emb, queries,
+        k = 20, ef = 16, hops = 1)
+    }
+  }
+}
