@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains are driven by a harness that tail-captures
+// stdout and parses the LAST line as JSON. Two sbt defaults break that:
+// the forked process's output is routed through the sbt logger (every
+// line gains an "[info] " prefix) and sbt appends "[success] Total
+// time: …" after the program's final println. Inherit stdout directly
+// and suppress the success banner so the program's own last line IS the
+// last line of captured output.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

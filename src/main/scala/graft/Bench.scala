@@ -66,10 +66,12 @@ object Bench {
         }
       }
     }
-    scala.concurrent.Await.result(
+    // shutdownNow in finally: on an Await timeout the executor threads
+    // (and their in-flight client jobs) must not outlive the bench
+    try scala.concurrent.Await.result(
       scala.concurrent.Future.sequence(futures),
       scala.concurrent.duration.Duration(600, "s"))
-    pool.shutdown()
+    finally pool.shutdownNow()
     val sec = math.rint((System.nanoTime() - t0) / 1e6) / 1e3
     val n = clients * perClient
     (clients, n, sec, math.rint(n / sec * 1000) / 1000)

@@ -235,13 +235,15 @@ object IndexOracle {
   /** v_graph_search: the beam search over the kNN graph, re-derived end
     * to end — graph edges from the literal centroids (knnGraphCtes),
     * per-cluster medoids (nearest-own-centroid member, ties by vec_id),
-    * entry = the medoid of each query's nearest centroid, then `hops`
+    * entry = the medoids of each query's `entries` nearest centroids
+    * (the engine's multi-entry frontier), then `hops`
     * UNROLLED expand→score→keep-ef rounds (UNION dedup == the engine's
     * distinct), final answer = the k best of the last scored set. Every
     * rank orders by (exact-fold d, node), so the traversal is replayed
     * decision for decision. */
   def graphSearchOracle(centroids: Seq[(Int, Seq[Float])], k: Int, ef: Int,
-      hops: Int, numQueries: Int, graphK: Int, graphNprobe: Int): String = {
+      hops: Int, numQueries: Int, graphK: Int, graphNprobe: Int,
+      entries: Int = 2): String = {
     val edists = centroids.map { case (_, c) => l2sqLit("embedding", 0, c) }
       .mkString("[", ",\n ", "]")
     val qdists = centroids.map { case (_, c) => l2sqLit("qv", 0, c) }
@@ -258,8 +260,8 @@ object IndexOracle {
       s"""c$h AS (
          |  SELECT query_id, node FROM $prev
          |  UNION
-         |  SELECT b.query_id, kg.neighbor_id AS node
-         |  FROM $prev b JOIN kg ON kg.vec_id = b.node),
+         |  SELECT b.query_id, kgu.neighbor_id AS node
+         |  FROM $prev b JOIN kgu ON kgu.vec_id = b.node),
          |s$h AS (
          |  SELECT query_id, node, d,
          |    row_number() OVER (PARTITION BY query_id ORDER BY d, node) AS r
@@ -286,9 +288,16 @@ object IndexOracle {
        |      row_number() OVER (PARTITION BY query_id ORDER BY d, cid) AS crnk
        |    FROM (SELECT query_id, unnest($cids) AS cid, unnest(ds) AS d
        |          FROM (SELECT query_id, $qdists AS ds FROM q))
-       |  ) WHERE crnk = 1),
+       |  ) WHERE crnk <= $entries),
        |b0 AS (SELECT qc.query_id, med.medoid AS node
        |       FROM qc JOIN med USING (cluster_id)),
+       |-- undirected expansion: every stored a->b edge is followed both
+       |-- ways (the engine unions the reversed edge table; UNION dedup
+       |-- == its distinct)
+       |kgu AS MATERIALIZED (
+       |  SELECT vec_id, neighbor_id FROM kg
+       |  UNION
+       |  SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM kg),
        |$rounds
        |SELECT query_id, node AS neighbor_id, r AS rnk,
        |  round(sqrt(d), 4) AS dist

@@ -144,21 +144,26 @@ object Fvecs {
     * `cat dir/part-*.fvecs > all.fvecs` — the format is pure
     * concatenation (no header/footer), so the merge is byte-exact. */
   def writeFvecsDir(df: DataFrame, dir: String, numFiles: Int): Unit =
-    writeDir(df, dir, numFiles, "fvecs", "vector",
-      (bb, r, i) => bb.putFloat(r.getSeq[Float](i).apply(bb.position() / 4 - 1)))
+    writeDir(df, dir, numFiles, "fvecs", "vector")
 
   private def writeDir(df: DataFrame, dir: String, numFiles: Int,
-      ext: String, valueCol: String,
-      put: (ByteBuffer, org.apache.spark.sql.Row, Int) => ByteBuffer): Unit = {
+      ext: String, valueCol: String): Unit = {
     import org.apache.spark.sql.functions.col
     val isF = ext == "fvecs"
+    // ship the SESSION's Hadoop conf to the tasks (spark.hadoop.* —
+    // object-store credentials, filesystem impls — must reach the
+    // FileSystem the shard writers open; a bare `new Configuration()`
+    // silently drops them)
+    val confBc = df.sparkSession.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        df.sparkSession.sparkContext.hadoopConfiguration))
     df.select(col("id"), col(valueCol))
       .repartitionByRange(numFiles, col("id"))
       .sortWithinPartitions("id")
       .rdd
       .mapPartitionsWithIndex { case (pid, rows) =>
         val fs = org.apache.hadoop.fs.FileSystem.get(
-          new java.net.URI(dir), new org.apache.hadoop.conf.Configuration())
+          new java.net.URI(dir), confBc.value.value)
         val out = fs.create(new org.apache.hadoop.fs.Path(
           dir, f"part-$pid%05d.$ext"), true)
         try rows.foreach { r =>
@@ -183,7 +188,7 @@ object Fvecs {
 
   /** Distributed .ivecs writer — see [[writeFvecsDir]]. */
   def writeIvecsDir(df: DataFrame, dir: String, numFiles: Int): Unit =
-    writeDir(df, dir, numFiles, "ivecs", "neighbors", null)
+    writeDir(df, dir, numFiles, "ivecs", "neighbors")
 
   /** Write a DataFrame(id, neighbors array<int>) as a single .ivecs file
     * (utils.h's ground-truth layout) — records in the frame's row order,
