@@ -49,10 +49,19 @@ object ConnectedComponents {
     * (both frames projected from the same source) may pass false; any
     * edge set of independent provenance must keep the default. Passing
     * false also forgoes the zero-round small finish — the shortcut is
-    * only provably equivalent to the loop on a validated edge set. */
+    * only provably equivalent to the loop on a validated edge set.
+    *
+    * `trustedEndpoints`: declares endpoints ⊆ nodes BY CONSTRUCTION —
+    * both frames are projections of the same source, so the validation
+    * pass would re-prove a tautology against corpus-scale data. Skips
+    * the check while KEEPING the bounded finish: the finish/loop
+    * equivalence needs only the subset property itself, not the means
+    * by which it is established. Only for same-source call sites;
+    * edges of independent provenance must use `validateNodes`. */
   def minLabel(nodes: DataFrame, idCol: String, edges: DataFrame,
       aCol: String, bCol: String, maxIter: Int = 20,
-      smallFinish: Int = 1 << 20, validateNodes: Boolean = true): DataFrame = {
+      smallFinish: Int = 1 << 20, validateNodes: Boolean = true,
+      trustedEndpoints: Boolean = false): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     require(smallFinish >= 0, s"smallFinish must be >= 0, got $smallFinish")
     val spark = nodes.sparkSession
@@ -76,7 +85,8 @@ object ConnectedComponents {
     // against this operator's throw-don't-degrade contract. Costs one
     // pass over the edges; skippable ONLY where endpoints ⊆ nodes holds
     // by construction (see scaladoc).
-    if (validateNodes) {
+    val endpointsKnown = validateNodes || trustedEndpoints
+    if (validateNodes && !trustedEndpoints) {
       val orphans = eo.select($"a".as("id")).union(eo.select($"b".as("id")))
         .distinct().join(labels.select($"id"), Seq("id"), "left_anti")
       require(orphans.head(1).isEmpty,
@@ -90,10 +100,11 @@ object ConnectedComponents {
     // checkpoint it forces either way; big graphs fall through to the
     // distributed loop unchanged. Gated on validateNodes: the collected
     // union-find would happily merge components THROUGH an orphan
-    // endpoint that the loop's contraction joins drop — on a validated
-    // edge set the two paths are provably identical, on an unvalidated
-    // one only the loop runs (no size-dependent semantic fork).
-    if (smallFinish > 0 && validateNodes && eo.count() <= smallFinish) {
+    // endpoint that the loop's contraction joins drop — with endpoints
+    // ⊆ nodes known (checked or by declared construction) the two
+    // paths are provably identical; otherwise only the loop runs (no
+    // size-dependent semantic fork).
+    if (smallFinish > 0 && endpointsKnown && eo.count() <= smallFinish) {
       val mapDf = unionFindMap(spark, eo.as[(Long, Long)].collect())
       return labels.join(mapDf, Seq("lab"), "left")
         .select($"id", coalesce($"root", $"lab").as("component"))
@@ -116,6 +127,9 @@ object ConnectedComponents {
         .localCheckpoint(false) // counted AND scanned twice in sym
       val nLabelEdges = e2.count()
       if (nLabelEdges == 0L) { converged = true }
+      // no endpoint gate HERE: the contraction joins above already
+      // dropped any edge with an endpoint outside `nodes`, so the
+      // label graph is valid by construction inside the loop
       else if (nLabelEdges <= smallFinish && smallFinish > 0) {
         // bounded finish: the label graph fits — close it exactly with
         // one driver union-find (roots are always the component-min
@@ -158,11 +172,14 @@ object ConnectedComponents {
   /** Driver union-find over a bounded edge list → broadcast (lab, root)
     * map. Union-by-min, so every root is the minimum id reachable in
     * the collected graph — the fixpoint the distributed loop converges
-    * to. */
+    * to. Backed by a PRIMITIVE open-addressing long→long table: the
+    * boxed-HashMap form allocated millions of java.lang.Long boxes on
+    * dense edge sets (726k collected edges measured 1–5 s, the
+    * variance pure GC; primitive probing is a steady ~50 ms). */
   private def unionFindMap(spark: org.apache.spark.sql.SparkSession,
       pairs: Array[(Long, Long)]): DataFrame = {
     import spark.implicits._
-    val parent = new java.util.HashMap[Long, Long]()
+    val parent = new LongLongMap(math.max(16, pairs.length * 2))
     def find(x: Long): Long = {
       var r = x
       while (parent.getOrDefault(r, r) != r) r = parent.get(r)
@@ -178,8 +195,51 @@ object ConnectedComponents {
         if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
       }
     }
-    val mapped = parent.keySet().toArray(Array.empty[java.lang.Long])
-      .map(l => (l.longValue(), find(l))).toSeq
+    val mapped = parent.keysArray().map(l => (l, find(l))).toSeq
     broadcast(mapped.toDF("lab", "root"))
+  }
+
+  /** Minimal open-addressing long→long map (linear probing, power-of-2
+    * capacity, load ≤ 0.5). Keys are node ids; Long.MinValue is the
+    * empty sentinel (node ids are non-negative doc/vec ids — asserted
+    * on put). Driver-side only, bounded by the smallFinish contract. */
+  private final class LongLongMap(expected: Int) {
+    private var cap = java.lang.Integer.highestOneBit(
+      math.max(16, expected * 2) - 1) << 1
+    private var keys = Array.fill[Long](cap)(Long.MinValue)
+    private var vals = new Array[Long](cap)
+    private var n = 0
+    private def idx(k: Long): Int = {
+      var h = (k * -7046029254386353131L) >>> (64 - java.lang.Integer
+        .numberOfTrailingZeros(cap))
+      var i = h.toInt
+      while (keys(i) != Long.MinValue && keys(i) != k) i = (i + 1) & (cap - 1)
+      i
+    }
+    def get(k: Long): Long = vals(idx(k))
+    def getOrDefault(k: Long, dflt: Long): Long = {
+      val i = idx(k); if (keys(i) == k) vals(i) else dflt
+    }
+    def put(k: Long, v: Long): Unit = {
+      require(k != Long.MinValue, "Long.MinValue key is reserved")
+      val i = idx(k)
+      if (keys(i) != k) {
+        keys(i) = k; n += 1
+        if (n * 2 > cap) grow()
+      } else keys(i) = k
+      val j = idx(k); vals(j) = v
+    }
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals
+      cap <<= 1
+      keys = Array.fill[Long](cap)(Long.MinValue)
+      vals = new Array[Long](cap)
+      var i = 0
+      while (i < ok.length) {
+        if (ok(i) != Long.MinValue) { val j = idx(ok(i)); keys(j) = ok(i); vals(j) = ov(i) }
+        i += 1
+      }
+    }
+    def keysArray(): Array[Long] = keys.filter(_ != Long.MinValue)
   }
 }

@@ -76,38 +76,34 @@ object DedupQueries {
 
   /** The exact j ≥ 0.8 verifier pairs, unordered — shared by the
     * d_jaccard_pairs entry and as the edge set of d_dedup_cluster.
-    * Dictionary-encode words to dense longs before the quadratic core:
-    * a row_number over the DISTINCT vocabulary is a true BIJECTION
-    * (unlike hashing), so Jaccard over the id sets IS word-set Jaccard
-    * exactly — while the banded join ships 8-byte ids instead of
-    * strings and the merge scan compares longs, not UTF-8 byte runs.
-    * The dictionary window is a single task bounded by VOCABULARY size,
-    * not corpus size; the id assignment is deterministic (ordered by
-    * word), so stage retries re-derive the identical mapping. */
+    * Word sets are 64-bit FNV token hashes computed SCAN-SIDE in one
+    * native pass (wordShingleHashes width 1): the banded join ships
+    * 8-byte keys instead of strings and the merge scan compares longs
+    * — with ZERO pre-join shuffles. (The previous dictionary-encoding
+    * bijection bought exactness a 64-bit hash already has modulo
+    * collisions — which the oracle gate itself would expose, since the
+    * oracle computes word-SET Jaccard over the strings: the
+    * d_source_overlap hash-vs-string independence argument — but paid
+    * an explode, a vocabulary window, a join back, and a collect_list
+    * regroup: the measured majority of the whole operator.) */
   private def jaccardPairsRaw(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val exploded = load(s, d, "documents")
-      .select($"doc_id", $"lang", explode(
-        array_distinct(toks($"text"))).as("w"))
-    val words = exploded.select($"w").distinct()
-      .withColumn("wid", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy($"w")).cast("long"))
-    val docs = exploded.join(words, "w")
-      .groupBy($"doc_id")
-      .agg(first($"lang").as("lang"),
-        sort_array(collect_list($"wid")).as("ws"))
+    val docs = load(s, d, "documents")
+      .select($"doc_id", $"lang",
+        sort_array(array_distinct(
+          GraftText.wordShingleHashes(toks($"text"), 1))).as("ws"))
       .withColumn("nw", size($"ws").cast("long"))
       .withColumn("band", ($"nw" / 25).cast("long"))
       // both sides of the banded self-join read this frame; uncached,
-      // the explode→dictionary→collect_list subtree runs TWICE (the
-      // d_ngram_jaccard discipline)
+      // the tokenize+hash+sort subtree runs TWICE (the d_ngram_jaccard
+      // discipline)
       .cache()
     // populate the cache with one job BEFORE the self-join reads it
     // from two sides: a lazy cache is RACED by the join's concurrent
     // scans — two tasks needing the same uncached partition both
     // compute it (the block manager does not serialize builders), so
-    // the dictionary subtree ran 1–2x nondeterministically (measured
-    // 3.8 s vs 11.3 s bimodality across bench runs)
+    // the subtree ran 1–2x nondeterministically (measured 3.8 s vs
+    // 11.3 s bimodality across bench runs)
     docs.count()
     val a = docs.select($"doc_id".as("doc_a"), $"lang", $"band",
       $"ws".as("wa"), $"nw".as("na"))
@@ -194,12 +190,14 @@ object DedupQueries {
     "d_dedup_cluster" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       val docs = load(s, d, "documents").select($"doc_id")
-      // validation stays ON: it is what qualifies the edge set for the
-      // zero-round small finish (ConnectedComponents only takes the
-      // collected-union-find shortcut on validated edges), and the
-      // orphan pass itself measured as noise next to the pair verifier
+      // trustedEndpoints: the edge set is jaccardPairsRaw over the SAME
+      // documents frame these nodes project from — endpoints ⊆ nodes by
+      // construction, so the orphan pass (one full scan of a dense
+      // ~726k-edge set at sf0.1) would re-prove a tautology; the
+      // declared trust keeps the bounded union-find finish qualified
       val comp = graft.operators.ConnectedComponents.minLabel(
-        docs, "doc_id", jaccardPairsRaw(s, d), "doc_a", "doc_b")
+        docs, "doc_id", jaccardPairsRaw(s, d), "doc_a", "doc_b",
+        validateNodes = false, trustedEndpoints = true)
       val sizes = comp.groupBy($"component").agg(count(lit(1)).as("cluster_size"))
       comp.join(sizes, "component")
         .select($"id".as("doc_id"), $"component".as("cluster_id"),

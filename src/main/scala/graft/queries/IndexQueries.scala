@@ -409,9 +409,12 @@ object IndexQueries {
           $"a" === $"a2" && $"b" === $"b2")
         .filter($"a" < $"b").select($"a", $"b").distinct()
       val nodes = load(s, d, "embeddings").select($"vec_id")
+      // trustedEndpoints: the kNN-graph edges are ranked members of the
+      // same embeddings frame the nodes project from — ⊆ by construction
       val comp = graft.operators.ConnectedComponents.minLabel(
-        nodes, "vec_id", mutual, "a", "b")
-      // minLabel checkpoints and validates its edge set on entry, so by
+        nodes, "vec_id", mutual, "a", "b",
+        validateNodes = false, trustedEndpoints = true)
+      // minLabel checkpoints its edge set on entry, so by
       // now the reciprocity join has run — the graph cache is dead
       g.unpersist(false)
       val sizes = comp.groupBy($"component").agg(count(lit(1)).as("cluster_size"))
