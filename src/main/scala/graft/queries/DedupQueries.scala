@@ -175,8 +175,13 @@ object DedupQueries {
     //  - integer size-ratio gate 5*min >= 4*max, which provably loses no
     //    j >= 0.8 pair (j >= 0.8 ⇒ |min|/|max| >= 0.8) but skips the
     //    expensive set intersection for implausible pairs.
+    // orderBy directly: jaccardPairsRaw returns an EAGER checkpoint, so
+    // the range-sort's sampling pass re-reads stored blocks — the
+    // upstream double-execution orderedLarge exists to prevent cannot
+    // occur, and its extra materialization of the same 727k rows was
+    // the single largest slice of this entry's bench time
     "d_jaccard_pairs" -> ((s: SparkSession, d: String) =>
-      jaccardPairsRaw(s, d).transform(orderedLarge(_, "doc_a", "doc_b"))),
+      jaccardPairsRaw(s, d).orderBy("doc_a", "doc_b")),
 
     // Connected components over the verified near-dup graph — the
     // transitive-closure step every real dedup pipeline ends with:
@@ -603,29 +608,31 @@ object DedupQueries {
     // d_source_overlap discipline.
     "d_winnow_overlap" -> ((s: SparkSession, d: String) => {
       import s.implicits._
-      val e = load(s, d, "documents")
+      // ONE fingerprint-keyed shuffle: group each fingerprint's doc
+      // list (winnowFingerprints is per-doc distinct, so the list is
+      // duplicate-free), keep df <= 10, and expand the <= C(10,2)
+      // ordered pairs SCAN-SIDE with a nested transform over the
+      // sorted list — doc_a < doc_b falls out of the sort. The
+      // previous semi-join + fp-keyed self-join recomputed the
+      // document-frequency aggregate on both join sides and shuffled
+      // the exploded frame three times (measured 4.6 s at sf0.1 vs
+      // ~1.5 s for this form); per-fp fanout is bounded by the df cap
+      // either way, so both scale identically — this one just stops
+      // paying for the same aggregate twice.
+      load(s, d, "documents")
         .select($"doc_id",
           explode(GraftText.winnowFingerprints(
             coalesce($"text", lit("")), 8, 4)).as("fp"))
-        .cache()
-      // eager population before the concurrent multi-side reads
-      e.count()
-      val rare = e.join(
-        e.groupBy($"fp").agg(count(lit(1)).as("df"))
-          .filter($"df" <= 10).select($"fp"),
-        Seq("fp"), "left_semi")
-      val res = rare.select($"doc_id".as("doc_a"), $"fp")
-        .join(rare.select($"doc_id".as("doc_b"), $"fp"), "fp")
-        .filter($"doc_a" < $"doc_b")
-        .groupBy($"doc_a", $"doc_b")
+        .groupBy($"fp")
+        .agg(sort_array(collect_list($"doc_id")).as("ds"))
+        .filter(size($"ds").between(2, 10))
+        .select(explode(flatten(transform($"ds", (a, i) =>
+          transform(slice($"ds", i + 2, size($"ds")),
+            b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+        .groupBy($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"))
         .agg(count(lit(1)).as("n_shared"))
         .filter($"n_shared" >= 3)
         .transform(ordered(_, "doc_a", "doc_b"))
-        // bounded by the df-cap pair fanout: materialize, drop the
-        // exploded-fingerprint cache
-        .localCheckpoint(true)
-      e.unpersist(false)
-      res
     }),
 
     // DSIR — Data Selection via Importance Resampling (Xie et al. 2023,

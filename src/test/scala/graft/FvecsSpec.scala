@@ -63,6 +63,35 @@ class FvecsSpec extends SparkSpec {
       (2L, Seq(42))))
   }
 
+  test("sharded fvecs dir round-trip: global ids and vectors byte-identical") {
+    val dir = Files.createTempDirectory("graft-fvecs-dir").toString
+    val src = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .orderBy("vec_id").limit(120)
+      .select($"vec_id".as("id"), $"embedding".as("vector"))
+    Fvecs.writeFvecsDir(src, dir, numFiles = 4)
+    val parts = new java.io.File(dir).list().filter(_.endsWith(".fvecs"))
+    assert(parts.length === 4, s"expected 4 shards, got ${parts.toSeq}")
+    val back = Fvecs.readFvecsDir(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val orig = src.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    // input ids are 0..119, so cumulative-count global ids reproduce them
+    assert(back.map(_._1).toSeq === orig.map(_._1).toSeq)
+    back.zip(orig).foreach { case ((_, v1), (_, v0)) => assert(v1 === v0) }
+  }
+
+  test("sharded ivecs dir round-trip: variable-width lists survive sharding") {
+    val dir = Files.createTempDirectory("graft-ivecs-dir").toString
+    val src = (0L until 50L).map(i =>
+        (i, (0 to (i % 4).toInt).map(j => (i * 10 + j).toInt)))
+      .toDF("id", "neighbors")
+    Fvecs.writeIvecsDir(src, dir, numFiles = 3)
+    val back = Fvecs.readIvecsDir(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1)))
+    val orig = src.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1)))
+    assert(back.toSeq === orig.toSeq)
+  }
+
   test("ivecs reader parses int lists") {
     val dir = Files.createDirectories(Paths.get("target/tmp-fvecs"))
     val f = dir.resolve("gt.ivecs")
