@@ -74,6 +74,48 @@ object DedupQueries {
       .select($"lang", $"doc_id", $"n_toks")
   }
 
+  /** The UNORDERED pre-checkpoint DSIR plan + its shared token cache —
+    * factored so PlanSpec asserts the shape of the real query (the
+    * entry's eager checkpoint truncates the executed plan to a scan of
+    * stored blocks); the mixtureSampleRaw pattern. Caller owns the
+    * returned cache: unpersist after the frame materializes. */
+  private[graft] def dsirWeightsRaw(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    import graft.functions.DetMath
+    // consumed three times (bucket stats, totals, per-doc counts):
+    // cached so the corpus tokenize+hash scan runs once — the
+    // d_winnow_overlap discipline
+    val tb = load(s, d, "documents")
+      .select($"doc_id", $"source",
+        explode(toks(coalesce($"text", lit("")))).as("tok"))
+      .select($"doc_id",
+        $"source".isin("src0", "src1", "src2").as("is_t"),
+        GraftText.rollingHash64($"tok").bitwiseAND(lit(63L)).as("bkt"))
+      .cache()
+    val stats = tb.groupBy($"bkt").agg(
+      sum(when($"is_t", 1L).otherwise(0L)).as("ct"),
+      sum(when(!$"is_t", 1L).otherwise(0L)).as("cr"))
+    val totals = stats.agg(sum($"ct").as("nt"), sum($"cr").as("nr"))
+    val bits = stats.crossJoin(broadcast(totals))
+      .select($"bkt",
+        ((DetMath.log2Det($"ct" + 1) - DetMath.log2Det($"nt" + 64)) -
+          DetMath.log2Det($"cr" + 1) + DetMath.log2Det($"nr" + 64))
+          .as("bits"))
+    val res = tb.filter(!$"is_t")
+      .groupBy($"doc_id", $"bkt").agg(count(lit(1)).as("m"))
+      .join(broadcast(bits), "bkt")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"bkt",
+        ($"m".cast("double") * $"bits").as("term")))).as("lst"))
+      .select($"doc_id",
+        aggregate($"lst", lit(0.0), (acc, x) => acc + x("term")).as("w"))
+      .orderBy($"w".desc, $"doc_id")
+      .limit(100)
+      .select($"doc_id", round($"w", 4).as("li_weight"))
+    (res, tb)
+  }
+
   /** The exact j ≥ 0.8 verifier pairs, unordered — shared by the
     * d_jaccard_pairs entry and as the edge set of d_dedup_cluster.
     * Word sets are 64-bit FNV token hashes computed SCAN-SIDE in one
@@ -516,36 +558,44 @@ object DedupQueries {
     // Cross-source contamination matrix: for every pair of corpus
     // sources, how much 5-gram shingle mass do they share? The corpus-
     // audit face of d_decontaminate (there: corpus vs a bounded eval
-    // set; here: every source against every other). Distinct
-    // (source, shingle-hash) is one shuffle; the pair counts come from
-    // a shingle-keyed self-join whose fan-out per shingle is bounded by
-    // #sources², never by rows — so the plan survives any corpus size
-    // with a fixed source vocabulary. Jaccard and containment are
-    // exact-integer divisions. Same hash-vs-string independence as the
-    // d_decontaminate oracle: the engine joins 8-byte FNV shingle
-    // hashes, the oracle joins shingle strings — equal modulo 64-bit
-    // collisions, which the hash gate itself would expose.
+    // set; here: every source against every other). One shingle-keyed
+    // aggregate collects each shingle's distinct source set; the pair
+    // expansion is scan-side over that sorted set, whose width is
+    // bounded by #sources, never by rows — so the plan survives any
+    // corpus size with a fixed source vocabulary. Jaccard and
+    // containment are exact-integer divisions. Same hash-vs-string
+    // independence as the d_decontaminate oracle: the engine groups
+    // 8-byte FNV shingle hashes, the oracle joins shingle strings —
+    // equal modulo 64-bit collisions, which the hash gate itself
+    // would expose.
     "d_source_overlap" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       val n = 5
-      val sg = load(s, d, "documents")
+      // ONE shingle-keyed shuffle: aggregate each shingle's distinct
+      // source set (bounded by the source VOCABULARY — 20 here, fixed
+      // at any corpus size by contract), then expand the ≤ C(|S|,2)
+      // ordered source pairs SCAN-SIDE from the sorted set and count
+      // per pair; per-source shingle totals ride the same grouped
+      // frame as a size-1 "pair". The previous distinct + cached
+      // self-join + two size-join broadcasts paid the explode shuffle
+      // three times (measured 2.2–4.0 s at sf0.1 vs ~1.2 s here).
+      val grouped = load(s, d, "documents")
         .select($"source", toks($"text").as("toks"))
         .filter(size($"toks") >= n)
         .select($"source",
           explode(graft.GraftText.wordShingleHashes($"toks", n)).as("sh"))
-        .distinct()
-        // consumed by both self-join sides AND the sizes aggregate: the
-        // scan→explode→distinct subtree must compute once
-        .cache()
-      // eager population — a lazy cache read concurrently by the two
-      // self-join sides gets computed twice (the jaccardPairsRaw race)
-      sg.count()
-      val sizes = sg.groupBy($"source").agg(count(lit(1)).as("nsh"))
-      val res = sg.select($"source".as("src_a"), $"sh")
-        .join(sg.select($"source".as("src_b"), $"sh"), "sh")
-        .filter($"src_a" < $"src_b")
-        .groupBy($"src_a", $"src_b")
+        .groupBy($"sh")
+        .agg(sort_array(collect_set($"source")).as("ss"))
+        .select(explode(flatten(transform($"ss", (a, i) =>
+          concat(array(struct(a.as("src_a"), a.as("src_b"))),
+            transform(slice($"ss", i + 2, size($"ss")),
+              b => struct(a.as("src_a"), b.as("src_b"))))))).as("p"))
+        .groupBy($"p.src_a".as("src_a"), $"p.src_b".as("src_b"))
         .agg(count(lit(1)).as("n_common"))
+        .localCheckpoint(true)
+      val sizes = grouped.filter($"src_a" === $"src_b")
+        .select($"src_a".as("source"), $"n_common".as("nsh"))
+      grouped.filter($"src_a" =!= $"src_b")
         .join(broadcast(sizes.select($"source".as("src_a"), $"nsh".as("n_a"))),
           "src_a")
         .join(broadcast(sizes.select($"source".as("src_b"), $"nsh".as("n_b"))),
@@ -554,10 +604,6 @@ object DedupQueries {
           round($"n_common" / ($"n_a" + $"n_b" - $"n_common"), 4).as("jaccard"),
           round($"n_common" / least($"n_a", $"n_b"), 4).as("containment"))
         .orderBy($"src_a", $"src_b")
-        // #sources² rows: materialize, then release the shingle cache
-        .localCheckpoint(true)
-      sg.unpersist(false)
-      res
     }),
 
     // Hard-negative mining for contrastive retrieval training (the
@@ -654,42 +700,11 @@ object DedupQueries {
     // is its documented no-noise variant — and the one a hash-compared
     // oracle can gate.
     "d_dsir_weights" -> ((s: SparkSession, d: String) => {
-      import s.implicits._
-      import graft.functions.DetMath
-      // consumed three times (bucket stats, totals, per-doc counts):
-      // cached so the corpus tokenize+hash scan runs once — the
-      // d_winnow_overlap discipline
-      val tb = load(s, d, "documents")
-        .select($"doc_id", $"source",
-          explode(toks(coalesce($"text", lit("")))).as("tok"))
-        .select($"doc_id",
-          $"source".isin("src0", "src1", "src2").as("is_t"),
-          GraftText.rollingHash64($"tok").bitwiseAND(lit(63L)).as("bkt"))
-        .cache()
-      val stats = tb.groupBy($"bkt").agg(
-        sum(when($"is_t", 1L).otherwise(0L)).as("ct"),
-        sum(when(!$"is_t", 1L).otherwise(0L)).as("cr"))
-      val totals = stats.agg(sum($"ct").as("nt"), sum($"cr").as("nr"))
-      val bits = stats.crossJoin(broadcast(totals))
-        .select($"bkt",
-          ((DetMath.log2Det($"ct" + 1) - DetMath.log2Det($"nt" + 64)) -
-            DetMath.log2Det($"cr" + 1) + DetMath.log2Det($"nr" + 64))
-            .as("bits"))
-      val res = tb.filter(!$"is_t")
-        .groupBy($"doc_id", $"bkt").agg(count(lit(1)).as("m"))
-        .join(broadcast(bits), "bkt")
-        .groupBy($"doc_id")
-        .agg(sort_array(collect_list(struct($"bkt",
-          ($"m".cast("double") * $"bits").as("term")))).as("lst"))
-        .select($"doc_id",
-          aggregate($"lst", lit(0.0), (acc, x) => acc + x("term")).as("w"))
-        .orderBy($"w".desc, $"doc_id")
-        .limit(100)
-        .select($"doc_id", round($"w", 4).as("li_weight"))
-        // top-100: materialize, drop the tokenize+hash cache
-        .localCheckpoint(true)
+      val (res, tb) = dsirWeightsRaw(s, d)
+      // top-100: materialize, then drop the tokenize+hash cache
+      val out = res.localCheckpoint(true)
       tb.unpersist(false)
-      res
+      out
     }),
 
     // Dedup-quality evaluation — the measure-your-recall audit every

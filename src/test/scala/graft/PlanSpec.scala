@@ -87,7 +87,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dsir: 64-row bits frame broadcasts; top-100 is a TakeOrdered, no window") {
-    val p = planOf(graft.queries.DedupQueries.all, "d_dsir_weights")
+    // the raw (pre-checkpoint) plan: the entry's eager checkpoint
+    // truncates the executed plan to a scan of stored blocks, so the
+    // guard must look at the production shape underneath it
+    val (raw, tb) = graft.queries.DedupQueries.dsirWeightsRaw(spark, sfDir)
+    val p = freshPlan(raw)
+    tb.unpersist(false)
     assert(p.contains("BroadcastHashJoin"),
       s"bucket-bits frame must broadcast-join the per-doc counts:\n$p")
     assert(p.contains("TakeOrderedAndProject"),

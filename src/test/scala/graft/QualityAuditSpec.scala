@@ -115,27 +115,35 @@ class QualityAuditSpec extends SparkSpec {
       ("l_suppkey", 2L, 1L, 4L, 8L, 4L, 0.5)))
   }
 
-  test("d_minhash_eval: planted duplicates are recalled; sample gate and truth are exact") {
-    // doc ids that PASS the 20% Knuth gate: (id * 2654435761) % 2^32 < 0.2*2^32
-    def inSample(id: Long) =
-      java.lang.Long.remainderUnsigned(id * 2654435761L, 4294967296L) < 858993459L
-    val ids = (1L to 200L).filter(inSample).take(4)
-    assert(ids.size === 4, s"need 4 in-sample ids, got $ids")
-    val Seq(a, b, c, e) = ids
+  test("d_minhash_eval: planted duplicates are recalled; sample cap and truth are exact") {
+    // The audit sample is the FIXED-COUNT smallest-256-by-Knuth-hash
+    // subset (a rate sample is unbounded at 100 TB). Fixture: 300 docs
+    // ranked by the unsigned Knuth hash; the planted identical pair
+    // sits at the two SMALLEST ranks (in-sample by construction), a
+    // third identical copy sits at the LARGEST rank (the cap must drop
+    // it — with a rate gate it would sneak in and inflate truth to 3).
+    def hk(id: Long) =
+      java.lang.Long.remainderUnsigned(id * 2654435761L, 4294967296L)
+    val ranked = (1L to 300L).sortBy(hk)
+    val Seq(a, b) = ranked.take(2)
+    val out = ranked.last // rank 300 of 300 > 256: outside the sample
     val dup = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
     val dir = Files.createTempDirectory("graft_mhe").toString
-    (Seq(
-      (a, dup, "en", "s1"),                      // identical pair: j = 1
+    val filler = ranked.drop(2).dropRight(1).zipWithIndex.map {
+      case (id, i) =>
+        // 10 unique tokens per doc: no cross-doc overlap anywhere
+        (id, (0 until 10).map(j => s"f${i}_$j").mkString(" "), "en", "s1")
+    }
+    (filler ++ Seq(
+      (a, dup, "en", "s1"), // identical pair: j = 1, both in-sample
       (b, dup, "en", "s1"),
-      (c, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10", "en", "s1"), // disjoint
-      (e, "y1 y2", "en", "s1"),                  // short + disjoint
-      (9999L, dup, "en", "s1"))                  // OUT of sample (gate must drop)
-      ).toDF("doc_id", "text", "lang", "source")
+      (out, dup, "en", "s1"))) // identical but beyond the 256-cap
+      .toDF("doc_id", "text", "lang", "source")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    assert(!inSample(9999L), "fixture expects 9999 outside the sample")
     val r = DedupQueries.all("d_minhash_eval")(spark, dir).collect()(0)
     val (truth, cand, hits) = (r.getLong(0), r.getLong(1), r.getLong(2))
-    assert(truth === 1L, "exactly the planted identical pair is truth")
+    assert(truth === 1L,
+      "exactly the planted in-sample identical pair is truth (the cap drops the third copy)")
     assert(hits === 1L, "the identical pair must be recalled")
     assert(r.getDouble(4) === 1.0, "recall must be 1.0")
     assert(cand >= 1L)
