@@ -151,6 +151,12 @@ object Bench {
       try { val t = throughput(spark, sfDir); Some(t) }
       catch { case e: Throwable => errors("throughput") = errMsg(e); None }
 
+    // stop BEFORE emitting the result lines: Spark's shutdown logging
+    // goes to stderr, and with 2>&1 capture an executor-shutdown WARN
+    // interleaved after the headline would displace it as the last
+    // line of output — the exact failure mode the capture fix closed
+    spark.stop()
+
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"
@@ -202,6 +208,5 @@ object Bench {
     }
     sb.append('}').append(sfx)
     println(sb.toString)
-    spark.stop()
   }
 }

@@ -707,6 +707,61 @@ object DedupQueries {
       out
     }),
 
+    // INCREMENTAL dedup — the corpus-ingestion reality at 100 TB: a
+    // new batch (here the doc_id % 20 == 7 slice, ~5 %) is deduped
+    // AGAINST the existing corpus instead of re-clustering everything.
+    // Per batch doc: reason = 'exact' (identical word SET exists in
+    // the corpus — ws-array equality join, the bag-of-words signature
+    // of d_dedup_exact), else 'near' (some corpus doc with word-set
+    // j >= 0.8 in the same lang — the d_minhash_eval RANGE-band trick
+    // makes the bipartite join equi-keyed and provably lossless:
+    // j >= 0.8 forces 4·max(na,nb) <= 5·min(na,nb), so the batch side
+    // explodes to the bounded band range a qualifying partner can
+    // occupy while each corpus doc sits in its single length band),
+    // else 'unique'; keeper = the MIN qualifying corpus doc, exact
+    // match winning. Scale shape: batch ≪ corpus, both joins are
+    // hash-keyed (signature array / (lang, band)) — the corpus is
+    // never self-joined and never shuffled wider than its band keys;
+    // same hash-vs-string oracle independence as d_jaccard_pairs.
+    "d_dedup_incremental" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val docs = load(s, d, "documents")
+        .select($"doc_id", $"lang",
+          sort_array(array_distinct(
+            GraftText.wordShingleHashes(toks($"text"), 1))).as("ws"))
+        .withColumn("nw", size($"ws").cast("long"))
+      // cached: the batch side feeds the exact join, the band explode,
+      // and the final left joins (the jaccardPairsRaw discipline)
+      val batch = docs.filter(pmod($"doc_id", lit(20)) === 7).cache()
+      batch.count()
+      val corpus = docs.filter(pmod($"doc_id", lit(20)) =!= 7)
+      val exact = batch.select($"doc_id", $"ws")
+        .join(corpus.select($"doc_id".as("cid"), $"ws"), "ws")
+        .groupBy($"doc_id").agg(min($"cid").as("exact_keeper"))
+      val lhs = batch.select($"doc_id", $"lang", $"ws".as("wa"),
+        $"nw".as("na"),
+        explode(sequence(expr("((nw * 4 + 4) div 5) div 25"),
+          expr("(nw * 5 div 4) div 25"))).as("band"))
+      val rhs = corpus.select($"doc_id".as("cid"), $"lang",
+        $"ws".as("wb"), $"nw".as("nb"), expr("nw div 25").as("band"))
+      val near = lhs.join(rhs, Seq("lang", "band"))
+        .filter(lit(5) * least($"na", $"nb") >= lit(4) * greatest($"na", $"nb"))
+        .filter(GraftText.jaccardSortedLong($"wa", $"wb") >= 0.8)
+        .groupBy($"doc_id").agg(min($"cid").as("near_keeper"))
+      val res = batch.select($"doc_id")
+        .join(exact, Seq("doc_id"), "left")
+        .join(near, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"exact_keeper", $"near_keeper").as("keeper_id"),
+          when($"exact_keeper".isNotNull, "exact")
+            .when($"near_keeper".isNotNull, "near")
+            .otherwise("unique").as("reason"))
+        .transform(ordered(_, "doc_id"))
+        .localCheckpoint(true)
+      batch.unpersist(false)
+      res
+    }),
+
     // Dedup-quality evaluation — the measure-your-recall audit every
     // approximate dedup deployment runs before trusting it at 100 TB.
     // Methodology: a deterministic FIXED-SIZE audit sample — the
@@ -1045,6 +1100,36 @@ object DedupQueries {
         |FROM iv JOIN sz sa ON iv.src_a = sa.source
         |        JOIN sz sb ON iv.src_b = sb.source
         |ORDER BY src_a, src_b""".stripMargin,
+
+    // bipartite quadratic contract, straight: exact = list equality on
+    // the sorted distinct word sets (the engine joins their FNV hash
+    // arrays — the d_jaccard_pairs independence argument), near = any
+    // same-lang corpus partner at word-set j >= 0.8 (no banding — the
+    // hash match proves the engine's range-banding lossless)
+    "d_dedup_incremental" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS ws,
+        |    len(list_distinct(regexp_split_to_array(trim(text), '\s+')))::BIGINT AS nw
+        |  FROM documents),
+        |b AS (SELECT * FROM d WHERE doc_id % 20 = 7),
+        |c AS (SELECT * FROM d WHERE doc_id % 20 != 7),
+        |ex AS (
+        |  SELECT b.doc_id, min(c.doc_id) AS ek
+        |  FROM b JOIN c ON b.ws = c.ws GROUP BY b.doc_id),
+        |nr AS (
+        |  SELECT b.doc_id, min(c.doc_id) AS nk
+        |  FROM b JOIN c ON b.lang = c.lang
+        |    AND 5 * least(b.nw, c.nw) >= 4 * greatest(b.nw, c.nw)
+        |    AND len(list_intersect(b.ws, c.ws))::DOUBLE /
+        |        len(list_distinct(list_concat(b.ws, c.ws))) >= 0.8
+        |  GROUP BY b.doc_id)
+        |SELECT b.doc_id, coalesce(ex.ek, nr.nk) AS keeper_id,
+        |  CASE WHEN ex.ek IS NOT NULL THEN 'exact'
+        |       WHEN nr.nk IS NOT NULL THEN 'near'
+        |       ELSE 'unique' END AS reason
+        |FROM b LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
 
     // same deterministic fixed-size smallest-N Knuth-hash sample on the
     // wsDef (the hash is injective over doc_id, so ORDER BY … LIMIT is

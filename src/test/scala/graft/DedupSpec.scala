@@ -186,6 +186,30 @@ class DedupSpec extends SparkSpec {
     assert(res(102L) === ((0L, false)))
   }
 
+  test("d_dedup_incremental: exact beats near, near needs j >= 0.8, unique gets no keeper") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_incr").toString
+    val ten = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    Seq(
+      // corpus (doc_id % 20 != 7)
+      (1L, ten, "en", "s1"),                       // exact AND near partner
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 zz", "en", "s1"), // near-only partner
+      (3L, "c1 c2 c3", "en", "s1"),
+      // batch (doc_id % 20 == 7)
+      (7L, ten, "en", "s1"),                       // exact dup of 1 (also near of 2)
+      (27L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 q9", "en", "s1"), // j=9/11=0.818 vs 1 and 2
+      (47L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10", "en", "s1")) // unique
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val res = DedupQueries.all("d_dedup_incremental")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((if (r.isNullAt(1)) -1L else r.getLong(1)),
+        r.getString(2))).toMap
+    assert(res(7L) === ((1L, "exact")), s"exact must win over near: $res")
+    assert(res(27L) === ((1L, "near")), s"min near keeper expected: $res")
+    assert(res(47L) === ((-1L, "unique")), s"unique must carry no keeper: $res")
+  }
+
   test("CharNgramSet equals the composed sort/distinct/transform formulation") {
     import spark.implicits._
     val texts = Seq("", "a", "ab", "abc", "abca", "abcabcabc",
