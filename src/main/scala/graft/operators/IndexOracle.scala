@@ -243,7 +243,56 @@ object IndexOracle {
     * decision for decision. */
   def graphSearchOracle(centroids: Seq[(Int, Seq[Float])], k: Int, ef: Int,
       hops: Int, numQueries: Int, graphK: Int, graphNprobe: Int,
-      entries: Int = 2): String = {
+      entries: Int = 2): String =
+    s"""WITH ${graphHeadCtes(centroids, numQueries, entries, graphK, graphNprobe)},
+       |${beamRounds("", ef, hops)}
+       |SELECT query_id, node AS neighbor_id, r AS rnk,
+       |  round(sqrt(d), 4) AS dist
+       |FROM s$hops WHERE r <= $k ORDER BY query_id, rnk""".stripMargin
+
+  /** v_ef_sweep: the recall-vs-beam-width curve (recall_bench.cpp's
+    * ef_search sweep over the GRAPH serving path — v_nprobe_sweep
+    * covers the IVF knob). The graph, entry, and ground-truth CTEs are
+    * ef-independent and shared; each sweep point unrolls its own
+    * prefixed beam rounds, and hits are counted against the exact
+    * top-k per query. */
+  def efSweepOracle(centroids: Seq[(Int, Seq[Float])], k: Int,
+      efs: Seq[Int], hops: Int, numQueries: Int, graphK: Int,
+      graphNprobe: Int, entries: Int = 2): String = {
+    val perEf = efs.map(ef => beamRounds(s"e${ef}_", ef, hops)).mkString(",\n")
+    val hits = efs.map { ef =>
+      s"""h$ef AS (
+         |  SELECT count(*) AS n FROM (
+         |    SELECT query_id, node FROM e${ef}_s$hops WHERE r <= $k) g
+         |  JOIN gtq ON gtq.query_id = g.query_id
+         |    AND gtq.neighbor_id = g.node)""".stripMargin
+    }.mkString(",\n")
+    val rows = efs.map { ef =>
+      s"""SELECT $ef::BIGINT AS ef, nq.n AS n_queries, h$ef.n AS total_hits,
+         |  round(h$ef.n::DOUBLE / ($k * nq.n), 4) AS avg_recall
+         |FROM h$ef, nq""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${graphHeadCtes(centroids, numQueries, entries, graphK, graphNprobe)},
+       |gtq AS MATERIALIZED (
+       |  SELECT query_id, vec_id AS neighbor_id FROM (
+       |    SELECT q.query_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${l2sqCol("e.embedding", "q.qv", 64)}, e.vec_id) AS r
+       |    FROM embeddings e CROSS JOIN q
+       |  ) WHERE r <= $k),
+       |nq AS (SELECT count(*)::BIGINT AS n FROM q),
+       |$perEf,
+       |$hits
+       |SELECT * FROM ($rows) ORDER BY ef""".stripMargin
+  }
+
+  /** The ef-independent head of the graph-search oracles: literal kNN
+    * graph (MATERIALIZED), per-cluster medoids, the query frame, the
+    * `entries`-nearest-centroid entry beam b0, and the undirected edge
+    * view kgu. */
+  private def graphHeadCtes(centroids: Seq[(Int, Seq[Float])],
+      numQueries: Int, entries: Int, graphK: Int,
+      graphNprobe: Int): String = {
     val edists = centroids.map { case (_, c) => l2sqLit("embedding", 0, c) }
       .mkString("[", ",\n ", "]")
     val qdists = centroids.map { case (_, c) => l2sqLit("qv", 0, c) }
@@ -255,24 +304,7 @@ object IndexOracle {
     val ctes = knnGraphCtes(centroids, graphK, graphNprobe)
       .replaceFirst("\\Aa AS \\(", "a AS MATERIALIZED (")
       .replace("kg AS (", "kg AS MATERIALIZED (")
-    val rounds = (1 to hops).map { h =>
-      val prev = if (h == 1) "b0" else s"b${h - 1}"
-      s"""c$h AS (
-         |  SELECT query_id, node FROM $prev
-         |  UNION
-         |  SELECT b.query_id, kgu.neighbor_id AS node
-         |  FROM $prev b JOIN kgu ON kgu.vec_id = b.node),
-         |s$h AS (
-         |  SELECT query_id, node, d,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY d, node) AS r
-         |  FROM (SELECT c.query_id, c.node,
-         |          ${l2sqCol("e.embedding", "q2.qv", 64)} AS d
-         |        FROM c$h c
-         |        JOIN embeddings e ON e.vec_id = c.node
-         |        JOIN q q2 ON q2.query_id = c.query_id)),
-         |b$h AS (SELECT query_id, node FROM s$h WHERE r <= $ef)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH $ctes,
+    s"""$ctes,
        |med AS (
        |  SELECT cluster_id, vec_id AS medoid FROM (
        |    SELECT cluster_id, vec_id,
@@ -297,12 +329,30 @@ object IndexOracle {
        |kgu AS MATERIALIZED (
        |  SELECT vec_id, neighbor_id FROM kg
        |  UNION
-       |  SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM kg),
-       |$rounds
-       |SELECT query_id, node AS neighbor_id, r AS rnk,
-       |  round(sqrt(d), 4) AS dist
-       |FROM s$hops WHERE r <= $k ORDER BY query_id, rnk""".stripMargin
+       |  SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM kg)""".stripMargin
   }
+
+  /** One unrolled expand->score->keep-ef beam round chain; `prefix`
+    * namespaces the round CTEs so several ef sweep points can share
+    * one statement (hop 1 always enters from the shared b0). */
+  private def beamRounds(prefix: String, ef: Int, hops: Int): String =
+    (1 to hops).map { h =>
+      val prev = if (h == 1) "b0" else s"${prefix}b${h - 1}"
+      s"""${prefix}c$h AS (
+         |  SELECT query_id, node FROM $prev
+         |  UNION
+         |  SELECT b.query_id, kgu.neighbor_id AS node
+         |  FROM $prev b JOIN kgu ON kgu.vec_id = b.node),
+         |${prefix}s$h AS (
+         |  SELECT query_id, node, d,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY d, node) AS r
+         |  FROM (SELECT c.query_id, c.node,
+         |          ${l2sqCol("e.embedding", "q2.qv", 64)} AS d
+         |        FROM ${prefix}c$h c
+         |        JOIN embeddings e ON e.vec_id = c.node
+         |        JOIN q q2 ON q2.query_id = c.query_id)),
+         |${prefix}b$h AS (SELECT query_id, node FROM ${prefix}s$h WHERE r <= $ef)""".stripMargin
+    }.mkString(",\n")
 
   /** v_embed_clusters: connected components over the MUTUAL edges of
     * the kNN graph (a↔b both within each other's top-k — the

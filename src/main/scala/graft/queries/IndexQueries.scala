@@ -389,6 +389,42 @@ object IndexQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // The recall-vs-beam-width curve over the GRAPH serving path
+    // (recall_bench.cpp's ef_search sweep; v_nprobe_sweep covers the
+    // IVF knob): recall@k vs exact ground truth at ef = 10, 16, 24 of
+    // the persisted graph, fixed 3 hops. Monotone in ef BY PROOF: each
+    // round's kept beam grows with ef, so every candidate pool is a
+    // superset of the smaller-ef pool — and among any pool the k best
+    // by exact L2 contain every true-top-k member present (a gt member
+    // outranks every non-member by definition), so hits can only grow.
+    // One shared ground-truth pass; each sweep point searches the SAME
+    // persisted artifacts.
+    "v_ef_sweep" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val ivfDir = IndexStore.ivf(s, d, k = 16)
+      val gDir = IndexStore.knnGraph(s, d, k = 5, nprobe = 2)
+      val e = load(s, d, "embeddings").select($"vec_id", $"embedding")
+      val q = e.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      val gt = e.crossJoin(broadcast(q))
+        .groupBy($"query_id")
+        .agg(topK(l2Sq($"embedding", $"qv"), $"vec_id", K).as("gt"))
+        .select($"query_id",
+          explode(transform($"gt", x => x.getField("id"))).as("neighbor_id"))
+      val nq = q.agg(count(lit(1)).as("n_queries"))
+      EfSweep.map { ef =>
+        graft.operators.GraphSearch.search(s, ivfDir, gDir, e, q,
+            k = K, ef = ef, hops = GraphHops)
+          .join(gt, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("total_hits"))
+          .select(lit(ef.toLong).as("ef"), $"total_hits")
+      }.reduce(_ unionAll _)
+        .crossJoin(broadcast(nq))
+        .select($"ef", $"n_queries", $"total_hits",
+          round($"total_hits" / (lit(K) * $"n_queries"), 4).as("avg_recall"))
+        .orderBy("ef")
+    }),
+
     // Mutual-kNN clustering (the curation grouping pass: concept /
     // near-duplicate families over the embedding space): keep only
     // RECIPROCAL kNN-graph edges — a↔b each in the other's top-5, the
@@ -478,6 +514,10 @@ object IndexQueries {
 
   private val NprobeSweep = Seq(1, 2, 4, 8)
 
+  /** v_ef_sweep's beam widths (all >= K: the final top-k reads off the
+    * ef-beam's scored set). */
+  private val EfSweep = Seq(10, 16, 24)
+
   /** Oracles for the seeded-KMeans entries, generated from the PERSISTED
     * index (see [[graft.operators.IndexOracle]]): centroids/codebooks are
     * read back and embedded as exact double literals, and assignment +
@@ -494,7 +534,7 @@ object IndexQueries {
     Set("v_ivf_build", "v_ivf_search", "v_ivf_filtered", "v_pq_search",
       "v_pq_rerank", "v_ivfpq_search", "d_semantic_dedup",
       "v_nprobe_sweep", "v_quantize_error", "v_knn_graph",
-      "v_ood_score", "v_embed_clusters", "v_graph_search")
+      "v_ood_score", "v_embed_clusters", "v_graph_search", "v_ef_sweep")
 
   /** The approximate kNN graph (v_knn_graph before output ordering):
     * every vector probes its 2 nearest persisted IVF centroids and
@@ -566,6 +606,9 @@ object IndexQueries {
         .embedClustersOracle(cent, k = 5, nprobe = 2),
       "v_graph_search" -> graft.operators.IndexOracle
         .graphSearchOracle(cent, K, GraphEf, GraphHops, NumQueries,
+          graphK = 5, graphNprobe = 2),
+      "v_ef_sweep" -> graft.operators.IndexOracle
+        .efSweepOracle(cent, K, EfSweep, GraphHops, NumQueries,
           graphK = 5, graphNprobe = 2))
     // AnnOracleKeys is VerifyOne's routing table for exactly this map:
     // a key added here but not there would silently route to the static

@@ -75,6 +75,16 @@ class GraphSearchSpec extends SparkSpec {
     }
   }
 
+  test("recall is non-decreasing in ef (kept beams grow, gt members always win)") {
+    // every candidate pool at ef2 > ef1 is a superset of the ef1 pool,
+    // and among any pool the k best by exact L2 contain every true
+    // top-k member present — the v_ef_sweep monotonicity contract
+    val curve = Seq(10, 16, 24).map(ef => ef -> recallAt(10, ef = ef, hops = 3))
+    curve.sliding(2).foreach { case Seq((e1, r1), (e2, r2)) =>
+      assert(r2 >= r1, s"recall fell from $r1 (ef=$e1) to $r2 (ef=$e2)")
+    }
+  }
+
   test("traversal is deterministic: two runs return identical rows") {
     val ivfDir = IndexStore.ivf(spark, fixtureDir)
     val gDir = IndexStore.knnGraph(spark, fixtureDir)
