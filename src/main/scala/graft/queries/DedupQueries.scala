@@ -116,6 +116,48 @@ object DedupQueries {
     (res, tb)
   }
 
+  /** The UNORDERED-cache pre-checkpoint incremental-dedup plan + its
+    * batch cache — factored so PlanSpec asserts the production shape
+    * (the entry's eager checkpoint truncates the executed plan); the
+    * dsirWeightsRaw pattern. Caller owns the returned cache. */
+  private[graft] def dedupIncrementalRaw(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val docs = load(s, d, "documents")
+      .select($"doc_id", $"lang",
+        sort_array(array_distinct(
+          GraftText.wordShingleHashes(toks($"text"), 1))).as("ws"))
+      .withColumn("nw", size($"ws").cast("long"))
+    // cached: the batch side feeds the exact join, the band explode,
+    // and the final left joins (the jaccardPairsRaw discipline)
+    val batch = docs.filter(pmod($"doc_id", lit(20)) === 7).cache()
+    batch.count()
+    val corpus = docs.filter(pmod($"doc_id", lit(20)) =!= 7)
+    val exact = batch.select($"doc_id", $"ws")
+      .join(corpus.select($"doc_id".as("cid"), $"ws"), "ws")
+      .groupBy($"doc_id").agg(min($"cid").as("exact_keeper"))
+    val lhs = batch.select($"doc_id", $"lang", $"ws".as("wa"),
+      $"nw".as("na"),
+      explode(sequence(expr("((nw * 4 + 4) div 5) div 25"),
+        expr("(nw * 5 div 4) div 25"))).as("band"))
+    val rhs = corpus.select($"doc_id".as("cid"), $"lang",
+      $"ws".as("wb"), $"nw".as("nb"), expr("nw div 25").as("band"))
+    val near = lhs.join(rhs, Seq("lang", "band"))
+      .filter(lit(5) * least($"na", $"nb") >= lit(4) * greatest($"na", $"nb"))
+      .filter(GraftText.jaccardSortedLong($"wa", $"wb") >= 0.8)
+      .groupBy($"doc_id").agg(min($"cid").as("near_keeper"))
+    val res = batch.select($"doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"exact_keeper", $"near_keeper").as("keeper_id"),
+        when($"exact_keeper".isNotNull, "exact")
+          .when($"near_keeper".isNotNull, "near")
+          .otherwise("unique").as("reason"))
+      .transform(ordered(_, "doc_id"))
+    (res, batch)
+  }
+
   /** The exact j ≥ 0.8 verifier pairs, unordered — shared by the
     * d_jaccard_pairs entry and as the edge set of d_dedup_cluster.
     * Word sets are 64-bit FNV token hashes computed SCAN-SIDE in one
@@ -724,42 +766,11 @@ object DedupQueries {
     // never self-joined and never shuffled wider than its band keys;
     // same hash-vs-string oracle independence as d_jaccard_pairs.
     "d_dedup_incremental" -> ((s: SparkSession, d: String) => {
-      import s.implicits._
-      val docs = load(s, d, "documents")
-        .select($"doc_id", $"lang",
-          sort_array(array_distinct(
-            GraftText.wordShingleHashes(toks($"text"), 1))).as("ws"))
-        .withColumn("nw", size($"ws").cast("long"))
-      // cached: the batch side feeds the exact join, the band explode,
-      // and the final left joins (the jaccardPairsRaw discipline)
-      val batch = docs.filter(pmod($"doc_id", lit(20)) === 7).cache()
-      batch.count()
-      val corpus = docs.filter(pmod($"doc_id", lit(20)) =!= 7)
-      val exact = batch.select($"doc_id", $"ws")
-        .join(corpus.select($"doc_id".as("cid"), $"ws"), "ws")
-        .groupBy($"doc_id").agg(min($"cid").as("exact_keeper"))
-      val lhs = batch.select($"doc_id", $"lang", $"ws".as("wa"),
-        $"nw".as("na"),
-        explode(sequence(expr("((nw * 4 + 4) div 5) div 25"),
-          expr("(nw * 5 div 4) div 25"))).as("band"))
-      val rhs = corpus.select($"doc_id".as("cid"), $"lang",
-        $"ws".as("wb"), $"nw".as("nb"), expr("nw div 25").as("band"))
-      val near = lhs.join(rhs, Seq("lang", "band"))
-        .filter(lit(5) * least($"na", $"nb") >= lit(4) * greatest($"na", $"nb"))
-        .filter(GraftText.jaccardSortedLong($"wa", $"wb") >= 0.8)
-        .groupBy($"doc_id").agg(min($"cid").as("near_keeper"))
-      val res = batch.select($"doc_id")
-        .join(exact, Seq("doc_id"), "left")
-        .join(near, Seq("doc_id"), "left")
-        .select($"doc_id",
-          coalesce($"exact_keeper", $"near_keeper").as("keeper_id"),
-          when($"exact_keeper".isNotNull, "exact")
-            .when($"near_keeper".isNotNull, "near")
-            .otherwise("unique").as("reason"))
-        .transform(ordered(_, "doc_id"))
-        .localCheckpoint(true)
+      val (res, batch) = dedupIncrementalRaw(s, d)
+      // bounded batch verdicts: materialize, then drop the batch cache
+      val out = res.localCheckpoint(true)
       batch.unpersist(false)
-      res
+      out
     }),
 
     // Dedup-quality evaluation — the measure-your-recall audit every

@@ -75,6 +75,17 @@ class PlanSpec extends SparkSpec {
     // the round-2 graduation contract at the PLAN level: candidates come
     // from hash-join buckets (LSH bands / rare grams), never from a
     // materialized cross join
+    // incremental dedup asserts its PRE-checkpoint plan (the entry's
+    // eager checkpoint truncates the executed plan): exact = signature-
+    // array equality join, near = (lang, band) range-banded equi-join
+    val (incrRaw, incrBatch) =
+      graft.queries.DedupQueries.dedupIncrementalRaw(spark, sfDir)
+    val incrPlan = freshPlan(incrRaw)
+    incrBatch.unpersist(false)
+    assert(!incrPlan.contains("CartesianProduct"),
+      s"d_dedup_incremental has a cartesian:\n$incrPlan")
+    assert(!incrPlan.contains("BroadcastNestedLoopJoin"),
+      s"d_dedup_incremental has a nested-loop join:\n$incrPlan")
     for ((block, name) <- Seq(
         (graft.queries.VectorQueries.all, "v_knn_self_pairs"),
         (graft.queries.DedupQueries.all, "d_embed_neardup"),
