@@ -222,12 +222,12 @@ object ConnectedComponents {
     }
     def put(k: Long, v: Long): Unit = {
       require(k != Long.MinValue, "Long.MinValue key is reserved")
-      val i = idx(k)
+      var i = idx(k)
       if (keys(i) != k) {
         keys(i) = k; n += 1
-        if (n * 2 > cap) grow()
-      } else keys(i) = k
-      val j = idx(k); vals(j) = v
+        if (n * 2 > cap) { grow(); i = idx(k) } // slot moved with the table
+      }
+      vals(i) = v
     }
     private def grow(): Unit = {
       val ok = keys; val ov = vals

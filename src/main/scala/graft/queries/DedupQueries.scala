@@ -85,7 +85,7 @@ object DedupQueries {
     import graft.functions.DetMath
     // consumed three times (bucket stats, totals, per-doc counts):
     // cached so the corpus tokenize+hash scan runs once — the
-    // d_winnow_overlap discipline
+    // jaccardPairsRaw discipline
     val tb = load(s, d, "documents")
       .select($"doc_id", $"source",
         explode(toks(coalesce($"text", lit("")))).as("tok"))
@@ -117,21 +117,27 @@ object DedupQueries {
   }
 
   /** The UNORDERED-cache pre-checkpoint incremental-dedup plan + its
-    * batch cache — factored so PlanSpec asserts the production shape
-    * (the entry's eager checkpoint truncates the executed plan); the
-    * dsirWeightsRaw pattern. Caller owns the returned cache. */
+    * shared signature cache — factored so PlanSpec asserts the
+    * production shape (the entry's eager checkpoint truncates the
+    * executed plan); the dsirWeightsRaw pattern. Caller owns the
+    * returned cache. */
   private[graft] def dedupIncrementalRaw(
       s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
+    // ONE cached signature frame feeds every consumer: the corpus side
+    // is read by BOTH the exact join and the banded near join, and the
+    // batch side by those plus the final left joins — uncached, the
+    // tokenize+hash+sort subtree would run twice over ~95 % of the
+    // documents (the jaccardPairsRaw discipline, eager populate and
+    // all)
     val docs = load(s, d, "documents")
       .select($"doc_id", $"lang",
         sort_array(array_distinct(
           GraftText.wordShingleHashes(toks($"text"), 1))).as("ws"))
       .withColumn("nw", size($"ws").cast("long"))
-    // cached: the batch side feeds the exact join, the band explode,
-    // and the final left joins (the jaccardPairsRaw discipline)
-    val batch = docs.filter(pmod($"doc_id", lit(20)) === 7).cache()
-    batch.count()
+      .cache()
+    docs.count()
+    val batch = docs.filter(pmod($"doc_id", lit(20)) === 7)
     val corpus = docs.filter(pmod($"doc_id", lit(20)) =!= 7)
     val exact = batch.select($"doc_id", $"ws")
       .join(corpus.select($"doc_id".as("cid"), $"ws"), "ws")
@@ -155,7 +161,7 @@ object DedupQueries {
           .when($"near_keeper".isNotNull, "near")
           .otherwise("unique").as("reason"))
       .transform(ordered(_, "doc_id"))
-    (res, batch)
+    (res, docs)
   }
 
   /** The exact j ≥ 0.8 verifier pairs, unordered — shared by the
@@ -766,10 +772,10 @@ object DedupQueries {
     // never self-joined and never shuffled wider than its band keys;
     // same hash-vs-string oracle independence as d_jaccard_pairs.
     "d_dedup_incremental" -> ((s: SparkSession, d: String) => {
-      val (res, batch) = dedupIncrementalRaw(s, d)
-      // bounded batch verdicts: materialize, then drop the batch cache
+      val (res, sigs) = dedupIncrementalRaw(s, d)
+      // bounded batch verdicts: materialize, then drop the signatures
       val out = res.localCheckpoint(true)
-      batch.unpersist(false)
+      sigs.unpersist(false)
       out
     }),
 

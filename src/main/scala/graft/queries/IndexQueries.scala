@@ -392,11 +392,14 @@ object IndexQueries {
     // The recall-vs-beam-width curve over the GRAPH serving path
     // (recall_bench.cpp's ef_search sweep; v_nprobe_sweep covers the
     // IVF knob): recall@k vs exact ground truth at ef = 10, 16, 24 of
-    // the persisted graph, fixed 3 hops. Monotone in ef BY PROOF: each
-    // round's kept beam grows with ef, so every candidate pool is a
-    // superset of the smaller-ef pool — and among any pool the k best
-    // by exact L2 contain every true-top-k member present (a gt member
-    // outranks every non-member by definition), so hits can only grow.
+    // the persisted graph, fixed 3 hops. Recall typically grows with
+    // ef (a wider kept beam explores more of the graph) but is NOT a
+    // theorem across runs: a larger beam's extra frontier can displace
+    // the carrier node whose edge reached a true neighbor in the
+    // smaller run — unlike the hops curve, where monotonicity IS
+    // provable within one run (answer-set gt members persist through
+    // every later candidate pool). The deterministic clustered spec
+    // fixture pins the typical behavior as a regression guard.
     // One shared ground-truth pass; each sweep point searches the SAME
     // persisted artifacts.
     "v_ef_sweep" -> ((s: SparkSession, d: String) => {

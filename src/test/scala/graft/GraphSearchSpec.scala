@@ -75,10 +75,12 @@ class GraphSearchSpec extends SparkSpec {
     }
   }
 
-  test("recall is non-decreasing in ef (kept beams grow, gt members always win)") {
-    // every candidate pool at ef2 > ef1 is a superset of the ef1 pool,
-    // and among any pool the k best by exact L2 contain every true
-    // top-k member present — the v_ef_sweep monotonicity contract
+  test("recall grows with ef on the clustered fixture (regression pin, not a theorem)") {
+    // NOT provable in general (a wider beam's extra frontier can
+    // displace the carrier node that reached a true neighbor in the
+    // narrower run — only the HOPS curve is monotone by proof); the
+    // fixture is fully seeded and the traversal deterministic, so the
+    // typical wider-beam-finds-more behavior is pinned as a regression
     val curve = Seq(10, 16, 24).map(ef => ef -> recallAt(10, ef = ef, hops = 3))
     curve.sliding(2).foreach { case Seq((e1, r1), (e2, r2)) =>
       assert(r2 >= r1, s"recall fell from $r1 (ef=$e1) to $r2 (ef=$e2)")

@@ -78,10 +78,10 @@ class PlanSpec extends SparkSpec {
     // incremental dedup asserts its PRE-checkpoint plan (the entry's
     // eager checkpoint truncates the executed plan): exact = signature-
     // array equality join, near = (lang, band) range-banded equi-join
-    val (incrRaw, incrBatch) =
+    val (incrRaw, incrSigs) =
       graft.queries.DedupQueries.dedupIncrementalRaw(spark, sfDir)
     val incrPlan = freshPlan(incrRaw)
-    incrBatch.unpersist(false)
+    incrSigs.unpersist(false)
     assert(!incrPlan.contains("CartesianProduct"),
       s"d_dedup_incremental has a cartesian:\n$incrPlan")
     assert(!incrPlan.contains("BroadcastNestedLoopJoin"),
