@@ -86,20 +86,32 @@ object GraphSearch {
   def search(s: SparkSession, ivfDir: String, graphDir: String,
       e: DataFrame, q: DataFrame, k: Int, ef: Int, hops: Int,
       entries: Int = 2): DataFrame = {
-    require(k <= ef, s"k=$k must be <= ef=$ef")
-    require(hops >= 1, s"hops must be >= 1, got $hops")
-    require(entries >= 1, s"entries must be >= 1, got $entries")
     import s.implicits._
     val cent = s.read.parquet(s"$ivfDir/centroids")
       .select($"cluster_id", $"centroid")
     val med = s.read.parquet(s"$graphDir/medoids")
+    val stored = s.read.parquet(s"$graphDir/edges")
+      .select($"vec_id".as("node"), $"neighbor_id")
+    searchFrames(s, cent, med, stored, e, q, k, ef, hops, entries)
+  }
+
+  /** [[search]] over caller-supplied centroid/medoid/edge FRAMES — the
+    * insert path masks "not yet inserted" rows out of each of them and
+    * reuses the identical traversal (the reference's soft-delete
+    * filtering: hnsw marks nodes deleted and skips them during search,
+    * it never restructures the graph per query). */
+  def searchFrames(s: SparkSession, cent: DataFrame, med: DataFrame,
+      stored: DataFrame, e: DataFrame, q: DataFrame, k: Int, ef: Int,
+      hops: Int, entries: Int = 2): DataFrame = {
+    require(k <= ef, s"k=$k must be <= ef=$ef")
+    require(hops >= 1, s"hops must be >= 1, got $hops")
+    require(entries >= 1, s"entries must be >= 1, got $entries")
+    import s.implicits._
     // expand through the graph UNDIRECTED: a stored kNN edge a→b is
     // followed both ways, the role of HNSW's reverse links (its insert
     // wires b→a for every a→b). A directed 5-NN graph strands low
     // in-degree nodes — no out-path reaches them — and measured
     // recall@10 0.86 on the clustered spec fixture vs ≥0.9 undirected.
-    val stored = s.read.parquet(s"$graphDir/edges")
-      .select($"vec_id".as("node"), $"neighbor_id")
     val edges = stored.union(
       stored.select($"neighbor_id".as("node"), $"node".as("neighbor_id")))
     val vecs = e.select($"vec_id".as("node"), $"embedding".as("nv"))

@@ -286,13 +286,31 @@ object IndexOracle {
        |SELECT * FROM ($rows) ORDER BY ef""".stripMargin
   }
 
+  /** v_graph_insert: the HNSW insert path — each "new" vector (the
+    * doc-slice predicate) beam-searches the graph with the new batch
+    * MASKED out of medoids, edges, and candidates (the reference's
+    * soft-delete filtering), and its k best become its new adjacency.
+    * Same unrolled rounds as graphSearchOracle over the masked CTEs. */
+  def graphInsertOracle(centroids: Seq[(Int, Seq[Float])], k: Int,
+      ef: Int, hops: Int, batchPredOf: String => String, graphK: Int,
+      graphNprobe: Int, entries: Int = 2): String =
+    s"""WITH ${graphHeadCtes(centroids, 0, entries, graphK, graphNprobe,
+           qPred = Some(batchPredOf("vec_id")),
+           nodeMask = Some(batchPredOf))},
+       |${beamRounds("", ef, hops)}
+       |SELECT query_id AS vec_id, node AS neighbor_id, r AS rnk,
+       |  round(sqrt(d), 4) AS dist
+       |FROM s$hops WHERE r <= $k ORDER BY vec_id, rnk""".stripMargin
+
   /** The ef-independent head of the graph-search oracles: literal kNN
     * graph (MATERIALIZED), per-cluster medoids, the query frame, the
     * `entries`-nearest-centroid entry beam b0, and the undirected edge
     * view kgu. */
   private def graphHeadCtes(centroids: Seq[(Int, Seq[Float])],
       numQueries: Int, entries: Int, graphK: Int,
-      graphNprobe: Int): String = {
+      graphNprobe: Int,
+      qPred: Option[String] = None,
+      nodeMask: Option[String => String] = None): String = {
     val edists = centroids.map { case (_, c) => l2sqLit("embedding", 0, c) }
       .mkString("[", ",\n ", "]")
     val qdists = centroids.map { case (_, c) => l2sqLit("qv", 0, c) }
@@ -310,10 +328,12 @@ object IndexOracle {
        |    SELECT cluster_id, vec_id,
        |      row_number() OVER (PARTITION BY cluster_id
        |        ORDER BY ds[cluster_id + 1], vec_id) AS r
-       |    FROM (SELECT vec_id, cluster_id, $edists AS ds FROM a)
+       |    FROM (SELECT vec_id, cluster_id, $edists AS ds FROM a
+       |          WHERE ${nodeMask.map(m => s"NOT (${m("vec_id")})").getOrElse("TRUE")})
        |  ) WHERE r = 1),
        |q AS (SELECT vec_id AS query_id, embedding AS qv
-       |      FROM embeddings WHERE vec_id < $numQueries),
+       |      FROM embeddings
+       |      WHERE ${qPred.getOrElse(s"vec_id < $numQueries")}),
        |qc AS (
        |  SELECT query_id, cluster_id FROM (
        |    SELECT query_id, cid AS cluster_id,
@@ -326,10 +346,15 @@ object IndexOracle {
        |-- undirected expansion: every stored a->b edge is followed both
        |-- ways (the engine unions the reversed edge table; UNION dedup
        |-- == its distinct)
-       |kgu AS MATERIALIZED (
+       |kept AS (
        |  SELECT vec_id, neighbor_id FROM kg
+       |  WHERE ${nodeMask.map(m =>
+             s"NOT (${m("vec_id")}) AND NOT (${m("neighbor_id")})")
+            .getOrElse("TRUE")}),
+       |kgu AS MATERIALIZED (
+       |  SELECT vec_id, neighbor_id FROM kept
        |  UNION
-       |  SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM kg)""".stripMargin
+       |  SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM kept)""".stripMargin
   }
 
   /** One unrolled expand->score->keep-ef beam round chain; `prefix`

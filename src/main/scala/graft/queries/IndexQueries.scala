@@ -428,6 +428,49 @@ object IndexQueries {
         .orderBy("ef")
     }),
 
+    // The HNSW INSERT path (hnsw_index.h's add: search the existing
+    // graph for the new point's neighbors, link to the best k) made
+    // set-at-a-time: a batch of "new" vectors (the vec_id % 25 == 3
+    // slice) beam-searches the persisted graph with the batch MASKED
+    // out of medoids, edges, and candidates — the reference's own
+    // soft-delete filtering, never a per-query graph rebuild — and
+    // each vector's top-5 IS its new adjacency (v_knn_graph's row
+    // shape, so the output unions straight into the edge table).
+    // Scale shape: identical to v_graph_search (the batch is the
+    // broadcast side everywhere); masks are scan-side predicates.
+    "v_graph_insert" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val ivfDir = IndexStore.ivf(s, d, k = 16)
+      val gDir = IndexStore.knnGraph(s, d, k = 5, nprobe = 2)
+      def isNew(c: org.apache.spark.sql.Column) = pmod(c, lit(25)) === 3
+      val e = load(s, d, "embeddings").select($"vec_id", $"embedding")
+      val existing = e.filter(!isNew($"vec_id"))
+      val batch = e.filter(isNew($"vec_id"))
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      val cent = s.read.parquet(s"$ivfDir/centroids")
+        .select($"cluster_id", $"centroid")
+      // entry medoids over EXISTING members only: a not-yet-inserted
+      // node must not serve as an entry point
+      val med = s.read.parquet(s"$ivfDir/assignments")
+        .filter(!isNew($"vec_id"))
+        .select($"vec_id", $"embedding",
+          $"cluster_id".cast("long").as("cluster_id"))
+        .join(broadcast(cent.select(
+          $"cluster_id".cast("long").as("cluster_id"), $"centroid")),
+          "cluster_id")
+        .groupBy($"cluster_id")
+        .agg(topK(l2Sq($"embedding", $"centroid"), $"vec_id", 1).as("m"))
+        .select($"cluster_id",
+          element_at($"m", 1).getField("id").as("medoid_id"))
+      val stored = s.read.parquet(s"$gDir/edges")
+        .filter(!isNew($"vec_id") && !isNew($"neighbor_id"))
+        .select($"vec_id".as("node"), $"neighbor_id")
+      graft.operators.GraphSearch.searchFrames(s, cent, med, stored,
+          existing, batch, k = 5, ef = GraphEf, hops = GraphHops)
+        .select($"query_id".as("vec_id"), $"neighbor_id", $"rnk", $"dist")
+        .orderBy("vec_id", "rnk")
+    }),
+
     // Mutual-kNN clustering (the curation grouping pass: concept /
     // near-duplicate families over the embedding space): keep only
     // RECIPROCAL kNN-graph edges — a↔b each in the other's top-5, the
@@ -537,7 +580,8 @@ object IndexQueries {
     Set("v_ivf_build", "v_ivf_search", "v_ivf_filtered", "v_pq_search",
       "v_pq_rerank", "v_ivfpq_search", "d_semantic_dedup",
       "v_nprobe_sweep", "v_quantize_error", "v_knn_graph",
-      "v_ood_score", "v_embed_clusters", "v_graph_search", "v_ef_sweep")
+      "v_ood_score", "v_embed_clusters", "v_graph_search", "v_ef_sweep",
+      "v_graph_insert")
 
   /** The approximate kNN graph (v_knn_graph before output ordering):
     * every vector probes its 2 nearest persisted IVF centroids and
@@ -612,6 +656,10 @@ object IndexQueries {
           graphK = 5, graphNprobe = 2),
       "v_ef_sweep" -> graft.operators.IndexOracle
         .efSweepOracle(cent, K, EfSweep, GraphHops, NumQueries,
+          graphK = 5, graphNprobe = 2),
+      "v_graph_insert" -> graft.operators.IndexOracle
+        .graphInsertOracle(cent, k = 5, ef = GraphEf, hops = GraphHops,
+          batchPredOf = c => s"($c % 25) = 3",
           graphK = 5, graphNprobe = 2))
     // AnnOracleKeys is VerifyOne's routing table for exactly this map:
     // a key added here but not there would silently route to the static
