@@ -334,11 +334,16 @@ object IndexQueries {
         .agg(topK(l2Sq($"embedding", $"qv"), $"vec_id", K).as("gt"))
         .select($"query_id",
           explode(transform($"gt", x => x.getField("id"))).as("neighbor_id"))
-        // deliberately NOT cached: the four sweep branches' gt subtrees
-        // are plan-identical, and measured runs show exchange reuse
-        // collapses them (2.4 s); forcing a cache materialization
-        // measured 4.5 s — the jaccardPairsRaw recompute pathology
-        // needs a lazy-checkpoint race this shape doesn't have
+        // EAGER checkpoint of the |Q|·k ground-truth rows: the four
+        // sweep branches' gt subtrees are plan-identical and exchange
+        // reuse USUALLY collapses them, but reuse is best-effort under
+        // AQE — record runs swung 2.1–4.5 s with the occasional branch
+        // recomputing the corpus pass. 80 stored rows make the truth
+        // side compute exactly once, unconditionally. (A lazy .cache()
+        // here measured WORSE — the two-sided-read race — which is why
+        // the earlier note rejected caching; the eager checkpoint has
+        // neither failure mode.)
+        .localCheckpoint(true)
       val nq = q.agg(count(lit(1)).as("n_queries"))
       NprobeSweep.map { np =>
         IvfIndex.searchPruned(s, dir, q, K, nprobe = np)
@@ -414,6 +419,8 @@ object IndexQueries {
         .agg(topK(l2Sq($"embedding", $"qv"), $"vec_id", K).as("gt"))
         .select($"query_id",
           explode(transform($"gt", x => x.getField("id"))).as("neighbor_id"))
+        // eager |Q|·k checkpoint — the v_nprobe_sweep discipline
+        .localCheckpoint(true)
       val nq = q.agg(count(lit(1)).as("n_queries"))
       EfSweep.map { ef =>
         graft.operators.GraphSearch.search(s, ivfDir, gDir, e, q,
