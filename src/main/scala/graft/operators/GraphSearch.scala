@@ -65,7 +65,18 @@ object GraphSearch {
     import s.implicits._
     val cent = s.read.parquet(s"$ivfDir/centroids")
       .select($"cluster_id".cast("long").as("cluster_id"), $"centroid")
-    s.read.parquet(s"$ivfDir/assignments")
+    medoidsOf(s.read.parquet(s"$ivfDir/assignments"), cent)
+  }
+
+  /** [[medoids]] over a caller-supplied assignments frame — the ONE
+    * definition of the medoid rule (nearest-own-centroid member, ties
+    * by vec_id); the insert path passes assignments with the
+    * not-yet-inserted batch filtered out. `cent` must carry
+    * (cluster_id long, centroid). */
+  def medoidsOf(assignments: DataFrame, cent: DataFrame): DataFrame = {
+    val s = assignments.sparkSession
+    import s.implicits._
+    assignments
       .select($"vec_id", $"embedding", $"cluster_id".cast("long").as("cluster_id"))
       .join(broadcast(cent), "cluster_id")
       .groupBy($"cluster_id")

@@ -449,26 +449,20 @@ object IndexQueries {
       import s.implicits._
       val ivfDir = IndexStore.ivf(s, d, k = 16)
       val gDir = IndexStore.knnGraph(s, d, k = 5, nprobe = 2)
-      def isNew(c: org.apache.spark.sql.Column) = pmod(c, lit(25)) === 3
+      def isNew(c: org.apache.spark.sql.Column) =
+        pmod(c, lit(InsertBatchMod)) === InsertBatchResidue
       val e = load(s, d, "embeddings").select($"vec_id", $"embedding")
       val existing = e.filter(!isNew($"vec_id"))
       val batch = e.filter(isNew($"vec_id"))
         .select($"vec_id".as("query_id"), $"embedding".as("qv"))
       val cent = s.read.parquet(s"$ivfDir/centroids")
         .select($"cluster_id", $"centroid")
-      // entry medoids over EXISTING members only: a not-yet-inserted
-      // node must not serve as an entry point
-      val med = s.read.parquet(s"$ivfDir/assignments")
-        .filter(!isNew($"vec_id"))
-        .select($"vec_id", $"embedding",
-          $"cluster_id".cast("long").as("cluster_id"))
-        .join(broadcast(cent.select(
-          $"cluster_id".cast("long").as("cluster_id"), $"centroid")),
-          "cluster_id")
-        .groupBy($"cluster_id")
-        .agg(topK(l2Sq($"embedding", $"centroid"), $"vec_id", 1).as("m"))
-        .select($"cluster_id",
-          element_at($"m", 1).getField("id").as("medoid_id"))
+      // entry medoids over EXISTING members only (a not-yet-inserted
+      // node must not serve as an entry point) — the ONE medoid rule,
+      // shared with the persisted-store build (GraphSearch.medoidsOf)
+      val med = graft.operators.GraphSearch.medoidsOf(
+        s.read.parquet(s"$ivfDir/assignments").filter(!isNew($"vec_id")),
+        cent.select($"cluster_id".cast("long").as("cluster_id"), $"centroid"))
       val stored = s.read.parquet(s"$gDir/edges")
         .filter(!isNew($"vec_id") && !isNew($"neighbor_id"))
         .select($"vec_id".as("node"), $"neighbor_id")
@@ -571,6 +565,14 @@ object IndexQueries {
     * ef-beam's scored set). */
   private val EfSweep = Seq(10, 16, 24)
 
+  /** v_graph_insert's "new batch" slice: vec_id % mod == residue.
+    * ONE pair of constants feeds the engine Column predicate, the
+    * oracle SQL string, and the spec — three hand-copies of the
+    * predicate could silently drift and only surface as an opaque
+    * hash-gate mismatch. */
+  private[graft] val InsertBatchMod = 25
+  private[graft] val InsertBatchResidue = 3
+
   /** Oracles for the seeded-KMeans entries, generated from the PERSISTED
     * index (see [[graft.operators.IndexOracle]]): centroids/codebooks are
     * read back and embedded as exact double literals, and assignment +
@@ -666,7 +668,7 @@ object IndexQueries {
           graphK = 5, graphNprobe = 2),
       "v_graph_insert" -> graft.operators.IndexOracle
         .graphInsertOracle(cent, k = 5, ef = GraphEf, hops = GraphHops,
-          batchPredOf = c => s"($c % 25) = 3",
+          batchPredOf = c => s"($c % $InsertBatchMod) = $InsertBatchResidue",
           graphK = 5, graphNprobe = 2))
     // AnnOracleKeys is VerifyOne's routing table for exactly this map:
     // a key added here but not there would silently route to the static

@@ -88,19 +88,21 @@ class GraphSearchSpec extends SparkSpec {
   }
 
   test("insert path: masked links only, dense ranks, links stay in-cluster") {
-    // v_graph_insert over the clustered fixture: the vec_id % 25 == 3
-    // slice is "new"; its links must never touch another new vector
-    // (the soft-delete mask), every vector gets exactly 5 dense-ranked
+    // v_graph_insert over the clustered fixture: the InsertBatch slice
+    // is "new"; its links must never touch another new vector (the
+    // soft-delete mask), every vector gets exactly 5 dense-ranked
     // links, and on 8 well-separated Gaussians the links land in the
     // vector's own planted cluster (membership = vec_id % 8)
+    val mod = graft.queries.IndexQueries.InsertBatchMod
+    val res = graft.queries.IndexQueries.InsertBatchResidue
     val rows = graft.queries.IndexQueries.all("v_graph_insert")(spark, fixtureDir)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val byVec = rows.groupBy(_._1)
-    assert(byVec.nonEmpty && byVec.keys.forall(_ % 25 == 3))
+    assert(byVec.nonEmpty && byVec.keys.forall(_ % mod == res))
     byVec.foreach { case (v, links) =>
       assert(links.map(_._3).sorted.toSeq === (1L to 5L), s"ranks not dense for $v")
-      assert(links.forall(_._2 % 25 != 3), s"$v linked to a masked batch node")
+      assert(links.forall(_._2 % mod != res), s"$v linked to a masked batch node")
     }
     val inCluster = rows.count { case (v, n, _) => v % 8 == n % 8 }
     assert(inCluster.toDouble / rows.length >= 0.9,
