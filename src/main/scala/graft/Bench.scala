@@ -123,6 +123,8 @@ object Bench {
       "store:ivf" -> (() => graft.operators.IndexStore.ivf(spark, sfDir, k = 16)),
       "store:pq" -> (() => graft.operators.IndexStore.pq(spark, sfDir)),
       "store:ivfpq" -> (() => graft.operators.IndexStore.ivfpq(spark, sfDir)),
+      "store:knng" -> (() => graft.operators.IndexStore.knnGraph(spark, sfDir)),
+      "store:hnsw" -> (() => graft.operators.IndexStore.hnsw(spark, sfDir)),
       "store:sq8" -> (() => graft.operators.IndexStore.sq8(spark, sfDir)),
       // the LM-score and BPE-merge stores are corpus-build artifacts
       // like the indexes: the timed entries measure inference/read,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftVector._
@@ -36,17 +36,116 @@ object GraphSearch {
   def knnGraph(s: SparkSession, ivfDir: String, e: DataFrame,
       k: Int = 5, nprobe: Int = 2): DataFrame = {
     import s.implicits._
+    val members = s.read.parquet(s"$ivfDir/assignments")
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("nv"),
+        $"cluster_id".cast("long").as("cluster_id"))
+    knnGraphFrames(s.read.parquet(s"$ivfDir/centroids")
+      .select($"cluster_id", $"centroid"), members, e, k, nprobe)
+  }
+
+  /** Deterministic HNSW level assignment (hnsw_index.h:get_random_level
+    * draws level = floor(-ln(u)·1/ln(M)) — geometric occupancy
+    * P(level≥l) = M^-l). A distributed build can't thread an RNG
+    * through insert order, so the level is a pure function of the id:
+    * a multiplicative hash folded through a prime modulus, a
+    * mid-square avalanche pass, then power-of-two buckets —
+    * P(≥1)=1/8, P(≥2)=1/64 (M=8). Both folds matter: `id % 8` alone
+    * would tie layer membership to data generation order, and the
+    * multiplicative step alone keeps lattice structure (sequential
+    * ids land in arithmetic progressions, measured: all top-layer
+    * nodes in 2 of 8 planted clusters) — squaring breaks the
+    * linearity. Exact in int64 for ids < ~3.4e9 (beyond that, shard
+    * the id space before assignment). */
+  def levelCol(id: Column): Column = {
+    val h = pmod(id * lit(2654435761L), lit(1000003L))
+    val h2 = pmod(h * h + h, lit(999983L))
+    when(pmod(h2, lit(64)) === 0, 2)
+      .when(pmod(h2, lit(8)) === 0, 1)
+      .otherwise(0)
+  }
+
+  /** One of HNSW's sparse upper layers as an edge table: a kNN graph
+    * over the level-≥`minLevel` nodes, pruned by the reference's
+    * SELECT-NEIGHBORS HEURISTIC (hnsw_index.h:add_neighbor_inplace —
+    * scan candidates nearest-first, keep c only if it is closer to the
+    * node than to every already-kept neighbor, backfill nearest
+    * rejected to k). The heuristic is what makes the descent work at
+    * all: plain k-nearest edges cluster-collapse (every edge
+    * short-range, the graph disconnects across density modes and a
+    * greedy walk can never cross), while the diversity rule forces
+    * each node's edge budget to SPREAD — the long-range bridges
+    * Malkov & Yashunin's paper motivates. Candidates come from the
+    * same IVF probe rule as [[knnGraph]], pre-truncated to a bounded
+    * `shortlist` (the ef_construction analog — keeps per-node state
+    * bounded at any corpus size); `nprobe` is per-layer because
+    * sparser layers must probe more clusters to find any same-layer
+    * neighbors (the topmost probes all of them — at n/8^l occupancy
+    * still a vanishing slice, and a 100 TB build adds layers rather
+    * than widening one). The fold is scan-side (one shuffle to group
+    * the shortlist, then pure array expressions — no UDF). */
+  def layerGraph(s: SparkSession, ivfDir: String, e: DataFrame,
+      minLevel: Int, k: Int = 3, nprobe: Int = 4,
+      shortlist: Int = 32): DataFrame = {
+    import s.implicits._
+    val nodes = e.filter(levelCol($"vec_id") >= minLevel)
+    val members = s.read.parquet(s"$ivfDir/assignments")
+      .filter(levelCol($"vec_id") >= minLevel)
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("nv"),
+        $"cluster_id".cast("long").as("cluster_id"))
     val cent = s.read.parquet(s"$ivfDir/centroids")
       .select($"cluster_id", $"centroid")
+    val probes = nodes.crossJoin(broadcast(cent))
+      .groupBy($"vec_id")
+      .agg(topK(l2Sq($"embedding", $"centroid"), $"cluster_id".cast("long"),
+        nprobe).as("ps"))
+      .select($"vec_id".as("query_id"),
+        explode(transform($"ps", p => p.getField("id"))).as("cluster_id"))
+    val sl = probes.join(members, "cluster_id")
+      .filter($"neighbor_id" =!= $"query_id")
+      .join(nodes.select($"vec_id".as("query_id"), $"embedding".as("qv")),
+        "query_id")
+      .groupBy($"query_id")
+      .agg(topK(l2Sq($"nv", $"qv"), $"neighbor_id", shortlist).as("sl"))
+    // re-attach candidate embeddings (bounded: shortlist rows/node) for
+    // the pairwise diversity checks, sorted by (d, id) = scan order
+    val cands = sl.select($"query_id", explode($"sl").as("c"))
+      .select($"query_id", $"c.score".as("d"), $"c.id".as("id"))
+      .join(e.select($"vec_id".as("id"), $"embedding".as("cemb")), "id")
+      .groupBy($"query_id")
+      .agg(sort_array(collect_list(struct($"d", $"id", $"cemb"))).as("cands"))
+    // the heuristic: left-fold in scan order; keep iff closer to the
+    // node than to every kept neighbor (ties keep, as the reference's
+    // strict `<` reject). slice(...,1,0) = the empty accumulator of
+    // the right struct type.
+    val sel = aggregate($"cands", slice($"cands", 1, 0), (acc, c) =>
+      when(size(acc) >= k, acc)
+        .when(forall(acc, kept =>
+            l2Sq(c.getField("cemb"), kept.getField("cemb")) >= c.getField("d")),
+          concat(acc, array(c)))
+        .otherwise(acc))
+    val withSel = cands.select($"query_id", $"cands", sel.as("sel"))
+    val selIds = transform($"sel", x => x.getField("id"))
+    val fin = slice(concat($"sel",
+      filter($"cands", c => !array_contains(selIds, c.getField("id")))), 1, k)
+    withSel.select($"query_id".as("vec_id"), posexplode(fin))
+      .select($"vec_id", $"col.id".as("neighbor_id"),
+        ($"pos" + 1).cast("long").as("rnk"),
+        round(sqrt($"col.d"), 4).as("dist"))
+  }
+
+  /** The probe→rank kNN-graph core shared by [[knnGraph]] and
+    * [[layerGraph]]: `e` probes its nprobe nearest centroids, `members`
+    * (neighbor_id, nv, cluster_id) supplies the candidates. */
+  private def knnGraphFrames(cent: DataFrame, members: DataFrame,
+      e: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val s = cent.sparkSession
+    import s.implicits._
     val probes = e.crossJoin(broadcast(cent))
       .groupBy($"vec_id")
       .agg(topK(l2Sq($"embedding", $"centroid"), $"cluster_id".cast("long"),
         nprobe).as("ps"))
       .select($"vec_id".as("query_id"),
         explode(transform($"ps", p => p.getField("id"))).as("cluster_id"))
-    val members = s.read.parquet(s"$ivfDir/assignments")
-      .select($"vec_id".as("neighbor_id"), $"embedding".as("nv"),
-        $"cluster_id".cast("long").as("cluster_id"))
     probes.join(members, "cluster_id")
       .filter($"neighbor_id" =!= $"query_id")
       .join(e.select($"vec_id".as("query_id"), $"embedding".as("qv")),
@@ -118,18 +217,11 @@ object GraphSearch {
     require(hops >= 1, s"hops must be >= 1, got $hops")
     require(entries >= 1, s"entries must be >= 1, got $entries")
     import s.implicits._
-    // expand through the graph UNDIRECTED: a stored kNN edge a→b is
-    // followed both ways, the role of HNSW's reverse links (its insert
-    // wires b→a for every a→b). A directed 5-NN graph strands low
-    // in-degree nodes — no out-path reaches them — and measured
-    // recall@10 0.86 on the clustered spec fixture vs ≥0.9 undirected.
-    val edges = stored.union(
-      stored.select($"neighbor_id".as("node"), $"node".as("neighbor_id")))
     val vecs = e.select($"vec_id".as("node"), $"embedding".as("nv"))
     // entry: `entries` nearest centroids per query (rank by
     // (d, cluster_id)) → each cluster's medoid. Distinct medoids by
     // construction (a medoid is a member of its own cluster).
-    var beam = q.crossJoin(broadcast(cent))
+    val entry = q.crossJoin(broadcast(cent))
       .groupBy($"query_id")
       .agg(topK(l2Sq($"qv", $"centroid"), $"cluster_id".cast("long"), entries)
         .as("c"))
@@ -137,6 +229,30 @@ object GraphSearch {
         explode(transform($"c", x => x.getField("id"))).as("cluster_id"))
       .join(broadcast(med), "cluster_id")
       .select($"query_id", $"medoid_id".as("node"))
+    finalTopK(beamLoop(undirected(stored), vecs, q, entry, ef, hops), k)
+  }
+
+  /** Every stored a→b edge followed both ways, the role of HNSW's
+    * reverse links (its insert wires b→a for every a→b). A directed
+    * 5-NN graph strands low in-degree nodes — no out-path reaches
+    * them — and measured recall@10 0.86 on the clustered spec fixture
+    * vs ≥0.9 undirected. `stored` carries (node, neighbor_id). */
+  private def undirected(stored: DataFrame): DataFrame = {
+    val s = stored.sparkSession
+    import s.implicits._
+    stored.union(
+      stored.select($"neighbor_id".as("node"), $"node".as("neighbor_id")))
+  }
+
+  /** The expand→score→keep-ef beam loop from a caller-supplied entry
+    * beam (query_id, node) — shared by the medoid-entry search, the
+    * layered descent, and the insert path. Returns the final scored
+    * frame (query_id, beam: array⟨(score,id)⟩ ranked by (d, node)). */
+  private def beamLoop(edges: DataFrame, vecs: DataFrame, q: DataFrame,
+      entry: DataFrame, ef: Int, hops: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    var beam = entry
     var scored: DataFrame = null
     for (_ <- 1 to hops) {
       // candidates = beam ∪ graph-neighbors(beam). The beam is the
@@ -160,10 +276,56 @@ object GraphSearch {
         explode(transform($"beam", x => x.getField("id"))).as("node"))
     }
     scored
+  }
+
+  /** (query_id, neighbor_id, rnk, dist) off a scored beam frame. */
+  private def finalTopK(scored: DataFrame, k: Int): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    scored
       .select($"query_id", posexplode($"beam"))
       .filter($"pos" < k)
       .select($"query_id", $"col.id".as("neighbor_id"),
         ($"pos" + 1).cast("long").as("rnk"),
         round(sqrt($"col.score"), 4).as("dist"))
+  }
+
+  /** The full layered search (hnsw_index.h:268-330: greedy descent from
+    * the global entry point through the sparse upper layers, then an
+    * ef-beam search at layer 0). Set-at-a-time: each upper layer is a
+    * persisted edge table over its level-≥l nodes ([[layerGraph]]), the
+    * descent is the SAME beam loop with a width-`descentEf` beam
+    * (ef=1 is the reference's greedy walk; 2 keeps a fallback frontier
+    * the way the layer-0 search keeps `entries` medoids), and the final
+    * layer-1 beam IS the layer-0 entry — replacing v_graph_search's
+    * medoid entry with the structure the reference actually descends.
+    * Every layer's loop is |Q|·descentEf broadcast rows probing
+    * key-partitioned edge tables — the upper layers add O(hops) tiny
+    * barrier stages, never a corpus-scale shuffle. */
+  def hnswSearch(s: SparkSession, hnswDir: String, graphDir: String,
+      e: DataFrame, q: DataFrame, k: Int, ef: Int, hops: Int,
+      descentEf: Int = 2, descentHops: Int = 2): DataFrame = {
+    require(k <= ef, s"k=$k must be <= ef=$ef")
+    import s.implicits._
+    val vecs = e.select($"vec_id".as("node"), $"embedding".as("nv"))
+    def layerEdges(name: String) = undirected(
+      s.read.parquet(s"$hnswDir/$name")
+        .select($"vec_id".as("node"), $"neighbor_id"))
+    // the global entry point: the min-id node of the top layer (the
+    // reference's enter_point_ is "first insert to reach the top
+    // level" — insert order doesn't exist distributed, min id does)
+    val entry = q.select($"query_id")
+      .crossJoin(broadcast(s.read.parquet(s"$hnswDir/entry")))
+    val s2 = beamLoop(layerEdges("layer2"), vecs, q, entry,
+      descentEf, descentHops)
+    val b1 = s2.select($"query_id",
+      explode(transform($"beam", x => x.getField("id"))).as("node"))
+    val s1 = beamLoop(layerEdges("layer1"), vecs, q, b1,
+      descentEf, descentHops)
+    val b0 = s1.select($"query_id",
+      explode(transform($"beam", x => x.getField("id"))).as("node"))
+    val stored = s.read.parquet(s"$graphDir/edges")
+      .select($"vec_id".as("node"), $"neighbor_id")
+    finalTopK(beamLoop(undirected(stored), vecs, q, b0, ef, hops), k)
   }
 }

@@ -359,15 +359,18 @@ object IndexOracle {
 
   /** One unrolled expand->score->keep-ef beam round chain; `prefix`
     * namespaces the round CTEs so several ef sweep points can share
-    * one statement (hop 1 always enters from the shared b0). */
-  private def beamRounds(prefix: String, ef: Int, hops: Int): String =
+    * one statement (hop 1 always enters from the shared b0). `edges` /
+    * `entry` parametrize the undirected edge CTE and the entry beam —
+    * the layered oracle runs this same chain per layer. */
+  private def beamRounds(prefix: String, ef: Int, hops: Int,
+      edges: String = "kgu", entry: String = "b0"): String =
     (1 to hops).map { h =>
-      val prev = if (h == 1) "b0" else s"${prefix}b${h - 1}"
+      val prev = if (h == 1) entry else s"${prefix}b${h - 1}"
       s"""${prefix}c$h AS (
          |  SELECT query_id, node FROM $prev
          |  UNION
-         |  SELECT b.query_id, kgu.neighbor_id AS node
-         |  FROM $prev b JOIN kgu ON kgu.vec_id = b.node),
+         |  SELECT b.query_id, $edges.neighbor_id AS node
+         |  FROM $prev b JOIN $edges ON $edges.vec_id = b.node),
          |${prefix}s$h AS (
          |  SELECT query_id, node, d,
          |    row_number() OVER (PARTITION BY query_id ORDER BY d, node) AS r
@@ -378,6 +381,132 @@ object IndexOracle {
          |        JOIN q q2 ON q2.query_id = c.query_id)),
          |${prefix}b$h AS (SELECT query_id, node FROM ${prefix}s$h WHERE r <= $ef)""".stripMargin
     }.mkString(",\n")
+
+  /** The deterministic HNSW level rule (GraphSearch.levelCol): a
+    * multiplicative hash folded through a prime, a mid-square
+    * avalanche pass, power-of-two level buckets — P(≥1)=1/8,
+    * P(≥2)=1/64. */
+  private def lvlCte: String =
+    """lvl AS MATERIALIZED (
+      |  SELECT vec_id,
+      |    CASE WHEN (h * h + h) % 999983 % 64 = 0 THEN 2
+      |         WHEN (h * h + h) % 999983 % 8 = 0 THEN 1
+      |         ELSE 0 END AS lv
+      |  FROM (SELECT vec_id, (vec_id * 2654435761) % 1000003 AS h
+      |        FROM embeddings))""".stripMargin
+
+  /** One upper-layer graph re-derived among the level-≥`minLvl` nodes:
+    * the knnGraphCtes probe rule truncated to the `shortlist`, then the
+    * reference's select-neighbors heuristic unrolled BY SELECTION SLOT
+    * (at most k=`k` neighbors ever get selected, so k CTEs cover the
+    * whole sequential scan: slot j = the first candidate after slot
+    * j-1 that is closer to the node than to every already-selected
+    * neighbor), then nearest-rejected backfill — selected first in
+    * scan order, rejected after, truncated at k. Ends in the
+    * undirected `${p}kgu`. */
+  private def layerGraphCtes(centroids: Seq[(Int, Seq[Float])],
+      k: Int, nprobe: Int, minLvl: Int, p: String,
+      shortlist: Int = 32): String = {
+    val qdists = centroids.map { case (_, c) => l2sqLit("embedding", 0, c) }
+      .mkString("[", ",\n ", "]")
+    val cids = centroids.map(_._1).mkString("[", ",", "]")
+    val slots = (2 to k).map { j =>
+      val joins = (1 until j).map(i =>
+        s"""  JOIN ${p}sel$i s$i ON s$i.query_id = c.query_id
+           |  JOIN embeddings se$i ON se$i.vec_id = s$i.vec_id""".stripMargin)
+        .mkString("\n")
+      val conds = (1 until j).map(i =>
+        s"${l2sqCol("ce.embedding", s"se$i.embedding", 64)} >= c.d")
+        .mkString("\n    AND ")
+      s"""${p}sel$j AS (
+         |  SELECT query_id, vec_id, cr FROM (
+         |    SELECT c.query_id, c.vec_id, c.cr,
+         |      row_number() OVER (PARTITION BY c.query_id ORDER BY c.cr) AS rr
+         |    FROM ${p}cand c
+         |    JOIN embeddings ce ON ce.vec_id = c.vec_id
+         |$joins
+         |    WHERE c.cr > s${j - 1}.cr
+         |    AND $conds
+         |  ) WHERE rr = 1)""".stripMargin
+    }.mkString(",\n")
+    val selUnion = (1 to k).map(j =>
+      s"SELECT query_id, vec_id FROM ${p}sel$j").mkString("\n  UNION ALL\n  ")
+    s"""${p}probes AS (
+       |  SELECT query_id, cluster_id FROM (
+       |    SELECT query_id, cid AS cluster_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY d, cid) AS crnk
+       |    FROM (SELECT query_id, unnest($cids) AS cid, unnest(ds) AS d
+       |          FROM (SELECT e.vec_id AS query_id, $qdists AS ds
+       |                FROM embeddings e JOIN lvl ON lvl.vec_id = e.vec_id
+       |                WHERE lvl.lv >= $minLvl))
+       |  ) WHERE crnk <= $nprobe),
+       |${p}cand AS MATERIALIZED (
+       |  SELECT query_id, vec_id, d, cr FROM (
+       |    SELECT query_id, vec_id, d,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS cr
+       |    FROM (
+       |      SELECT p.query_id, a.vec_id,
+       |        ${l2sqCol("a.embedding", "q.embedding", 64)} AS d
+       |      FROM ${p}probes p
+       |      JOIN a ON a.cluster_id = p.cluster_id
+       |      JOIN lvl lm ON lm.vec_id = a.vec_id AND lm.lv >= $minLvl
+       |      JOIN embeddings q ON q.vec_id = p.query_id
+       |      WHERE a.vec_id != p.query_id)
+       |  ) WHERE cr <= $shortlist),
+       |${p}sel1 AS (SELECT query_id, vec_id, cr FROM ${p}cand WHERE cr = 1),
+       |$slots,
+       |${p}selall AS (
+       |  $selUnion),
+       |${p}kg AS MATERIALIZED (
+       |  SELECT vec_id, neighbor_id FROM (
+       |    SELECT c.query_id AS vec_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY c.query_id
+       |        ORDER BY (CASE WHEN s.vec_id IS NOT NULL THEN 0 ELSE 1 END),
+       |                 c.cr) AS rnk
+       |    FROM ${p}cand c
+       |    LEFT JOIN ${p}selall s
+       |      ON s.query_id = c.query_id AND s.vec_id = c.vec_id
+       |  ) WHERE rnk <= $k),
+       |${p}kgu AS MATERIALIZED (
+       |  SELECT vec_id, neighbor_id FROM ${p}kg
+       |  UNION
+       |  SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM ${p}kg)""".stripMargin
+  }
+
+  /** v_hnsw_search: the full layered traversal re-derived end to end —
+    * level rule, both upper-layer graphs, the min-id top-layer entry,
+    * `descentHops` beam-`descentEf` rounds per upper layer (each
+    * layer's final beam entering the next), then the standard layer-0
+    * ef-beam rounds off the full kNN graph, final top-k. Every rank
+    * orders by (exact-fold d, node), so the descent is replayed
+    * decision for decision. */
+  def hnswSearchOracle(centroids: Seq[(Int, Seq[Float])], k: Int, ef: Int,
+      hops: Int, numQueries: Int, graphK: Int, graphNprobe: Int,
+      layerK: Int, descentEf: Int, descentHops: Int): String = {
+    val l0 = knnGraphCtes(centroids, graphK, graphNprobe)
+      .replaceFirst("\\Aa AS \\(", "a AS MATERIALIZED (")
+      .replace("kg AS (", "kg AS MATERIALIZED (")
+    s"""WITH $l0,
+       |kgu AS MATERIALIZED (
+       |  SELECT vec_id, neighbor_id FROM kg
+       |  UNION
+       |  SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM kg),
+       |${lvlCte},
+       |${layerGraphCtes(centroids, layerK, nprobe = 16, minLvl = 2, p = "l2")},
+       |${layerGraphCtes(centroids, layerK, nprobe = 4, minLvl = 1, p = "l1")},
+       |q AS (SELECT vec_id AS query_id, embedding AS qv
+       |      FROM embeddings WHERE vec_id < $numQueries),
+       |ent AS (SELECT min(vec_id) AS node FROM lvl WHERE lv >= 2),
+       |hb0 AS (SELECT query_id, ent.node FROM q, ent),
+       |${beamRounds("d2_", descentEf, descentHops, edges = "l2kgu", entry = "hb0")},
+       |${beamRounds("d1_", descentEf, descentHops, edges = "l1kgu",
+           entry = s"d2_b$descentHops")},
+       |${beamRounds("h_", ef, hops, edges = "kgu",
+           entry = s"d1_b$descentHops")}
+       |SELECT query_id, node AS neighbor_id, r AS rnk,
+       |  round(sqrt(d), 4) AS dist
+       |FROM h_s$hops WHERE r <= $k ORDER BY query_id, rnk""".stripMargin
+  }
 
   /** v_embed_clusters: connected components over the MUTUAL edges of
     * the kNN graph (a↔b both within each other's top-k — the

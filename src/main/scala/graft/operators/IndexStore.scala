@@ -126,6 +126,33 @@ object IndexStore {
       dir
     }
 
+  /** Ensure the layered-graph artifact (the HNSW hierarchy as tables):
+    * `layer1`/`layer2` — kNN edge tables over the level-≥1 / level-≥2
+    * node slices (deterministic level rule, [[GraphSearch.levelCol]]),
+    * the topmost probing ALL clusters (its occupancy is n/64) — and
+    * `entry`, the single global entry-point row (min id on the top
+    * layer). Layer 0 is the full kNN graph ([[knnGraph]]); search
+    * descends layer2 → layer1 → layer0. */
+  def hnsw(spark: SparkSession, sfDir: String, k: Int = 3): String =
+    lock.synchronized {
+      val dir = s"$root/${sfKey(sfDir)}/hnsw$k"
+      if (!done(dir, "layer1", "layer2", "entry")) {
+        val ivfDir = ivf(spark, sfDir, k = 16)
+        val e = Tables.load(spark, sfDir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        GraphSearch.layerGraph(spark, ivfDir, e, minLevel = 1, k = k,
+            nprobe = 4)
+          .write.mode("overwrite").parquet(s"$dir/layer1")
+        GraphSearch.layerGraph(spark, ivfDir, e, minLevel = 2, k = k,
+            nprobe = 16)
+          .write.mode("overwrite").parquet(s"$dir/layer2")
+        e.filter(GraphSearch.levelCol(col("vec_id")) >= 2)
+          .agg(min(col("vec_id")).as("node"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/entry")
+      }
+      dir
+    }
+
   /** Ensure the composite IVF-PQ inverted lists: each vector's PQ codes
     * stored INSIDE its cluster partition, so a probe reads only its
     * clusters' codes — nprobe/k of the corpus at numSub-byte width (the

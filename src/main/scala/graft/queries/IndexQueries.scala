@@ -394,6 +394,28 @@ object IndexQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // The FULL layered search (hnsw_index.h:268-330): deterministic
+    // hash levels put ~1/8 of nodes on layer 1 and ~1/64 on layer 2
+    // (the reference's geometric get_random_level, M=8), each upper
+    // layer persisted as a kNN edge table over its slice; search
+    // descends greedily (beam 2) from the global entry through
+    // layer2 → layer1, and the surviving frontier REPLACES
+    // v_graph_search's medoid entry for the layer-0 ef-beam. Same
+    // scale shape as v_graph_search — upper layers add tiny
+    // broadcast-probe stages, never a corpus shuffle.
+    "v_hnsw_search" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val hDir = IndexStore.hnsw(s, d, k = HnswLayerK)
+      val gDir = IndexStore.knnGraph(s, d, k = 5, nprobe = 2)
+      val e = load(s, d, "embeddings").select($"vec_id", $"embedding")
+      val q = e.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      graft.operators.GraphSearch.hnswSearch(s, hDir, gDir, e, q,
+          k = K, ef = GraphEf, hops = GraphHops,
+          descentEf = HnswDescentEf, descentHops = HnswDescentHops)
+        .orderBy("query_id", "rnk")
+    }),
+
     // The recall-vs-beam-width curve over the GRAPH serving path
     // (recall_bench.cpp's ef_search sweep; v_nprobe_sweep covers the
     // IVF knob): recall@k vs exact ground truth at ef = 10, 16, 24 of
@@ -565,6 +587,14 @@ object IndexQueries {
     * ef-beam's scored set). */
   private val EfSweep = Seq(10, 16, 24)
 
+  /** v_hnsw_search's layer parameters: per-node edge budget of the
+    * upper-layer graphs, and the descent's beam width / hop budget per
+    * layer (beam 2 = greedy with one fallback frontier; ONE set of
+    * constants feeds the engine, the oracle, and the spec). */
+  private[graft] val HnswLayerK = 3
+  private[graft] val HnswDescentEf = 2
+  private[graft] val HnswDescentHops = 2
+
   /** v_graph_insert's "new batch" slice: vec_id % mod == residue.
     * ONE pair of constants feeds the engine Column predicate, the
     * oracle SQL string, and the spec — three hand-copies of the
@@ -590,7 +620,7 @@ object IndexQueries {
       "v_pq_rerank", "v_ivfpq_search", "d_semantic_dedup",
       "v_nprobe_sweep", "v_quantize_error", "v_knn_graph",
       "v_ood_score", "v_embed_clusters", "v_graph_search", "v_ef_sweep",
-      "v_graph_insert")
+      "v_graph_insert", "v_hnsw_search")
 
   /** The approximate kNN graph (v_knn_graph before output ordering):
     * every vector probes its 2 nearest persisted IVF centroids and
@@ -669,7 +699,11 @@ object IndexQueries {
       "v_graph_insert" -> graft.operators.IndexOracle
         .graphInsertOracle(cent, k = 5, ef = GraphEf, hops = GraphHops,
           batchPredOf = c => s"($c % $InsertBatchMod) = $InsertBatchResidue",
-          graphK = 5, graphNprobe = 2))
+          graphK = 5, graphNprobe = 2),
+      "v_hnsw_search" -> graft.operators.IndexOracle
+        .hnswSearchOracle(cent, K, GraphEf, GraphHops, NumQueries,
+          graphK = 5, graphNprobe = 2, layerK = HnswLayerK,
+          descentEf = HnswDescentEf, descentHops = HnswDescentHops))
     // AnnOracleKeys is VerifyOne's routing table for exactly this map:
     // a key added here but not there would silently route to the static
     // maps and emit no oracle

@@ -86,6 +86,35 @@ object VectorQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // Maximum-inner-product search (MIPS) — the retrieval metric of
+    // dot-product-trained embedding models (DSSM/dual-encoder
+    // retrievers), where neither L2 nor cosine ranks correctly because
+    // vector NORM carries signal. Exact top-k by descending ⟨b,q⟩ in
+    // the v_knn_bruteforce scale shape (broadcast queries, single base
+    // scan, bounded-heap partial agg; the heap takes the NEGATED dot —
+    // one total order, no separate max-heap variant). MIPS admits no
+    // triangle-inequality pruning, so the indexed scale path is the
+    // Neyshabur–Srebro reduction (augment each vector with
+    // √(M²−‖x‖²) — inner product becomes monotone in L2 on the
+    // augmented space) feeding the SAME IVF machinery; the exact
+    // entry here is that path's ground-truth side.
+    "v_mips_search" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val e = load(s, d, "embeddings")
+      val q = e.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      e.crossJoin(broadcast(q))
+        .groupBy($"query_id")
+        .agg(topK(-dot($"embedding", $"qv"), $"vec_id", K).as("nn"))
+        .select($"query_id", posexplode($"nn"))
+        .select(
+          $"query_id",
+          $"col.id".as("neighbor_id"),
+          ($"pos" + 1).cast("long").as("rnk"),
+          round(-$"col.score", 4).as("score"))
+        .orderBy("query_id", "rnk")
+    }),
+
     // All neighbors within radius r of each query vector.
     "v_range_search" -> ((s: SparkSession, d: String) => {
       import s.implicits._
@@ -484,6 +513,15 @@ object VectorQueries {
         |    row_number() OVER (PARTITION BY q.vec_id
         |      ORDER BY list_distance(b.embedding::DOUBLE[], q.embedding::DOUBLE[]), b.vec_id) AS rnk,
         |    round(list_distance(b.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS dist
+        |  FROM embeddings b CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q
+        |) WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    "v_mips_search" ->
+      """SELECT query_id, neighbor_id, rnk, score FROM (
+        |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY -list_inner_product(b.embedding::DOUBLE[], q.embedding::DOUBLE[]), b.vec_id) AS rnk,
+        |    round(list_inner_product(b.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS score
         |  FROM embeddings b CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q
         |) WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
 
