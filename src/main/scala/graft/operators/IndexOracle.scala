@@ -508,6 +508,62 @@ object IndexOracle {
        |FROM h_s$hops WHERE r <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** The native DotProduct fold: sequential double accumulation of
+    * float32 products in element order (VectorExpressions.DotProduct),
+    * mirrored so the augmented coordinate is bit-identical. */
+  private def dotSelfSql(vexpr: String, dim: Int): String =
+    s"list_reduce(list_prepend(0.0, " +
+      s"[($vexpr)[i]::DOUBLE * ($vexpr)[i]::DOUBLE " +
+      s"for i in range(1, ${dim + 1})]), (x, y) -> x + y)"
+
+  /** v_mips_ivf: the Neyshabur–Srebro MIPS reduction re-derived end to
+    * end — every vector's augmented coordinate √(m²−‖x‖²) recomputed
+    * (double sqrt, float32 round — both IEEE-correctly-rounded in both
+    * engines), assignment to the literal 65-dim centroids, probe
+    * selection, augmented-L2 ranking, and the reported score as the
+    * raw inner product. `m2` is the persisted exact max squared norm. */
+  def mipsIvfOracle(centroids: Seq[(Int, Seq[Float])], m2: Double,
+      k: Int, nprobe: Int, numQueries: Int): String = {
+    val dim = centroids.head._2.length // 65: raw + augment
+    val adists = centroids.map { case (_, c) => l2sqLit("aug", 0, c) }
+      .mkString("[", ",\n ", "]")
+    val qdists = centroids.map { case (_, c) => l2sqLit("qaug", 0, c) }
+      .mkString("[", ",\n ", "]")
+    val cids = centroids.map(_._1).mkString("[", ",", "]")
+    s"""WITH augE AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    list_append(embedding,
+       |      CAST(sqrt($m2 - ${dotSelfSql("embedding", dim - 1)}) AS REAL)) AS aug
+       |  FROM embeddings),
+       |a AS (
+       |  SELECT vec_id, embedding, aug,
+       |    list_position(ds, list_min(ds)) - 1 AS cluster_id
+       |  FROM (SELECT vec_id, embedding, aug, $adists AS ds FROM augE)),
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv,
+       |    list_append(embedding, CAST(0.0 AS REAL)) AS qaug
+       |  FROM embeddings WHERE vec_id < $numQueries),
+       |probes AS (
+       |  SELECT query_id, cluster_id FROM (
+       |    SELECT query_id, cid AS cluster_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY d, cid) AS crnk
+       |    FROM (SELECT query_id, unnest($cids) AS cid, unnest(ds) AS d
+       |          FROM (SELECT query_id, $qdists AS ds FROM q))
+       |  ) WHERE crnk <= $nprobe),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id, a.embedding, q.qv,
+       |    ${l2sqCol("a.aug", "q.qaug", dim)} AS d
+       |  FROM probes p
+       |  JOIN a ON a.cluster_id = p.cluster_id
+       |  JOIN q ON q.query_id = p.query_id)
+       |SELECT query_id, neighbor_id, rnk, score FROM (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rnk,
+       |    round(list_inner_product(embedding::DOUBLE[], qv::DOUBLE[]), 4) AS score
+       |  FROM cand
+       |) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** v_embed_clusters: connected components over the MUTUAL edges of
     * the kNN graph (a↔b both within each other's top-k — the
     * reciprocity filter that keeps hubs from gluing everything into

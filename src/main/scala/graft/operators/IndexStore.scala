@@ -126,6 +126,38 @@ object IndexStore {
       dir
     }
 
+  /** Ensure the MIPS index: the Neyshabur–Srebro reduction (augment
+    * every vector with √(m²−‖x‖²), where m² = the exact max squared
+    * norm — then L2 order on the augmented space equals DESCENDING
+    * inner-product order: d² = ‖q‖² + m² − 2⟨q,x⟩) feeding the SAME
+    * IVF build/search machinery — maximum-inner-product search with
+    * partition pruning, no new index structure. Layout: `centroids` /
+    * `assignments` exactly as [[ivf]] (65-dim augmented vectors) plus
+    * `meta` (one row: m2). The augmented coordinate is computed with
+    * the native double dot fold then rounded to float32 — both steps
+    * replicated exactly in the oracle. */
+  def mips(spark: SparkSession, sfDir: String, k: Int = 16): String =
+    lock.synchronized {
+      val dir = s"$root/${sfKey(sfDir)}/mips$k"
+      if (!done(dir, "centroids", "assignments", "meta")) {
+        val e = Tables.load(spark, sfDir, "embeddings")
+        val selfDot = graft.GraftVector.dot(col("embedding"), col("embedding"))
+        val m2 = e.agg(max(selfDot)).collect()(0).getDouble(0)
+        spark.range(1).select(lit(m2).as("m2"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+        val aug = e.select(col("vec_id"),
+          concat(col("embedding"),
+            array(sqrt(lit(m2) - selfDot).cast("float"))).as("embedding"))
+        val (cent, assign) = IvfIndex.buildSampled(aug, "vec_id", "embedding", k)
+        cent.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+        assign.select("vec_id", "embedding", "cluster_id")
+          .repartition(col("cluster_id"))
+          .write.partitionBy("cluster_id").mode("overwrite")
+          .parquet(s"$dir/assignments")
+      }
+      dir
+    }
+
   /** Ensure the layered-graph artifact (the HNSW hierarchy as tables):
     * `layer1`/`layer2` — kNN edge tables over the level-≥1 / level-≥2
     * node slices (deterministic level rule, [[GraphSearch.levelCol]]),

@@ -116,6 +116,31 @@ object IndexQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // MIPS behind the IVF machinery: the Neyshabur–Srebro reduction
+    // (every vector augmented with √(m²−‖x‖²); L2 order on the
+    // augmented space == descending-⟨q,x⟩ order, so inner-product
+    // retrieval needs NO new index structure) — the indexed scale path
+    // whose exact ground truth is v_mips_search. Queries ride in with
+    // a 0 augment; the probed clusters become literal partition
+    // filters exactly as v_ivf_search; reported score = the true
+    // inner product recomputed on the raw vectors.
+    "v_mips_ivf" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val dir = IndexStore.mips(s, d, k = 16)
+      val e = load(s, d, "embeddings")
+      val qRaw = e.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("qraw"))
+      val q = qRaw.select($"query_id",
+        concat($"qraw", array(lit(0.0f))).as("qv"))
+      IvfIndex.searchPruned(s, dir, q, K, nprobe = 4)
+        .join(e.select($"vec_id".as("neighbor_id"), $"embedding".as("nv")),
+          "neighbor_id")
+        .join(broadcast(qRaw), "query_id")
+        .select($"query_id", $"neighbor_id", $"rnk",
+          round(dot($"nv", $"qraw"), 4).as("score"))
+        .orderBy("query_id", "rnk")
+    }),
+
     // Scalar-quantized (SQ8) search: byte codes against the per-dim
     // min/max grid (4× compression), decoded-ADC shortlist, exact L2
     // refine. No seeded training anywhere, so the oracle re-derives
@@ -620,7 +645,7 @@ object IndexQueries {
       "v_pq_rerank", "v_ivfpq_search", "d_semantic_dedup",
       "v_nprobe_sweep", "v_quantize_error", "v_knn_graph",
       "v_ood_score", "v_embed_clusters", "v_graph_search", "v_ef_sweep",
-      "v_graph_insert", "v_hnsw_search")
+      "v_graph_insert", "v_hnsw_search", "v_mips_ivf")
 
   /** The approximate kNN graph (v_knn_graph before output ordering):
     * every vector probes its 2 nearest persisted IVF centroids and
@@ -703,7 +728,16 @@ object IndexQueries {
       "v_hnsw_search" -> graft.operators.IndexOracle
         .hnswSearchOracle(cent, K, GraphEf, GraphHops, NumQueries,
           graphK = 5, graphNprobe = 2, layerK = HnswLayerK,
-          descentEf = HnswDescentEf, descentHops = HnswDescentHops))
+          descentEf = HnswDescentEf, descentHops = HnswDescentHops),
+      "v_mips_ivf" -> {
+        val mipsDir = IndexStore.mips(s, d, k = 16)
+        val mipsCent = s.read.parquet(s"$mipsDir/centroids")
+          .orderBy("cluster_id")
+          .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
+        val m2 = s.read.parquet(s"$mipsDir/meta").collect()(0).getDouble(0)
+        graft.operators.IndexOracle
+          .mipsIvfOracle(mipsCent, m2, K, nprobe = 4, NumQueries)
+      })
     // AnnOracleKeys is VerifyOne's routing table for exactly this map:
     // a key added here but not there would silently route to the static
     // maps and emit no oracle
