@@ -126,6 +126,7 @@ object Bench {
       "store:knng" -> (() => graft.operators.IndexStore.knnGraph(spark, sfDir)),
       "store:hnsw" -> (() => graft.operators.IndexStore.hnsw(spark, sfDir)),
       "store:mips" -> (() => graft.operators.IndexStore.mips(spark, sfDir)),
+      "store:ivfpqr" -> (() => graft.operators.IndexStore.ivfpqResidual(spark, sfDir)),
       "store:sq8" -> (() => graft.operators.IndexStore.sq8(spark, sfDir)),
       // the LM-score and BPE-merge stores are corpus-build artifacts
       // like the indexes: the timed entries measure inference/read,

@@ -666,18 +666,19 @@ object IndexOracle {
       dsExprs: String, codeExprs: String, qdExprs: String, adist: String)
 
   private def pqParts(books: Seq[(Int, Int, Seq[Float])],
-      numSub: Int, subDim: Int): PqSqlParts = {
+      numSub: Int, subDim: Int, baseExpr: String = "embedding",
+      queryExpr: String = "qv"): PqSqlParts = {
     def subDists(vexpr: String, s: Int): String =
       books.filter(_._1 == s).sortBy(_._2)
         .map { case (_, _, c) => l2sqLit(vexpr, s * subDim, c) }
         .mkString("[", ",", "]")
     PqSqlParts(
       dsExprs = (0 until numSub)
-        .map(s => s"${subDists("embedding", s)} AS ds$s").mkString(", "),
+        .map(s => s"${subDists(baseExpr, s)} AS ds$s").mkString(", "),
       codeExprs = (0 until numSub)
         .map(s => s"list_position(ds$s, list_min(ds$s)) - 1 AS code$s").mkString(", "),
       qdExprs = (0 until numSub)
-        .map(s => s"${subDists("qv", s)} AS qd$s").mkString(", "),
+        .map(s => s"${subDists(queryExpr, s)} AS qd$s").mkString(", "),
       adist = (0 until numSub).foldLeft("0.0") {
         case (acc, s) => s"($acc + qd$s[code$s + 1])"
       })
@@ -726,6 +727,66 @@ object IndexOracle {
        |  FROM (SELECT cand.query_id, cand.vec_id, $adist AS ad
        |        FROM cand JOIN codes ON codes.vec_id = cand.vec_id
        |        JOIN qd ON qd.query_id = cand.query_id)
+       |) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** v_ivfpq_residual: the residual-encoded composite (FAISS IndexIVFPQ
+    * semantics) re-derived end to end — assignment to literal raw
+    * centroids, per-vector residual x − c(x) in FLOAT32 arithmetic
+    * (DuckDB REAL ops are IEEE float32, matching the engine's
+    * zip_with on float arrays), codes re-derived from the literal
+    * RESIDUAL codebooks, probes on raw centroids, the query's residual
+    * against EACH probed centroid feeding its own ADC table, adist
+    * summed in subspace order. */
+  def ivfPqResidualOracle(centroids: Seq[(Int, Seq[Float])],
+      books: Seq[(Int, Int, Seq[Float])], numSub: Int, subDim: Int,
+      k: Int, nprobe: Int, numQueries: Int): String = {
+    val dim = numSub * subDim
+    val PqSqlParts(dsExprs, codeExprs, qdExprs, adist) =
+      pqParts(books, numSub, subDim, baseExpr = "res", queryExpr = "qres")
+    val qdists = centroids.map { case (_, c) => l2sqLit("qv", 0, c) }
+      .mkString("[", ",\n ", "]")
+    val cids = centroids.map(_._1).mkString("[", ",", "]")
+    // the 16×64 centroid matrix as a REAL[][] literal so residual
+    // subtraction happens in float32 on both sides
+    val clit = centroids.sortBy(_._1).map { case (_, c) =>
+      c.map(_.toDouble.toString).mkString("[", ",", "]") + "::REAL[]"
+    }.mkString("[", ",\n ", "]")
+    s"""WITH ${assignCte(centroids)},
+       |res AS MATERIALIZED (
+       |  SELECT vec_id, cluster_id,
+       |    [embedding[i] - ($clit)[cluster_id + 1][i]
+       |     for i in range(1, ${dim + 1})] AS res
+       |  FROM a),
+       |codes AS (
+       |  SELECT vec_id, cluster_id, $codeExprs
+       |  FROM (SELECT vec_id, cluster_id, $dsExprs FROM res)
+       |),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv
+       |      FROM embeddings WHERE vec_id < $numQueries),
+       |probes AS (
+       |  SELECT query_id, cluster_id FROM (
+       |    SELECT query_id, cid AS cluster_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY d, cid) AS crnk
+       |    FROM (SELECT query_id, unnest($cids) AS cid, unnest(ds) AS d
+       |          FROM (SELECT query_id, $qdists AS ds FROM q))
+       |  ) WHERE crnk <= $nprobe
+       |),
+       |qres AS (
+       |  SELECT p.query_id, p.cluster_id,
+       |    [qv[i] - ($clit)[p.cluster_id + 1][i]
+       |     for i in range(1, ${dim + 1})] AS qres
+       |  FROM probes p JOIN q ON q.query_id = p.query_id),
+       |qd AS (
+       |  SELECT query_id, cluster_id, $qdExprs FROM qres
+       |)
+       |SELECT query_id, neighbor_id, rnk, adist FROM (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY ad, vec_id) AS rnk,
+       |    round(ad, 4) AS adist
+       |  FROM (SELECT qd.query_id, codes.vec_id, $adist AS ad
+       |        FROM codes
+       |        JOIN qd ON qd.cluster_id = codes.cluster_id)
        |) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
 

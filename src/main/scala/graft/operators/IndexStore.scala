@@ -126,6 +126,42 @@ object IndexStore {
       dir
     }
 
+  /** Ensure the RESIDUAL IVF-PQ lists (the FAISS IndexIVFPQ default:
+    * PQ trained on and encoding r = x − centroid(x), not raw x —
+    * within a cluster the residuals concentrate near zero, so the same
+    * 8-byte budget spends its codebook resolution on a far smaller
+    * spread; ADC on residuals still estimates ‖x−q‖ because both sides
+    * subtract the SAME probed centroid). Layout mirrors [[ivfpq]]:
+    * `codebooks` (residual-trained) + `lists` (codes inside cluster
+    * partitions). Residuals are float32 subtraction — replicated
+    * exactly in the oracle (DuckDB REAL arithmetic is IEEE float32). */
+  def ivfpqResidual(spark: SparkSession, sfDir: String, k: Int = 16,
+      dim: Int = 64, numSub: Int = 8, codebookSize: Int = 16): String =
+    lock.synchronized {
+      val dir = s"$root/${sfKey(sfDir)}/ivfpqr$k-${numSub}x$codebookSize"
+      if (!done(dir, "codebooks", "lists")) {
+        val ivfDir = ivf(spark, sfDir, k)
+        val cent = spark.read.parquet(s"$ivfDir/centroids")
+          .select(col("cluster_id").cast("int").as("cluster_id"),
+            col("centroid"))
+        val res = spark.read.parquet(s"$ivfDir/assignments")
+          .select(col("vec_id"), col("embedding"),
+            col("cluster_id").cast("int").as("cluster_id"))
+          .join(broadcast(cent), "cluster_id")
+          .select(col("vec_id"), col("cluster_id"),
+            zip_with(col("embedding"), col("centroid"),
+              (a, b) => a - b).as("residual"))
+        val (books, codes) = PqIndex.build(res, "vec_id", "residual",
+          dim = dim, numSub = numSub, codebookSize = codebookSize)
+        books.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+        codes.join(res.select(col("vec_id"), col("cluster_id")), "vec_id")
+          .repartition(col("cluster_id"))
+          .write.partitionBy("cluster_id").mode("overwrite")
+          .parquet(s"$dir/lists")
+      }
+      dir
+    }
+
   /** Ensure the MIPS index: the Neyshabur–Srebro reduction (augment
     * every vector with √(m²−‖x‖²), where m² = the exact max squared
     * norm — then L2 order on the augmented space equals DESCENDING

@@ -82,4 +82,46 @@ object IvfPq {
         ($"pos" + 1).cast("long").as("rnk"),
         round($"col.score", 4).as("adist"))
   }
+
+  /** Residual-encoded IVF-PQ search (FAISS IndexIVFPQ semantics — see
+    * [[IndexStore.ivfpqResidual]]): probes resolve on the RAW
+    * centroids exactly as [[searchPruned]]; the ADC lookup table is
+    * then built PER (query, probed cluster) from the query's residual
+    * against that cluster's centroid — |Q|·nprobe·numSub·codebookSize
+    * entries, still bounded and broadcast — and joins the pruned lists
+    * scan on cluster_id (a vector lives in exactly one cluster, so no
+    * dedup). Everything downstream (code fold, bounded top-k) is the
+    * shared PQ machinery. */
+  def searchPrunedResidual(spark: SparkSession, ivfDir: String,
+      rDir: String, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$ivfDir/centroids")
+    val codebooks = spark.read.parquet(s"$rDir/codebooks")
+    val (numSub, subDim) = PqIndex.bookGeometry(codebooks)
+    val probes = IvfIndex.resolveProbes(queries, centroids, nprobe)
+    val probeIds = IvfIndex.collectProbeIds(probes)
+    val lists = spark.read.parquet(s"$rDir/lists")
+      .filter($"cluster_id".isin(probeIds.map(i => i: Any): _*))
+      .select($"vec_id", $"codes", $"cluster_id")
+    val qres = probes
+      .join(broadcast(centroids.select($"cluster_id", $"centroid")),
+        "cluster_id")
+      .select($"query_id", $"cluster_id",
+        zip_with($"qv", $"centroid", (a, b) => a - b).as("qr"))
+    val dtab = qres.crossJoin(broadcast(codebooks))
+      .select($"query_id", $"cluster_id", $"sub", $"code",
+        l2Sq(slice($"qr", $"sub" * subDim + 1, lit(subDim)), $"centroid")
+          .as("d"))
+      .groupBy($"query_id", $"cluster_id")
+      .agg(transform(array_sort(collect_list(struct($"sub", $"code", $"d"))),
+        x => x.getField("d")).as("dtab"))
+    lists.join(broadcast(dtab), "cluster_id")
+      .withColumn("adist", PqIndex.adcScore($"codes", $"dtab", numSub))
+      .groupBy($"query_id")
+      .agg(topK($"adist", $"vec_id", k).as("nn"))
+      .select($"query_id", posexplode($"nn"))
+      .select($"query_id", $"col.id".as("neighbor_id"),
+        ($"pos" + 1).cast("long").as("rnk"),
+        round($"col.score", 4).as("adist"))
+  }
 }

@@ -116,6 +116,27 @@ object IndexQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // Residual-encoded IVF-PQ (the FAISS IndexIVFPQ default): PQ
+    // trained on and encoding r = x − centroid(x) — within a cluster
+    // residuals concentrate near zero, so the same 8-byte budget
+    // spends its resolution on a far smaller spread (ADC error
+    // measured 1.7× lower than raw-PQ on the clustered spec fixture,
+    // where tight planted modes cap the win; see ResidualPqSpec); ADC
+    // still
+    // estimates ‖x−q‖ because the query subtracts the SAME probed
+    // centroid. Scan shape identical to v_ivfpq_search: probes are
+    // literal partition filters, codes-only reads, per-(query,cluster)
+    // broadcast ADC tables.
+    "v_ivfpq_residual" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val ivfDir = IndexStore.ivf(s, d, k = 16)
+      val rDir = IndexStore.ivfpqResidual(s, d)
+      val q = load(s, d, "embeddings").filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      IvfPq.searchPrunedResidual(s, ivfDir, rDir, q, K, nprobe = 4)
+        .orderBy("query_id", "rnk")
+    }),
+
     // MIPS behind the IVF machinery: the Neyshabur–Srebro reduction
     // (every vector augmented with √(m²−‖x‖²); L2 order on the
     // augmented space == descending-⟨q,x⟩ order, so inner-product
@@ -645,7 +666,7 @@ object IndexQueries {
       "v_pq_rerank", "v_ivfpq_search", "d_semantic_dedup",
       "v_nprobe_sweep", "v_quantize_error", "v_knn_graph",
       "v_ood_score", "v_embed_clusters", "v_graph_search", "v_ef_sweep",
-      "v_graph_insert", "v_hnsw_search", "v_mips_ivf")
+      "v_graph_insert", "v_hnsw_search", "v_mips_ivf", "v_ivfpq_residual")
 
   /** The approximate kNN graph (v_knn_graph before output ordering):
     * every vector probes its 2 nearest persisted IVF centroids and
@@ -729,6 +750,14 @@ object IndexQueries {
         .hnswSearchOracle(cent, K, GraphEf, GraphHops, NumQueries,
           graphK = 5, graphNprobe = 2, layerK = HnswLayerK,
           descentEf = HnswDescentEf, descentHops = HnswDescentHops),
+      "v_ivfpq_residual" -> {
+        val rDir = IndexStore.ivfpqResidual(s, d)
+        val rbooks = s.read.parquet(s"$rDir/codebooks").orderBy("sub", "code")
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+          .toSeq
+        graft.operators.IndexOracle.ivfPqResidualOracle(cent, rbooks,
+          numSub = 8, subDim = 8, K, nprobe = 4, NumQueries)
+      },
       "v_mips_ivf" -> {
         val mipsDir = IndexStore.mips(s, d, k = 16)
         val mipsCent = s.read.parquet(s"$mipsDir/centroids")
