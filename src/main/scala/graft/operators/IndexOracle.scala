@@ -302,6 +302,19 @@ object IndexOracle {
        |  round(sqrt(d), 4) AS dist
        |FROM s$hops WHERE r <= $k ORDER BY vec_id, rnk""".stripMargin
 
+  /** v_graph_delete: the soft-delete search — deleted nodes masked out
+    * of medoids, edges, and (by unreachability) candidates, queries
+    * unchanged; graphSearchOracle's rounds over the masked head. */
+  def graphDeleteOracle(centroids: Seq[(Int, Seq[Float])], k: Int,
+      ef: Int, hops: Int, numQueries: Int, delPredOf: String => String,
+      graphK: Int, graphNprobe: Int, entries: Int = 2): String =
+    s"""WITH ${graphHeadCtes(centroids, numQueries, entries, graphK,
+           graphNprobe, nodeMask = Some(delPredOf))},
+       |${beamRounds("", ef, hops)}
+       |SELECT query_id, node AS neighbor_id, r AS rnk,
+       |  round(sqrt(d), 4) AS dist
+       |FROM s$hops WHERE r <= $k ORDER BY query_id, rnk""".stripMargin
+
   /** The ef-independent head of the graph-search oracles: literal kNN
     * graph (MATERIALIZED), per-cluster medoids, the query frame, the
     * `entries`-nearest-centroid entry beam b0, and the undirected edge

@@ -540,6 +540,38 @@ object IndexQueries {
         .orderBy("vec_id", "rnk")
     }),
 
+    // The DELETE path (the reference's soft-delete contract: deleted
+    // nodes are MARKED and skipped during traversal — hnsw search
+    // filters them out, the graph is never restructured per delete;
+    // EBR then reclaims their memory, a shared-address-space artifact
+    // whose distributed analog is simply compaction). Here the deleted
+    // slice (vec_id % 17 == 5) is masked out of medoids, edges, and
+    // candidates at SEARCH time — scan-side predicates, zero index
+    // mutation — and the beam fills to k from live nodes only. Same
+    // scale shape as v_graph_search.
+    "v_graph_delete" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val ivfDir = IndexStore.ivf(s, d, k = 16)
+      val gDir = IndexStore.knnGraph(s, d, k = 5, nprobe = 2)
+      def isDel(c: org.apache.spark.sql.Column) =
+        pmod(c, lit(DeleteMod)) === DeleteResidue
+      val e = load(s, d, "embeddings").select($"vec_id", $"embedding")
+      val live = e.filter(!isDel($"vec_id"))
+      val q = e.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      val cent = s.read.parquet(s"$ivfDir/centroids")
+        .select($"cluster_id", $"centroid")
+      val med = graft.operators.GraphSearch.medoidsOf(
+        s.read.parquet(s"$ivfDir/assignments").filter(!isDel($"vec_id")),
+        cent.select($"cluster_id".cast("long").as("cluster_id"), $"centroid"))
+      val stored = s.read.parquet(s"$gDir/edges")
+        .filter(!isDel($"vec_id") && !isDel($"neighbor_id"))
+        .select($"vec_id".as("node"), $"neighbor_id")
+      graft.operators.GraphSearch.searchFrames(s, cent, med, stored,
+          live, q, k = K, ef = GraphEf, hops = GraphHops)
+        .orderBy("query_id", "rnk")
+    }),
+
     // Mutual-kNN clustering (the curation grouping pass: concept /
     // near-duplicate families over the embedding space): keep only
     // RECIPROCAL kNN-graph edges — a↔b each in the other's top-5, the
@@ -649,6 +681,11 @@ object IndexQueries {
   private[graft] val InsertBatchMod = 25
   private[graft] val InsertBatchResidue = 3
 
+  /** v_graph_delete's soft-deleted slice: vec_id % mod == residue —
+    * same ONE-definition discipline as the insert batch. */
+  private[graft] val DeleteMod = 17
+  private[graft] val DeleteResidue = 5
+
   /** Oracles for the seeded-KMeans entries, generated from the PERSISTED
     * index (see [[graft.operators.IndexOracle]]): centroids/codebooks are
     * read back and embedded as exact double literals, and assignment +
@@ -666,7 +703,8 @@ object IndexQueries {
       "v_pq_rerank", "v_ivfpq_search", "d_semantic_dedup",
       "v_nprobe_sweep", "v_quantize_error", "v_knn_graph",
       "v_ood_score", "v_embed_clusters", "v_graph_search", "v_ef_sweep",
-      "v_graph_insert", "v_hnsw_search", "v_mips_ivf", "v_ivfpq_residual")
+      "v_graph_insert", "v_hnsw_search", "v_mips_ivf", "v_ivfpq_residual",
+      "v_graph_delete")
 
   /** The approximate kNN graph (v_knn_graph before output ordering):
     * every vector probes its 2 nearest persisted IVF centroids and
@@ -750,6 +788,10 @@ object IndexQueries {
         .hnswSearchOracle(cent, K, GraphEf, GraphHops, NumQueries,
           graphK = 5, graphNprobe = 2, layerK = HnswLayerK,
           descentEf = HnswDescentEf, descentHops = HnswDescentHops),
+      "v_graph_delete" -> graft.operators.IndexOracle
+        .graphDeleteOracle(cent, K, GraphEf, GraphHops, NumQueries,
+          delPredOf = c => s"($c % $DeleteMod) = $DeleteResidue",
+          graphK = 5, graphNprobe = 2),
       "v_ivfpq_residual" -> {
         val rDir = IndexStore.ivfpqResidual(s, d)
         val rbooks = s.read.parquet(s"$rDir/codebooks").orderBy("sub", "code")

@@ -109,6 +109,20 @@ class GraphSearchSpec extends SparkSpec {
       s"links left the planted cluster: $inCluster/${rows.length}")
   }
 
+  test("delete path: soft-deleted nodes never surface, ranks stay dense") {
+    val mod = graft.queries.IndexQueries.DeleteMod
+    val res = graft.queries.IndexQueries.DeleteResidue
+    val rows = graft.queries.IndexQueries.all("v_graph_delete")(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, links) =>
+      // the beam must FILL to k from live nodes (masking shrinks the
+      // candidate pool, never the contract)
+      assert(links.map(_._3).sorted.toSeq == (1L to 10L), s"ranks for $q")
+      assert(links.forall(_._2 % mod != res), s"deleted node surfaced for $q")
+    }
+  }
+
   test("traversal is deterministic: two runs return identical rows") {
     val ivfDir = IndexStore.ivf(spark, fixtureDir)
     val gDir = IndexStore.knnGraph(spark, fixtureDir)
