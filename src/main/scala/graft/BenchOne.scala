@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch driver: time ONE query N times at a scale factor (warm
+  * stores, steady-state JVM) to separate plan cost from box noise.
+  * Not part of the contract.
+  * Usage: runMain graft.BenchOne <query>[,<query>…] [sfDir] [reps]. */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val names = args(0).split(",").toSeq
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      (0 until reps).foreach { i =>
+        val t0 = System.nanoTime()
+        Bench.exhaust(fn(spark, sfDir))
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"BENCHONE $name rep$i $sec%.3f s")
+        spark.catalog.clearCache()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -290,6 +290,50 @@ object GraphSearch {
         round(sqrt($"col.score"), 4).as("dist"))
   }
 
+  /** The ef-sweep evaluation form of [[search]]: one traversal per ef
+    * in `efs`, sharing what is provably ef-independent — the entry
+    * beam, and the HOP-1 SCORED SET (hop 1's candidates are
+    * entry ∪ N(entry) for every ef, and the ranking is one total
+    * order, so each ef's hop-1 beam is just the top-ef PREFIX of the
+    * max-ef scored array). Each sweep point continues hops 2..H from
+    * its prefix — decision-for-decision identical to an independent
+    * [[search]] at that ef (the oracle replays the independent form),
+    * at 2 fewer expansion rounds per extra sweep point. */
+  def sweep(s: SparkSession, ivfDir: String, graphDir: String,
+      e: DataFrame, q: DataFrame, k: Int, efs: Seq[Int], hops: Int,
+      entries: Int = 2): Seq[(Int, DataFrame)] = {
+    require(efs.nonEmpty && k <= efs.min, s"k=$k must be <= min ef")
+    import s.implicits._
+    val cent = s.read.parquet(s"$ivfDir/centroids")
+      .select($"cluster_id", $"centroid")
+    val med = s.read.parquet(s"$graphDir/medoids")
+    val stored = s.read.parquet(s"$graphDir/edges")
+      .select($"vec_id".as("node"), $"neighbor_id")
+    val edges = undirected(stored)
+    val vecs = e.select($"vec_id".as("node"), $"embedding".as("nv"))
+    val b0 = q.crossJoin(broadcast(cent))
+      .groupBy($"query_id")
+      .agg(topK(l2Sq($"qv", $"centroid"), $"cluster_id".cast("long"), entries)
+        .as("c"))
+      .select($"query_id",
+        explode(transform($"c", x => x.getField("id"))).as("cluster_id"))
+      .join(broadcast(med), "cluster_id")
+      .select($"query_id", $"medoid_id".as("node"))
+    val s1 = beamLoop(edges, vecs, q, b0, efs.max, 1)
+    efs.map { ef =>
+      val scored =
+        if (hops <= 1)
+          s1.select($"query_id", slice($"beam", 1, ef).as("beam"))
+        else {
+          val b1 = s1.select($"query_id",
+            explode(transform(slice($"beam", 1, ef), x => x.getField("id")))
+              .as("node"))
+          beamLoop(edges, vecs, q, b1, ef, hops - 1)
+        }
+      ef -> finalTopK(scored, k)
+    }
+  }
+
   /** The full layered search (hnsw_index.h:268-330: greedy descent from
     * the global entry point through the sparse upper layers, then an
     * ef-beam search at layer 0). Set-at-a-time: each upper layer is a

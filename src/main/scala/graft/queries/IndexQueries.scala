@@ -490,13 +490,18 @@ object IndexQueries {
         // eager |Q|·k checkpoint — the v_nprobe_sweep discipline
         .localCheckpoint(true)
       val nq = q.agg(count(lit(1)).as("n_queries"))
-      EfSweep.map { ef =>
-        graft.operators.GraphSearch.search(s, ivfDir, gDir, e, q,
-            k = K, ef = ef, hops = GraphHops)
-          .join(gt, Seq("query_id", "neighbor_id"))
-          .agg(count(lit(1)).as("total_hits"))
-          .select(lit(ef.toLong).as("ef"), $"total_hits")
-      }.reduce(_ unionAll _)
+      // GraphSearch.sweep shares the entry beam and hop-1 scored set
+      // across the sweep points (provably ef-independent up to
+      // prefix); each point's result is decision-for-decision the
+      // independent search the oracle replays
+      graft.operators.GraphSearch
+        .sweep(s, ivfDir, gDir, e, q, k = K, efs = EfSweep,
+          hops = GraphHops)
+        .map { case (ef, res) =>
+          res.join(gt, Seq("query_id", "neighbor_id"))
+            .agg(count(lit(1)).as("total_hits"))
+            .select(lit(ef.toLong).as("ef"), $"total_hits")
+        }.reduce(_ unionAll _)
         .crossJoin(broadcast(nq))
         .select($"ef", $"n_queries", $"total_hits",
           round($"total_hits" / (lit(K) * $"n_queries"), 4).as("avg_recall"))

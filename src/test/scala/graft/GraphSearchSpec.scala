@@ -109,6 +109,23 @@ class GraphSearchSpec extends SparkSpec {
       s"links left the planted cluster: $inCluster/${rows.length}")
   }
 
+  test("sweep shares hop-1 but equals an independent search at every point") {
+    // the hop-1 scored set is ef-independent up to prefix; the shared
+    // form must be decision-for-decision the independent traversal
+    val ivfDir = IndexStore.ivf(spark, fixtureDir)
+    val gDir = IndexStore.knnGraph(spark, fixtureDir)
+    val sw = GraphSearch.sweep(spark, ivfDir, gDir, emb, queries,
+      k = 10, efs = Seq(10, 16, 24), hops = 3).toMap
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._3)).toSeq
+    Seq(10, 16, 24).foreach { ef =>
+      val ind = GraphSearch.search(spark, ivfDir, gDir, emb, queries,
+        k = 10, ef = ef, hops = 3)
+      assert(rows(sw(ef)) == rows(ind), s"sweep diverged at ef=$ef")
+    }
+  }
+
   test("delete path: soft-deleted nodes never surface, ranks stay dense") {
     val mod = graft.queries.IndexQueries.DeleteMod
     val res = graft.queries.IndexQueries.DeleteResidue
