@@ -32,6 +32,46 @@ object Bench {
   def exhaust(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
+  /** The distance_bench.cpp analog (/root/reference/benchmark/
+    * distance_bench.cpp times the scalar vs AVX2 L2 kernels over a
+    * vector batch): time the codegen'd distance expressions over
+    * `passes` full corpus scans against a broadcast probe vector and
+    * report million distance-evaluations per second per kernel. The
+    * Spark "SIMD" is whole-stage codegen — this measures the fused
+    * scan→expression loop exactly as the reference measures its
+    * intrinsics loop. */
+  def distanceBench(spark: SparkSession, sfDir: String,
+      targetEvals: Long = 10_000_000L): Map[String, Double] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.GraftVector._
+    val e = Tables.load(spark, sfDir, "embeddings").select($"embedding")
+    val n = math.max(e.count(), 1L)
+    // replicate rows scan-side to ~targetEvals per pass, so the timed
+    // loop is kernel-bound, not job-scheduling-bound (the reference
+    // loops its batch the same way); the non-literal embedding side
+    // keeps Catalyst from constant-folding the expression away
+    val rep = math.max(1L, targetEvals / n)
+    // persisted in memory: the timed loop reads RAM like the
+    // reference's in-array batch loop, not parquet + join plumbing
+    val base = e.crossJoin(broadcast(spark.range(rep))).select($"embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val evals = n * rep
+    val probe = typedlit(Array.fill(64)(0.5f).toSeq)
+    def time(name: String, c: org.apache.spark.sql.Column): (String, Double) = {
+      exhaust(base.select(c.as("d"))) // warm: codegen + cache populate
+      val t0 = System.nanoTime()
+      exhaust(base.select(c.as("d")))
+      val sec = (System.nanoTime() - t0) / 1e9
+      name -> math.rint(evals / sec / 1e3) / 1e3
+    }
+    try Map(
+      time("l2_meval_per_sec", l2($"embedding", probe)),
+      time("dot_meval_per_sec", dot($"embedding", probe)),
+      time("cosine_meval_per_sec", cosine($"embedding", probe)))
+    finally base.unpersist(false)
+  }
+
   /** Multi-client aggregate QPS: `clients` threads × `perClient` pruned
     * IVF searches each (k=10, nprobe=4, 8 query vectors per search —
     * the v_ivf_search shape) against the shared session. Returns
@@ -155,6 +195,11 @@ object Bench {
       try { val t = throughput(spark, sfDir); Some(t) }
       catch { case e: Throwable => errors("throughput") = errMsg(e); None }
 
+    // distance-kernel microbench (distance_bench.cpp analog)
+    val dist =
+      try distanceBench(spark, sfDir)
+      catch { case e: Throwable => errors("distance") = errMsg(e); Map.empty[String, Double] }
+
     // stop BEFORE emitting the result lines: Spark's shutdown logging
     // goes to stderr, and with 2>&1 capture an executor-shutdown WARN
     // interleaved after the headline would displace it as the last
@@ -175,7 +220,9 @@ object Bench {
     val tputJson = tput.map { case (c, n, sec, qps) =>
       s"""{"clients":$c,"searches":$n,"elapsed_sec":$sec,"qps":$qps}"""
     }.getOrElse("null")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"errors":$errs,"throughput":$tputJson,"sf":"$sfDir"}"""
+    val distJson = dist.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"errors":$errs,"throughput":$tputJson,"distance":$distJson,"sf":"$sfDir"}"""
     // The machine-readable artifact: the COMPLETE result object as one
     // JSON file. Five rounds of stdout-only emission parsed as null —
     // sbt appends "[success] Total time: …" after the last println, so

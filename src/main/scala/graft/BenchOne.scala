@@ -20,6 +20,10 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
+      if (name == "distance") {
+        println(s"BENCHONE distance ${Bench.distanceBench(spark, sfDir)}")
+        spark.stop(); return
+      }
       val fn = SparkEntry.queries(name)
       (0 until reps).foreach { i =>
         val t0 = System.nanoTime()
