@@ -218,10 +218,20 @@ object GraphSearch {
     require(entries >= 1, s"entries must be >= 1, got $entries")
     import s.implicits._
     val vecs = e.select($"vec_id".as("node"), $"embedding".as("nv"))
-    // entry: `entries` nearest centroids per query (rank by
-    // (d, cluster_id)) → each cluster's medoid. Distinct medoids by
-    // construction (a medoid is a member of its own cluster).
-    val entry = q.crossJoin(broadcast(cent))
+    finalTopK(beamLoop(undirected(stored), vecs, q,
+      entryBeam(cent, med, q, entries), ef, hops), k)
+  }
+
+  /** Entry beam: `entries` nearest centroids per query (rank by
+    * (d, cluster_id)) → each cluster's medoid. Distinct medoids by
+    * construction (a medoid is a member of its own cluster). ONE
+    * definition shared by [[searchFrames]] and [[sweep]] — the
+    * sweep≡search law depends on it. */
+  private def entryBeam(cent: DataFrame, med: DataFrame, q: DataFrame,
+      entries: Int): DataFrame = {
+    val s = cent.sparkSession
+    import s.implicits._
+    q.crossJoin(broadcast(cent))
       .groupBy($"query_id")
       .agg(topK(l2Sq($"qv", $"centroid"), $"cluster_id".cast("long"), entries)
         .as("c"))
@@ -229,7 +239,6 @@ object GraphSearch {
         explode(transform($"c", x => x.getField("id"))).as("cluster_id"))
       .join(broadcast(med), "cluster_id")
       .select($"query_id", $"medoid_id".as("node"))
-    finalTopK(beamLoop(undirected(stored), vecs, q, entry, ef, hops), k)
   }
 
   /** Every stored a→b edge followed both ways, the role of HNSW's
@@ -311,15 +320,8 @@ object GraphSearch {
       .select($"vec_id".as("node"), $"neighbor_id")
     val edges = undirected(stored)
     val vecs = e.select($"vec_id".as("node"), $"embedding".as("nv"))
-    val b0 = q.crossJoin(broadcast(cent))
-      .groupBy($"query_id")
-      .agg(topK(l2Sq($"qv", $"centroid"), $"cluster_id".cast("long"), entries)
-        .as("c"))
-      .select($"query_id",
-        explode(transform($"c", x => x.getField("id"))).as("cluster_id"))
-      .join(broadcast(med), "cluster_id")
-      .select($"query_id", $"medoid_id".as("node"))
-    val s1 = beamLoop(edges, vecs, q, b0, efs.max, 1)
+    val s1 = beamLoop(edges, vecs, q, entryBeam(cent, med, q, entries),
+      efs.max, 1)
     efs.map { ef =>
       val scored =
         if (hops <= 1)

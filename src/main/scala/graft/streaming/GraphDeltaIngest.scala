@@ -65,11 +65,17 @@ object GraphDeltaIngest {
       .getOrElse(baseEdges.select($"vec_id", $"neighbor_id"))
       .select($"vec_id".as("node"), $"neighbor_id")
     val q = batch.select($"vec_id".as("query_id"), $"embedding".as("qv"))
-    graft.operators.GraphSearch
+    val links = graft.operators.GraphSearch
       .searchFrames(spark, cent, med, stored, vecs, q, k, ef, hops)
       .select($"query_id".as("vec_id"), $"neighbor_id", $"rnk", $"dist")
-      .write.mode("append").parquet(s"$deltaDir/edges")
+      // materialize BEFORE the first write: the edges select must not
+      // re-derive after the vectors append changes the delta dir
+      .localCheckpoint(true)
+    // vectors first: a crash between the appends then leaves an extra
+    // unlinked vector (harmless — it is only a candidate source), never
+    // an edge whose endpoint embedding the next batch cannot score
     batch.select($"vec_id", $"embedding")
       .write.mode("append").parquet(s"$deltaDir/vectors")
+    links.write.mode("append").parquet(s"$deltaDir/edges")
   }
 }
