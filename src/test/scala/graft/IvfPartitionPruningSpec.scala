@@ -66,6 +66,26 @@ class IvfPartitionPruningSpec extends SparkSpec {
     }
   }
 
+  test("the new index family inherits the pruning: mips and residual lists scans are partition-filtered") {
+    val prev = sys.props.get("graft.index.dir")
+    sys.props("graft.index.dir") = "target/tmp-ivf-store"
+    try {
+      for (name <- Seq("v_mips_ivf", "v_ivfpq_residual")) {
+        val df = graft.queries.IndexQueries.all(name)(spark, sfDir)
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.linesIterator.exists(l =>
+            l.contains("PartitionFilters") && l.contains("cluster_id")),
+          s"$name: cluster_id not in partition filters:\n$plan")
+        assert(df.collect().map(_.getLong(0)).distinct.length === 8)
+      }
+    } finally {
+      prev match {
+        case Some(p) => sys.props("graft.index.dir") = p
+        case None => sys.props.remove("graft.index.dir")
+      }
+    }
+  }
+
   test("v_ivf_search operator itself runs partition-pruned against the persisted index") {
     // hermetic store location for the test
     val prev = sys.props.get("graft.index.dir")
