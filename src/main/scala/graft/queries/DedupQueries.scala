@@ -215,6 +215,35 @@ object DedupQueries {
     out
   }
 
+  /** The d_line_dedup core over an explicit (doc_id, text) frame —
+    * factored so the planted-fixture spec drives the REAL plan.
+    * Unit = non-overlapping `n`-word segment; first (doc_id, pos)
+    * occurrence of each distinct segment survives; survivors stitch
+    * back in position order (all-removed docs reassemble to ''). */
+  private[graft] def lineDedup(docs: DataFrame, n: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val segs = docs
+      .select($"doc_id", toks($"text").as("w"))
+      .select($"doc_id",
+        posexplode(transform(
+          sequence(lit(0), floor((size($"w") - lit(1)) / n).cast("int")),
+          i => array_join(slice($"w", i * n + 1, lit(n)), " ")))
+          .as(Seq("pos", "seg")))
+      .withColumn("h", GraftText.rollingHash64($"seg"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"h")
+    segs
+      .withColumn("kept", struct($"doc_id", $"pos") ===
+        min(struct($"doc_id", $"pos")).over(w))
+      .groupBy($"doc_id")
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(when($"kept", struct($"pos", $"seg")))),
+          x => x("seg"))).as("clean_text"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"kept", 0L).otherwise(1L)).as("n_removed"))
+  }
+
   /** Banded Hamming-ball pairs over (doc_id, fp bigint): explode each
     * fingerprint into `nChunks` equal bit chunks, equi-join on
     * (chunk_id, chunk value), verify true Hamming on candidates.
@@ -297,6 +326,33 @@ object DedupQueries {
       comp.join(sizes, "component")
         .select($"id".as("doc_id"), $"component".as("cluster_id"),
           $"cluster_size", ($"id" =!= $"component").as("is_dup"))
+        .transform(orderedLarge(_, "doc_id"))
+    }),
+
+    // Leakage-safe train/test split — the SPLIT stage that follows
+    // dedup in a training-data pipeline. A plain per-doc hash split
+    // leaks near-duplicates across the boundary (a test doc whose
+    // near-twin sits in train inflates every eval number); the fix is
+    // to split by near-dup COMPONENT, so a whole family of mutual
+    // near-dups lands on one side. Group = connected component of the
+    // verified j >= 0.8 graph (the d_dedup_cluster machinery, same
+    // bounded label-contraction rounds); the 90/10 assignment is the
+    // Knuth multiplicative hash of the group REPRESENTATIVE (its min
+    // doc_id), so membership decides the split, never the individual
+    // doc. Scale: identical to d_dedup_cluster + one scan-side hash
+    // compare — no new shuffle beyond the component rounds.
+    // 3865470566 = floor(0.9 * 2^32): the literal is shared verbatim
+    // with the oracle (and with d_mixture_sample's threshold idiom).
+    "d_split_leakage" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val docs = load(s, d, "documents").select($"doc_id")
+      val comp = graft.operators.ConnectedComponents.minLabel(
+        docs, "doc_id", jaccardPairsRaw(s, d), "doc_a", "doc_b",
+        validateNodes = false, trustedEndpoints = true)
+      comp.select($"id".as("doc_id"), $"component".as("group_id"),
+          when(pmod($"component" * lit(2654435761L), lit(4294967296L))
+            < lit(3865470566L), lit("train"))
+            .otherwise(lit("test")).as("split"))
         .transform(orderedLarge(_, "doc_id"))
     }),
 
@@ -551,6 +607,29 @@ object DedupQueries {
             .as("dup_token_frac"))
         .transform(orderedLarge(_, "doc_id"))
     }),
+
+    // Corpus-level span dedup WITH document reassembly — the C4 /
+    // RefinedWeb "line dedup" stage (every line occurring more than
+    // once in the corpus is dropped from all but its first occurrence,
+    // and the surviving lines are stitched back into a cleaned
+    // document). This corpus has no newlines, so the "line" unit is a
+    // NON-OVERLAPPING 8-word segment (the segmentation rule is the
+    // parameter; the removal/reassembly machinery is the operator —
+    // unlike d_substring_dedup, which only REPORTS overlap statistics,
+    // this one REWRITES the corpus). Scale shape: ONE shuffle keyed on
+    // the 8-byte FNV segment hash elects the first (doc_id, pos)
+    // occurrence per distinct segment via a window min — never a
+    // groupBy + join-back double-shuffle — then ONE doc_id shuffle
+    // reassembles survivors in position order. Segment text rides only
+    // the frames that need it for reassembly; the dedup DECISION
+    // compares hashes (the d_substring_dedup hash-vs-string
+    // independence: the oracle elects winners on the segment STRINGS,
+    // so a 64-bit collision would fail the gate itself). A doc whose
+    // every segment appeared earlier reassembles to '' — exact-dup
+    // docs vanish here exactly as full-line dups vanish in C4.
+    "d_line_dedup" -> ((s: SparkSession, d: String) =>
+      lineDedup(load(s, d, "documents"), 8)
+        .transform(orderedLarge(_, "doc_id"))),
 
     // Benchmark decontamination (GPT-3 appendix-C style): corpus docs
     // sharing any 8-word shingle with the held-out eval set (stand-in:
@@ -954,6 +1033,26 @@ object DedupQueries {
          |FROM comp c JOIN sizes z USING (cluster_id)
          |ORDER BY c.doc_id""".stripMargin,
 
+    // Same recursive-CTE component derivation as the d_dedup_cluster
+    // oracle; the split is the identical Knuth-hash literal arithmetic
+    // over the component representative (all values non-negative, so
+    // DuckDB % == Spark pmod).
+    "d_split_leakage" ->
+      s"""WITH RECURSIVE edges AS ($JaccardPairsSqlBase),
+         |sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+         |        UNION ALL SELECT doc_b, doc_a FROM edges),
+         |reach(node, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT sym.b, r.lab FROM reach r JOIN sym ON sym.a = r.node
+         |),
+         |comp AS (SELECT node AS doc_id, min(lab) AS group_id
+         |         FROM reach GROUP BY node)
+         |SELECT doc_id, group_id,
+         |  CASE WHEN (group_id * 2654435761) % 4294967296 < 3865470566
+         |       THEN 'train' ELSE 'test' END AS split
+         |FROM comp ORDER BY doc_id""".stripMargin,
+
     // The oracle is the straight quadratic contract — the Spark plan's
     // q-gram prefilter is lossless, so both must produce identical rows.
     "d_edit_distance" ->
@@ -1022,6 +1121,33 @@ object DedupQueries {
         |  round(coalesce(cov.covered, 0)::DOUBLE / n_toks, 4) AS dup_token_frac
         |FROM agg LEFT JOIN cov ON agg.doc_id = cov.doc_id
         |ORDER BY agg.doc_id""".stripMargin,
+
+    // Winner election on the segment STRINGS (the plan windows over
+    // their FNV hashes — equal modulo 64-bit collisions, which this
+    // very gate would expose). row_number replaces the plan's window
+    // min-struct: disjoint derivations of "first (doc_id, pos)
+    // occurrence". Slice arithmetic: DuckDB w[a:b] is 1-based
+    // inclusive-clipped == Spark slice(w, a, 8).
+    "d_line_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |segs AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(w[i*8+1 : i*8+8], ' ') AS seg
+        |  FROM (SELECT doc_id, w, unnest(range((len(w)-1)//8 + 1)) AS i
+        |        FROM t)),
+        |marked AS (
+        |  SELECT doc_id, pos, seg,
+        |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) = 1
+        |      AS kept
+        |  FROM segs)
+        |SELECT doc_id,
+        |  coalesce(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE kept),
+        |           '') AS clean_text,
+        |  count(*) FILTER (WHERE kept) AS n_kept,
+        |  count(*) FILTER (WHERE NOT kept) AS n_removed
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // same shingle-STRING independence as the substring-dedup oracle:
     // the engine joins 8-byte FNV hashes, the oracle joins the strings

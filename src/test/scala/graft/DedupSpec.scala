@@ -228,4 +228,45 @@ class DedupSpec extends SparkSpec {
       assert(native.toSeq === composed.toSeq, s"n=$n")
     }
   }
+
+  test("line dedup: cross-doc, in-doc, and full-dup removal on a planted fixture") {
+    import spark.implicits._
+    // segment width 2; doc 1 is the canonical source, doc 2 repeats one
+    // of doc 1's segments mid-document, doc 3 is an exact dup of doc 1,
+    // doc 4 repeats its own first segment, doc 5 is untouched. A short
+    // tail (doc 2's trailing single word) is its own segment.
+    val docs = Seq(
+      (1L, "a b c d"),        // segs: "a b", "c d" — both kept
+      (2L, "x y c d z"),      // "x y" kept, "c d" removed, "z" kept
+      (3L, "a b c d"),        // exact dup of doc 1 → everything removed
+      (4L, "p q p q"),        // "p q" kept once, second occurrence removed
+      (5L, "m n o r")         // untouched
+    ).toDF("doc_id", "text")
+    val out = DedupQueries.lineDedup(docs, 2)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) === (("a b c d", 2L, 0L)))
+    assert(out(2L) === (("x y z", 2L, 1L)), "mid-doc removal must re-stitch around the gap")
+    assert(out(3L) === (("", 0L, 2L)), "an exact-dup doc must reassemble to ''")
+    assert(out(4L) === (("p q", 1L, 1L)), "in-doc repeats fall under the same rule")
+    assert(out(5L) === (("m n o r", 2L, 0L)))
+  }
+
+  test("leakage split: no verified near-dup edge crosses the train/test boundary") {
+    import spark.implicits._
+    val split = DedupQueries.all("d_split_leakage")(spark, sfDir)
+      .select($"doc_id", $"split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split.values.toSet.subsetOf(Set("train", "test")))
+    assert(split.values.exists(_ == "train"), "90% side must be populated")
+    val edges = DedupQueries.all("d_jaccard_pairs")(spark, sfDir)
+      .select($"doc_a", $"doc_b").collect()
+    assert(edges.nonEmpty, "fixture must contain verified near-dup edges")
+    edges.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(split(a) === split(b),
+        s"near-dup pair ($a, $b) split across the boundary: ${split(a)} vs ${split(b)}")
+    }
+  }
 }
