@@ -71,6 +71,62 @@ object TextQueries {
   private[graft] val HashFeatureWeights: Seq[Double] =
     Seq.tabulate(64)(j => ((j * 2654435761L % 1009).toDouble / 1009) - 0.5)
 
+  /** The t_quality_classifier trainer over an explicit (doc_id, text,
+    * source) frame — factored so the separable-fixture spec drives the
+    * REAL training loop. Batch perceptron in EXACT INTEGER arithmetic:
+    * features are token counts over the 64 hashed buckets of
+    * t_hash_features' feature space plus a constant bias bucket (64);
+    * labels y = ±1 from the same seed-domain slice DSIR targets. Each
+    * round scores every doc against the current integer weight vector
+    * (a scan-side fold over the doc's own sorted (bucket, count) list
+    * — weights ride in as a 65-long literal, no join), sums y·m over
+    * misclassified docs per bucket (ONE 65-key map-side-combined
+    * aggregate), and folds the ≤65-row gradient into the driver's
+    * weight vector — the v_pca_power / t_bpe_train bounded-round
+    * discipline, except every op is integer so there is no float-order
+    * pinning to do at all. At 100 TB: `rounds` cached corpus scans +
+    * 65-row collects; nothing else crosses the shuffle. */
+  private[graft] def perceptronQuality(docsIn: DataFrame, rounds: Int): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
+    val feats = docsIn
+      .select($"doc_id",
+        when($"source".isin("src0", "src1", "src2"), 1L).otherwise(-1L).as("y"),
+        tokens(coalesce($"text", lit(""))).as("toks"))
+      .select($"doc_id", $"y", explode(concat(
+        transform($"toks",
+          t => graft.GraftText.rollingHash64(t).bitwiseAND(lit(63L))),
+        array(lit(64L)))).as("bkt"))
+      .groupBy($"doc_id", $"y", $"bkt").agg(count(lit(1)).as("m"))
+      .groupBy($"doc_id", $"y")
+      .agg(sort_array(collect_list(struct($"bkt", $"m"))).as("fs"))
+      .cache()
+    feats.count() // eager populate (the jaccardPairsRaw discipline)
+    def scoreCol(wArr: Array[Long]): Column = {
+      val wl = typedlit(wArr.toSeq)
+      aggregate($"fs", lit(0L), (acc, f) =>
+        acc + f("m") * element_at(wl, (f("bkt") + 1).cast("int")))
+    }
+    var w = Array.fill(65)(0L)
+    for (_ <- 1 to rounds) {
+      val grad = feats
+        .withColumn("sc", scoreCol(w))
+        .filter($"y" * $"sc" <= 0L)
+        .select($"y", explode($"fs").as("f"))
+        .groupBy($"f.bkt").agg(sum($"y" * $"f.m").as("g"))
+        .collect()
+      val w2 = w.clone()
+      grad.foreach(r => w2(r.getLong(0).toInt) += r.getLong(1))
+      w = w2
+    }
+    val out = feats
+      .select($"doc_id", scoreCol(w).as("score"),
+        (scoreCol(w) > 0L).as("pred_hq"), ($"y" === 1L).as("is_hq"))
+      .localCheckpoint(true)
+    feats.unpersist(false)
+    out
+  }
+
   private def sqlStopCount(set: Seq[String]): String =
     s"len(list_filter(toks, t -> list_contains([${set.map(w => s"'$w'").mkString(",")}], t)))::BIGINT"
 
@@ -774,6 +830,20 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // TRAINED quality classifier (the FineWeb-Edu / LLaMA-style "train
+    // a classifier on seed domains, score the whole corpus" curation
+    // stage — the learned sibling of t_filter_gate's hand rules and
+    // d_dsir_weights' closed-form importance weights): batch perceptron
+    // over the t_hash_features bucket space, 6 rounds, EXACT INTEGER
+    // arithmetic end to end — weights, scores, and gradients are all
+    // bigint sums, so the trained model is bit-identical across
+    // engines with zero float-order pinning (see perceptronQuality for
+    // the scale shape; the oracle re-derives all 6 training rounds as
+    // unrolled CTEs and scores with the same learned weights).
+    "t_quality_classifier" -> ((s: SparkSession, d: String) =>
+      perceptronQuality(load(s, d, "documents"), rounds = 6)
+        .orderBy("doc_id")),
+
     // TextRank (Mihalcea & Tarau 2004): PageRank over the token
     // co-occurrence graph — the graph-based keyword ranker next to
     // t_tfidf_keywords' frequency-based one. Adjacent-token pairs form
@@ -1362,6 +1432,54 @@ object TextQueries {
          |  round(list_reduce(list_prepend(0.0,
          |    list_transform(bs, bb -> ($wLit::DOUBLE[])[bb + 1])), (a, x) -> a + x), 6) AS score
          |FROM d ORDER BY doc_id""".stripMargin
+    },
+
+    // all 6 perceptron training rounds unrolled as chained CTEs — the
+    // oracle LEARNS the same integer weight vector from scratch (round
+    // r: score under w_{r-1}, per-bucket y·m gradient over
+    // misclassified docs, fold into w_r) and scores with it; every
+    // value is a bigint sum, so equality is exact, not
+    // rounding-convention luck. Buckets re-derived via the HUGEINT FNV
+    // fold (low 6 bits agree between signed and unsigned arithmetic);
+    // bias bucket 64 gives every doc a feature row.
+    "t_quality_classifier" -> {
+      import graft.functions.HashSql
+      val roundCtes = (1 to 6).map { r =>
+        val pw = s"w${r - 1}"
+        s"""s$r AS (
+           |  SELECT doc_id, any_value(y) AS y, sum(m * $pw.w)::BIGINT AS sc
+           |  FROM f JOIN $pw USING (bkt) GROUP BY doc_id),
+           |g$r AS (
+           |  SELECT f.bkt, sum(f.y * f.m)::BIGINT AS g
+           |  FROM f JOIN s$r ON f.doc_id = s$r.doc_id
+           |  WHERE s$r.y * s$r.sc <= 0 GROUP BY f.bkt),
+           |w$r AS (
+           |  SELECT spine.bkt, ($pw.w + coalesce(g$r.g, 0))::BIGINT AS w
+           |  FROM spine JOIN $pw ON spine.bkt = $pw.bkt
+           |  LEFT JOIN g$r ON spine.bkt = g$r.bkt)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN source IN ('src0', 'src1', 'src2')
+         |          THEN 1 ELSE -1 END)::BIGINT AS y,
+         |    regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS toks
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, any_value(yy) AS y, bkt, count(*)::BIGINT AS m
+         |  FROM (
+         |    SELECT doc_id, y AS yy, (${HashSql.fnvSql("tok")} % 64)::BIGINT AS bkt
+         |    FROM (SELECT doc_id, y, unnest(toks) AS tok FROM t)
+         |    UNION ALL
+         |    SELECT doc_id, y, 64::BIGINT FROM t)
+         |  GROUP BY doc_id, bkt),
+         |spine AS (SELECT unnest(range(65))::BIGINT AS bkt),
+         |w0 AS (SELECT bkt, 0::BIGINT AS w FROM spine),
+         |$roundCtes,
+         |sf AS (
+         |  SELECT doc_id, any_value(y) AS y, sum(m * w6.w)::BIGINT AS sc
+         |  FROM f JOIN w6 USING (bkt) GROUP BY doc_id)
+         |SELECT doc_id, sc AS score, sc > 0 AS pred_hq, y = 1 AS is_hq
+         |FROM sf ORDER BY doc_id""".stripMargin
     },
 
     // the 8 power iterations unrolled as chained CTEs, each with the

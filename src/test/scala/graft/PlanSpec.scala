@@ -141,6 +141,19 @@ class PlanSpec extends SparkSpec {
     build.queryExecution.executedPlan.toString
   }
 
+  test("line dedup: one segment-hash window exchange + one doc_id rollup, no join") {
+    val p = freshPlan {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      graft.queries.DedupQueries.lineDedup(docs, 8)
+    }
+    assert(!p.contains("Join"),
+      "winner election must be a window over the hash, not a groupBy + join-back")
+    val hashEx = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx === 2,
+      s"exactly two shuffles (segment hash for the window, doc_id for reassembly):\n$p")
+  }
+
   test("decontamination: eval side broadcasts, one rollup exchange, no window") {
     val p = freshPlan {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -265,4 +265,29 @@ class QualityAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"truth/candidate generation must never be a cartesian:\n$p")
   }
+
+  test("perceptron classifier converges on a separable fixture and is rerun-stable") {
+    // disjoint token sets per class: linearly separable in the hashed
+    // bucket space (with overwhelming probability under FNV), so the
+    // batch perceptron must classify every doc correctly within the
+    // entry's 6 rounds
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha", "src0"),
+      (2L, "beta gamma alpha beta beta", "src1"),
+      (3L, "delta epsilon zeta zeta", "src9"),
+      (4L, "epsilon zeta delta", "src8"),
+      (5L, "alpha gamma beta", "src2"),
+      (6L, "zeta delta epsilon epsilon", "src7")
+    ).toDF("doc_id", "text", "source")
+    val out = TextQueries.perceptronQuality(docs, rounds = 6)
+      .orderBy("doc_id").collect()
+    out.foreach { r =>
+      assert(r.getBoolean(2) === r.getBoolean(3),
+        s"doc ${r.getLong(0)} misclassified after training: score=${r.getLong(1)}")
+    }
+    val again = TextQueries.perceptronQuality(docs, rounds = 6)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq,
+      "training must be deterministic run-to-run")
+  }
 }
