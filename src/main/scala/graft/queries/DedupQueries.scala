@@ -139,15 +139,35 @@ object DedupQueries {
     docs.count()
     val batch = docs.filter(pmod($"doc_id", lit(20)) === 7)
     val corpus = docs.filter(pmod($"doc_id", lit(20)) =!= 7)
+    // Corpus-side SCAN prunes — the batch ≪ corpus contract is only
+    // worth anything at 100 TB if the corpus never shuffles wholesale:
+    //  - exact path: a Bloom over the batch's 8-byte signature hashes
+    //    (bounded by batch size) broadcasts to the corpus scan; only
+    //    might-contain rows — the true exact-dups plus the bounded FP
+    //    mass, which the equality join then kills — pay the
+    //    signature-keyed shuffle. The hash is engine-internal (both
+    //    probe and build compute xxhash64 of the same array), so the
+    //    oracle never sees it.
+    //  - near path: the batch's (lang, band) fan-out set is bounded by
+    //    2×|batch|; as a broadcast LEFT SEMI it prunes corpus rows that
+    //    cannot meet any batch band BEFORE the banded join's exchange.
+    val bloomB = batch.agg(
+      graft.GraftSketch.bloomFilter(xxhash64($"ws"), numWords = 4096)
+        .as("bf"))
+    val corpusExact = corpus.crossJoin(broadcast(bloomB))
+      .filter(graft.GraftSketch.bloomMightContain(xxhash64($"ws"), $"bf"))
+      .drop("bf")
     val exact = batch.select($"doc_id", $"ws")
-      .join(corpus.select($"doc_id".as("cid"), $"ws"), "ws")
+      .join(corpusExact.select($"doc_id".as("cid"), $"ws"), "ws")
       .groupBy($"doc_id").agg(min($"cid").as("exact_keeper"))
     val lhs = batch.select($"doc_id", $"lang", $"ws".as("wa"),
       $"nw".as("na"),
       explode(sequence(expr("((nw * 4 + 4) div 5) div 25"),
         expr("(nw * 5 div 4) div 25"))).as("band"))
+    val batchBands = lhs.select($"lang", $"band").distinct()
     val rhs = corpus.select($"doc_id".as("cid"), $"lang",
       $"ws".as("wb"), $"nw".as("nb"), expr("nw div 25").as("band"))
+      .join(broadcast(batchBands), Seq("lang", "band"), "left_semi")
     val near = lhs.join(rhs, Seq("lang", "band"))
       .filter(lit(5) * least($"na", $"nb") >= lit(4) * greatest($"na", $"nb"))
       .filter(GraftText.jaccardSortedLong($"wa", $"wb") >= 0.8)

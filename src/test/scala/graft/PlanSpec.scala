@@ -84,8 +84,14 @@ class PlanSpec extends SparkSpec {
     incrSigs.unpersist(false)
     assert(!incrPlan.contains("CartesianProduct"),
       s"d_dedup_incremental has a cartesian:\n$incrPlan")
-    assert(!incrPlan.contains("BroadcastNestedLoopJoin"),
-      s"d_dedup_incremental has a nested-loop join:\n$incrPlan")
+    // the ONLY tolerated nested-loop is the single-row Bloom carrier
+    // broadcast to the corpus scan (the q_bloom_join shape) — a
+    // pair-enumerating nest would also trip the Cartesian assert above
+    assert(incrPlan.contains("bloom_might_contain") ||
+      incrPlan.contains("BloomMightContain"),
+      s"corpus exact side must be Bloom-pruned at the scan:\n$incrPlan")
+    assert(incrPlan.contains("LeftSemi"),
+      s"corpus near side must semi-join the batch's bounded band set:\n$incrPlan")
     for ((block, name) <- Seq(
         (graft.queries.VectorQueries.all, "v_knn_self_pairs"),
         (graft.queries.DedupQueries.all, "d_embed_neardup"),
