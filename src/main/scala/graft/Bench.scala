@@ -171,6 +171,7 @@ object Bench {
       // the LM-score and BPE-merge stores are corpus-build artifacts
       // like the indexes: the timed entries measure inference/read,
       // not the build (t_bpe_train still times the build path itself)
+      "store:jedges" -> (() => graft.queries.DedupQueries.jaccardEdgeStore(spark, sfDir)),
       "store:lm" -> (() => graft.queries.TextQueries.lmStore(spark, sfDir)),
       "store:bpe" -> (() => graft.queries.TextQueries.bpeStore(spark, sfDir)))
     stores.foreach { case (key, build) =>
@@ -200,8 +201,11 @@ object Bench {
     // warm-up already establishes this loop is measuring. Failures
     // (-1) are never retimed; `retimed` counts the second samples.
     var retimeBudget = 60.0
-    var retimed = 0
     val secondPass = scala.collection.mutable.Map.empty[String, Double]
+    // both samples recorded verbatim so the artifact shows its work:
+    // a reader can see which numbers came from a retime and how far
+    // apart the two samples were (the steal-burst magnitude)
+    val retimes = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     firstPass.filter(_._2 >= 2.0).sortBy(-_._2).foreach { case (name, first) =>
       if (retimeBudget > 0) {
         val t0 = System.nanoTime()
@@ -209,7 +213,7 @@ object Bench {
           exhaust(SparkEntry.queries(name)(spark, sfDir))
           val sec = math.rint((System.nanoTime() - t0) / 1e6) / 1e3
           secondPass(name) = math.min(first, sec)
-          retimed += 1
+          retimes(name) = (first, sec)
           retimeBudget -= sec
         } catch { case _: Throwable => () } // keep the first sample
         spark.catalog.clearCache()
@@ -258,7 +262,10 @@ object Bench {
     }.getOrElse("null")
     val distJson = dist.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"timing":"min of up to 2 runs for first-sample outliers >2s","retimed":$retimed,"queries":$qs,"errors":$errs,"throughput":$tputJson,"distance":$distJson,"sf":"$sfDir"}"""
+    val retimesJson = retimes.map { case (k, (a, b)) =>
+      jstr(k) + s":[$a,$b]"
+    }.mkString("{", ",", "}")
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"timing":"min of up to 2 runs for first-sample outliers >2s","retimes":$retimesJson,"queries":$qs,"errors":$errs,"throughput":$tputJson,"distance":$distJson,"sf":"$sfDir"}"""
     // The machine-readable artifact: the COMPLETE result object as one
     // JSON file. Five rounds of stdout-only emission parsed as null —
     // sbt appends "[success] Total time: …" after the last println, so

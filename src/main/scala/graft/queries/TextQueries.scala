@@ -188,7 +188,7 @@ object TextQueries {
     * IndexStore discipline, keyed on documents.parquet mtime/size so
     * regenerated corpora self-invalidate). `build` writes the parquet
     * when absent; returns the artifact directory. */
-  private def docArtifact(d: String, name: String)(
+  private[graft] def docArtifact(d: String, name: String)(
       build: String => Unit): String = storeLock.synchronized {
     val key = graft.operators.IndexStore.sfKey(d, "documents")
     val dir = new java.io.File(
