@@ -89,7 +89,22 @@ object TextQueries {
   private[graft] def perceptronQuality(docsIn: DataFrame, rounds: Int): DataFrame = {
     val s = docsIn.sparkSession
     import s.implicits._
-    val feats = docsIn
+    val feats = perceptronFeats(docsIn).cache()
+    feats.count() // eager populate (the jaccardPairsRaw discipline)
+    val w = perceptronTrainOnFeats(feats, rounds)
+    val out = feats
+      .select($"doc_id", perceptronScoreCol(w).as("score"),
+        (perceptronScoreCol(w) > 0L).as("pred_hq"), ($"y" === 1L).as("is_hq"))
+      .localCheckpoint(true)
+    feats.unpersist(false)
+    out
+  }
+
+  /** Per-doc (bucket, count) feature lists + ±1 seed-domain label. */
+  private def perceptronFeats(docsIn: DataFrame): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
+    docsIn
       .select($"doc_id",
         when($"source".isin("src0", "src1", "src2"), 1L).otherwise(-1L).as("y"),
         tokens(coalesce($"text", lit(""))).as("toks"))
@@ -100,17 +115,21 @@ object TextQueries {
       .groupBy($"doc_id", $"y", $"bkt").agg(count(lit(1)).as("m"))
       .groupBy($"doc_id", $"y")
       .agg(sort_array(collect_list(struct($"bkt", $"m"))).as("fs"))
-      .cache()
-    feats.count() // eager populate (the jaccardPairsRaw discipline)
-    def scoreCol(wArr: Array[Long]): Column = {
-      val wl = typedlit(wArr.toSeq)
-      aggregate($"fs", lit(0L), (acc, f) =>
-        acc + f("m") * element_at(wl, (f("bkt") + 1).cast("int")))
-    }
+  }
+
+  private def perceptronScoreCol(wArr: Array[Long]): Column = {
+    val wl = typedlit(wArr.toSeq)
+    aggregate(col("fs"), lit(0L), (acc, f) =>
+      acc + f("m") * element_at(wl, (f("bkt") + 1).cast("int")))
+  }
+
+  private def perceptronTrainOnFeats(feats: DataFrame, rounds: Int): Array[Long] = {
+    val s = feats.sparkSession
+    import s.implicits._
     var w = Array.fill(65)(0L)
     for (_ <- 1 to rounds) {
       val grad = feats
-        .withColumn("sc", scoreCol(w))
+        .withColumn("sc", perceptronScoreCol(w))
         .filter($"y" * $"sc" <= 0L)
         .select($"y", explode($"fs").as("f"))
         .groupBy($"f.bkt").agg(sum($"y" * $"f.m").as("g"))
@@ -119,12 +138,36 @@ object TextQueries {
       grad.foreach(r => w2(r.getLong(0).toInt) += r.getLong(1))
       w = w2
     }
-    val out = feats
-      .select($"doc_id", scoreCol(w).as("score"),
-        (scoreCol(w) > 0L).as("pred_hq"), ($"y" === 1L).as("is_hq"))
-      .localCheckpoint(true)
+    w
+  }
+
+  /** Train and return just the 65-long integer weight vector. */
+  private[graft] def perceptronTrain(docsIn: DataFrame, rounds: Int): Array[Long] = {
+    val feats = perceptronFeats(docsIn).cache()
+    feats.count()
+    val w = perceptronTrainOnFeats(feats, rounds)
     feats.unpersist(false)
-    out
+    w
+  }
+
+  /** FROZEN-model inference: score (doc_id, text) rows against an
+    * explicit weight vector as ONE scan-side fold over each doc's own
+    * token array (Σ_tokens w[bucket(tok)] + bias ≡ the count-weighted
+    * dot product — no groupBy at all). Stateless, so it runs
+    * identically over a micro-batch stream: the serving face of the
+    * trained classifier (StreamClassifySpec pins stream == batch). */
+  private[graft] def perceptronScore(docs: DataFrame, w: Array[Long]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val wl = typedlit(w.toSeq)
+    docs.select($"doc_id",
+      (aggregate(
+        transform(tokens(coalesce($"text", lit(""))),
+          t => element_at(wl,
+            (graft.GraftText.rollingHash64(t).bitwiseAND(lit(63L)) + 1)
+              .cast("int"))),
+        lit(0L), (acc, x) => acc + x) + element_at(wl, 65)).as("score"))
+      .withColumn("pred_hq", $"score" > 0L)
   }
 
   private def sqlStopCount(set: Seq[String]): String =
