@@ -32,6 +32,18 @@ object Bench {
   def exhaust(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
+  /** Cumulative host-steal ticks (/proc/stat field 8) — CPU time the
+    * hypervisor withheld from this guest. The box's contention arrives
+    * in multi-minute waves (measured ~1,700 stolen CPU-seconds across
+    * one bench run, near zero the next), so per-sample steal deltas
+    * are the ground truth for "was this number contaminated". 0 where
+    * unreadable. */
+  def stealTicks(): Long =
+    try {
+      val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      line.trim.split("\\s+").drop(1).lift(7).map(_.toLong).getOrElse(0L)
+    } catch { case _: Throwable => 0L }
+
   /** The distance_bench.cpp analog (/root/reference/benchmark/
     * distance_bench.cpp times the scalar vs AVX2 L2 kernels over a
     * vector batch): time the codegen'd distance expressions over
@@ -178,16 +190,20 @@ object Bench {
       try build() catch { case e: Throwable => errors(key) = errMsg(e) }
     }
 
+    val runSteal0 = stealTicks()
+    // (time, steal seconds observed during the sample) per query
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val s0 = stealTicks()
       val t0 = System.nanoTime()
       val ok =
         try { exhaust(fn(spark, sfDir)); true }
         catch { case e: Throwable => errors(name) = errMsg(e); false }
       val sec = math.rint((System.nanoTime() - t0) / 1e6) / 1e3
+      val steal = (stealTicks() - s0) / 100.0
       // a query may cache its own shared subtrees; drop them so pinned
       // blocks never bleed into (or evict under) later measurements
       spark.catalog.clearCache()
-      name -> (if (ok) sec else -1.0)
+      (name, if (ok) sec else -1.0, steal)
     }
     // Outlier re-time pass: this box shows BURSTY host-level CPU steal
     // (/proc/stat steal ≈ 12 % of historical user time, arriving in
@@ -200,26 +216,30 @@ object Bench {
     // number is the MIN of the two samples — the steady-state claim the
     // warm-up already establishes this loop is measuring. Failures
     // (-1) are never retimed; `retimed` counts the second samples.
-    var retimeBudget = 60.0
+    var retimeBudget = 120.0
     val secondPass = scala.collection.mutable.Map.empty[String, Double]
     // both samples recorded verbatim so the artifact shows its work:
     // a reader can see which numbers came from a retime and how far
     // apart the two samples were (the steal-burst magnitude)
     val retimes = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
-    firstPass.filter(_._2 >= 2.0).sortBy(-_._2).foreach { case (name, first) =>
-      if (retimeBudget > 0) {
-        val t0 = System.nanoTime()
-        try {
-          exhaust(SparkEntry.queries(name)(spark, sfDir))
-          val sec = math.rint((System.nanoTime() - t0) / 1e6) / 1e3
-          secondPass(name) = math.min(first, sec)
-          retimes(name) = (first, sec)
-          retimeBudget -= sec
-        } catch { case _: Throwable => () } // keep the first sample
-        spark.catalog.clearCache()
+    // retime-eligible: slow first sample OR measurable steal observed
+    // DURING the sample (direct evidence of contamination, whatever
+    // the wall time); slowest first so the budget goes to the worst
+    firstPass.filter(r => r._2 >= 2.0 || (r._2 >= 0 && r._3 >= 1.0))
+      .sortBy(-_._2).foreach { case (name, first, _) =>
+        if (retimeBudget > 0) {
+          val t0 = System.nanoTime()
+          try {
+            exhaust(SparkEntry.queries(name)(spark, sfDir))
+            val sec = math.rint((System.nanoTime() - t0) / 1e6) / 1e3
+            secondPass(name) = math.min(first, sec)
+            retimes(name) = (first, sec)
+            retimeBudget -= sec
+          } catch { case _: Throwable => () } // keep the first sample
+          spark.catalog.clearCache()
+        }
       }
-    }
-    val results = firstPass.map { case (name, sec) =>
+    val results = firstPass.map { case (name, sec, _) =>
       name -> secondPass.getOrElse(name, sec)
     }
 
@@ -265,7 +285,8 @@ object Bench {
     val retimesJson = retimes.map { case (k, (a, b)) =>
       jstr(k) + s":[$a,$b]"
     }.mkString("{", ",", "}")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"timing":"min of up to 2 runs for first-sample outliers >2s","retimes":$retimesJson,"queries":$qs,"errors":$errs,"throughput":$tputJson,"distance":$distJson,"sf":"$sfDir"}"""
+    val stealSec = math.rint((stealTicks() - runSteal0) / 100.0 * 10) / 10
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"timing":"min of up to 2 runs for contaminated samples (>2s or steal observed)","steal_sec":$stealSec,"retimes":$retimesJson,"queries":$qs,"errors":$errs,"throughput":$tputJson,"distance":$distJson,"sf":"$sfDir"}"""
     // The machine-readable artifact: the COMPLETE result object as one
     // JSON file. Five rounds of stdout-only emission parsed as null —
     // sbt appends "[success] Total time: …" after the last println, so
