@@ -148,10 +148,17 @@ object HashSql {
        |)""".stripMargin
   }
 
-  def minhashKeeperOracle(wsDef: String, jaccardThreshold: Double,
+  /** The keeper-assignment CTE chain WITHOUT the leading WITH or final
+    * SELECT: everything from `d AS (wsDef)` through
+    * `keepassign(doc_id, keeper_id)` — embeddable inside a larger
+    * composed oracle (p_curation_pipeline chains it between the filter
+    * gate and the mixture stage). Relation names used: d, tok, th, dh,
+    * sigs, su, buckets, reps, edges, verified, keepassign — composing
+    * queries must avoid these. */
+  def minhashKeeperCtes(wsDef: String, jaccardThreshold: Double,
       numHashes: Int = 64, numBands: Int = 16,
       tokenHashSql: String => String = fnvSql): String = {
-    s"""WITH ${minhashBucketsCtes(wsDef, numHashes, numBands, tokenHashSql)},
+    s"""${minhashBucketsCtes(wsDef, numHashes, numBands, tokenHashSql)},
        |reps AS (SELECT band_id, bh, min(doc_id) AS rep FROM buckets GROUP BY band_id, bh),
        |edges AS (
        |  SELECT DISTINCT b.doc_id, r.rep FROM buckets b
@@ -166,11 +173,20 @@ object HashSql {
        |  WHERE len(list_intersect(da.ws, db.ws))::DOUBLE
        |        / len(list_distinct(list_concat(da.ws, db.ws))) >= $jaccardThreshold
        |  GROUP BY e.doc_id
-       |)
-       |SELECT d.doc_id AS doc_id, coalesce(v.keeper, d.doc_id) AS keeper_id,
-       |       coalesce(v.keeper, d.doc_id) != d.doc_id AS is_dup
-       |FROM d LEFT JOIN verified v ON d.doc_id = v.doc_id
-       |ORDER BY d.doc_id""".stripMargin
+       |),
+       |keepassign AS (
+       |  SELECT d.doc_id AS doc_id, coalesce(v.keeper, d.doc_id) AS keeper_id
+       |  FROM d LEFT JOIN verified v ON d.doc_id = v.doc_id
+       |)""".stripMargin
+  }
+
+  def minhashKeeperOracle(wsDef: String, jaccardThreshold: Double,
+      numHashes: Int = 64, numBands: Int = 16,
+      tokenHashSql: String => String = fnvSql): String = {
+    s"""WITH ${minhashKeeperCtes(wsDef, jaccardThreshold, numHashes, numBands, tokenHashSql)}
+       |SELECT doc_id, keeper_id, keeper_id != doc_id AS is_dup
+       |FROM keepassign
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** Full oracle for d_minhash_eval: candidate pairs = bucket-mates in

@@ -1054,6 +1054,52 @@ object IndexOracle {
     * exactly the flat-PQ ranking) re-ranked by the exact squared-L2
     * fold, sqrt applied only to the rounded output — mirroring
     * PqIndex.searchRefined's heap-on-d² decision order. */
+  /** v_opq_search: pqRerankOracle with the literal PERMUTATION applied
+    * first — permuted corpus/query vectors in MATERIALIZED CTEs (the
+    * ivfPqResidualOracle discipline), codes re-derived from the literal
+    * permuted-space codebooks, ADC ranked in the permuted space, exact
+    * refine on the RAW vectors (L2 is permutation-invariant — the
+    * engine's refine never touches the permutation either). */
+  def opqRerankOracle(perm: Seq[Int], books: Seq[(Int, Int, Seq[Float])],
+      numSub: Int, subDim: Int, k: Int, refineFactor: Int,
+      numQueries: Int): String = {
+    val PqSqlParts(dsExprs, codeExprs, qdExprs, adist) =
+      pqParts(books, numSub, subDim, baseExpr = "pvec", queryExpr = "qpv")
+    val dim = numSub * subDim
+    val permLit = perm.mkString("[", ",", "]")
+    s"""WITH pv AS MATERIALIZED (
+       |  SELECT vec_id, [embedding[p + 1] for p in $permLit] AS pvec
+       |  FROM embeddings),
+       |codes AS (
+       |  SELECT vec_id, $codeExprs
+       |  FROM (SELECT vec_id, $dsExprs FROM pv)
+       |),
+       |qadc AS (
+       |  SELECT query_id, $qdExprs
+       |  FROM (SELECT vec_id AS query_id,
+       |          [embedding[p + 1] for p in $permLit] AS qpv
+       |        FROM embeddings WHERE vec_id < $numQueries)
+       |),
+       |qraw AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $numQueries),
+       |short AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY ad, vec_id) AS arnk
+       |    FROM (SELECT qadc.query_id, c.vec_id, $adist AS ad
+       |          FROM codes c CROSS JOIN qadc)
+       |  ) WHERE arnk <= ${k * refineFactor}
+       |)
+       |SELECT query_id, neighbor_id, rnk, dist FROM (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rnk,
+       |    round(sqrt(d), 4) AS dist
+       |  FROM (SELECT s.query_id, s.vec_id, ${l2sqCol("e.embedding", "qraw.qv", dim)} AS d
+       |        FROM short s
+       |        JOIN embeddings e ON e.vec_id = s.vec_id
+       |        JOIN qraw ON qraw.query_id = s.query_id)
+       |) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
   def pqRerankOracle(books: Seq[(Int, Int, Seq[Float])],
       numSub: Int, subDim: Int, k: Int, refineFactor: Int,
       numQueries: Int): String = {

@@ -221,6 +221,25 @@ object IndexStore {
       dir
     }
 
+  /** Ensure the OPQ index (variance-balancing dimension permutation +
+    * codebooks trained on the permuted sample + permuted-space codes).
+    * The permutation is 64 ints of metadata — it enters search plans as
+    * a literal, never a join. See [[OpqIndex]]. */
+  def opq(spark: SparkSession, sfDir: String, dim: Int = 64,
+      numSub: Int = 8, codebookSize: Int = 16): String =
+    lock.synchronized {
+      val dir = s"$root/${sfKey(sfDir)}/opq${numSub}x$codebookSize"
+      if (!done(dir, "perm", "codebooks", "codes")) {
+        val e = Tables.load(spark, sfDir, "embeddings")
+        val (perm, books, codes) = OpqIndex.build(e, "vec_id", "embedding",
+          dim = dim, numSub = numSub, codebookSize = codebookSize)
+        perm.coalesce(1).write.mode("overwrite").parquet(s"$dir/perm")
+        books.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+        codes.write.mode("overwrite").parquet(s"$dir/codes")
+      }
+      dir
+    }
+
   /** Ensure the composite IVF-PQ inverted lists: each vector's PQ codes
     * stored INSIDE its cluster partition, so a probe reads only its
     * clusters' codes — nprobe/k of the corpus at numSub-byte width (the

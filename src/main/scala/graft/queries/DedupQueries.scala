@@ -52,6 +52,44 @@ object DedupQueries {
   private[queries] def orderedLarge(df: DataFrame, cols: String*): DataFrame =
     df.localCheckpoint(false).orderBy(cols.head, cols.tail: _*)
 
+  /** MinHash keeper assignment over a (doc_id, ws) frame — the shared
+    * core of d_dedup_minhash, d_ngram_jaccard, and the composed
+    * p_curation_pipeline near-dedup stage (one definition; the SQL twin
+    * is HashSql.minhashKeeperCtes). 64-perm minhash → 16 banded
+    * buckets → ≤16 candidate edges per doc to per-bucket min reps →
+    * exact-`jaccard`-verified (the caller supplies the verify metric:
+    * string-set or packed-gram) → smallest verified neighbor is the
+    * keeper. Returns (doc_id, keeper_id); linear output, no pair
+    * blowup. `docs` should be cached by the caller (it is read by the
+    * banding pass, both verify joins, and the final left join). */
+  private[graft] def minhashKeeperAssign(docs: DataFrame,
+      jaccard: (Column, Column) => Column,
+      threshold: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // buckets feed rep election AND edge building — cached so the
+    // 64-permutation minhash runs once
+    val buckets = docs
+      .select($"doc_id",
+        posexplode(GraftText.minhashBands($"ws", 1, 64, 16))
+          .as(Seq("band_id", "bh")))
+      .cache()
+    val reps = buckets.groupBy($"band_id", $"bh")
+      .agg(min($"doc_id").as("rep"))
+    val edges = buckets.join(reps, Seq("band_id", "bh"))
+      .filter($"rep" < $"doc_id")
+      .select($"doc_id", $"rep")
+      .distinct()
+    val verified = edges
+      .join(docs.select($"doc_id", $"ws".as("wa")), "doc_id")
+      .join(docs.select($"doc_id".as("rep"), $"ws".as("wb")), "rep")
+      .filter(jaccard($"wa", $"wb") >= threshold)
+      .groupBy($"doc_id")
+      .agg(min($"rep").as("keeper"))
+    docs.join(verified, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"keeper", $"doc_id").as("keeper_id"))
+  }
+
   /** The UNORDERED mixture sample — the entire production plan of
     * d_mixture_sample before its output ordering, factored out so
     * PlanSpec asserts the shape of the real query, not a replica
@@ -416,27 +454,10 @@ object DedupQueries {
         .select($"doc_id", GraftText.charNgramLongSet($"text", 3).as("gs"))
         .filter(size($"gs") > 0) // <3-char docs have no trigram identity
         .cache()
-      val buckets = docs
-        .select($"doc_id",
-          posexplode(GraftText.minhashBands($"gs", 1, 64, 16))
-            .as(Seq("band_id", "bh")))
-        .cache()
-      val reps = buckets.groupBy($"band_id", $"bh")
-        .agg(min($"doc_id").as("rep"))
-      val edges = buckets.join(reps, Seq("band_id", "bh"))
-        .filter($"rep" < $"doc_id")
-        .select($"doc_id", $"rep")
-        .distinct()
-      val verified = edges
-        .join(docs.select($"doc_id", $"gs".as("ga")), "doc_id")
-        .join(docs.select($"doc_id".as("rep"), $"gs".as("gb")), "rep")
-        .filter(GraftText.jaccardSortedLong($"ga", $"gb") >= 0.7)
-        .groupBy($"doc_id")
-        .agg(min($"rep").as("keeper"))
-      docs.join(verified, Seq("doc_id"), "left")
-        .select($"doc_id",
-          coalesce($"keeper", $"doc_id").as("keeper_id"),
-          coalesce($"keeper", $"doc_id").=!=($"doc_id").as("is_dup"))
+      minhashKeeperAssign(docs.select($"doc_id", $"gs".as("ws")),
+          GraftText.jaccardSortedLong(_, _), 0.7)
+        .select($"doc_id", $"keeper_id",
+          $"keeper_id".=!=($"doc_id").as("is_dup"))
         .transform(orderedLarge(_, "doc_id"))
     }),
 
@@ -458,27 +479,9 @@ object DedupQueries {
       val docs = load(s, d, "documents")
         .select($"doc_id", sort_array(array_distinct(toks($"text"))).as("ws"))
         .cache()
-      val buckets = docs
-        .select($"doc_id",
-          posexplode(GraftText.minhashBands($"ws", 1, 64, 16))
-            .as(Seq("band_id", "bh")))
-        .cache()
-      val reps = buckets.groupBy($"band_id", $"bh")
-        .agg(min($"doc_id").as("rep"))
-      val edges = buckets.join(reps, Seq("band_id", "bh"))
-        .filter($"rep" < $"doc_id")
-        .select($"doc_id", $"rep")
-        .distinct()
-      val verified = edges
-        .join(docs.select($"doc_id", $"ws".as("wa")), "doc_id")
-        .join(docs.select($"doc_id".as("rep"), $"ws".as("wb")), "rep")
-        .filter(GraftText.jaccardSorted($"wa", $"wb") >= 0.7)
-        .groupBy($"doc_id")
-        .agg(min($"rep").as("keeper"))
-      docs.join(verified, Seq("doc_id"), "left")
-        .select($"doc_id",
-          coalesce($"keeper", $"doc_id").as("keeper_id"),
-          coalesce($"keeper", $"doc_id").=!=($"doc_id").as("is_dup"))
+      minhashKeeperAssign(docs, GraftText.jaccardSorted(_, _), 0.7)
+        .select($"doc_id", $"keeper_id",
+          $"keeper_id".=!=($"doc_id").as("is_dup"))
         .transform(orderedLarge(_, "doc_id"))
     }),
 

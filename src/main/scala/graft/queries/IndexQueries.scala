@@ -101,6 +101,28 @@ object IndexQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // OPQ-lite: PQ behind a variance-balancing dimension PERMUTATION
+    // (Ge et al. 2013's structured-order finding — see OpqIndex): the
+    // permutation is a persisted 64-int artifact entering the plan as a
+    // literal (zero extra flops: a scan-side column shuffle, where full
+    // OPQ's learned rotation would be a 64×64 mat-vec per row), codes
+    // live in the permuted space, exact refine on RAW vectors (L2 is
+    // permutation-invariant). Same scale shape as v_pq_rerank.
+    "v_opq_search" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val dir = IndexStore.opq(s, d)
+      val perm = graft.operators.OpqIndex.permArray(
+        s.read.parquet(s"$dir/perm"))
+      val books = s.read.parquet(s"$dir/codebooks")
+      val codes = s.read.parquet(s"$dir/codes")
+      val e = load(s, d, "embeddings")
+      val q = e.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      graft.operators.OpqIndex.searchRefined(perm, books, codes, e,
+          "vec_id", "embedding", q, k = K, refineFactor = 4)
+        .orderBy("query_id", "rnk")
+    }),
+
     // Composite IVF-PQ: partition-pruned inverted lists of PQ codes —
     // probes pick WHICH vectors to score (nprobe/k of the files), codes
     // decide WHAT is read for them (8 B/vector instead of 256 B). The
@@ -705,7 +727,7 @@ object IndexQueries {
     * to materialize oracle strings for unrelated queries. */
   val AnnOracleKeys: Set[String] =
     Set("v_ivf_build", "v_ivf_search", "v_ivf_filtered", "v_pq_search",
-      "v_pq_rerank", "v_ivfpq_search", "d_semantic_dedup",
+      "v_pq_rerank", "v_opq_search", "v_ivfpq_search", "d_semantic_dedup",
       "v_nprobe_sweep", "v_quantize_error", "v_knn_graph",
       "v_ood_score", "v_embed_clusters", "v_graph_search", "v_ef_sweep",
       "v_graph_insert", "v_hnsw_search", "v_mips_ivf", "v_ivfpq_residual",
@@ -764,6 +786,16 @@ object IndexQueries {
       "v_pq_rerank" -> graft.operators.IndexOracle
         .pqRerankOracle(books, numSub = 8, subDim = 8, K,
           refineFactor = 4, NumQueries),
+      "v_opq_search" -> {
+        val opqDir = IndexStore.opq(s, d)
+        val operm = graft.operators.OpqIndex.permArray(
+          s.read.parquet(s"$opqDir/perm")).toSeq
+        val obooks = s.read.parquet(s"$opqDir/codebooks")
+          .orderBy("sub", "code").collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2))).toSeq
+        graft.operators.IndexOracle.opqRerankOracle(operm, obooks,
+          numSub = 8, subDim = 8, K, refineFactor = 4, NumQueries)
+      },
       "v_ivfpq_search" -> graft.operators.IndexOracle
         .ivfPqSearchOracle(cent, books, numSub = 8, subDim = 8, K,
           nprobe = 4, NumQueries),

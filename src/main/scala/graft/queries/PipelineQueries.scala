@@ -88,6 +88,70 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // The END-TO-END curation funnel — every release pipeline's actual
+    // shape, composed from the SAME stage definitions the individual
+    // entries gate one at a time: raw corpus → composite filter gate
+    // (t_filter_gate's rules) → exact dedup (keep-min per content
+    // fingerprint, the s_stream_dedup state) → MinHash near-dedup
+    // keeper assignment computed WITHIN the survivor set
+    // (d_dedup_minhash's machinery via the shared minhashKeeperAssign)
+    // → token-budget mixture sampling with thresholds re-derived over
+    // what actually survived (d_mixture_sample's idiom — budgets must
+    // be computed on the post-dedup corpus, or dup-heavy languages are
+    // under-sampled). One row per stage: docs and tokens remaining.
+    // Scale shape: each stage is the same linear plan its standalone
+    // entry runs (scan-side gate, 8-byte fingerprint shuffle, banded
+    // minhash — never pair enumeration), survivor frames carry only
+    // (doc_id, lang, n_tokens, fp, ws), and the per-stage outputs are
+    // one-row aggregates. Exact dedup groups 8-byte FNV hashes while
+    // the oracle groups raw text — the d_source_overlap independence
+    // argument: a 64-bit collision would break the hash match itself.
+    "p_curation_pipeline" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      import graft.GraftText
+      val gate = TextQueries.filterGateRaw(load(s, d, "documents"))
+      // raw-corpus totals ride the gate frame (it scores every doc)
+      val raw = gate.agg(count(lit(1)).as("docs"),
+        sum($"n_tokens").as("tokens"))
+      val s1 = load(s, d, "documents")
+        .join(gate.filter($"keep").select($"doc_id", $"n_tokens"), "doc_id")
+        .select($"doc_id", $"lang", $"n_tokens",
+          GraftText.rollingHash64($"text").as("fp"),
+          sort_array(array_distinct(
+            GraftText.whitespaceTokens($"text"))).as("ws"))
+        .cache()
+      val exactKeep = s1.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id")
+      val s2 = s1.join(exactKeep, "doc_id").cache()
+      val keepers = DedupQueries.minhashKeeperAssign(
+          s2.select($"doc_id", $"ws"), GraftText.jaccardSorted(_, _), 0.7)
+        .filter($"keeper_id" === $"doc_id")
+        .select($"doc_id")
+      val s3 = s2.join(keepers, "doc_id").cache()
+      // d_mixture_sample's threshold idiom over the stage-3 survivors
+      val weights = Seq(("en", 0.4), ("de", 0.15), ("es", 0.15),
+        ("fr", 0.15), ("zh", 0.15))
+      val thresholds = s3.groupBy($"lang")
+        .agg(sum($"n_tokens").as("tok_total"))
+        .join(weights.toDF("lang", "w"), "lang")
+        .select($"lang", floor(
+          least(lit(1.0), lit(8000.0) * $"w" / $"tok_total".cast("double"))
+            * 4294967296.0).cast("long").as("threshold"))
+      val s4 = s3.join(broadcast(thresholds), "lang")
+        .filter(pmod($"doc_id" * lit(2654435761L), lit(4294967296L))
+          < $"threshold")
+      def stat(df: DataFrame) = df.agg(
+        count(lit(1)).as("docs"),
+        coalesce(sum($"n_tokens"), lit(0L)).as("tokens"))
+      Seq("0_raw" -> raw, "1_filter_gate" -> stat(s1),
+          "2_exact_dedup" -> stat(s2), "3_near_dedup" -> stat(s3),
+          "4_mixture_sample" -> stat(s4))
+        .map { case (n, df) =>
+          df.select(lit(n).as("stage"), $"docs", $"tokens") }
+        .reduce(_ unionAll _)
+        .orderBy("stage")
+    }),
+
     // Latest event per user — the materialized state the streaming
     // ingest maintains incrementally.
     "s_stream_ingest" -> ((s: SparkSession, d: String) => {
@@ -105,6 +169,54 @@ object PipelineQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // The whole funnel re-derived stage for stage: the gate's shared
+    // CTE chain (TextQueries.filterGateOracleCtes), exact dedup
+    // grouping RAW TEXT where the plan groups 8-byte FNV hashes (the
+    // independence argument — a Spark-side collision breaks the match),
+    // the full seeded minhash keeper pipeline over the survivor set
+    // (HashSql.minhashKeeperCtes), and the mixture thresholds recomputed
+    // over what survived with d_mixture_sample's exact literal idiom.
+    "p_curation_pipeline" -> {
+      import graft.functions.HashSql
+      s"""WITH ${TextQueries.filterGateOracleCtes},
+         |p1 AS (
+         |  SELECT dd.doc_id, dd.lang, g_r.n_tokens, dd.text,
+         |    list_sort(list_distinct(
+         |      regexp_split_to_array(trim(dd.text), '\\s+'))) AS ws
+         |  FROM documents dd JOIN g_r ON dd.doc_id = g_r.doc_id
+         |  WHERE g_r.reasons = ''),
+         |p2 AS (
+         |  SELECT p1.* FROM p1
+         |  JOIN (SELECT text, min(doc_id) AS mdoc FROM p1 GROUP BY text) k
+         |    ON p1.text = k.text AND p1.doc_id = k.mdoc),
+         |${HashSql.minhashKeeperCtes("SELECT doc_id, ws FROM p2", 0.7)},
+         |p3 AS (
+         |  SELECT p2.* FROM p2 JOIN keepassign ka
+         |    ON p2.doc_id = ka.doc_id AND ka.keeper_id = p2.doc_id),
+         |p_w(lang, wt) AS (VALUES ('en', 0.4), ('de', 0.15), ('es', 0.15),
+         |  ('fr', 0.15), ('zh', 0.15)),
+         |p_r AS (
+         |  SELECT p3.lang,
+         |    floor(least(1.0::DOUBLE,
+         |      8000.0::DOUBLE * wt::DOUBLE / sum(p3.n_tokens)::DOUBLE)
+         |      * 4294967296.0)::BIGINT AS threshold
+         |  FROM p3 JOIN p_w ON p3.lang = p_w.lang GROUP BY p3.lang, wt),
+         |p4 AS (
+         |  SELECT p3.* FROM p3 JOIN p_r ON p3.lang = p_r.lang
+         |  WHERE (p3.doc_id * 2654435761) % 4294967296 < p_r.threshold)
+         |SELECT stage, docs, tokens FROM (
+         |  SELECT '0_raw' AS stage, count(*)::BIGINT AS docs,
+         |    sum(n_tokens)::BIGINT AS tokens FROM g_r
+         |  UNION ALL SELECT '1_filter_gate', count(*)::BIGINT,
+         |    coalesce(sum(n_tokens), 0)::BIGINT FROM p1
+         |  UNION ALL SELECT '2_exact_dedup', count(*)::BIGINT,
+         |    coalesce(sum(n_tokens), 0)::BIGINT FROM p2
+         |  UNION ALL SELECT '3_near_dedup', count(*)::BIGINT,
+         |    coalesce(sum(n_tokens), 0)::BIGINT FROM p3
+         |  UNION ALL SELECT '4_mixture_sample', count(*)::BIGINT,
+         |    coalesce(sum(n_tokens), 0)::BIGINT FROM p4)
+         |ORDER BY stage""".stripMargin
+    },
     // Replicates the stub featurizer exactly: 16-bin byte histogram of
     // the UTF-8 payload (ASCII corpus → ord(char) == byte), normalized
     // in FLOAT (matching the operator's float division), L2-normed in

@@ -407,6 +407,38 @@ object TextQueries {
       .withColumn("keep", $"reasons" === "")
   }
 
+  /** The filter-gate oracle as a uniquely-named CTE chain (g_t → g_s →
+    * g_r) so composing oracles (p_curation_pipeline) can chain it ahead
+    * of the dedup/mixture stages without relation-name collisions; the
+    * t_filter_gate oracle itself reads off g_r — one SQL definition of
+    * the gate, the same one-definition discipline the Spark side keeps
+    * via filterGateRaw. */
+  private[graft] def filterGateOracleCtes: String = {
+    val stops = (StopEn ++ StopDe ++ StopFr ++ StopEs)
+      .map(w => s"'$w'").mkString(",")
+    val pii = PiiPatterns
+      .map { case (pat, _) => s"regexp_matches(text, '$pat')" }
+      .mkString(" OR ")
+    s"""g_t AS (
+       |  SELECT doc_id, coalesce(text, '') AS text,
+       |    regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS toks
+       |  FROM documents),
+       |g_s AS (
+       |  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+       |    (len(toks) - len(list_distinct(toks)))::DOUBLE / len(toks) AS df,
+       |    len(list_filter(toks, tk -> list_contains([$stops], tk))) AS cs,
+       |    ($pii) AS pii
+       |  FROM g_t),
+       |g_r AS (
+       |  SELECT doc_id, n_tokens,
+       |    concat_ws(',',
+       |      CASE WHEN n_tokens < 30 THEN 'short' END,
+       |      CASE WHEN df >= 0.55 THEN 'repetitive' END,
+       |      CASE WHEN cs = 0 THEN 'no_lang' END,
+       |      CASE WHEN pii THEN 'pii' END) AS reasons
+       |  FROM g_s)""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_count" -> ((s: SparkSession, d: String) => {
       import s.implicits._
@@ -1355,33 +1387,10 @@ object TextQueries {
     // same raw-double comparisons, same stop lists, same PII regexes —
     // the reasons string is order-fixed so both engines emit identical
     // labels
-    "t_filter_gate" -> {
-      val stops = (StopEn ++ StopDe ++ StopFr ++ StopEs)
-        .map(w => s"'$w'").mkString(",")
-      val pii = PiiPatterns
-        .map { case (pat, _) => s"regexp_matches(text, '$pat')" }
-        .mkString(" OR ")
-      s"""WITH t AS (
-         |  SELECT doc_id, coalesce(text, '') AS text,
-         |    regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS toks
-         |  FROM documents),
-         |s AS (
-         |  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
-         |    (len(toks) - len(list_distinct(toks)))::DOUBLE / len(toks) AS df,
-         |    len(list_filter(toks, tk -> list_contains([$stops], tk))) AS cs,
-         |    ($pii) AS pii
-         |  FROM t),
-         |r AS (
-         |  SELECT doc_id, n_tokens,
-         |    concat_ws(',',
-         |      CASE WHEN n_tokens < 30 THEN 'short' END,
-         |      CASE WHEN df >= 0.55 THEN 'repetitive' END,
-         |      CASE WHEN cs = 0 THEN 'no_lang' END,
-         |      CASE WHEN pii THEN 'pii' END) AS reasons
-         |  FROM s)
+    "t_filter_gate" ->
+      s"""WITH $filterGateOracleCtes
          |SELECT doc_id, n_tokens, reasons, reasons = '' AS keep
-         |FROM r ORDER BY doc_id""".stripMargin
-    },
+         |FROM g_r ORDER BY doc_id""".stripMargin,
 
     "t_pii_scrub" -> {
       import graft.functions.HashSql
