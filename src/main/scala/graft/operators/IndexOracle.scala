@@ -962,6 +962,32 @@ object IndexOracle {
        |FROM oo ORDER BY d2 DESC, vec_id LIMIT $topN""".stripMargin
   }
 
+  /** v_ivf_stats: assignment re-derived against the literal centroids
+    * (the argmin law — nearest IS assigned, spec-pinned for
+    * v_ood_score), per-vector d² = list_min of the same distance list,
+    * micros-rounded BEFORE the cross-vector sum (the
+    * quantizeErrorOracle discipline), shares/means by the identical
+    * pinned division chains. */
+  def ivfStatsOracle(centroids: Seq[(Int, Seq[Float])]): String = {
+    val dists = centroids.map { case (_, c) => l2sqLit("embedding", 0, c) }
+      .mkString("[", ",\n ", "]")
+    s"""WITH oo AS (
+       |  SELECT vec_id,
+       |    round(list_min(ds) * 1000000)::BIGINT AS d2u,
+       |    (list_position(ds, list_min(ds)) - 1)::BIGINT AS cluster_id
+       |  FROM (SELECT vec_id, $dists AS ds FROM embeddings)),
+       |m AS (
+       |  SELECT cluster_id, count(*)::BIGINT AS population,
+       |    sum(d2u)::BIGINT AS sd2u, max(d2u)::BIGINT AS mx
+       |  FROM oo GROUP BY cluster_id),
+       |t AS (SELECT sum(population)::BIGINT AS n_total FROM m)
+       |SELECT cluster_id, population,
+       |  round(population::DOUBLE / n_total, 4) AS pop_share,
+       |  round((sd2u::DOUBLE / population) / 1000000.0, 6) AS mean_sq_dist,
+       |  round(mx::DOUBLE / 1000000.0, 6) AS max_sq_dist
+       |FROM m, t ORDER BY cluster_id""".stripMargin
+  }
+
   /** v_refine_sweep: the matryoshka prefix shortlist ranked ONCE, then
     * each refine factor takes its own prefix of it, exact-refines, and
     * scores against the brute-force truth — no literals anywhere. */

@@ -254,6 +254,40 @@ object IndexQueries {
           round(sqrt($"d2"), 4).as("dist"))
     }),
 
+    // IVF index-health audit (the ops table consulted BEFORE trusting a
+    // probe plan: at 100 TB the cluster populations ARE the partition
+    // sizes, so imbalance here is scan skew in every pruned search, and
+    // inertia growth is the rebuild signal as data drifts away from the
+    // centroids): per cluster — population, population share, mean and
+    // max squared distance to the assigned centroid. One scan of the
+    // persisted assignments against the broadcast 16-row centroid
+    // frame; per-vector d² folds in dimension order then rounds to
+    // integer MICROS before the cross-vector sum (the v_quantize_error
+    // discipline — a float sum across a distributed scan has no defined
+    // order), shares and means by exact pinned divisions.
+    "v_ivf_stats" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      import graft.GraftVector._
+      val dir = IndexStore.ivf(s, d, k = 16)
+      val cent = s.read.parquet(s"$dir/centroids")
+      val per = s.read.parquet(s"$dir/assignments")
+        .select($"vec_id", $"embedding", $"cluster_id")
+        .join(broadcast(cent), "cluster_id")
+        .select($"cluster_id".cast("long").as("cluster_id"),
+          round(l2Sq($"embedding", $"centroid") * 1e6).cast("long").as("d2u"))
+        .groupBy($"cluster_id")
+        .agg(count(lit(1)).as("population"),
+          sum($"d2u").as("sd2u"), max($"d2u").as("mx"))
+      val total = per.agg(sum($"population").as("n_total"))
+      per.crossJoin(broadcast(total))
+        .select($"cluster_id", $"population",
+          round($"population".cast("double") / $"n_total", 4).as("pop_share"),
+          round(($"sd2u".cast("double") / $"population") / 1e6, 6)
+            .as("mean_sq_dist"),
+          round($"mx".cast("double") / 1e6, 6).as("max_sq_dist"))
+        .orderBy("cluster_id")
+    }),
+
     // Matryoshka (prefix-dimension) search: coarse rank on the first 16
     // of 64 coordinates (4× less data in the hot scan — and a column
     // slice, so there is no index to build, persist, or invalidate),
@@ -728,7 +762,7 @@ object IndexQueries {
   val AnnOracleKeys: Set[String] =
     Set("v_ivf_build", "v_ivf_search", "v_ivf_filtered", "v_pq_search",
       "v_pq_rerank", "v_opq_search", "v_ivfpq_search", "d_semantic_dedup",
-      "v_nprobe_sweep", "v_quantize_error", "v_knn_graph",
+      "v_nprobe_sweep", "v_quantize_error", "v_knn_graph", "v_ivf_stats",
       "v_ood_score", "v_embed_clusters", "v_graph_search", "v_ef_sweep",
       "v_graph_insert", "v_hnsw_search", "v_mips_ivf", "v_ivfpq_residual",
       "v_graph_delete")
@@ -803,6 +837,7 @@ object IndexQueries {
         .semanticDedupOracle(cent, SemDedupTau),
       "v_ood_score" -> graft.operators.IndexOracle
         .oodScoreOracle(cent, topN = 50),
+      "v_ivf_stats" -> graft.operators.IndexOracle.ivfStatsOracle(cent),
       "v_nprobe_sweep" -> graft.operators.IndexOracle
         .nprobeSweepOracle(cent, K, NprobeSweep, NumQueries),
       "v_quantize_error" -> graft.operators.IndexOracle

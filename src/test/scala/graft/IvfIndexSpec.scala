@@ -81,6 +81,18 @@ class IvfIndexSpec extends SparkSpec {
     gt.foreach { case (qid, ids) => assert(res(qid) === ids.toSet) }
   }
 
+  test("v_ivf_stats accounts for every vector and its shares sum to one") {
+    val rows = SparkEntry.queries("v_ivf_stats")(spark, sfDir).collect()
+    val n = Tables.load(spark, sfDir, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum === n, "populations must cover the corpus")
+    val shareSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(shareSum - 1.0) < 0.01, s"shares sum to $shareSum")
+    rows.foreach { r =>
+      assert(r.getDouble(3) <= r.getDouble(4) + 1e-9,
+        s"cluster ${r.getLong(0)}: mean ${r.getDouble(3)} > max ${r.getDouble(4)}")
+    }
+  }
+
   test("build assigns every vector to exactly one of k clusters") {
     val (cent, assign) = IvfIndex.build(e, "vec_id", "embedding", k = 8)
     assert(cent.count() === 8)
