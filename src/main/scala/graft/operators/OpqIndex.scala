@@ -57,15 +57,16 @@ object OpqIndex {
   def permuteCol(vec: Column, perm: Array[Int]): Column =
     transform(typedlit(perm.toSeq), p => element_at(vec, p + 1))
 
-  /** Fit: sample → permutation → per-subspace Lloyd on the PERMUTED
-    * sample → distributed encode of the permuted corpus (PqIndex.encode
-    * unchanged — OPQ is literally PQ after a column shuffle). Returns
-    * (perm as a (pos, src_dim) frame, codebooks, codes). */
+  /** Fit: sample → permutation → PqIndex.build on the PERMUTED frame —
+    * OPQ is literally PQ after a column shuffle, so the entire
+    * training/encoding pipeline is delegated (one definition: a
+    * sampling or Lloyd fix in PqIndex reaches OPQ automatically; the
+    * cost is one extra bounded sample collect for the permutation).
+    * Returns (perm as a (pos, src_dim) frame, codebooks, codes). */
   def build(embeddings: DataFrame, idCol: String, vecCol: String,
       dim: Int, numSub: Int = 8, codebookSize: Int = 16,
       iters: Int = 10, sampleSize: Int = 10000)
       : (DataFrame, DataFrame, DataFrame) = {
-    val subDim = dim / numSub
     val spark = embeddings.sparkSession
     import spark.implicits._
     val sample = embeddings
@@ -73,22 +74,13 @@ object OpqIndex {
       .orderBy("id").limit(sampleSize)
       .collect().map(_.getSeq[Float](1).toArray)
     val perm = permutation(sample, dim, numSub)
-    val permuted = sample.map(v => perm.map(v))
-    val books = (0 until numSub).flatMap { s =>
-      val subVecs = permuted.map(v =>
-        java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
-      DfKMeans.localLloyd(subVecs, codebookSize, iters).zipWithIndex.map {
-        case (c, code) => (s, code, c.toSeq)
-      }
-    }
-    val codebooks = books.toDF("sub", "code", "centroid")
     val permDf = perm.zipWithIndex
       .map { case (src, pos) => (pos, src) }.toSeq
       .toDF("pos", "src_dim")
-    val codes = PqIndex.encode(
+    val (codebooks, codes) = PqIndex.build(
       embeddings.select(col(idCol),
         permuteCol(col(vecCol), perm).as(vecCol)),
-      idCol, vecCol, codebooks, numSub, subDim)
+      idCol, vecCol, dim, numSub, codebookSize, iters, sampleSize)
     (permDf, codebooks, codes)
   }
 

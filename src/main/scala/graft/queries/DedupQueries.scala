@@ -96,21 +96,38 @@ object DedupQueries {
     * (private[graft]: its one external caller is that plan guard). */
   private[graft] def mixtureSampleRaw(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val weights = Seq(("en", 0.4), ("de", 0.15), ("es", 0.15),
-      ("fr", 0.15), ("zh", 0.15))
-    val budget = 8000.0 // target tokens across the mixture
     val docs = load(s, d, "documents")
       .select($"doc_id", $"lang", size(toks($"text")).cast("long").as("n_toks"))
-    val thresholds = docs.groupBy($"lang").agg(sum($"n_toks").as("tok_total"))
-      .join(weights.toDF("lang", "w"), "lang")
-      .select($"lang", floor(
-        least(lit(1.0), lit(budget) * $"w" / $"tok_total".cast("double"))
-          * 4294967296.0).cast("long").as("threshold"))
-    docs.join(broadcast(thresholds), "lang")
-      .filter(pmod($"doc_id" * lit(2654435761L), lit(4294967296L))
-        < $"threshold")
+    docs.join(broadcast(mixtureThresholds(docs, "n_toks")), "lang")
+      .filter(mixturePass($"doc_id", $"threshold"))
       .select($"lang", $"doc_id", $"n_toks")
   }
+
+  /** The mixture stage's ONE definition — weights, token budget, and
+    * the per-language hash-rate threshold derivation — shared by
+    * d_mixture_sample and p_curation_pipeline's stage 4 (which derives
+    * thresholds over its post-dedup survivors: compose-time budgets
+    * must see what actually survived, or dup-heavy languages
+    * under-sample). The SQL oracles carry matching literal copies;
+    * Scala-side the definition lives only here. */
+  private[graft] val MixtureWeights = Seq(("en", 0.4), ("de", 0.15),
+    ("es", 0.15), ("fr", 0.15), ("zh", 0.15))
+  private[graft] val MixtureBudget = 8000.0 // target tokens across the mixture
+
+  private[graft] def mixtureThresholds(docs: DataFrame,
+      tokCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.groupBy($"lang").agg(sum(col(tokCol)).as("tok_total"))
+      .join(MixtureWeights.toDF("lang", "w"), "lang")
+      .select($"lang", floor(
+        least(lit(1.0), lit(MixtureBudget) * $"w" / $"tok_total".cast("double"))
+          * 4294967296.0).cast("long").as("threshold"))
+  }
+
+  /** The deterministic Knuth-hash sampling gate the thresholds feed. */
+  private[graft] def mixturePass(docId: Column, threshold: Column): Column =
+    pmod(docId * lit(2654435761L), lit(4294967296L)) < threshold
 
   /** The UNORDERED pre-checkpoint DSIR plan + its shared token cache —
     * factored so PlanSpec asserts the shape of the real query (the

@@ -109,8 +109,10 @@ object PipelineQueries {
     "p_curation_pipeline" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       import graft.GraftText
-      val gate = TextQueries.filterGateRaw(load(s, d, "documents"))
-      // raw-corpus totals ride the gate frame (it scores every doc)
+      // cached: the gate frame (the funnel's most expensive scan — PII
+      // regexes + tokenization over every doc) feeds BOTH the 0_raw
+      // aggregate and the stage-1 survivor join
+      val gate = TextQueries.filterGateRaw(load(s, d, "documents")).cache()
       val raw = gate.agg(count(lit(1)).as("docs"),
         sum($"n_tokens").as("tokens"))
       val s1 = load(s, d, "documents")
@@ -128,18 +130,11 @@ object PipelineQueries {
         .filter($"keeper_id" === $"doc_id")
         .select($"doc_id")
       val s3 = s2.join(keepers, "doc_id").cache()
-      // d_mixture_sample's threshold idiom over the stage-3 survivors
-      val weights = Seq(("en", 0.4), ("de", 0.15), ("es", 0.15),
-        ("fr", 0.15), ("zh", 0.15))
-      val thresholds = s3.groupBy($"lang")
-        .agg(sum($"n_tokens").as("tok_total"))
-        .join(weights.toDF("lang", "w"), "lang")
-        .select($"lang", floor(
-          least(lit(1.0), lit(8000.0) * $"w" / $"tok_total".cast("double"))
-            * 4294967296.0).cast("long").as("threshold"))
-      val s4 = s3.join(broadcast(thresholds), "lang")
-        .filter(pmod($"doc_id" * lit(2654435761L), lit(4294967296L))
-          < $"threshold")
+      // the mixture stage's shared definition (DedupQueries), derived
+      // over the stage-3 survivors
+      val s4 = s3.join(
+          broadcast(DedupQueries.mixtureThresholds(s3, "n_tokens")), "lang")
+        .filter(DedupQueries.mixturePass($"doc_id", $"threshold"))
       def stat(df: DataFrame) = df.agg(
         count(lit(1)).as("docs"),
         coalesce(sum($"n_tokens"), lit(0L)).as("tokens"))

@@ -34,9 +34,11 @@ class CurationPipelineSpec extends SparkSpec {
   }
 
   test("near-dedup stage: survivors are exactly the non-dup keepers of the stage-2 set") {
-    // stage-2 survivor count minus stage-3 survivor count = docs whose
-    // within-survivor-set minhash keeper is someone else; re-derive the
-    // keeper assignment independently over the same survivor frame
+    // WIRING check, not an independent derivation (that is the composed
+    // DuckDB oracle's job): rebuild the survivor frame from the shared
+    // stage definitions and assert stage 3 counts exactly its non-dup
+    // keepers — catches a stage mis-chained or a filter dropped in the
+    // entry, while the keeper logic itself is pinned by the oracle
     val gate = graft.queries.TextQueries.filterGateRaw(
       Tables.load(spark, sfDir, "documents"))
     val s1 = Tables.load(spark, sfDir, "documents")

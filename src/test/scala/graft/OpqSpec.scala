@@ -13,11 +13,18 @@ class OpqSpec extends SparkSpec {
   import spark.implicits._
 
   test("permutation is a bijection of the dimensions and deterministic") {
-    val sample = Array.tabulate(200, 16) { (i, d) => (i * 31 + d * 7 % 13).toFloat }
+    // per-dim SCALE varies (d+1), so every dimension has a distinct
+    // variance and the ranking path is load-bearing — a constant
+    // per-dim offset would leave all variances equal and test only the
+    // tie-break
+    val sample = Array.tabulate(200, 16) { (i, d) => ((i % 29) * (d + 1)).toFloat }
     val p1 = OpqIndex.permutation(sample, dim = 16, numSub = 4)
     val p2 = OpqIndex.permutation(sample, dim = 16, numSub = 4)
     assert(p1.toSeq === p2.toSeq)
     assert(p1.sorted.toSeq === (0 until 16))
+    // variance grows with d, so rank order is d descending: position 0
+    // (subspace 0, slot 0) must hold the highest-variance dimension
+    assert(p1(0) === 15)
   }
 
   test("round-robin deal balances subspace variance vs natural order") {
