@@ -988,6 +988,52 @@ object IndexOracle {
        |FROM m, t ORDER BY cluster_id""".stripMargin
   }
 
+  /** v_ivf_split: the maintenance action replayed decision for
+    * decision against the literal centroids — assignment + populations
+    * re-derived (the argmin law), hottest cluster by (population DESC,
+    * cluster_id), seed A = member farthest from its own centroid
+    * (list_min of the distance list IS that distance), seed B = member
+    * farthest from A, sides by nearer-seed with ties to A; the kept
+    * rows and both split rows re-counted. No literals beyond the
+    * centroid table — the seeds are derived data on both sides. */
+  def ivfSplitOracle(centroids: Seq[(Int, Seq[Float])], dim: Int): String = {
+    val dists = centroids.map { case (_, c) => l2sqLit("embedding", 0, c) }
+      .mkString("[", ",\n ", "]")
+    val k = centroids.size
+    s"""WITH aa AS (
+       |  SELECT vec_id, embedding, list_min(ds) AS d2own,
+       |    (list_position(ds, list_min(ds)) - 1)::BIGINT AS cluster_id
+       |  FROM (SELECT vec_id, embedding, $dists AS ds FROM embeddings)),
+       |pops AS (
+       |  SELECT cluster_id, count(*)::BIGINT AS population
+       |  FROM aa GROUP BY cluster_id),
+       |h AS (SELECT cluster_id FROM pops
+       |      ORDER BY population DESC, cluster_id LIMIT 1),
+       |mem AS (SELECT aa.vec_id, aa.embedding, aa.d2own
+       |        FROM aa JOIN h ON aa.cluster_id = h.cluster_id),
+       |sa AS (SELECT vec_id, embedding FROM mem
+       |       ORDER BY d2own DESC, vec_id LIMIT 1),
+       |sb AS (SELECT m.vec_id, m.embedding FROM mem m, sa
+       |       ORDER BY ${l2sqCol("m.embedding", "sa.embedding", dim)} DESC,
+       |         m.vec_id LIMIT 1),
+       |sides AS (
+       |  SELECT CASE WHEN origin = 'split_a'
+       |              THEN (SELECT cluster_id FROM h) ELSE $k END AS cluster_id,
+       |    count(*)::BIGINT AS population, origin
+       |  FROM (
+       |    SELECT m.vec_id,
+       |      CASE WHEN ${l2sqCol("m.embedding", "sa.embedding", dim)}
+       |             <= ${l2sqCol("m.embedding", "sb.embedding", dim)}
+       |           THEN 'split_a' ELSE 'split_b' END AS origin
+       |    FROM mem m, sa, sb)
+       |  GROUP BY origin)
+       |SELECT cluster_id, population, origin FROM (
+       |  SELECT p.cluster_id, p.population, 'kept' AS origin
+       |  FROM pops p WHERE p.cluster_id != (SELECT cluster_id FROM h)
+       |  UNION ALL SELECT cluster_id::BIGINT, population, origin FROM sides)
+       |ORDER BY cluster_id, origin""".stripMargin
+  }
+
   /** v_refine_sweep: the matryoshka prefix shortlist ranked ONCE, then
     * each refine factor takes its own prefix of it, exact-refines, and
     * scores against the brute-force truth — no literals anywhere. */

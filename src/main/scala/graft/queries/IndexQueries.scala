@@ -288,6 +288,31 @@ object IndexQueries {
         .orderBy("cluster_id")
     }),
 
+    // IVF maintenance ACTION on the #9o audit: split the hottest
+    // cluster (the partition whose population makes every probe that
+    // touches it the scan-skew straggler) into two via deterministic
+    // farthest-point 2-seeding — seed A = the member farthest from the
+    // cluster's own centroid, seed B = the member farthest from seed A
+    // (both (d², min-vec_id) tie-broken), members side to their nearer
+    // seed (ties → A). Output: the post-split population table (kept
+    // clusters unchanged, split_a keeps the original id, split_b gets
+    // id k). Scale shape: populations are one small aggregate, the
+    // member pass is a PRUNED scan of exactly the hot partition (the
+    // probe machinery reused for maintenance), seeds are two bounded
+    // 1-row driver collects (the collectProbeIds precedent), side
+    // assignment is scan-side against two 64-float literals. At 100 TB
+    // this is the rebalance step run between full rebuilds.
+    "v_ivf_split" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val dir = IndexStore.ivf(s, d, k = 16)
+      val cent = s.read.parquet(s"$dir/centroids")
+      val assign = s.read.parquet(s"$dir/assignments")
+        .select($"vec_id", $"embedding", $"cluster_id")
+      graft.operators.IvfMaintenance
+        .splitHottest(assign, cent, k = cent.count())
+        .orderBy("cluster_id", "origin")
+    }),
+
     // Matryoshka (prefix-dimension) search: coarse rank on the first 16
     // of 64 coordinates (4× less data in the hot scan — and a column
     // slice, so there is no index to build, persist, or invalidate),
@@ -763,6 +788,7 @@ object IndexQueries {
     Set("v_ivf_build", "v_ivf_search", "v_ivf_filtered", "v_pq_search",
       "v_pq_rerank", "v_opq_search", "v_ivfpq_search", "d_semantic_dedup",
       "v_nprobe_sweep", "v_quantize_error", "v_knn_graph", "v_ivf_stats",
+      "v_ivf_split",
       "v_ood_score", "v_embed_clusters", "v_graph_search", "v_ef_sweep",
       "v_graph_insert", "v_hnsw_search", "v_mips_ivf", "v_ivfpq_residual",
       "v_graph_delete")
@@ -838,6 +864,8 @@ object IndexQueries {
       "v_ood_score" -> graft.operators.IndexOracle
         .oodScoreOracle(cent, topN = 50),
       "v_ivf_stats" -> graft.operators.IndexOracle.ivfStatsOracle(cent),
+      "v_ivf_split" -> graft.operators.IndexOracle
+        .ivfSplitOracle(cent, dim = 64),
       "v_nprobe_sweep" -> graft.operators.IndexOracle
         .nprobeSweepOracle(cent, K, NprobeSweep, NumQueries),
       "v_quantize_error" -> graft.operators.IndexOracle
