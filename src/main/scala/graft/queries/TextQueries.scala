@@ -374,6 +374,17 @@ object TextQueries {
       .withColumn("n_chunk_toks", $"end_tok" - $"start_tok")
   }
 
+  /** The (doc_id, shard, n_toks) frame t_seq_pack and
+    * t_pack_efficiency share — ONE definition of the shard rule and
+    * the token count, so the efficiency audit can never drift from the
+    * packing it audits. */
+  private def shardTokens(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    load(s, d, "documents")
+      .select($"doc_id", ($"doc_id" % 8).as("shard"),
+        size(tokens($"text")).cast("long").as("n_toks"))
+  }
+
   /** The release-gate decision on any (doc_id, text) frame, unordered —
     * factored out so the planted-fixture spec drives the PRODUCTION
     * rule logic with engineered documents (private[graft]: its one
@@ -567,9 +578,7 @@ object TextQueries {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"shard").orderBy($"doc_id")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      load(s, d, "documents")
-        .select($"doc_id", ($"doc_id" % 8).as("shard"),
-          size(tokens($"text")).cast("long").as("n_toks"))
+      shardTokens(s, d)
         .withColumn("start_tok", coalesce(sum($"n_toks").over(w), lit(0L)))
         .select($"doc_id", $"shard", $"n_toks", $"start_tok",
           ($"start_tok" / ctx).cast("long").as("seq_first"),
@@ -578,6 +587,29 @@ object TextQueries {
         // re-execute the window, a 1-partition sort would funnel the
         // corpus through one task
         .transform(DedupQueries.orderedLarge(_, "doc_id"))
+    }),
+
+    // Packing-efficiency audit for the #27g stage (the number a
+    // training-infra owner actually watches: context windows are paid
+    // for in full, so every clipped tail token is wasted compute):
+    // per shard — docs, tokens, context windows consumed
+    // (ceil(tokens/ctx) in exact integer arithmetic), waste tokens,
+    // efficiency by one pinned division. One map-side-combinable
+    // aggregate over the shared shard/token frame; no window, no
+    // per-doc state — the summary costs a fraction of the pack itself.
+    "t_pack_efficiency" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val ctx = 2048L
+      shardTokens(s, d)
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_tokens"))
+        .select($"shard", $"n_docs", $"n_tokens",
+          (($"n_tokens" + ctx - 1) / ctx).cast("long").as("n_windows"))
+        .select($"shard", $"n_docs", $"n_tokens", $"n_windows",
+          ($"n_windows" * ctx - $"n_tokens").as("waste_tokens"),
+          round($"n_tokens".cast("double") / ($"n_windows" * ctx), 4)
+            .as("efficiency"))
+        .orderBy("shard")
     }),
 
     // Sliding-window document chunking — the embedding-input prep stage
@@ -1197,6 +1229,23 @@ object TextQueries {
         |  start_tok // 2048 AS seq_first,
         |  (start_tok + n_toks - 1) // 2048 AS seq_last
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // same shard/token CTE as t_seq_pack; windows/waste in exact
+    // integer arithmetic, efficiency by one pinned division
+    "t_pack_efficiency" ->
+      """WITH n AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT shard, count(*)::BIGINT AS n_docs,
+        |    sum(n_toks)::BIGINT AS n_tokens
+        |  FROM n GROUP BY shard)
+        |SELECT shard, n_docs, n_tokens,
+        |  ((n_tokens + 2047) // 2048)::BIGINT AS n_windows,
+        |  (((n_tokens + 2047) // 2048) * 2048 - n_tokens)::BIGINT AS waste_tokens,
+        |  round(n_tokens::DOUBLE / (((n_tokens + 2047) // 2048) * 2048), 4) AS efficiency
+        |FROM m ORDER BY shard""".stripMargin,
 
     // pure integer window arithmetic; unnest(range(...)) re-derives the
     // chunk explosion independently of Spark's sequence+posexplode
