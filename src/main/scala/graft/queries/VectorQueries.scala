@@ -63,6 +63,25 @@ object VectorQueries {
         .orderBy("vec_id")
     }),
 
+    // Late-interaction (MaxSim / ColBERT) retrieval — multi-vector
+    // scoring the single-vector entries can't express: "documents" are
+    // groups of 8 consecutive vectors (the multi-vector layout of a
+    // token-embedded corpus), queries the first two groups, score(Q,D)
+    // = Σ_{q∈Q} max_{d∈D} ⟨q,d⟩, top-5 doc groups per query group.
+    // See operators/MaxSim for the scale shape (one corpus scan,
+    // map-side max partials, bounded pinned-order sum fold).
+    "v_maxsim_search" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val e = load(s, d, "embeddings")
+      val corpus = e.select(($"vec_id" / 8).cast("long").as("doc_group"),
+        $"vec_id", $"embedding".as("vec"))
+      val q = e.filter($"vec_id" < 16)
+        .select(($"vec_id" / 8).cast("long").as("query_group"),
+          $"vec_id".as("q_vec_id"), $"embedding".as("qv"))
+      graft.operators.MaxSim.topK(corpus, q, k = 5)
+        .orderBy("query_group", "rnk")
+    }),
+
     // Exact top-k per query over the full collection — the brute-force /
     // recall-ground-truth path of engine.h:search_knn. Broadcast queries,
     // single base scan, bounded-heap partial agg.
@@ -506,6 +525,39 @@ object VectorQueries {
       """SELECT vec_id,
         |  round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS l2_norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    // MaxSim fully re-derived, no literals: dots as the explicit LTR
+    // double fold (raw values feed max and rank, so the fold order
+    // must match the native expression bit-for-bit — the dotSelfSql
+    // precedent; list_inner_product's order is unspecified), maxima
+    // summed in q_vec_id order exactly as the engine's bounded fold.
+    "v_maxsim_search" -> {
+      val dotFold = "list_reduce(list_prepend(0.0, " +
+        "[c.embedding[i]::DOUBLE * q.qv[i]::DOUBLE " +
+        "for i in range(1, 65)]), (x, y) -> x + y)"
+      s"""WITH c AS (SELECT vec_id // 8 AS doc_group, vec_id, embedding
+         |           FROM embeddings),
+         |q AS (SELECT vec_id // 8 AS query_group, vec_id AS q_vec_id,
+         |        embedding AS qv
+         |      FROM embeddings WHERE vec_id < 16),
+         |mx AS (
+         |  SELECT q.query_group, q.q_vec_id, c.doc_group,
+         |    max($dotFold) AS mx
+         |  FROM c CROSS JOIN q
+         |  GROUP BY q.query_group, q.q_vec_id, c.doc_group),
+         |sc AS (
+         |  SELECT query_group, doc_group,
+         |    list_reduce(list_prepend(0.0, list(mx ORDER BY q_vec_id)),
+         |      (x, y) -> x + y) AS score
+         |  FROM mx GROUP BY query_group, doc_group)
+         |SELECT query_group, doc_group, rnk, score FROM (
+         |  SELECT query_group, doc_group,
+         |    row_number() OVER (PARTITION BY query_group
+         |      ORDER BY score DESC, doc_group) AS rnk,
+         |    round(score, 4) AS score
+         |  FROM sc) WHERE rnk <= 5
+         |ORDER BY query_group, rnk""".stripMargin
+    },
 
     "v_knn_bruteforce" ->
       """SELECT query_id, neighbor_id, rnk, dist FROM (
