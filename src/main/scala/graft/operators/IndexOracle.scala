@@ -988,6 +988,69 @@ object IndexOracle {
        |FROM m, t ORDER BY cluster_id""".stripMargin
   }
 
+  /** v_maxsim_pruned: the two-stage late-interaction serving replayed
+    * end to end — per-QUERY-VECTOR probe selection and pruned exact-L2
+    * ANN over the literal centroids (the ivfSearchOracle machinery),
+    * hit vectors' doc groups collected as the candidate set, then the
+    * exact MaxSim tail (explicit LTR dot folds, ordered maxima sum,
+    * same tie-breaks as the v_maxsim_search oracle) over candidates
+    * only. */
+  def maxsimPrunedOracle(centroids: Seq[(Int, Seq[Float])],
+      kAnn: Int, nprobe: Int, k: Int, groupWidth: Int = 8,
+      numQueryVecs: Int = 16): String = {
+    val qdists = centroids.map { case (_, c) => l2sqLit("qv", 0, c) }
+      .mkString("[", ",\n ", "]")
+    val cids = centroids.map(_._1).mkString("[", ",", "]")
+    val dotFold = "list_reduce(list_prepend(0.0, " +
+      "[cv.embedding[i]::DOUBLE * qq.qv[i]::DOUBLE " +
+      "for i in range(1, 65)]), (x, y) -> x + y)"
+    s"""WITH ${assignCte(centroids)},
+       |qq AS (SELECT vec_id // $groupWidth AS query_group,
+       |         vec_id AS q_vec_id, embedding AS qv
+       |       FROM embeddings WHERE vec_id < $numQueryVecs),
+       |probes AS (
+       |  SELECT q_vec_id, qv, cluster_id FROM (
+       |    SELECT q_vec_id, qv, cid AS cluster_id,
+       |      row_number() OVER (PARTITION BY q_vec_id ORDER BY d, cid) AS crnk
+       |    FROM (SELECT q_vec_id, qv, unnest($cids) AS cid, unnest(ds) AS d
+       |          FROM (SELECT q_vec_id, qv, $qdists AS ds FROM qq))
+       |  ) WHERE crnk <= $nprobe
+       |),
+       |annr AS (
+       |  SELECT q_vec_id, vec_id FROM (
+       |    SELECT q_vec_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_vec_id ORDER BY d, vec_id) AS rnk
+       |    FROM (SELECT p.q_vec_id, a.vec_id,
+       |            ${l2sqCol("a.embedding", "p.qv", 64)} AS d
+       |          FROM probes p JOIN a ON a.cluster_id = p.cluster_id)
+       |  ) WHERE rnk <= $kAnn
+       |),
+       |cand AS (
+       |  SELECT DISTINCT qq.query_group,
+       |    annr.vec_id // $groupWidth AS doc_group
+       |  FROM annr JOIN qq ON qq.q_vec_id = annr.q_vec_id),
+       |cv AS (SELECT vec_id // $groupWidth AS doc_group, vec_id, embedding
+       |       FROM embeddings),
+       |mx AS (
+       |  SELECT qq.query_group, qq.q_vec_id, cv.doc_group,
+       |    max($dotFold) AS mx
+       |  FROM cv JOIN cand ON cv.doc_group = cand.doc_group
+       |  JOIN qq ON qq.query_group = cand.query_group
+       |  GROUP BY qq.query_group, qq.q_vec_id, cv.doc_group),
+       |sc AS (
+       |  SELECT query_group, doc_group,
+       |    list_reduce(list_prepend(0.0, list(mx ORDER BY q_vec_id)),
+       |      (x, y) -> x + y) AS score
+       |  FROM mx GROUP BY query_group, doc_group)
+       |SELECT query_group, doc_group, rnk, score FROM (
+       |  SELECT query_group, doc_group,
+       |    row_number() OVER (PARTITION BY query_group
+       |      ORDER BY score DESC, doc_group) AS rnk,
+       |    round(score, 4) AS score
+       |  FROM sc) WHERE rnk <= $k
+       |ORDER BY query_group, rnk""".stripMargin
+  }
+
   /** v_ivf_split: the maintenance action replayed decision for
     * decision against the literal centroids — assignment + populations
     * re-derived (the argmin law), hottest cluster by (population DESC,

@@ -35,7 +35,33 @@ object MaxSim {
   def topK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val maxPerQvec = corpus.crossJoin(broadcast(queries))
+    rankScores(corpus.crossJoin(broadcast(queries)), k)
+  }
+
+  /** MaxSim restricted to a CANDIDATE set of (query_group, doc_group)
+    * pairs — the second stage of the two-stage serving shape
+    * (v_maxsim_pruned): an ANN first stage proposes doc groups per
+    * query, exact MaxSim scores only those. The candidate frame is
+    * bounded (|Q|·kAnn pairs before distinct) and broadcasts; the
+    * corpus side joins it BY doc_group key, so only candidate groups'
+    * vectors are scored — never the whole corpus. */
+  def topKCandidates(corpus: DataFrame, queries: DataFrame,
+      cand: DataFrame, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    rankScores(
+      corpus.join(broadcast(cand), "doc_group")
+        .join(broadcast(queries), "query_group"), k)
+  }
+
+  /** Shared scoring tail: per-(query-vector, doc-group) max, maxima
+    * summed in q_vec_id order (bounded pinned fold), bounded-heap
+    * top-k on the negated score. `pairs` carries (query_group,
+    * q_vec_id, doc_group, vec, qv) rows. */
+  private def rankScores(pairs: DataFrame, k: Int): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val maxPerQvec = pairs
       .select($"query_group", $"q_vec_id", $"doc_group",
         dot($"vec", $"qv").as("sim"))
       .groupBy($"query_group", $"q_vec_id", $"doc_group")

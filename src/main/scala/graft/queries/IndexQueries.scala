@@ -254,6 +254,35 @@ object IndexQueries {
           round(sqrt($"d2"), 4).as("dist"))
     }),
 
+    // Two-stage MaxSim serving (how late-interaction actually ships —
+    // ColBERT's own retrieve-then-rerank): stage 1, every query VECTOR
+    // runs a pruned IVF search (partition-pruned scans, k'=8,
+    // nprobe=2) and the hit vectors' doc groups form the candidate
+    // set; stage 2, exact MaxSim scores ONLY the candidate groups
+    // (MaxSim.topKCandidates — the bounded candidate frame broadcasts,
+    // the corpus joins it by group key). v_maxsim_search is this
+    // entry's exact ground truth, exactly as v_knn_bruteforce is
+    // v_ivf_search's.
+    "v_maxsim_pruned" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val dir = IndexStore.ivf(s, d, k = 16)
+      val e = load(s, d, "embeddings")
+      val q = e.filter($"vec_id" < 16)
+        .select(($"vec_id" / 8).cast("long").as("query_group"),
+          $"vec_id".as("q_vec_id"), $"embedding".as("qv"))
+      val ann = IvfIndex.searchPruned(s, dir,
+        q.select($"q_vec_id".as("query_id"), $"qv"), k = 8, nprobe = 2)
+      val cand = ann
+        .select($"query_id".as("q_vec_id"),
+          ($"neighbor_id" / 8).cast("long").as("doc_group"))
+        .join(q.select($"q_vec_id", $"query_group"), "q_vec_id")
+        .select($"query_group", $"doc_group").distinct()
+      val corpus = e.select(($"vec_id" / 8).cast("long").as("doc_group"),
+        $"vec_id", $"embedding".as("vec"))
+      graft.operators.MaxSim.topKCandidates(corpus, q, cand, k = 5)
+        .orderBy("query_group", "rnk")
+    }),
+
     // IVF index-health audit (the ops table consulted BEFORE trusting a
     // probe plan: at 100 TB the cluster populations ARE the partition
     // sizes, so imbalance here is scan skew in every pruned search, and
@@ -788,7 +817,7 @@ object IndexQueries {
     Set("v_ivf_build", "v_ivf_search", "v_ivf_filtered", "v_pq_search",
       "v_pq_rerank", "v_opq_search", "v_ivfpq_search", "d_semantic_dedup",
       "v_nprobe_sweep", "v_quantize_error", "v_knn_graph", "v_ivf_stats",
-      "v_ivf_split",
+      "v_ivf_split", "v_maxsim_pruned",
       "v_ood_score", "v_embed_clusters", "v_graph_search", "v_ef_sweep",
       "v_graph_insert", "v_hnsw_search", "v_mips_ivf", "v_ivfpq_residual",
       "v_graph_delete")
@@ -866,6 +895,8 @@ object IndexQueries {
       "v_ivf_stats" -> graft.operators.IndexOracle.ivfStatsOracle(cent),
       "v_ivf_split" -> graft.operators.IndexOracle
         .ivfSplitOracle(cent, dim = 64),
+      "v_maxsim_pruned" -> graft.operators.IndexOracle
+        .maxsimPrunedOracle(cent, kAnn = 8, nprobe = 2, k = 5),
       "v_nprobe_sweep" -> graft.operators.IndexOracle
         .nprobeSweepOracle(cent, K, NprobeSweep, NumQueries),
       "v_quantize_error" -> graft.operators.IndexOracle

@@ -36,6 +36,21 @@ class MaxSimSpec extends SparkSpec {
     assert(rows(2).getDouble(3) === 1.0)          // 1 + 0
   }
 
+  test("pruned two-stage MaxSim finds the brute-force winner and most of its top-5") {
+    val brute = SparkEntry.queries("v_maxsim_search")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pruned = SparkEntry.queries("v_maxsim_pruned")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val bTop1 = brute.filter(_._3 == 1L).map(t => t._1 -> t._2).toMap
+    val pTop1 = pruned.filter(_._3 == 1L).map(t => t._1 -> t._2).toMap
+    assert(pTop1 === bTop1, "stage-1 ANN must surface the true winner")
+    val bSets = brute.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val pSets = pruned.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val overlap = bSets.map { case (qg, ids) =>
+      (ids & pSets(qg)).size.toDouble / ids.size }.sum / bSets.size
+    assert(overlap >= 0.6, s"top-5 overlap $overlap < 0.6")
+  }
+
   test("per-query-vector maxima are independent: adding an irrelevant vector never hurts") {
     val corpus = Seq(
       (0L, 0L, vec(0)), (0L, 1L, vec(1)),
