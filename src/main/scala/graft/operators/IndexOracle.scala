@@ -996,8 +996,8 @@ object IndexOracle {
     * same tie-breaks as the v_maxsim_search oracle) over candidates
     * only. */
   def maxsimPrunedOracle(centroids: Seq[(Int, Seq[Float])],
-      kAnn: Int, nprobe: Int, k: Int, groupWidth: Int = 8,
-      numQueryVecs: Int = 16): String = {
+      kAnn: Int, nprobe: Int, k: Int, groupWidth: Int,
+      numQueryVecs: Int): String = {
     val qdists = centroids.map { case (_, c) => l2sqLit("qv", 0, c) }
       .mkString("[", ",\n ", "]")
     val cids = centroids.map(_._1).mkString("[", ",", "]")
@@ -1079,17 +1079,24 @@ object IndexOracle {
        |sb AS (SELECT m.vec_id, m.embedding FROM mem m, sa
        |       ORDER BY ${l2sqCol("m.embedding", "sa.embedding", dim)} DESC,
        |         m.vec_id LIMIT 1),
-       |sides AS (
-       |  SELECT CASE WHEN origin = 'split_a'
-       |              THEN (SELECT cluster_id FROM h) ELSE $k END AS cluster_id,
-       |    count(*)::BIGINT AS population, origin
+       |cnt AS (
+       |  SELECT origin, count(*)::BIGINT AS population
        |  FROM (
        |    SELECT m.vec_id,
        |      CASE WHEN ${l2sqCol("m.embedding", "sa.embedding", dim)}
        |             <= ${l2sqCol("m.embedding", "sb.embedding", dim)}
        |           THEN 'split_a' ELSE 'split_b' END AS origin
        |    FROM mem m, sa, sb)
-       |  GROUP BY origin)
+       |  GROUP BY origin),
+       |sides AS (
+       |  -- both split rows always appear: a degenerate split surfaces
+       |  -- as an explicit population-0 split_b row (engine-identical)
+       |  SELECT so.cluster_id,
+       |    coalesce(cnt.population, 0)::BIGINT AS population, so.origin
+       |  FROM (SELECT 'split_a' AS origin,
+       |          (SELECT cluster_id FROM h) AS cluster_id
+       |        UNION ALL SELECT 'split_b', $k) so
+       |  LEFT JOIN cnt ON cnt.origin = so.origin)
        |SELECT cluster_id, population, origin FROM (
        |  SELECT p.cluster_id, p.population, 'kept' AS origin
        |  FROM pops p WHERE p.cluster_id != (SELECT cluster_id FROM h)

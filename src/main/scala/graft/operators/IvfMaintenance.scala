@@ -34,7 +34,10 @@ object IvfMaintenance {
       .agg(count(lit(1)).as("population"))
     val hot = pops.orderBy($"population".desc, $"cluster_id")
       .limit(1).collect()(0).getLong(0)
-    // pruned scan: only the hot cluster's partition is read
+    // pruned scan: only the hot cluster's partition is read; cached
+    // ONLY across the two seed collects, released before returning
+    // (the lazy sides frame rebuilds from the pruned scan — one extra
+    // read at action time beats a cached block leaked per invocation)
     val mem = assign.filter($"cluster_id" === hot)
       .join(broadcast(cent.filter($"cluster_id" === hot)), "cluster_id")
       .select($"vec_id", $"embedding",
@@ -46,9 +49,12 @@ object IvfMaintenance {
     val seedB = mem.orderBy(l2Sq($"embedding", aLit).desc, $"vec_id")
       .limit(1).select($"embedding").collect()(0).getSeq[Float](0)
     val bLit = typedlit(seedB)
-    val sides = mem.select($"vec_id",
-      when(l2Sq($"embedding", aLit) <= l2Sq($"embedding", bLit),
-        lit("split_a")).otherwise(lit("split_b")).as("origin"))
+    mem.unpersist(false)
+    // seeds are literals now — sides depend only on the pruned scan
+    val sides = assign.filter($"cluster_id" === hot)
+      .select($"vec_id",
+        when(l2Sq($"embedding", aLit) <= l2Sq($"embedding", bLit),
+          lit("split_a")).otherwise(lit("split_b")).as("origin"))
     (pops, hot, sides)
   }
 
@@ -59,12 +65,17 @@ object IvfMaintenance {
     val spark = assign.sparkSession
     import spark.implicits._
     val (pops, hot, sideFrame) = splitCore(assign, cent)
-    val sides = sideFrame
-      .groupBy($"origin").agg(count(lit(1)).as("population"))
-      .select(
-        when($"origin" === "split_a", lit(hot)).otherwise(lit(k))
-          .as("cluster_id"),
-        $"population", $"origin")
+    // BOTH split rows always appear: a degenerate split (singleton hot
+    // cluster, or every member tying to seed A) must surface as an
+    // explicit population-0 split_b row, not silently return the input
+    // relabeled — a caller provisioning partition k on this table
+    // needs to see the no-op
+    val sides = Seq(("split_a", hot), ("split_b", k))
+      .toDF("origin", "cluster_id")
+      .join(sideFrame.groupBy($"origin")
+        .agg(count(lit(1)).as("population")), Seq("origin"), "left")
+      .select($"cluster_id", coalesce($"population", lit(0L)).as("population"),
+        $"origin")
     pops.filter($"cluster_id" =!= hot)
       .select($"cluster_id", $"population", lit("kept").as("origin"))
       .unionAll(sides)

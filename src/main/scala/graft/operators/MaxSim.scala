@@ -26,17 +26,40 @@ import graft.GraftVector._
   */
 object MaxSim {
 
+  /** The gate queries' group layout — ONE definition shared by
+    * v_maxsim_search, v_maxsim_pruned, and both oracles (the
+    * shardTokens discipline: brute, pruned, and their oracles cannot
+    * drift apart on how the multi-vector groups are formed). Groups of
+    * [[GroupWidth]] consecutive vec_ids play "documents"; the first
+    * [[NumQueryVecs]] vectors form the query groups. */
+  val GroupWidth = 8
+  val NumQueryVecs = 16
+
+  /** (doc_group, vec_id, vec) over an (vec_id, embedding) frame. */
+  def corpusGroups(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.select(($"vec_id" / GroupWidth).cast("long").as("doc_group"),
+      $"vec_id", $"embedding".as("vec"))
+  }
+
+  /** (query_group, q_vec_id, qv): the first NumQueryVecs vectors. */
+  def queryGroups(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.filter($"vec_id" < NumQueryVecs)
+      .select(($"vec_id" / GroupWidth).cast("long").as("query_group"),
+        $"vec_id".as("q_vec_id"), $"embedding".as("qv"))
+  }
+
   /** Top-k doc groups per query group by MaxSim score.
     * `corpus`: (doc_group long, vec_id long, vec array<float>);
     * `queries`: (query_group long, q_vec_id long, qv array<float>).
     * Returns (query_group, doc_group, rnk, score) with rnk by
     * (score DESC, doc_group) and score the raw pinned-order sum
     * rounded at output. */
-  def topK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     rankScores(corpus.crossJoin(broadcast(queries)), k)
-  }
 
   /** MaxSim restricted to a CANDIDATE set of (query_group, doc_group)
     * pairs — the second stage of the two-stage serving shape
@@ -46,13 +69,10 @@ object MaxSim {
     * corpus side joins it BY doc_group key, so only candidate groups'
     * vectors are scored — never the whole corpus. */
   def topKCandidates(corpus: DataFrame, queries: DataFrame,
-      cand: DataFrame, k: Int): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
+      cand: DataFrame, k: Int): DataFrame =
     rankScores(
       corpus.join(broadcast(cand), "doc_group")
         .join(broadcast(queries), "query_group"), k)
-  }
 
   /** Shared scoring tail: per-(query-vector, doc-group) max, maxima
     * summed in q_vec_id order (bounded pinned fold), bounded-heap

@@ -265,21 +265,18 @@ object IndexQueries {
     // v_ivf_search's.
     "v_maxsim_pruned" -> ((s: SparkSession, d: String) => {
       import s.implicits._
+      import graft.operators.MaxSim
       val dir = IndexStore.ivf(s, d, k = 16)
       val e = load(s, d, "embeddings")
-      val q = e.filter($"vec_id" < 16)
-        .select(($"vec_id" / 8).cast("long").as("query_group"),
-          $"vec_id".as("q_vec_id"), $"embedding".as("qv"))
+      val q = MaxSim.queryGroups(e)
       val ann = IvfIndex.searchPruned(s, dir,
         q.select($"q_vec_id".as("query_id"), $"qv"), k = 8, nprobe = 2)
       val cand = ann
         .select($"query_id".as("q_vec_id"),
-          ($"neighbor_id" / 8).cast("long").as("doc_group"))
+          ($"neighbor_id" / MaxSim.GroupWidth).cast("long").as("doc_group"))
         .join(q.select($"q_vec_id", $"query_group"), "q_vec_id")
         .select($"query_group", $"doc_group").distinct()
-      val corpus = e.select(($"vec_id" / 8).cast("long").as("doc_group"),
-        $"vec_id", $"embedding".as("vec"))
-      graft.operators.MaxSim.topKCandidates(corpus, q, cand, k = 5)
+      MaxSim.topKCandidates(MaxSim.corpusGroups(e), q, cand, k = 5)
         .orderBy("query_group", "rnk")
     }),
 
@@ -337,8 +334,9 @@ object IndexQueries {
       val cent = s.read.parquet(s"$dir/centroids")
       val assign = s.read.parquet(s"$dir/assignments")
         .select($"vec_id", $"embedding", $"cluster_id")
+      // k is the build parameter two lines up — no count job needed
       graft.operators.IvfMaintenance
-        .splitHottest(assign, cent, k = cent.count())
+        .splitHottest(assign, cent, k = 16L)
         .orderBy("cluster_id", "origin")
     }),
 
@@ -896,7 +894,9 @@ object IndexQueries {
       "v_ivf_split" -> graft.operators.IndexOracle
         .ivfSplitOracle(cent, dim = 64),
       "v_maxsim_pruned" -> graft.operators.IndexOracle
-        .maxsimPrunedOracle(cent, kAnn = 8, nprobe = 2, k = 5),
+        .maxsimPrunedOracle(cent, kAnn = 8, nprobe = 2, k = 5,
+          groupWidth = graft.operators.MaxSim.GroupWidth,
+          numQueryVecs = graft.operators.MaxSim.NumQueryVecs),
       "v_nprobe_sweep" -> graft.operators.IndexOracle
         .nprobeSweepOracle(cent, K, NprobeSweep, NumQueries),
       "v_quantize_error" -> graft.operators.IndexOracle

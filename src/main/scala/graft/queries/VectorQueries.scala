@@ -71,14 +71,9 @@ object VectorQueries {
     // See operators/MaxSim for the scale shape (one corpus scan,
     // map-side max partials, bounded pinned-order sum fold).
     "v_maxsim_search" -> ((s: SparkSession, d: String) => {
-      import s.implicits._
+      import graft.operators.MaxSim
       val e = load(s, d, "embeddings")
-      val corpus = e.select(($"vec_id" / 8).cast("long").as("doc_group"),
-        $"vec_id", $"embedding".as("vec"))
-      val q = e.filter($"vec_id" < 16)
-        .select(($"vec_id" / 8).cast("long").as("query_group"),
-          $"vec_id".as("q_vec_id"), $"embedding".as("qv"))
-      graft.operators.MaxSim.topK(corpus, q, k = 5)
+      MaxSim.topK(MaxSim.corpusGroups(e), MaxSim.queryGroups(e), k = 5)
         .orderBy("query_group", "rnk")
     }),
 
@@ -532,14 +527,15 @@ object VectorQueries {
     // precedent; list_inner_product's order is unspecified), maxima
     // summed in q_vec_id order exactly as the engine's bounded fold.
     "v_maxsim_search" -> {
+      import graft.operators.MaxSim.{GroupWidth, NumQueryVecs}
       val dotFold = "list_reduce(list_prepend(0.0, " +
         "[c.embedding[i]::DOUBLE * q.qv[i]::DOUBLE " +
         "for i in range(1, 65)]), (x, y) -> x + y)"
-      s"""WITH c AS (SELECT vec_id // 8 AS doc_group, vec_id, embedding
+      s"""WITH c AS (SELECT vec_id // $GroupWidth AS doc_group, vec_id, embedding
          |           FROM embeddings),
-         |q AS (SELECT vec_id // 8 AS query_group, vec_id AS q_vec_id,
+         |q AS (SELECT vec_id // $GroupWidth AS query_group, vec_id AS q_vec_id,
          |        embedding AS qv
-         |      FROM embeddings WHERE vec_id < 16),
+         |      FROM embeddings WHERE vec_id < $NumQueryVecs),
          |mx AS (
          |  SELECT q.query_group, q.q_vec_id, c.doc_group,
          |    max($dotFold) AS mx

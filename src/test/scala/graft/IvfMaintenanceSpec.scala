@@ -42,6 +42,19 @@ class IvfMaintenanceSpec extends SparkSpec {
       s"sides do not match the planted modes: $bySide")
   }
 
+  test("degenerate split surfaces as an explicit population-0 split_b row") {
+    // singleton hot cluster: nothing can move to side B, but the
+    // caller provisioning partition k must SEE the no-op
+    val assign = Seq((0L, Seq.fill(8)(1f), 0), (1L, Seq.fill(8)(50f), 1))
+      .toDF("vec_id", "embedding", "cluster_id")
+    val cent = Seq((0, Seq.fill(8)(1f)), (1, Seq.fill(8)(50f)))
+      .toDF("cluster_id", "centroid")
+    val rows = IvfMaintenance.splitHottest(assign, cent, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(rows.contains((2L, 0L, "split_b")), s"missing 0-row: $rows")
+    assert(rows.contains((0L, 1L, "split_a")))
+  }
+
   test("population accounting: kept untouched, split sides sum to the hot cluster") {
     val (assign, cent) = fixture
     val rows = IvfMaintenance.splitHottest(assign, cent, k = 2).collect()
