@@ -313,4 +313,46 @@ class PlanSpec extends SparkSpec {
       s"source pairing must be a shingle equi-join:\n$p")
     assert(p.contains("BroadcastHashJoin"), "per-source sizes must broadcast")
   }
+
+  test("v_maxsim_search: query vectors broadcast, max partial-aggregates map-side, no corpus shuffle before it") {
+    val p = planOf(VectorQueries.all, "v_maxsim_search")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the bounded query-vector set must broadcast against the corpus scan")
+    assert(p.contains("partial_max"),
+      "per-(doc-group, query-vector) max must partial-aggregate map-side")
+    assert(!p.contains("CartesianProduct"), s"no materialized cartesian:\n$p")
+  }
+
+  test("v_maxsim_pruned: stage-2 corpus joins the bounded candidate set by key (broadcast hash, no full-scan rescore)") {
+    val p = planOf(graft.queries.IndexQueries.all, "v_maxsim_pruned")
+    assert(p.contains("BroadcastHashJoin [doc_group") ||
+      p.linesIterator.exists(l => l.contains("BroadcastHashJoin") && l.contains("doc_group")),
+      s"candidates must broadcast-hash-join the corpus on doc_group:\n$p")
+    assert(!p.contains("CartesianProduct"), "stage 2 must never rescore the whole corpus")
+  }
+
+  test("p_curation_pipeline: no cartesian anywhere, mixture thresholds broadcast") {
+    val p = planOf(graft.queries.PipelineQueries.all, "p_curation_pipeline")
+    assert(!p.contains("CartesianProduct"), s"funnel must stay key-joined:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "the bounded per-language threshold frame must broadcast")
+  }
+
+  test("v_ivf_split: the member pass reads only the hot cluster's partition") {
+    val p = freshPlan {
+      val dir = graft.operators.IndexStore.ivf(spark, sfDir, k = 16)
+      val cent = spark.read.parquet(s"$dir/centroids")
+      val assign = spark.read.parquet(s"$dir/assignments")
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("embedding"),
+          org.apache.spark.sql.functions.col("cluster_id"))
+      graft.operators.IvfMaintenance.splitSides(assign, cent)
+    }
+    val scanLine = p.linesIterator
+      .find(l => l.contains("PartitionFilters") && l.contains("cluster_id"))
+    assert(scanLine.exists(_.contains("isnotnull(cluster_id")) ||
+      p.contains("PartitionFilters: [isnotnull(cluster_id"),
+      s"hot-member scan must carry a cluster_id partition filter:\n" +
+        p.linesIterator.filter(_.contains("Partition")).mkString("\n"))
+  }
 }
