@@ -502,6 +502,29 @@ object DedupQueries {
         .transform(orderedLarge(_, "doc_id"))
     }),
 
+    // The dedup REPORT by source (which feeds are redundant — the
+    // number a corpus owner reads before renegotiating an ingest): per
+    // source, docs, minhash-keeper dups, and the dup rate by one exact
+    // pinned division. Rides the SAME shared keeper core as
+    // d_dedup_minhash (one definition — the report cannot drift from
+    // the dedup it reports on) plus one source-keyed rollup of the
+    // bounded (doc_id, keeper_id) frame.
+    "d_source_dup_rate" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val docs = load(s, d, "documents")
+        .select($"doc_id", sort_array(array_distinct(toks($"text"))).as("ws"))
+        .cache()
+      val keepers = minhashKeeperAssign(docs, GraftText.jaccardSorted(_, _), 0.7)
+      load(s, d, "documents").select($"doc_id", $"source")
+        .join(keepers, "doc_id")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"keeper_id" =!= $"doc_id", 1L).otherwise(0L)).as("n_dups"))
+        .select($"source", $"n_docs", $"n_dups",
+          round($"n_dups".cast("double") / $"n_docs", 4).as("dup_rate"))
+        .orderBy("source")
+    }),
+
     // SimHash fingerprints + banded Hamming-distance near-dup pairs.
     // 4 × 16-bit chunk bands with a MATCHING `hamming <= 3` filter: by
     // pigeonhole any pair within distance nChunks-1 = 3 shares an exact
@@ -1254,6 +1277,21 @@ object DedupQueries {
     "d_dedup_minhash" ->
       graft.functions.HashSql.minhashKeeperOracle(
         graft.functions.HashSql.wordSetDef, jaccardThreshold = 0.7),
+
+    // same keeper CTEs; per-source rollup with the identical division
+    "d_source_dup_rate" -> {
+      val ctes = graft.functions.HashSql.minhashKeeperCtes(
+        graft.functions.HashSql.wordSetDef, jaccardThreshold = 0.7)
+      s"""WITH $ctes,
+         |srcj AS (
+         |  SELECT dd.source,
+         |    CASE WHEN ka.keeper_id != ka.doc_id THEN 1 ELSE 0 END AS isd
+         |  FROM documents dd JOIN keepassign ka ON dd.doc_id = ka.doc_id)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(isd)::BIGINT AS n_dups,
+         |  round(sum(isd)::DOUBLE / count(*), 4) AS dup_rate
+         |FROM srcj GROUP BY source ORDER BY source""".stripMargin
+    },
 
     "d_ngram_jaccard" ->
       graft.functions.HashSql.minhashKeeperOracle(
