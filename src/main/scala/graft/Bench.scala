@@ -129,6 +129,91 @@ object Bench {
     (clients, n, sec, math.rint(n / sec * 1000) / 1000)
   }
 
+  /** Serving-latency percentiles — the client_bench.cpp:153-159 analog
+    * (the reference prints avg/p99/p999 per request for search AND
+    * insert): a MIXED workload of concurrent pruned searches and
+    * micro-batch delta-ingest inserts against ONE index, per-request
+    * wall times recorded, avg/p50/p99 reported per op kind (p999 needs
+    * ≥1000 samples to mean anything; at this sample count p99 ≈ max and
+    * is labeled honestly by `n`). Searches are fully concurrent;
+    * inserts are concurrent WITH searches but mutually exclusive with
+    * each other — the single-writer LSM buffer contract (the reference
+    * serializes its write buffer behind a mutex the same way; two
+    * concurrent Spark append jobs into one parquet dir would also race
+    * on the committer's _temporary staging). The whole mix runs against
+    * a SCRATCH COPY of the IVF store so inserts land somewhere real —
+    * searches take the engine's buffer-shadows-index branch mid-mix —
+    * while the shared store stays compaction-steady (the
+    * requireCompacted contract v_ivf_stats now enforces). */
+  def latencyBench(spark: SparkSession, sfDir: String,
+      searchClients: Int = 6, insertClients: Int = 2, perClient: Int = 4)
+      : Map[String, Map[String, Double]] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val src = graft.operators.IndexStore.ivf(spark, sfDir, k = 16)
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-latency-ivf").toString
+    spark.read.parquet(s"$src/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$scratch/centroids")
+    spark.read.parquet(s"$src/assignments")
+      .write.partitionBy("cluster_id").mode("overwrite")
+      .parquet(s"$scratch/assignments")
+    val e = Tables.load(spark, sfDir, "embeddings")
+    def searchWindow(lo: Int): DataFrame =
+      e.filter($"vec_id" >= lo && $"vec_id" < lo + 8)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    def insertBatch(lo: Int): DataFrame =
+      e.filter($"vec_id" >= lo && $"vec_id" < lo + 8)
+        .select($"vec_id", $"embedding")
+    // warm both paths outside the clock (codegen + footer caches)
+    exhaust(graft.operators.IvfIndex.searchPruned(spark, scratch,
+      searchWindow(0), 10, 4))
+    graft.streaming.IvfDeltaIngest.appendBatch(spark, scratch,
+      insertBatch(0), seq = 1L)
+    val insertLock = new Object
+    val searchLat = new java.util.concurrent.ConcurrentLinkedQueue[Double]
+    val insertLat = new java.util.concurrent.ConcurrentLinkedQueue[Double]
+    val clients = searchClients + insertClients
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(clients)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val seqCtr = new java.util.concurrent.atomic.AtomicLong(2L)
+    val futures = (0 until clients).map { c =>
+      scala.concurrent.Future {
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"lat$c")
+        (0 until perClient).foreach { r =>
+          val lo = (c * perClient + r) * 8
+          val t0 = System.nanoTime()
+          if (c < searchClients) {
+            exhaust(graft.operators.IvfIndex.searchPruned(spark, scratch,
+              searchWindow(lo), 10, 4))
+            searchLat.add((System.nanoTime() - t0) / 1e6)
+          } else insertLock.synchronized {
+            val t1 = System.nanoTime() // queue wait behind the writer
+            graft.streaming.IvfDeltaIngest.appendBatch(spark, scratch,
+              insertBatch(lo), seq = seqCtr.getAndIncrement())
+            insertLat.add((System.nanoTime() - t1) / 1e6)
+          }
+        }
+      }
+    }
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures),
+      scala.concurrent.duration.Duration(600, "s"))
+    finally pool.shutdownNow()
+    def stats(q: java.util.concurrent.ConcurrentLinkedQueue[Double])
+        : Map[String, Double] = {
+      import scala.jdk.CollectionConverters._
+      val xs = q.asScala.toSeq.sorted
+      def pct(p: Double): Double =
+        xs(math.max(0, math.min(xs.size - 1, math.ceil(p * xs.size).toInt - 1)))
+      def r3(v: Double) = math.rint(v * 1000) / 1000
+      Map("n" -> xs.size.toDouble, "avg_ms" -> r3(xs.sum / xs.size),
+        "p50_ms" -> r3(pct(0.50)), "p99_ms" -> r3(pct(0.99)))
+    }
+    Map("search" -> stats(searchLat), "insert" -> stats(insertLat))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -256,6 +341,12 @@ object Bench {
       }
       catch { case e: Throwable => errors("throughput") = errMsg(e); None }
 
+    // serving-latency percentiles (client_bench.cpp:153-159 analog):
+    // mixed concurrent search+insert per-request latency distribution
+    val lat =
+      try Some(latencyBench(spark, sfDir))
+      catch { case e: Throwable => errors("latency") = errMsg(e); None }
+
     // distance-kernel microbench (distance_bench.cpp analog)
     val dist =
       try distanceBench(spark, sfDir)
@@ -283,11 +374,15 @@ object Bench {
     }.getOrElse("null")
     val distJson = dist.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
+    val latJson = lat.map(_.map { case (kind, m) =>
+      jstr(kind) + ":" + m.map { case (k, v) => jstr(k) + ":" + v }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")).getOrElse("null")
     val retimesJson = retimes.map { case (k, (a, b)) =>
       jstr(k) + s":[$a,$b]"
     }.mkString("{", ",", "}")
     val stealSec = math.rint((stealTicks() - runSteal0) / 100.0 * 10) / 10
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"timing":"min of up to 2 runs for contaminated samples (>2s or steal observed)","steal_sec":$stealSec,"retimes":$retimesJson,"queries":$qs,"errors":$errs,"throughput":$tputJson,"distance":$distJson,"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"timing":"min of up to 2 runs for contaminated samples (>2s or steal observed)","steal_sec":$stealSec,"retimes":$retimesJson,"queries":$qs,"errors":$errs,"throughput":$tputJson,"latency":$latJson,"distance":$distJson,"sf":"$sfDir"}"""
     // The machine-readable artifact: the COMPLETE result object as one
     // JSON file. Five rounds of stdout-only emission parsed as null —
     // sbt appends "[success] Total time: …" after the last println, so

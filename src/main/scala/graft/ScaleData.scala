@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scaling-probe data builder: derive an N× corpus from a driver-written
+  * sf directory by unioning key-shifted replicas — NOT new synthetic
+  * data, a size amplification of the driver's own tables used only for
+  * the SURVEY §5 scaling artifact (correctness stays gated at sf0.01,
+  * where the DuckDB oracle runs).
+  *
+  * Referential integrity is preserved: every surrogate key family
+  * shifts by `replica × (max(key)+1)` on BOTH sides of its FK (orders ↔
+  * lineitem on orderkey, customer ← orders on custkey, part/supplier ←
+  * lineitem), while the FIXED dimensions (region, nation — TPC-H keeps
+  * them constant across scale factors) are copied once and their
+  * nationkey/regionkey references are left untouched. Replica 0 is the
+  * identity copy, so fixed query sets (the vec_id < 8 probe windows)
+  * select the same rows at every factor.
+  *
+  * Usage: runMain graft.ScaleData <srcSfDir> <dstDir> <factor>
+  */
+object ScaleData {
+
+  /** (table → key columns to shift); key families sharing a stride are
+    * listed under the same stride source below. */
+  private val ShiftCols: Map[String, Seq[String]] = Map(
+    "embeddings" -> Seq("vec_id"),
+    "documents" -> Seq("doc_id"),
+    "events" -> Seq("event_id", "user_id"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"))
+
+  /** column → the (table, column) its stride derives from, so FK pairs
+    * shift in lockstep. */
+  private val StrideSource: Map[String, (String, String)] = Map(
+    "vec_id" -> ("embeddings", "vec_id"),
+    "doc_id" -> ("documents", "doc_id"),
+    "event_id" -> ("events", "event_id"),
+    "user_id" -> ("events", "user_id"),
+    "l_orderkey" -> ("orders", "o_orderkey"),
+    "o_orderkey" -> ("orders", "o_orderkey"),
+    "l_partkey" -> ("part", "p_partkey"),
+    "p_partkey" -> ("part", "p_partkey"),
+    "l_suppkey" -> ("supplier", "s_suppkey"),
+    "s_suppkey" -> ("supplier", "s_suppkey"),
+    "o_custkey" -> ("customer", "c_custkey"),
+    "c_custkey" -> ("customer", "c_custkey"))
+
+  private val CopyOnly = Seq("region", "nation")
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dst = args(1)
+    val factor = args(2).toInt
+    require(factor >= 1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val strides: Map[(String, String), Long] = StrideSource.values.toSet.map {
+      (tc: (String, String)) =>
+        val (t, c) = tc
+        tc -> (spark.read.parquet(s"$src/$t.parquet")
+          .agg(max(col(c).cast("long"))).head.getLong(0) + 1L)
+    }.toMap
+
+    CopyOnly.foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+    ShiftCols.foreach { case (t, keys) =>
+      val base = spark.read.parquet(s"$src/$t.parquet")
+      val reps = (0 until factor).map { r =>
+        keys.foldLeft(base) { (df, k) =>
+          df.withColumn(k, col(k) + lit(r * strides(StrideSource(k))))
+        }
+      }
+      reps.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      println(s"scaled $t x$factor")
+    }
+    spark.stop()
+  }
+}

@@ -299,6 +299,34 @@ object GraphSearch {
         round(sqrt($"col.score"), 4).as("dist"))
   }
 
+  /** [[searchFrames]] with the query node EXCLUDED from its own result
+    * — the re-link search of graph compaction: an affected node (one
+    * that lost tombstoned out-edges) queries the masked graph for its
+    * new adjacency, and being a live graph member it would otherwise
+    * capture rank 1 at d = 0. The self row is dropped from the final
+    * ef-beam and the survivors re-ranked, so k ≤ ef − 1 slots always
+    * fill from genuine neighbors. Same scale shape as [[searchFrames]]
+    * (the re-rank window runs over ef-bounded arrays, never the
+    * corpus). */
+  def relinkFrames(s: SparkSession, cent: DataFrame, med: DataFrame,
+      stored: DataFrame, e: DataFrame, q: DataFrame, k: Int, ef: Int,
+      hops: Int, entries: Int = 2): DataFrame = {
+    require(k <= ef - 1, s"k=$k must be <= ef-1=${ef - 1} (self may fill a slot)")
+    import s.implicits._
+    val vecs = e.select($"vec_id".as("node"), $"embedding".as("nv"))
+    val scored = beamLoop(undirected(stored), vecs, q,
+      entryBeam(cent, med, q, entries), ef, hops)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"d", $"neighbor_id")
+    scored.select($"query_id", explode($"beam").as("c"))
+      .select($"query_id", $"c.id".as("neighbor_id"), $"c.score".as("d"))
+      .filter($"neighbor_id" =!= $"query_id")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= k)
+      .select($"query_id", $"neighbor_id", $"rnk",
+        round(sqrt($"d"), 4).as("dist"))
+  }
+
   /** The ef-sweep evaluation form of [[search]]: one traversal per ef
     * in `efs`, sharing what is provably ef-independent — the entry
     * beam, and the HOP-1 SCORED SET (hop 1's candidates are

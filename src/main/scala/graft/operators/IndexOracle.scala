@@ -315,6 +315,30 @@ object IndexOracle {
        |  round(sqrt(d), 4) AS dist
        |FROM s$hops WHERE r <= $k ORDER BY query_id, rnk""".stripMargin
 
+  /** v_graph_compact: the re-link search of graph compaction — each
+    * AFFECTED node (live, with ≥1 tombstoned out-edge in the literal
+    * graph) beam-searches the masked graph (graphDeleteOracle's head:
+    * deleted nodes out of medoids, edges, and — by unreachability —
+    * candidates) and its k best EXCLUDING ITSELF become its new
+    * adjacency. Self-exclusion re-ranks after the filter, exactly as
+    * GraphSearch.relinkFrames does (k ≤ ef−1, so the slots still
+    * fill). */
+  def graphCompactOracle(centroids: Seq[(Int, Seq[Float])], k: Int,
+      ef: Int, hops: Int, delPredOf: String => String, graphK: Int,
+      graphNprobe: Int, entries: Int = 2): String = {
+    val qPred = s"NOT (${delPredOf("vec_id")}) AND vec_id IN " +
+      s"(SELECT g2.vec_id FROM kg g2 WHERE ${delPredOf("g2.neighbor_id")})"
+    s"""WITH ${graphHeadCtes(centroids, 0, entries, graphK, graphNprobe,
+           qPred = Some(qPred), nodeMask = Some(delPredOf))},
+       |${beamRounds("", ef, hops)}
+       |SELECT vec_id, neighbor_id, rnk, dist FROM (
+       |  SELECT query_id AS vec_id, node AS neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY d, node) AS rnk,
+       |    round(sqrt(d), 4) AS dist
+       |  FROM s$hops WHERE node <> query_id
+       |) WHERE rnk <= $k ORDER BY vec_id, rnk""".stripMargin
+  }
+
   /** The ef-independent head of the graph-search oracles: literal kNN
     * graph (MATERIALIZED), per-cluster medoids, the query frame, the
     * `entries`-nearest-centroid entry beam b0, and the undirected edge

@@ -29,6 +29,12 @@ object IndexStore {
   def root: String = sys.props.getOrElse("graft.index.dir",
     new File(sys.props("java.io.tmpdir"), "graft-index").getPath)
 
+  /** Build-recipe version, folded into every cache key: bump when an
+    * index BUILD algorithm changes (e.g. the r8 hash-uniform training
+    * sample) so artifacts persisted by an older build can never serve a
+    * newer engine. */
+  private val BuildVersion = 3
+
   /** Cache key folding in the source parquet's mtime/size so regenerated
     * data self-invalidates (shared by every derived-artifact cache —
     * pass the table the artifact actually derives from). */
@@ -37,7 +43,8 @@ object IndexStore {
     val src = new File(sfDir, s"$srcTable.parquet")
     val stamp = Option(src.listFiles()).map(_.map(f => f.lastModified ^ f.length)
       .foldLeft(0L)(_ ^ _)).getOrElse(src.lastModified ^ src.length)
-    sfDir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + java.lang.Long.toHexString(stamp)
+    sfDir.replaceAll("[^A-Za-z0-9._-]", "_") + "-v" + BuildVersion +
+      "-" + java.lang.Long.toHexString(stamp)
   }
 
   private val lock = new Object
@@ -122,6 +129,37 @@ object IndexStore {
           .write.mode("overwrite").parquet(s"$dir/edges")
         GraphSearch.medoids(spark, ivfDir)
           .coalesce(1).write.mode("overwrite").parquet(s"$dir/medoids")
+      }
+      dir
+    }
+
+  /** The COMPACTED sibling of [[knnGraph]]: a copy of the base graph
+    * with the (delMod, delResidue) tombstone slice folded out and the
+    * under-filled nodes re-linked ([[GraphCompaction.compact]] run
+    * in-place on the copy — the real sibling-dir/atomic-swap machinery,
+    * exercised against a store of its own so the shared graph the other
+    * entries search stays untouched). `_COMPACTED` marks completion
+    * separately from the parquet `_SUCCESS`es: the seed copy also
+    * writes those, and a crash between copy and compact must re-run the
+    * compaction, not serve the uncompacted copy. */
+  def knnGraphCompacted(spark: SparkSession, sfDir: String,
+      delMod: Int, delResidue: Int, k: Int = 5, nprobe: Int = 2): String =
+    lock.synchronized {
+      val dir = s"$root/${sfKey(sfDir)}/knng${k}x${nprobe}del$delMod-$delResidue"
+      val marker = new File(s"$dir/_COMPACTED")
+      if (!marker.exists) {
+        graft.streaming.IvfDeltaIngest.deleteRecursively(new File(dir))
+        val base = knnGraph(spark, sfDir, k, nprobe)
+        val ivfDir = ivf(spark, sfDir, k = 16)
+        spark.read.parquet(s"$base/edges")
+          .write.mode("overwrite").parquet(s"$dir/edges")
+        spark.read.parquet(s"$base/medoids")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/medoids")
+        val e = Tables.load(spark, sfDir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        GraphCompaction.compact(spark, ivfDir, dir, e,
+          c => pmod(c, lit(delMod)) === delResidue, k = k)
+        marker.createNewFile()
       }
       dir
     }

@@ -51,7 +51,21 @@ object IvfIndex {
     * (driver Lloyd — same trainer as PQ), assignment distributed. MLlib's
     * full-corpus fit above is right for moderate sizes; at extreme scale
     * coarse centroids don't improve past ~10⁵ training points, so paying
-    * full passes per Lloyd iteration is waste. */
+    * full passes per Lloyd iteration is waste.
+    *
+    * The sample is the smallest-N rows by a Knuth multiplicative hash of
+    * the id (the d_stratified_sample discipline), NOT the first N ids: at
+    * corpus scale ids correlate with ingest time, and a first-N sample
+    * would train the coarse quantizer on the oldest era of a drifting
+    * corpus. Hash order is uniform over the corpus yet fully
+    * deterministic; ties (ids ≡ mod 2³²) break on the id itself. The
+    * orderBy+limit pair compiles to TakeOrdered — a per-partition bounded
+    * heap plus a driver merge, never a full sort shuffle. The SELECTED
+    * rows are then re-sorted by id before Lloyd: the trainer's seeding
+    * is sample-order-sensitive, and id order makes the trained centroids
+    * a function of WHICH rows were picked, not of the hash permutation —
+    * in particular, a corpus at or under sampleSize trains on exactly
+    * the same ordered sample as a full take would. */
   def buildSampled(embeddings: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 10, sampleSize: Int = 10000)
       : (DataFrame, DataFrame) = {
@@ -59,8 +73,9 @@ object IvfIndex {
     import spark.implicits._
     val sample = embeddings
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .orderBy("id").limit(sampleSize)
-      .collect().map(_.getSeq[Float](1).toArray)
+      .orderBy(pmod(col("id") * lit(2654435761L), lit(4294967296L)), col("id"))
+      .limit(sampleSize)
+      .collect().sortBy(_.getLong(0)).map(_.getSeq[Float](1).toArray)
     val centroids = DfKMeans.localLloyd(sample, k, iters).zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cluster_id", "centroid")

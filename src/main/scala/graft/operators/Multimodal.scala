@@ -43,17 +43,60 @@ object Multimodal {
     hist
   }
 
-  /** STUB featurizer: byte histogram over the whole payload. Deterministic
-    * stand-in for a real per-partition decoder. */
-  def featurize(ds: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  /** The decoder SEAM: featurize with a caller-supplied decoder factory.
+    * The factory runs ONCE PER PARTITION (where a real pipeline
+    * initializes its codec/model), the returned function once per row —
+    * the exact batch shape a heavyweight decoder needs. The stub
+    * [[featurize]] and the real [[imageDecoder]] both plug in here, so
+    * the Spark-side plumbing is identical whichever decoder is live. */
+  def featurizeWith(ds: Dataset[MediaRow],
+      decoder: () => Array[Byte] => Array[Float]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      // real impl: init decoder/model once per partition here
+      val decode = decoder() // heavyweight init: once per partition
       it.map { r =>
         MediaFeatures(r.doc_id, r.mime, r.payload.length.toLong,
-          byteHistogram(r.payload, 0, r.payload.length))
+          decode(r.payload))
       }
     }
+  }
+
+  /** STUB featurizer: byte histogram over the whole payload — the
+    * oracle-gated default ([[featurizeWith]] with the stub plugged in).
+    * Deterministic stand-in for a real per-partition decoder. */
+  def featurize(ds: Dataset[MediaRow]): Dataset[MediaFeatures] =
+    featurizeWith(ds, () => p => byteHistogram(p, 0, p.length))
+
+  /** A REAL image decoder for the seam (javax.imageio — PNG/JPEG/BMP/GIF
+    * readers ship with the JDK, no external codec needed): decode the
+    * payload to pixels, mean-pool Rec.601 luminance onto a 4×4 grid →
+    * a 16-dim feature vector in [0,1]. Used by MultimodalSpec to prove
+    * [[featurizeWith]] carries a genuine decoder end to end; the
+    * byte-histogram stub stays the oracle-gated default (the synthetic
+    * corpus payloads are text, not images). */
+  def imageDecoder(): Array[Byte] => Array[Float] = { payload =>
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sums = new Array[Double](FeatureDim)
+    val counts = new Array[Long](FeatureDim)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299L + ((rgb >> 8) & 0xff) * 587L +
+          (rgb & 0xff) * 114L) / 1000.0
+        val cell = math.min(3, y * 4 / h) * 4 + math.min(3, x * 4 / w)
+        sums(cell) += lum
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(FeatureDim)(i =>
+      if (counts(i) == 0) 0f else (sums(i) / counts(i) / 255.0).toFloat)
   }
 
   /** Frame sampling for "video" payloads: fixed-size byte windows play

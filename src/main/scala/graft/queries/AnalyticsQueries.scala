@@ -57,6 +57,46 @@ object AnalyticsQueries {
         $"o_orderpriority", $"price_cents")
   }
 
+  /** Per-user hourly-spine cap for q_resample_ffill: ~10 years of
+    * hours. sequence() fans one row per user-HOUR, so a single user
+    * with a corrupt timestamp (epoch-0 sentinel, a 2106 overflow)
+    * would alone explode millions of spine rows onto one task. */
+  private[graft] val MaxSpineHours = 87660L
+
+  /** q_resample_ffill over an explicit events frame (user_id, event_id,
+    * value, ts) — parameterized so ResampleGuardSpec can feed an
+    * adversarial wide-range user. Spans over [[MaxSpineHours]] abort
+    * via raise_error inside the spine projection (evaluated scan-side,
+    * before the explode can fan out), naming the offending user. */
+  private[graft] def resampleFfill(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val ev = events.select(
+      $"user_id", $"event_id", $"value",
+      (unix_timestamp($"ts") / lit(3600)).cast("long").as("hr"),
+      unix_micros($"ts").as("us"))
+    val spine = ev.groupBy($"user_id")
+      .agg(min($"hr").as("h0"), max($"hr").as("h1"))
+      .select($"user_id", explode(sequence($"h0",
+        when($"h1" - $"h0" < lit(MaxSpineHours), $"h1").otherwise(
+          raise_error(concat(lit("q_resample_ffill: user "),
+            $"user_id".cast("string"), lit(" spans "),
+            ($"h1" - $"h0" + 1).cast("string"),
+            lit(s" hours > cap $MaxSpineHours — corrupt timestamp?")))
+            .cast("long")))).as("hr"))
+    val hourly = ev.groupBy($"user_id", $"hr")
+      .agg(count(lit(1)).as("n"),
+        max_by($"value", struct($"us", $"event_id")).as("lastv"))
+    val w = Window.partitionBy($"user_id").orderBy($"hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("user_id", "hr"), "left")
+      .select($"user_id", $"hr".as("hour_epoch"),
+        coalesce($"n", lit(0L)).as("n_events"),
+        round(last($"lastv", ignoreNulls = true).over(w), 4)
+          .as("filled_value"))
+      .transform(DedupQueries.orderedLarge(_, "user_id", "hour_epoch"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 flavor: single wide scan-agg, fully map-side combinable.
     "q1_pricing_summary" -> ((s: SparkSession, d: String) => {
@@ -575,28 +615,14 @@ object AnalyticsQueries {
     // the fill is ONE user-partitioned window over spine rows. The
     // fill picks a value (max_by over (ts, event_id) — a total order),
     // it never sums floats, so no float discipline is needed beyond
-    // output rounding.
-    "q_resample_ffill" -> ((s: SparkSession, d: String) => {
-      import s.implicits._
-      val ev = load(s, d, "events").select(
-        $"user_id", $"event_id", $"value",
-        (unix_timestamp($"ts") / lit(3600)).cast("long").as("hr"),
-        unix_micros($"ts").as("us"))
-      val spine = ev.groupBy($"user_id")
-        .agg(min($"hr").as("h0"), max($"hr").as("h1"))
-        .select($"user_id", explode(sequence($"h0", $"h1")).as("hr"))
-      val hourly = ev.groupBy($"user_id", $"hr")
-        .agg(count(lit(1)).as("n"),
-          max_by($"value", struct($"us", $"event_id")).as("lastv"))
-      val w = Window.partitionBy($"user_id").orderBy($"hr")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      spine.join(hourly, Seq("user_id", "hr"), "left")
-        .select($"user_id", $"hr".as("hour_epoch"),
-          coalesce($"n", lit(0L)).as("n_events"),
-          round(last($"lastv", ignoreNulls = true).over(w), 4)
-            .as("filled_value"))
-        .transform(DedupQueries.orderedLarge(_, "user_id", "hour_epoch"))
-    }),
+    // output rounding. Fan-out guard (throw-don't-degrade, the
+    // ConnectedComponents discipline): one user with a years-long
+    // span explodes alone — a single bad timestamp (epoch-0 sentinel,
+    // a 2106 overflow) would silently fan one user into millions of
+    // spine rows on one task, so spans beyond MaxSpineHours abort the
+    // job with the offending user named instead of degrading.
+    "q_resample_ffill" -> ((s: SparkSession, d: String) =>
+      resampleFfill(load(s, d, "events"))),
 
     // Semi-structured extraction: events.props is a JSON payload column
     // (the universal shape of event pipelines). Parsed scan-side with

@@ -86,8 +86,15 @@ object DedupQueries {
       .filter(jaccard($"wa", $"wb") >= threshold)
       .groupBy($"doc_id")
       .agg(min($"rep").as("keeper"))
-    docs.join(verified, Seq("doc_id"), "left")
+    // Materialize the (small, linear) output eagerly and release the
+    // exploded buckets cache before returning — a lingering cache
+    // occupies executor storage for the rest of a 148-query run (the
+    // jaccardPairsRaw discipline). Callers get a self-contained frame.
+    val out = docs.join(verified, Seq("doc_id"), "left")
       .select($"doc_id", coalesce($"keeper", $"doc_id").as("keeper_id"))
+      .localCheckpoint(true)
+    buckets.unpersist()
+    out
   }
 
   /** The UNORDERED mixture sample — the entire production plan of

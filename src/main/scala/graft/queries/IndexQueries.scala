@@ -267,6 +267,10 @@ object IndexQueries {
       import s.implicits._
       import graft.operators.MaxSim
       val dir = IndexStore.ivf(s, d, k = 16)
+      // contract: compaction-steady store — this entry's oracle replays
+      // searchPruned WITHOUT the write-buffer branch, so uncompacted
+      // deltas in the shared store must fail loudly, not drift silently
+      graft.streaming.IvfDeltaIngest.requireCompacted(s, dir)
       val e = load(s, d, "embeddings")
       val q = MaxSim.queryGroups(e)
       val ann = IvfIndex.searchPruned(s, dir,
@@ -295,6 +299,9 @@ object IndexQueries {
       import s.implicits._
       import graft.GraftVector._
       val dir = IndexStore.ivf(s, d, k = 16)
+      // audit reads only the persisted assignments — uncompacted deltas
+      // would silently undercount, so demand compaction-steady state
+      graft.streaming.IvfDeltaIngest.requireCompacted(s, dir)
       val cent = s.read.parquet(s"$dir/centroids")
       val per = s.read.parquet(s"$dir/assignments")
         .select($"vec_id", $"embedding", $"cluster_id")
@@ -685,6 +692,34 @@ object IndexQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // Graph COMPACTION — the maintenance step that closes the delete
+    // cycle the way IvfDeltaIngest.compact closes IVF's (the
+    // distributed analog of the reference's EBR reclamation: fold the
+    // v_graph_delete tombstones out of the persisted edge tables so
+    // searches stop paying the mask, then re-link the nodes whose
+    // adjacency the fold under-filled via the masked beam search —
+    // the v_graph_insert machinery with self excluded). The entry
+    // builds the compacted SIBLING store (sibling-dir + atomic swap,
+    // the shared graph stays untouched) and returns the repair delta:
+    // each affected node's new top-5 adjacency. Scale shape: the fold
+    // is scan-side predicates + one partitioned write; the re-link
+    // batch (≤ deleted-degree nodes) rides the broadcast side of
+    // every join exactly as the insert path does.
+    "v_graph_compact" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val gDir = IndexStore.knnGraph(s, d, k = 5, nprobe = 2)
+      val cDir = IndexStore.knnGraphCompacted(s, d, DeleteMod, DeleteResidue)
+      def isDel(c: org.apache.spark.sql.Column) =
+        pmod(c, lit(DeleteMod)) === DeleteResidue
+      val affected = s.read.parquet(s"$gDir/edges")
+        .filter(!isDel($"vec_id") && isDel($"neighbor_id"))
+        .select($"vec_id").distinct()
+      s.read.parquet(s"$cDir/edges")
+        .join(broadcast(affected), "vec_id")
+        .select($"vec_id", $"neighbor_id", $"rnk", $"dist")
+        .orderBy("vec_id", "rnk")
+    }),
+
     // Mutual-kNN clustering (the curation grouping pass: concept /
     // near-duplicate families over the embedding space): keep only
     // RECIPROCAL kNN-graph edges — a↔b each in the other's top-5, the
@@ -818,7 +853,7 @@ object IndexQueries {
       "v_ivf_split", "v_maxsim_pruned",
       "v_ood_score", "v_embed_clusters", "v_graph_search", "v_ef_sweep",
       "v_graph_insert", "v_hnsw_search", "v_mips_ivf", "v_ivfpq_residual",
-      "v_graph_delete")
+      "v_graph_delete", "v_graph_compact")
 
   /** The approximate kNN graph (v_knn_graph before output ordering):
     * every vector probes its 2 nearest persisted IVF centroids and
@@ -921,6 +956,10 @@ object IndexQueries {
           descentEf = HnswDescentEf, descentHops = HnswDescentHops),
       "v_graph_delete" -> graft.operators.IndexOracle
         .graphDeleteOracle(cent, K, GraphEf, GraphHops, NumQueries,
+          delPredOf = c => s"($c % $DeleteMod) = $DeleteResidue",
+          graphK = 5, graphNprobe = 2),
+      "v_graph_compact" -> graft.operators.IndexOracle
+        .graphCompactOracle(cent, k = 5, ef = GraphEf, hops = GraphHops,
           delPredOf = c => s"($c % $DeleteMod) = $DeleteResidue",
           graphK = 5, graphNprobe = 2),
       "v_ivfpq_residual" -> {

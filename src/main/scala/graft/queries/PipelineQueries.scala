@@ -14,6 +14,54 @@ import graft.operators.Multimodal
   */
 object PipelineQueries {
 
+  /** The curation funnel's PRE-CHECKPOINT plan plus the stage caches it
+    * holds — the entry checkpoints the 5-row result and releases the
+    * caches; PlanSpec asserts the shape of this real plan (the entry's
+    * eager checkpoint truncates the executed plan to an ExistingRDD
+    * scan — the mixtureSampleRaw pattern). */
+  private[graft] def curationPipelineRaw(s: SparkSession, d: String)
+      : (DataFrame, Seq[DataFrame]) = {
+    import s.implicits._
+    import graft.GraftText
+    // cached: the gate frame (the funnel's most expensive scan — PII
+    // regexes + tokenization over every doc) feeds BOTH the 0_raw
+    // aggregate and the stage-1 survivor join
+    val gate = TextQueries.filterGateRaw(load(s, d, "documents")).cache()
+    val raw = gate.agg(count(lit(1)).as("docs"),
+      sum($"n_tokens").as("tokens"))
+    val s1 = load(s, d, "documents")
+      .join(gate.filter($"keep").select($"doc_id", $"n_tokens"), "doc_id")
+      .select($"doc_id", $"lang", $"n_tokens",
+        GraftText.rollingHash64($"text").as("fp"),
+        sort_array(array_distinct(
+          GraftText.whitespaceTokens($"text"))).as("ws"))
+      .cache()
+    val exactKeep = s1.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    val s2 = s1.join(exactKeep, "doc_id").cache()
+    val keepers = DedupQueries.minhashKeeperAssign(
+        s2.select($"doc_id", $"ws"), GraftText.jaccardSorted(_, _), 0.7)
+      .filter($"keeper_id" === $"doc_id")
+      .select($"doc_id")
+    val s3 = s2.join(keepers, "doc_id").cache()
+    // the mixture stage's shared definition (DedupQueries), derived
+    // over the stage-3 survivors
+    val s4 = s3.join(
+        broadcast(DedupQueries.mixtureThresholds(s3, "n_tokens")), "lang")
+      .filter(DedupQueries.mixturePass($"doc_id", $"threshold"))
+    def stat(df: DataFrame) = df.agg(
+      count(lit(1)).as("docs"),
+      coalesce(sum($"n_tokens"), lit(0L)).as("tokens"))
+    val funnel = Seq("0_raw" -> raw, "1_filter_gate" -> stat(s1),
+        "2_exact_dedup" -> stat(s2), "3_near_dedup" -> stat(s3),
+        "4_mixture_sample" -> stat(s4))
+      .map { case (n, df) =>
+        df.select(lit(n).as("stage"), $"docs", $"tokens") }
+      .reduce(_ unionAll _)
+      .orderBy("stage")
+    (funnel, Seq(gate, s1, s2, s3))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary media columns → typed metadata + stub featurizer → vector
     // ops on the extracted features (rows-only: hash of stub features).
@@ -107,44 +155,13 @@ object PipelineQueries {
     // the oracle groups raw text — the d_source_overlap independence
     // argument: a 64-bit collision would break the hash match itself.
     "p_curation_pipeline" -> ((s: SparkSession, d: String) => {
-      import s.implicits._
-      import graft.GraftText
-      // cached: the gate frame (the funnel's most expensive scan — PII
-      // regexes + tokenization over every doc) feeds BOTH the 0_raw
-      // aggregate and the stage-1 survivor join
-      val gate = TextQueries.filterGateRaw(load(s, d, "documents")).cache()
-      val raw = gate.agg(count(lit(1)).as("docs"),
-        sum($"n_tokens").as("tokens"))
-      val s1 = load(s, d, "documents")
-        .join(gate.filter($"keep").select($"doc_id", $"n_tokens"), "doc_id")
-        .select($"doc_id", $"lang", $"n_tokens",
-          GraftText.rollingHash64($"text").as("fp"),
-          sort_array(array_distinct(
-            GraftText.whitespaceTokens($"text"))).as("ws"))
-        .cache()
-      val exactKeep = s1.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
-        .select($"doc_id")
-      val s2 = s1.join(exactKeep, "doc_id").cache()
-      val keepers = DedupQueries.minhashKeeperAssign(
-          s2.select($"doc_id", $"ws"), GraftText.jaccardSorted(_, _), 0.7)
-        .filter($"keeper_id" === $"doc_id")
-        .select($"doc_id")
-      val s3 = s2.join(keepers, "doc_id").cache()
-      // the mixture stage's shared definition (DedupQueries), derived
-      // over the stage-3 survivors
-      val s4 = s3.join(
-          broadcast(DedupQueries.mixtureThresholds(s3, "n_tokens")), "lang")
-        .filter(DedupQueries.mixturePass($"doc_id", $"threshold"))
-      def stat(df: DataFrame) = df.agg(
-        count(lit(1)).as("docs"),
-        coalesce(sum($"n_tokens"), lit(0L)).as("tokens"))
-      Seq("0_raw" -> raw, "1_filter_gate" -> stat(s1),
-          "2_exact_dedup" -> stat(s2), "3_near_dedup" -> stat(s3),
-          "4_mixture_sample" -> stat(s4))
-        .map { case (n, df) =>
-          df.select(lit(n).as("stage"), $"docs", $"tokens") }
-        .reduce(_ unionAll _)
-        .orderBy("stage")
+      // materialize the 5-row funnel eagerly, then release every stage
+      // cache — a lingering cache occupies executor storage for the
+      // rest of a 148-query run (the minhashKeeperAssign discipline)
+      val (funnel, caches) = curationPipelineRaw(s, d)
+      val out = funnel.localCheckpoint(true)
+      caches.foreach(_.unpersist())
+      out
     }),
 
     // Latest event per user — the materialized state the streaming

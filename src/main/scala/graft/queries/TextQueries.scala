@@ -604,7 +604,10 @@ object TextQueries {
         .groupBy($"shard")
         .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_tokens"))
         .select($"shard", $"n_docs", $"n_tokens",
-          (($"n_tokens" + ctx - 1) / ctx).cast("long").as("n_windows"))
+          // true integer division (`div`, not `/`): Spark's `/` is DOUBLE
+          // division + truncating cast, exact only below 2^53 — `div`
+          // matches the oracle's `//` at any magnitude
+          expr(s"(n_tokens + ${ctx - 1}) div $ctx").as("n_windows"))
         .select($"shard", $"n_docs", $"n_tokens", $"n_windows",
           ($"n_windows" * ctx - $"n_tokens").as("waste_tokens"),
           round($"n_tokens".cast("double") / ($"n_windows" * ctx), 4)
@@ -956,12 +959,15 @@ object TextQueries {
     // t_tfidf_keywords' frequency-based one. Adjacent-token pairs form
     // weighted undirected edges; 8 damped power iterations
     // (r' = 0.15/N + 0.85·Σ_in r·w/wdeg) rank tokens; top-20 out.
-    // Determinism: every per-node sum folds contributions in sorted
-    // source order (the t_unigram_logprob discipline — bounded by node
-    // degree), and 1.0/N, 0.15/N are single exact divisions both
-    // engines compute identically. Scale shape: each iteration is one
-    // edge⋈rank join + one dst-keyed fold shuffle — O(E) per round,
-    // no adjacency materialized per node beyond its in-list; dangling
+    // Determinism: every per-node sum folds contributions in a pinned
+    // two-level order — within a 64-way src-hash bucket by src, then
+    // across buckets by bucket id — and 1.0/N, 0.15/N are single exact
+    // divisions both engines compute identically. Scale shape: each
+    // iteration is one edge⋈rank join + a (dst, bucket)-keyed fold +
+    // a dst-keyed fold of ≤64 partials — O(E) per round, and no task
+    // ever holds more than one bucket of a hub's in-list (a stopword
+    // node's full in-list is vocabulary-sized; bucketing spreads it
+    // over 64 tasks instead of one straggler per iteration); dangling
     // mass is absent by construction (undirected edges ⇒ every node
     // has in-edges). Lineage is cut per round (the ConnectedComponents
     // hygiene) so 8 rounds don't stack into one 8-deep plan.
@@ -984,15 +990,31 @@ object TextQueries {
       val n = ew.select($"src").distinct().count()
       var r = ew.select($"src".as("token")).distinct()
         .select($"token", lit(1.0 / n).as("r"))
+      // Two-level deterministic fold (the v_pca_power discipline): a
+      // hub's in-edge list is vocabulary-sized — a single
+      // collect_list-per-dst fold makes every iteration wait on one
+      // straggler task holding the stopword node. Instead in-edges
+      // first fold WITHIN a 64-way source-hash bucket (sorted by src),
+      // then the ≤64 bucket partials fold across (sorted by bucket), so
+      // no task ever materializes more than one bucket's list and the
+      // hub's work spreads over 64 tasks. Both levels are pinned-order
+      // folds, so the float sum stays bit-reproducible — and the oracle
+      // replays the identical two-level order.
       for (_ <- 1 to 8) {
-        r = ew.join(r.withColumnRenamed("token", "src"), "src")
+        val parts = ew.join(r.withColumnRenamed("token", "src"), "src")
           .select($"dst",
+            graft.GraftText.rollingHash64($"src").bitwiseAND(lit(63L)).as("bkt"),
             struct($"src", (($"r" * $"w") / $"wdeg").as("term")).as("st"))
-          .groupBy($"dst")
+          .groupBy($"dst", $"bkt")
           .agg(sort_array(collect_list($"st")).as("lst"))
+          .select($"dst", $"bkt",
+            aggregate($"lst", lit(0.0), (acc, x) => acc + x("term")).as("part"))
+        r = parts
+          .groupBy($"dst")
+          .agg(sort_array(collect_list(struct($"bkt", $"part"))).as("plst"))
           .select($"dst".as("token"),
             (lit(0.15 / n) + lit(0.85) *
-              aggregate($"lst", lit(0.0), (acc, x) => acc + x("term")))
+              aggregate($"plst", lit(0.0), (acc, x) => acc + x("part")))
               .as("r"))
           .localCheckpoint(true)
       }
@@ -1583,16 +1605,25 @@ object TextQueries {
          |FROM sf ORDER BY doc_id""".stripMargin
     },
 
-    // the 8 power iterations unrolled as chained CTEs, each with the
-    // same ordered fold and the same exact 0.15/n, 1.0/n divisions
+    // the 8 power iterations unrolled as chained CTEs, each replaying
+    // the engine's two-level fold exactly: within a 64-way FNV(src)
+    // bucket in src order, then across buckets in bucket order, with
+    // the same exact 0.15/n, 1.0/n divisions
     "t_textrank" -> {
+      import graft.functions.HashSql
       def iter(i: Int): String =
-        s"""r$i AS (
-           |  SELECT ew.dst AS token,
+        s"""b$i AS (
+           |  SELECT ew.dst AS token, (${HashSql.fnvSql("ew.src")} % 64)::BIGINT AS bkt,
+           |    list_reduce(list_prepend(0.0,
+           |      list((p.r * ew.w / ew.wdeg) ORDER BY ew.src)), (a, b) -> a + b) AS part
+           |  FROM ew JOIN r${i - 1} p ON p.token = ew.src
+           |  GROUP BY ew.dst, bkt),
+           |r$i AS (
+           |  SELECT token,
            |    0.15 / nn.n + 0.85 * list_reduce(list_prepend(0.0,
-           |      list((p.r * ew.w / ew.wdeg) ORDER BY ew.src)), (a, b) -> a + b) AS r
-           |  FROM ew JOIN r${i - 1} p ON p.token = ew.src, nn
-           |  GROUP BY ew.dst, nn.n)""".stripMargin
+           |      list(part ORDER BY bkt)), (a, b) -> a + b) AS r
+           |  FROM b$i, nn
+           |  GROUP BY token, nn.n)""".stripMargin
       s"""WITH t AS (
          |  SELECT regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
          |bgp AS (

@@ -85,7 +85,7 @@ object IvfDeltaIngest {
     * a failure before the swap leaves the old table intact; a failure
     * between the two renames leaves the complete new table in the
     * sibling dir for recovery. */
-  private[streaming] def atomicSwap(parent: String, name: String)(
+  private[graft] def atomicSwap(parent: String, name: String)(
       writeTo: String => Unit): Unit = {
     val tmp = new File(s"$parent/$name.compacting")
     val old = new File(s"$parent/$name.old")
@@ -132,6 +132,21 @@ object IvfDeltaIngest {
       latestBySeq(d.select("vec_id", "embedding", "seq", "cluster_id"),
         Seq("embedding")))
 
+  /** Fail-loud guard for entries whose contract is COMPACTION-STEADY
+    * state (they read the persisted tables directly, without the
+    * write-buffer branch): throws if the store still carries deltas.
+    * Without this, an entry sharing the store with a future
+    * delta-writing entry would silently undercount (v_ivf_stats) or
+    * drift from its oracle (v_maxsim_pruned's oracle replays
+    * searchPruned WITHOUT the buffer branch). */
+  def requireCompacted(spark: SparkSession, indexDir: String): Unit =
+    deltaRaw(spark, indexDir).foreach { d =>
+      val n = d.count()
+      if (n > 0) throw new IllegalStateException(
+        s"$indexDir has $n uncompacted delta rows; this entry's contract " +
+          "is compaction-steady state — run IvfDeltaIngest.compact first")
+    }
+
   /** The current logical content of `dir/table` ∪ the write buffer,
     * folded to the latest seq per vec_id. Buffer rows missing a payload
     * column (written by an older layout, which also wrote the same data
@@ -174,7 +189,7 @@ object IvfDeltaIngest {
     deleteRecursively(new File(s"$indexDir/delta_log"))
   }
 
-  private[streaming] def deleteRecursively(f: File): Unit = {
+  private[graft] def deleteRecursively(f: File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete()
   }

@@ -93,6 +93,26 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("sampled build trains on a hash-uniform sample, not the first-N ids") {
+    // id-skewed fixture: the first 100 ids sit in a tight cluster at the
+    // origin; ids 100..999 sit at (100, 100). A first-N (oldest-era)
+    // sample of 100 would train BOTH centroids on the origin cluster and
+    // never place one near the bulk of the corpus — exactly the drifted-
+    // ingest failure mode the hash-ordered sample exists to prevent.
+    val rows = (0L until 1000L).map { id =>
+      val base = if (id < 100) 0f else 100f
+      (id, Seq(base + (id % 7).toFloat * 0.01f, base + (id % 5).toFloat * 0.01f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (cent, assign) =
+      IvfIndex.buildSampled(df, "vec_id", "embedding", k = 2, sampleSize = 100)
+    val maxCoord = cent
+      .select(max(element_at($"centroid", 1)).cast("double")).head.getDouble(0)
+    assert(maxCoord > 50.0,
+      s"no centroid near the far mass (max coord $maxCoord) — sample is id-biased")
+    assert(assign.count() === 1000)
+  }
+
   test("build assigns every vector to exactly one of k clusters") {
     val (cent, assign) = IvfIndex.build(e, "vec_id", "embedding", k = 8)
     assert(cent.count() === 8)

@@ -65,6 +65,50 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("a REAL image decoder (javax.imageio JPEG/PNG) runs through the mapPartitions seam") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    // in-memory fixtures: a solid mid-gray JPEG and a left-black/
+    // right-white PNG — encoded with the SAME JDK codecs a real media
+    // pipeline would decode with, so this proves the seam end to end
+    // with a genuine (lossy!) decoder, not a byte trick
+    def encode(fmt: String, paint: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, paint(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos), s"no $fmt writer in this JDK")
+      bos.toByteArray
+    }
+    val gray = 0x808080
+    val jpeg = encode("jpg", (_, _) => gray)
+    val png = encode("png", (x, _) => if (x < 8) 0x000000 else 0xffffff)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, jpeg, "image/jpeg"),
+      Multimodal.MediaRow(2L, png, "image/png"))
+    // >1 partitions: the decoder factory must initialize per partition
+    val ds = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+      .repartition(2)
+    val out = Multimodal.featurizeWith(ds, Multimodal.imageDecoder _)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(out.size === 2)
+    // solid gray: every 4x4 cell's mean luminance ≈ 128/255 (JPEG is
+    // lossy — tolerance, not equality)
+    val g = out(1L).features
+    assert(g.length === Multimodal.FeatureDim)
+    g.foreach(v => assert(math.abs(v - 128f / 255f) < 0.05, s"gray cell $v"))
+    // half-black/half-white PNG (lossless): left grid columns ~0,
+    // right ~1
+    val p = out(2L).features
+    for (r <- 0 until 4; c <- 0 until 4) {
+      val v = p(r * 4 + c)
+      if (c < 2) assert(v < 0.02, s"cell ($r,$c)=$v should be black")
+      else assert(v > 0.98, s"cell ($r,$c)=$v should be white")
+    }
+    // byte counts reflect the ENCODED payload (metadata travels intact)
+    assert(out(1L).n_bytes === jpeg.length.toLong)
+  }
+
   test("stub featurizer is deterministic and produces unit-L1 features") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(20)
     val f1 = Multimodal.featurize(Multimodal.asMedia(docs)).collect()

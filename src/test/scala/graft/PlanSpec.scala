@@ -332,7 +332,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("p_curation_pipeline: no cartesian anywhere, mixture thresholds broadcast") {
-    val p = planOf(graft.queries.PipelineQueries.all, "p_curation_pipeline")
+    // the raw (pre-checkpoint) funnel: the entry's eager checkpoint
+    // truncates the executed plan to an ExistingRDD scan
+    val (raw, caches) =
+      graft.queries.PipelineQueries.curationPipelineRaw(spark, sfDir)
+    val p = freshPlan(raw)
+    caches.foreach(_.unpersist(false))
     assert(!p.contains("CartesianProduct"), s"funnel must stay key-joined:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       "the bounded per-language threshold frame must broadcast")
