@@ -80,9 +80,33 @@ object ScaleData {
     ShiftCols.foreach { case (t, keys) =>
       val base = spark.read.parquet(s"$src/$t.parquet")
       val reps = (0 until factor).map { r =>
-        keys.foldLeft(base) { (df, k) =>
+        val shifted = keys.foldLeft(base) { (df, k) =>
           df.withColumn(k, col(k) + lit(r * strides(StrideSource(k))))
         }
+        // Replica CONTENT must be distinct, not byte-identical: exact
+        // copies make every similarity operator's match cardinality grow
+        // quadratically in the factor (10 identical texts → 100 matched
+        // pairs where real 10× data yields ~10×) — the probe would then
+        // measure duplicate blowup, not scaling. Replica r > 0 therefore
+        // gets (a) every document token suffixed with "~r" (word SETS
+        // become disjoint across replicas — Jaccard/minhash/shingle
+        // structure is preserved exactly WITHIN a replica, the corpus
+        // behaves as N similar independent shards) and (b) embeddings
+        // rotated by r positions (norm and coordinate distribution
+        // preserved, cross-replica similarity randomized).
+        val diversified =
+          if (r == 0) shifted
+          else if (t == "documents")
+            shifted
+              .withColumn("text",
+                regexp_replace(col("text"), "(\\S+)", "$1~" + r))
+              .withColumn("n_chars", length(col("text")).cast("long"))
+          else if (t == "embeddings")
+            shifted.withColumn("embedding",
+              concat(slice(col("embedding"), r + 1, 64 - r),
+                slice(col("embedding"), 1, r)))
+          else shifted
+        diversified
       }
       reps.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
