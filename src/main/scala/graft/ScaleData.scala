@@ -53,10 +53,6 @@ object ScaleData {
   private val CopyOnly = Seq("region", "nation")
 
   def main(args: Array[String]): Unit = {
-    val src = args(0)
-    val dst = args(1)
-    val factor = args(2).toInt
-    require(factor >= 1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -65,6 +61,13 @@ object ScaleData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, args(0), args(1), args(2).toInt)
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, src: String, dst: String,
+      factor: Int): Unit = {
+    require(factor >= 1)
 
     val strides: Map[(String, String), Long] = StrideSource.values.toSet.map {
       (tc: (String, String)) =>
@@ -101,17 +104,26 @@ object ScaleData {
               .withColumn("text",
                 regexp_replace(col("text"), "(\\S+)", "$1~" + r))
               .withColumn("n_chars", length(col("text")).cast("long"))
-          else if (t == "embeddings")
-            shifted.withColumn("embedding",
-              concat(slice(col("embedding"), r + 1, 64 - r),
-                slice(col("embedding"), 1, r)))
-          else shifted
+          else if (t == "embeddings") {
+            // rotation cycles every 63 replicas (r%63+1 ∈ [1,63]); each
+            // completed cycle ("era") also offsets the first coordinate
+            // so replicas 63 apart never collapse back to exact copies
+            val rot = r % 63 + 1
+            val rolled = concat(slice(col("embedding"), rot + 1, 64 - rot),
+              slice(col("embedding"), 1, rot))
+            val era = r / 63
+            val emb =
+              if (era == 0) rolled
+              else concat(
+                array(element_at(rolled, 1) + lit(era * 8.0f)),
+                slice(rolled, 2, 63))
+            shifted.withColumn("embedding", emb)
+          } else shifted
         diversified
       }
       reps.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
       println(s"scaled $t x$factor")
     }
-    spark.stop()
   }
 }

@@ -26,6 +26,16 @@ import graft.GraftVector._
   */
 object IvfIndex {
 
+  /** The IVF sizing rule, made first-class: k must GROW with the corpus
+    * so cluster populations stay bounded — a fixed k makes every probe
+    * (and the kNN-graph build) O(n²/k), the one super-linear wall the
+    * sf1 scaling artifact measured (SCALE_sf1.json: knnGraph 155–192 s
+    * at k=16 vs 27–45 s at k∝n on the same 10× corpus). FAISS guidance
+    * is the same shape (k ≈ √n to n/256). The suite pins k = 16 only
+    * because the sf0.01 oracle gate embeds those literal centroids. */
+  def chooseK(n: Long, targetPopulation: Int = 256): Int =
+    math.max(16, math.ceil(n.toDouble / targetPopulation).toInt)
+
   /** Fit centroids + assignments. Returns (centroids, assignments):
     * centroids(cluster_id int, centroid array<float>),
     * assignments = input columns + cluster_id.

@@ -1000,6 +1000,11 @@ object TextQueries {
       // hub's work spreads over 64 tasks. Both levels are pinned-order
       // folds, so the float sum stays bit-reproducible — and the oracle
       // replays the identical two-level order.
+      // deliberately TWO exchanges per iteration: fusing them by
+      // pre-partitioning on dst would colocate a hub's whole in-edge
+      // set on one task — the exact straggler the bucket level exists
+      // to spread. The extra exchange is a fixed per-stage cost
+      // (~30 ms × 8 rounds on this box), the straggler is O(vocab).
       for (_ <- 1 to 8) {
         val parts = ew.join(r.withColumnRenamed("token", "src"), "src")
           .select($"dst",

@@ -113,6 +113,15 @@ class IvfIndexSpec extends SparkSpec {
     assert(assign.count() === 1000)
   }
 
+  test("chooseK scales k with the corpus so cluster populations stay bounded") {
+    assert(IvfIndex.chooseK(2000) === 16) // floor: the suite's pinned k
+    assert(IvfIndex.chooseK(200000, targetPopulation = 125) === 1600)
+    assert(IvfIndex.chooseK(1000000) === 3907)
+    // populations bounded by construction: n / chooseK(n) <= target
+    for (n <- Seq(10000L, 100000L, 10000000L))
+      assert(n.toDouble / IvfIndex.chooseK(n) <= 256.0)
+  }
+
   test("build assigns every vector to exactly one of k clusters") {
     val (cent, assign) = IvfIndex.build(e, "vec_id", "embedding", k = 8)
     assert(cent.count() === 8)
