@@ -32,6 +32,23 @@ object Bench {
   def exhaust(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
+  /** SPARK_GRAFT_SKIP: comma-separated query names / store keys to
+    * exclude from a run. Exists for out-of-contract scale probes (the
+    * SCALE_sf10 artifact excludes the suite's DECLARED quadratics —
+    * fixed-k graph builds, all-pairs verifiers — whose cost at 100×
+    * is the documented failure the k∝n rule prevents, not a number
+    * worth hours of wall). Never silent: every skipped name lands in
+    * the output JSON's `skipped` field, and an unknown name throws —
+    * a typo must not quietly time the query it meant to exclude. */
+  def parseSkip(env: Option[String], known: Set[String]): Set[String] = {
+    val skip = env.iterator
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSet
+    val unknown = skip -- known
+    require(unknown.isEmpty,
+      s"SPARK_GRAFT_SKIP names nothing known: ${unknown.toSeq.sorted.mkString(",")}")
+    skip
+  }
+
   /** Cumulative host-steal ticks (/proc/stat field 8) — CPU time the
     * hypervisor withheld from this guest. The box's contention arrives
     * in multi-minute waves (measured ~1,700 stolen CPU-seconds across
@@ -249,11 +266,6 @@ object Bench {
       val w = new java.io.File(new java.io.File(sfDir).getParent, "sf0.001")
       if (w.isDirectory) w.getPath else sfDir
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try exhaust(fn(spark, warmDir))
-      catch { case e: Throwable => errors(s"warmup:$name") = errMsg(e) }
-      spark.catalog.clearCache()
-    }
     // store builds fail LOUDLY into `errors`: a silently-failed build
     // shifts its full cost into the first timed query that rebuilds it
     val stores: Seq[(String, () => Any)] = Seq(
@@ -272,13 +284,27 @@ object Bench {
       "store:jedges" -> (() => graft.queries.DedupQueries.jaccardEdgeStore(spark, sfDir)),
       "store:lm" -> (() => graft.queries.TextQueries.lmStore(spark, sfDir)),
       "store:bpe" -> (() => graft.queries.TextQueries.bpeStore(spark, sfDir)))
+    // warmup honors the skip list too: a skipped graph query must not
+    // build graph stores at warmup scale either
+    val skipped: Set[String] = parseSkip(
+      sys.env.get("SPARK_GRAFT_SKIP"),
+      SparkEntry.queries.keySet ++ stores.map(_._1))
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (!skipped(name)) {
+        try exhaust(fn(spark, warmDir))
+        catch { case e: Throwable => errors(s"warmup:$name") = errMsg(e) }
+        spark.catalog.clearCache()
+      }
+    }
     stores.foreach { case (key, build) =>
-      try build() catch { case e: Throwable => errors(key) = errMsg(e) }
+      if (!skipped(key))
+        try build() catch { case e: Throwable => errors(key) = errMsg(e) }
     }
 
     val runSteal0 = stealTicks()
     // (time, steal seconds observed during the sample) per query
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => skipped(q._1)).map { case (name, fn) =>
       val s0 = stealTicks()
       val t0 = System.nanoTime()
       val ok =
@@ -382,7 +408,8 @@ object Bench {
       jstr(k) + s":[$a,$b]"
     }.mkString("{", ",", "}")
     val stealSec = math.rint((stealTicks() - runSteal0) / 100.0 * 10) / 10
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"timing":"min of up to 2 runs for contaminated samples (>2s or steal observed)","steal_sec":$stealSec,"retimes":$retimesJson,"queries":$qs,"errors":$errs,"throughput":$tputJson,"latency":$latJson,"distance":$distJson,"sf":"$sfDir"}"""
+    val skippedJson = skipped.toSeq.sorted.map(jstr).mkString("[", ",", "]")
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"timing":"min of up to 2 runs for contaminated samples (>2s or steal observed)","steal_sec":$stealSec,"skipped":$skippedJson,"retimes":$retimesJson,"queries":$qs,"errors":$errs,"throughput":$tputJson,"latency":$latJson,"distance":$distJson,"sf":"$sfDir"}"""
     // The machine-readable artifact: the COMPLETE result object as one
     // JSON file. Five rounds of stdout-only emission parsed as null —
     // sbt appends "[success] Total time: …" after the last println, so
@@ -403,7 +430,7 @@ object Bench {
     // timing signal (-1), so they never spend query-entry bytes.
     val budget = 1500
     val errHead = errors.keys.take(5).map(jstr).mkString("[", ",", "]")
-    val sfx = s""","n_errors":${errors.size},"err_head":$errHead,"throughput":$tputJson,"sf":"$sfDir"}"""
+    val sfx = s""","n_errors":${errors.size},"n_skipped":${skipped.size},"err_head":$errHead,"throughput":$tputJson,"sf":"$sfDir"}"""
     val head = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":{"""
     val slowestFirst = results.filter(_._2 >= 0).sortBy(-_._2)
       .map { case (k, v) => jstr(k) + ":" + v }
