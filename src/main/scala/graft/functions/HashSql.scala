@@ -180,6 +180,33 @@ object HashSql {
        |)""".stripMargin
   }
 
+  /** The VERIFIED-EDGE CTE chain (DedupQueries.minhashVerifiedEdges
+    * twin): intra-bucket candidate pairs (deduped across bands,
+    * doc_a < doc_b) exact-verified at `jaccardThreshold`. Ends at
+    * `edges(doc_a, doc_b, jaccard)` — embeddable under WITH RECURSIVE
+    * for the component consumers. Relation names used: d, tok, th,
+    * dh, sigs, su, buckets, cand, edges. */
+  def minhashEdgesCtes(wsDef: String, jaccardThreshold: Double,
+      numHashes: Int = 64, numBands: Int = 16,
+      tokenHashSql: String => String = fnvSql): String = {
+    s"""${minhashBucketsCtes(wsDef, numHashes, numBands, tokenHashSql)},
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM buckets x JOIN buckets y
+       |    ON x.band_id = y.band_id AND x.bh = y.bh AND x.doc_id < y.doc_id
+       |),
+       |edges AS (
+       |  SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM (
+       |    SELECT c.doc_a, c.doc_b,
+       |      len(list_intersect(da.ws, db.ws))::DOUBLE
+       |        / len(list_distinct(list_concat(da.ws, db.ws))) AS j
+       |    FROM cand c
+       |    JOIN d da ON da.doc_id = c.doc_a
+       |    JOIN d db ON db.doc_id = c.doc_b)
+       |  WHERE j >= $jaccardThreshold
+       |)""".stripMargin
+  }
+
   def minhashKeeperOracle(wsDef: String, jaccardThreshold: Double,
       numHashes: Int = 64, numBands: Int = 16,
       tokenHashSql: String => String = fnvSql): String = {

@@ -110,19 +110,39 @@ object IndexStore {
       dir
     }
 
+  /** The GRAPH family's coarse quantizer: k sized by the corpus
+    * ([[IvfIndex.chooseK]]) so the kNN-graph build's per-row candidate
+    * list (n·nprobe/k) stays bounded — the O(n²/k) wall the SCALE_sf1
+    * artifact measured at fixed k (knnGraph 41× for 10× data). At
+    * oracle scale (sf0.01: 2,000 vectors) chooseK floors at the
+    * suite's pinned k=16, so this resolves to the SAME ivf16m store
+    * the oracle gate's literal-centroid CTEs embed; past that the
+    * graph build path self-sizes. Memoized per sfKey (which folds in
+    * the source mtime/size) so the count runs once per dataset. */
+  private val graphKMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+  def graphIvf(spark: SparkSession, sfDir: String): String = {
+    val k = graphKMemo.getOrElseUpdate(sfKey(sfDir), {
+      val n = Tables.load(spark, sfDir, "embeddings").count()
+      IvfIndex.chooseK(n)
+    })
+    ivf(spark, sfDir, k)
+  }
+
   /** Ensure the persisted kNN GRAPH artifact (the reference's navigable
     * graph re-expressed as tables): `edges` — every vector's k nearest
     * neighbors found through nprobe IVF probes (the v_knn_graph frame,
     * written partitioned only by parquet's own row groups; search joins
     * it BY KEY with a broadcast beam, so no layout constraint) — and
     * `medoids` — one entry-point row per cluster. Built once from the
-    * persisted IVF index; [[GraphSearch.search]] only reads. */
+    * persisted [[graphIvf]] coarse index; [[GraphSearch.search]] only
+    * reads. */
   def knnGraph(spark: SparkSession, sfDir: String, k: Int = 5,
       nprobe: Int = 2): String =
     lock.synchronized {
       val dir = s"$root/${sfKey(sfDir)}/knng${k}x$nprobe"
       if (!done(dir, "edges", "medoids")) {
-        val ivfDir = ivf(spark, sfDir, k = 16)
+        val ivfDir = graphIvf(spark, sfDir)
         val e = Tables.load(spark, sfDir, "embeddings")
           .select(col("vec_id"), col("embedding"))
         GraphSearch.knnGraph(spark, ivfDir, e, k, nprobe)
@@ -150,7 +170,7 @@ object IndexStore {
       if (!marker.exists) {
         graft.streaming.IvfDeltaIngest.deleteRecursively(new File(dir))
         val base = knnGraph(spark, sfDir, k, nprobe)
-        val ivfDir = ivf(spark, sfDir, k = 16)
+        val ivfDir = graphIvf(spark, sfDir)
         spark.read.parquet(s"$base/edges")
           .write.mode("overwrite").parquet(s"$dir/edges")
         spark.read.parquet(s"$base/medoids")
@@ -243,7 +263,7 @@ object IndexStore {
     lock.synchronized {
       val dir = s"$root/${sfKey(sfDir)}/hnsw$k"
       if (!done(dir, "layer1", "layer2", "entry")) {
-        val ivfDir = ivf(spark, sfDir, k = 16)
+        val ivfDir = graphIvf(spark, sfDir)
         val e = Tables.load(spark, sfDir, "embeddings")
           .select(col("vec_id"), col("embedding"))
         GraphSearch.layerGraph(spark, ivfDir, e, minLevel = 1, k = k,

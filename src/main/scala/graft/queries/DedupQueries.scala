@@ -246,8 +246,10 @@ object DedupQueries {
     (res, docs)
   }
 
-  /** The exact j ≥ 0.8 verifier pairs, unordered — shared by the
-    * d_jaccard_pairs entry and as the edge set of d_dedup_cluster.
+  /** The exact j ≥ 0.8 verifier pairs, unordered — the d_jaccard_pairs
+    * entry: the DECLARED bounded-block quadratic that verifies the
+    * banded approximations (the production edge store now derives from
+    * [[minhashVerifiedEdges]], never from this).
     * Word sets are 64-bit FNV token hashes computed SCAN-SIDE in one
     * native pass (wordShingleHashes width 1): the banded join ships
     * 8-byte keys instead of strings and the merge scan compares longs
@@ -326,17 +328,84 @@ object DedupQueries {
         sum(when($"kept", 0L).otherwise(1L)).as("n_removed"))
   }
 
+  /** Banded-minhash VERIFIED edge set over a (doc_id, ws) frame — the
+    * sub-quadratic near-dup graph: 64-perm minhash → `numBands` banded
+    * buckets → intra-BUCKET candidate pairs (deduped across bands) →
+    * exact-Jaccard verified at `threshold`. Output (doc_a, doc_b,
+    * jaccard), doc_a < doc_b. SQL twin: HashSql.minhashEdgesCtes.
+    *
+    * Why intra-bucket pairs, and why this scales where the old
+    * (lang, length-band)-blocked all-pairs didn't: the quadratic is
+    * confined to BUCKET populations — docs sharing a 2-hash minhash
+    * band signature, i.e. near-dup families — where the old blocks
+    * ("same language, similar length") hold O(corpus/constant) docs.
+    * The residual is duplicate-heavy families (a 10⁶-copy boilerplate
+    * family is 10¹² candidates); the pipeline discipline for that is
+    * the one p_curation_pipeline already encodes — EXACT dedup
+    * upstream collapses byte-identical mass first, leaving families of
+    * distinct variants. A star/chain sparsification (each doc to its
+    * bucket min only) was tried and REJECTED: verify kills star edges
+    * whose hub is < threshold to a member even when member pairs are
+    * ≥ threshold, and chain-structured families fragment — measured on
+    * the sf0.001 fixture as 342 exact-verifier pairs crossing
+    * components. Closure over intra-bucket pairs instead equals the
+    * full verified-pair closure whenever banding recalls every true
+    * pair; at 32 bands × 2 rows that is 1-(1-j²)^32 ≥ 1-1e-14 per
+    * j ≥ 0.8 pair (ComponentsSpec pins the equality against the
+    * bounded-block exact verifier). */
+  private[graft] def minhashVerifiedEdges(docs: DataFrame,
+      jaccard: (Column, Column) => Column,
+      threshold: Double, numBands: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val buckets = docs
+      .select($"doc_id",
+        posexplode(GraftText.minhashBands($"ws", 1, 64, numBands))
+          .as(Seq("band_id", "bh")))
+      .cache()
+    val cand = buckets.as("x")
+      .join(buckets.as("y"), Seq("band_id", "bh"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val out = cand
+      .join(docs.select($"doc_id".as("doc_a"), $"ws".as("wa")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"ws".as("wb")), "doc_b")
+      .withColumn("jaccard", jaccard($"wa", $"wb"))
+      .filter($"jaccard" >= threshold)
+      .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
+      // eager linear output, exploded-buckets cache released before
+      // return (the jaccardPairsRaw discipline)
+      .localCheckpoint(true)
+    buckets.unpersist()
+    out
+  }
+
   /** Persisted verified-edge artifact (the IndexStore discipline, keyed
-    * on documents.parquet mtime): the j ≥ 0.8 pair-verifier output is a
-    * corpus-BUILD artifact consumed by every graph consumer — cluster
-    * assignment, leakage split — exactly the way the ANN search entries
-    * read the persisted IVF and t_bpe_encode reads the learned merges.
-    * d_jaccard_pairs remains the (timed) build path itself; the bench
-    * warm-up pre-builds this store so the graph consumers time
-    * clustering/splitting, not pair verification. */
+    * on documents.parquet mtime): the near-dup graph is a corpus-BUILD
+    * artifact consumed by every graph consumer — cluster assignment,
+    * leakage split — exactly the way the ANN search entries read the
+    * persisted IVF and t_bpe_encode reads the learned merges. Built by
+    * [[minhashVerifiedEdges]] (intra-bucket candidates + exact
+    * j ≥ 0.8 verify): the store's r7 recipe persisted the
+    * (lang, length-band)-BLOCKED ALL-PAIRS verifier instead, which
+    * made the build — and with it every graph consumer's warm-up —
+    * quadratic in O(corpus)-sized block populations (measured: the
+    * sf10 scale probe spent >16 min inside this one build before the
+    * recipe change; the banded build's quadratic is confined to
+    * near-dup family buckets). d_jaccard_pairs remains the declared
+    * quadratic verifier entry, unchanged. Key "jedges2":
+    * recipe changes self-invalidate artifacts persisted by the old
+    * build (the IndexStore BuildVersion discipline). */
   private[graft] def jaccardEdgeStore(s: SparkSession, d: String): String =
-    TextQueries.docArtifact(d, "jedges") { out =>
-      jaccardPairsRaw(s, d).write.mode("overwrite").parquet(out)
+    TextQueries.docArtifact(d, "jedges2") { out =>
+      import s.implicits._
+      val docs = load(s, d, "documents")
+        .select($"doc_id", sort_array(array_distinct(toks($"text"))).as("ws"))
+        .cache()
+      minhashVerifiedEdges(docs, GraftText.jaccardSorted(_, _), 0.8)
+        .write.mode("overwrite").parquet(out)
+      docs.unpersist()
     }
 
   /** Banded Hamming-ball pairs over (doc_id, fp bigint): explode each
@@ -402,22 +471,23 @@ object DedupQueries {
     // pair edges only say "these two match", but dedup must keep ONE
     // doc per COMPONENT (chains A~B~C keep both A and C if you only
     // look at edges). Min-label propagation (ConnectedComponents), a
-    // bounded number of node-keyed shuffle rounds, nothing quadratic
-    // beyond the declared edge contract. Here the edges are the gated
-    // exact j>=0.8 verifier pairs; at 100 TB the same operator takes
-    // the LSH keeper edges (the edge DataFrame is a parameter).
+    // bounded number of node-keyed shuffle rounds: the edges are the
+    // banded-minhash verified edge set (minhashVerifiedEdges — exact
+    // j>=0.8 over intra-bucket candidates, quadratic only in near-dup
+    // FAMILY size), the LSH edge set every corpus-scale pipeline
+    // clusters over. d_jaccard_pairs remains the bounded-block exact
+    // verifier of the approximation, as its own declared entry.
     "d_dedup_cluster" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       val docs = load(s, d, "documents").select($"doc_id")
-      // trustedEndpoints: the edge set is jaccardPairsRaw over the SAME
-      // documents frame these nodes project from — endpoints ⊆ nodes by
-      // construction, so the orphan pass (one full scan of a dense
-      // ~726k-edge set at sf0.1) would re-prove a tautology; the
-      // declared trust keeps the bounded union-find finish qualified.
+      // trustedEndpoints: the edge set derives from the SAME documents
+      // frame these nodes project from — endpoints ⊆ nodes by
+      // construction, so the orphan pass (one full scan of the edge
+      // set) would re-prove a tautology; the declared trust keeps the
+      // bounded union-find finish qualified.
       // Edges come from the persisted store (jaccardEdgeStore): this
       // entry times COMPONENT ASSIGNMENT over the verified graph, the
-      // way the ANN entries time search over the persisted index —
-      // d_jaccard_pairs times the verifier build itself.
+      // way the ANN entries time search over the persisted index.
       val comp = graft.operators.ConnectedComponents.minLabel(
         docs, "doc_id", s.read.parquet(jaccardEdgeStore(s, d)),
         "doc_a", "doc_b",
@@ -435,8 +505,9 @@ object DedupQueries {
     // near-twin sits in train inflates every eval number); the fix is
     // to split by near-dup COMPONENT, so a whole family of mutual
     // near-dups lands on one side. Group = connected component of the
-    // verified j >= 0.8 graph (the d_dedup_cluster machinery, same
-    // bounded label-contraction rounds); the 90/10 assignment is the
+    // banded-minhash verified j >= 0.8 edge store (the d_dedup_cluster
+    // machinery, same bounded label-contraction rounds); the 90/10
+    // assignment is the
     // Knuth multiplicative hash of the group REPRESENTATIVE (its min
     // doc_id), so membership decides the split, never the individual
     // doc. Scale: identical to d_dedup_cluster + one scan-side hash
@@ -1100,12 +1171,16 @@ object DedupQueries {
 
     "d_jaccard_pairs" -> s"$JaccardPairsSqlBase ORDER BY doc_a, doc_b",
 
-    // Reachability closure over the same edge SQL: a recursive CTE
-    // floods every label through the symmetric edge list; min(label)
-    // per node is the component id — derivation entirely disjoint from
-    // the plan's label-propagation loop.
+    // Reachability closure over the STORE's edge derivation (the
+    // banded-minhash verified edges, replayed end to end — seeded
+    // minhash, star candidates, exact verify): a recursive CTE floods
+    // every label through the symmetric edge list; min(label) per node
+    // is the component id — derivation entirely disjoint from the
+    // plan's label-propagation loop.
     "d_dedup_cluster" ->
-      s"""WITH RECURSIVE edges AS ($JaccardPairsSqlBase),
+      s"""WITH RECURSIVE ${graft.functions.HashSql.minhashEdgesCtes(
+              graft.functions.HashSql.wordSetDef, jaccardThreshold = 0.8,
+              numBands = 32)},
          |sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
          |        UNION ALL SELECT doc_b, doc_a FROM edges),
          |reach(node, lab) AS (
@@ -1127,7 +1202,9 @@ object DedupQueries {
     // over the component representative (all values non-negative, so
     // DuckDB % == Spark pmod).
     "d_split_leakage" ->
-      s"""WITH RECURSIVE edges AS ($JaccardPairsSqlBase),
+      s"""WITH RECURSIVE ${graft.functions.HashSql.minhashEdgesCtes(
+              graft.functions.HashSql.wordSetDef, jaccardThreshold = 0.8,
+              numBands = 32)},
          |sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
          |        UNION ALL SELECT doc_b, doc_a FROM edges),
          |reach(node, lab) AS (

@@ -523,7 +523,9 @@ object IndexQueries {
     // refinement, offline HNSW builds): every vector probes its
     // nprobe=2 nearest clusters and ranks the members it finds there.
     // No query-side broadcast anywhere — probe selection is a bounded
-    // map-side top-k against the broadcast CENTROIDS (16 rows), and
+    // map-side top-k against the broadcast CENTROIDS (k rows; k sized
+    // by the corpus via IndexStore.graphIvf, so cluster populations —
+    // and with them the per-row candidate list — stay bounded), and
     // candidates come from a cluster_id-keyed join whose fan-out is
     // cluster population × probing queries, never corpus². Self-pairs
     // drop BEFORE ranking.
@@ -545,7 +547,7 @@ object IndexQueries {
     // by node id).
     "v_graph_search" -> ((s: SparkSession, d: String) => {
       import s.implicits._
-      val ivfDir = IndexStore.ivf(s, d, k = 16)
+      val ivfDir = IndexStore.graphIvf(s, d)
       val gDir = IndexStore.knnGraph(s, d, k = 5, nprobe = 2)
       val e = load(s, d, "embeddings").select($"vec_id", $"embedding")
       val q = e.filter($"vec_id" < NumQueries)
@@ -592,7 +594,7 @@ object IndexQueries {
     // persisted artifacts.
     "v_ef_sweep" -> ((s: SparkSession, d: String) => {
       import s.implicits._
-      val ivfDir = IndexStore.ivf(s, d, k = 16)
+      val ivfDir = IndexStore.graphIvf(s, d)
       val gDir = IndexStore.knnGraph(s, d, k = 5, nprobe = 2)
       val e = load(s, d, "embeddings").select($"vec_id", $"embedding")
       val q = e.filter($"vec_id" < NumQueries)
@@ -635,7 +637,7 @@ object IndexQueries {
     // broadcast side everywhere); masks are scan-side predicates.
     "v_graph_insert" -> ((s: SparkSession, d: String) => {
       import s.implicits._
-      val ivfDir = IndexStore.ivf(s, d, k = 16)
+      val ivfDir = IndexStore.graphIvf(s, d)
       val gDir = IndexStore.knnGraph(s, d, k = 5, nprobe = 2)
       def isNew(c: org.apache.spark.sql.Column) =
         pmod(c, lit(InsertBatchMod)) === InsertBatchResidue
@@ -671,7 +673,7 @@ object IndexQueries {
     // scale shape as v_graph_search.
     "v_graph_delete" -> ((s: SparkSession, d: String) => {
       import s.implicits._
-      val ivfDir = IndexStore.ivf(s, d, k = 16)
+      val ivfDir = IndexStore.graphIvf(s, d)
       val gDir = IndexStore.knnGraph(s, d, k = 5, nprobe = 2)
       def isDel(c: org.apache.spark.sql.Column) =
         pmod(c, lit(DeleteMod)) === DeleteResidue
@@ -862,7 +864,7 @@ object IndexQueries {
   private def knnGraphRaw(s: SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val dir = IndexStore.ivf(s, d, k = 16)
+    val dir = IndexStore.graphIvf(s, d)
     val cent = s.read.parquet(s"$dir/centroids")
       .select($"cluster_id", $"centroid")
     val e = load(s, d, "embeddings").select($"vec_id", $"embedding")
@@ -893,6 +895,15 @@ object IndexQueries {
     val ivfDir = IndexStore.ivf(s, d, k = 16)
     val cent = s.read.parquet(s"$ivfDir/centroids").orderBy("cluster_id")
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
+    // the graph family replays the GRAPH coarse store (graphIvf). At
+    // oracle scale chooseK floors at 16 so this is the same ivf16m
+    // artifact — collected separately so oracle and engine stay keyed
+    // to one store by construction, not by coincidence of scale
+    val gcent = {
+      val gDir = IndexStore.graphIvf(s, d)
+      s.read.parquet(s"$gDir/centroids").orderBy("cluster_id")
+        .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
+    }
     val pqDir = IndexStore.pq(s, d)
     val books = s.read.parquet(s"$pqDir/codebooks").orderBy("sub", "code")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2))).toSeq
@@ -937,29 +948,29 @@ object IndexQueries {
       "v_quantize_error" -> graft.operators.IndexOracle
         .quantizeErrorOracle(books, numSub = 8, subDim = 8, dim = 64),
       "v_knn_graph" -> graft.operators.IndexOracle
-        .knnGraphOracle(cent, k = 5, nprobe = 2),
+        .knnGraphOracle(gcent, k = 5, nprobe = 2),
       "v_embed_clusters" -> graft.operators.IndexOracle
-        .embedClustersOracle(cent, k = 5, nprobe = 2),
+        .embedClustersOracle(gcent, k = 5, nprobe = 2),
       "v_graph_search" -> graft.operators.IndexOracle
-        .graphSearchOracle(cent, K, GraphEf, GraphHops, NumQueries,
+        .graphSearchOracle(gcent, K, GraphEf, GraphHops, NumQueries,
           graphK = 5, graphNprobe = 2),
       "v_ef_sweep" -> graft.operators.IndexOracle
-        .efSweepOracle(cent, K, EfSweep, GraphHops, NumQueries,
+        .efSweepOracle(gcent, K, EfSweep, GraphHops, NumQueries,
           graphK = 5, graphNprobe = 2),
       "v_graph_insert" -> graft.operators.IndexOracle
-        .graphInsertOracle(cent, k = 5, ef = GraphEf, hops = GraphHops,
+        .graphInsertOracle(gcent, k = 5, ef = GraphEf, hops = GraphHops,
           batchPredOf = c => s"($c % $InsertBatchMod) = $InsertBatchResidue",
           graphK = 5, graphNprobe = 2),
       "v_hnsw_search" -> graft.operators.IndexOracle
-        .hnswSearchOracle(cent, K, GraphEf, GraphHops, NumQueries,
+        .hnswSearchOracle(gcent, K, GraphEf, GraphHops, NumQueries,
           graphK = 5, graphNprobe = 2, layerK = HnswLayerK,
           descentEf = HnswDescentEf, descentHops = HnswDescentHops),
       "v_graph_delete" -> graft.operators.IndexOracle
-        .graphDeleteOracle(cent, K, GraphEf, GraphHops, NumQueries,
+        .graphDeleteOracle(gcent, K, GraphEf, GraphHops, NumQueries,
           delPredOf = c => s"($c % $DeleteMod) = $DeleteResidue",
           graphK = 5, graphNprobe = 2),
       "v_graph_compact" -> graft.operators.IndexOracle
-        .graphCompactOracle(cent, k = 5, ef = GraphEf, hops = GraphHops,
+        .graphCompactOracle(gcent, k = 5, ef = GraphEf, hops = GraphHops,
           delPredOf = c => s"($c % $DeleteMod) = $DeleteResidue",
           graphK = 5, graphNprobe = 2),
       "v_ivfpq_residual" -> {

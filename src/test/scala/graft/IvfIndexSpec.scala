@@ -113,6 +113,17 @@ class IvfIndexSpec extends SparkSpec {
     assert(assign.count() === 1000)
   }
 
+  test("graphIvf resolves to the oracle gate's pinned ivf16m store at fixture scale") {
+    // the load-bearing invariant behind sizing the graph family's
+    // coarse index by corpus: chooseK floors at the suite's pinned
+    // k=16, so at oracle/fixture scale graphIvf IS the same persisted
+    // store the literal-centroid oracle CTEs embed — bit-identical
+    // artifacts, no second build
+    val g = graft.operators.IndexStore.graphIvf(spark, sfDir)
+    val pinned = graft.operators.IndexStore.ivf(spark, sfDir, k = 16)
+    assert(g === pinned)
+  }
+
   test("chooseK scales k with the corpus so cluster populations stay bounded") {
     assert(IvfIndex.chooseK(2000) === 16) // floor: the suite's pinned k
     assert(IvfIndex.chooseK(200000, targetPopulation = 125) === 1600)
