@@ -60,11 +60,15 @@ object DfKMeans {
     cent
   }
 
-  /** Assign each point to its nearest centroid → (group, id, code). */
+  /** Assign each point to its nearest centroid → (group, id, code).
+    * The broadcast join fans every point out |cent|/|groups| ways, so
+    * the stage's parallelism is floored (Expand.floorParallelism) —
+    * byte-based split sizing would serialize a small input's k×
+    * compute onto one core. */
   def assign(points: DataFrame, cent: DataFrame): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
-    points.join(broadcast(cent), "group")
+    Expand.floorParallelism(points).join(broadcast(cent), "group")
       .withColumn("d", l2Sq($"vec", $"centroid"))
       .groupBy($"group", $"id")
       .agg(min_by($"code", struct($"d", $"code")).as("code"))

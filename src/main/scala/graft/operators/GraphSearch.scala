@@ -94,7 +94,8 @@ object GraphSearch {
         $"cluster_id".cast("long").as("cluster_id"))
     val cent = s.read.parquet(s"$ivfDir/centroids")
       .select($"cluster_id", $"centroid")
-    val probes = nodes.crossJoin(broadcast(cent))
+    // |cent|× expansion per node (Expand.floorParallelism scaladoc)
+    val probes = Expand.floorParallelism(nodes).crossJoin(broadcast(cent))
       .groupBy($"vec_id")
       .agg(topK(l2Sq($"embedding", $"centroid"), $"cluster_id".cast("long"),
         nprobe).as("ps"))
@@ -140,7 +141,9 @@ object GraphSearch {
       e: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val s = cent.sparkSession
     import s.implicits._
-    val probes = e.crossJoin(broadcast(cent))
+    // |cent|× expansion per row — parallelism must not be left to
+    // byte-based split sizing (Expand.floorParallelism scaladoc)
+    val probes = Expand.floorParallelism(e).crossJoin(broadcast(cent))
       .groupBy($"vec_id")
       .agg(topK(l2Sq($"embedding", $"centroid"), $"cluster_id".cast("long"),
         nprobe).as("ps"))

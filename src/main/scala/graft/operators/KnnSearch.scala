@@ -33,8 +33,11 @@ object KnnSearch {
     import spark.implicits._
     val batched = queries.withColumn("__batch",
       pmod(hash($"query_id"), lit(numBatches)))
+    // per-batch work is |batch|× the base scan — parallelism must not
+    // be left to byte-based split sizing (Expand.floorParallelism)
+    val spread = Expand.floorParallelism(base)
     val perBatch = (0 until numBatches).map { b =>
-      base.crossJoin(broadcast(batched.filter($"__batch" === b).drop("__batch")))
+      spread.crossJoin(broadcast(batched.filter($"__batch" === b).drop("__batch")))
         .groupBy($"query_id")
         .agg(topK(l2Sq(col(vecCol), $"qv"), col(idCol), k).as("nn"))
     }
