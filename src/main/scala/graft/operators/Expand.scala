@@ -23,4 +23,21 @@ object Expand {
       df.repartition(sc.defaultParallelism)
     else df
   }
+
+  /** The shuffle-side twin: a join whose OUTPUT is k× the size of
+    * either INPUT (candidate-expansion joins — each probed cluster's
+    * members fan out to every query probing it) defeats AQE the same
+    * way, from the other side: adaptive coalescing sizes the joined
+    * stage by its shuffle INPUT bytes (a few MB of probe ids), merges
+    * it onto one partition, and the k× fan-out serializes there
+    * (measured at sf10: one task, 540 s of CPU, 31 cores idle).
+    * `repartition(n, key)` is user-specified and therefore AQE-EXEMPT
+    * — adaptive execution never coalesces it — so the expansion stage
+    * keeps cluster-default parallelism while every downstream
+    * (shrinking) stage stays fully adaptive. */
+  def pinJoinParallelism(df: DataFrame,
+      key: org.apache.spark.sql.Column): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    df.repartition(sc.defaultParallelism, key)
+  }
 }

@@ -101,7 +101,8 @@ object GraphSearch {
         nprobe).as("ps"))
       .select($"vec_id".as("query_id"),
         explode(transform($"ps", p => p.getField("id"))).as("cluster_id"))
-    val sl = probes.join(members, "cluster_id")
+    val sl = Expand.pinJoinParallelism(probes, $"cluster_id")
+      .join(Expand.floorParallelism(members), "cluster_id")
       .filter($"neighbor_id" =!= $"query_id")
       .join(nodes.select($"vec_id".as("query_id"), $"embedding".as("qv")),
         "query_id")
@@ -149,7 +150,16 @@ object GraphSearch {
         nprobe).as("ps"))
       .select($"vec_id".as("query_id"),
         explode(transform($"ps", p => p.getField("id"))).as("cluster_id"))
-    probes.join(members, "cluster_id")
+    // the members join fans out cluster-population × probing-queries
+    // rows — k× either input, invisible to both byte-based split
+    // sizing AND AQE coalescing/broadcast planning. BOTH sides get an
+    // AQE-exempt floor: the probes repartition pins the sort-merge
+    // path, the members floor pins the broadcast path (AQE turning
+    // the small probes side into a BHJ would otherwise run the whole
+    // fan-out over the members SCAN's packed splits — measured at
+    // sf10: one task, 31 cores idle).
+    Expand.pinJoinParallelism(probes, $"cluster_id")
+      .join(Expand.floorParallelism(members), "cluster_id")
       .filter($"neighbor_id" =!= $"query_id")
       .join(e.select($"vec_id".as("query_id"), $"embedding".as("qv")),
         "query_id")

@@ -868,7 +868,11 @@ object IndexQueries {
     val cent = s.read.parquet(s"$dir/centroids")
       .select($"cluster_id", $"centroid")
     val e = load(s, d, "embeddings").select($"vec_id", $"embedding")
-    val probes = e.crossJoin(broadcast(cent))
+    // k×-expansion stages: scan and join parallelism both floored
+    // (Expand scaladocs — byte-based split sizing and AQE are blind
+    // to the |cent|× probe fan-out and the population× join fan-out)
+    val probes = graft.operators.Expand.floorParallelism(e)
+      .crossJoin(broadcast(cent))
       .groupBy($"vec_id")
       .agg(topK(l2Sq($"embedding", $"centroid"), $"cluster_id".cast("long"), 2)
         .as("ps"))
@@ -877,7 +881,8 @@ object IndexQueries {
     val members = s.read.parquet(s"$dir/assignments")
       .select($"vec_id".as("neighbor_id"), $"embedding".as("nv"),
         $"cluster_id".cast("long").as("cluster_id"))
-    probes.join(members, "cluster_id")
+    graft.operators.Expand.pinJoinParallelism(probes, $"cluster_id")
+      .join(graft.operators.Expand.floorParallelism(members), "cluster_id")
       .filter($"neighbor_id" =!= $"query_id")
       .join(e.select($"vec_id".as("query_id"), $"embedding".as("qv")),
         "query_id")

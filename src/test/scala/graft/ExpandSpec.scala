@@ -18,6 +18,15 @@ class ExpandSpec extends SparkSpec {
     assert(out.count() === 100)
   }
 
+  test("pinJoinParallelism keys the shuffle and pins default parallelism") {
+    val df = (1 to 100).map(i => (i.toLong, i % 7)).toDF("id", "k")
+      .repartition(1)
+    val out = Expand.pinJoinParallelism(df, $"k")
+    assert(out.rdd.getNumPartitions ===
+      spark.sparkContext.defaultParallelism)
+    assert(out.count() === 100)
+  }
+
   test("a frame already at/above default parallelism is returned as-is") {
     val n = spark.sparkContext.defaultParallelism + 2
     val df = (1 to 100).toDF("id").repartition(n)
