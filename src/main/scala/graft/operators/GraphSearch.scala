@@ -94,18 +94,20 @@ object GraphSearch {
         $"cluster_id".cast("long").as("cluster_id"))
     val cent = s.read.parquet(s"$ivfDir/centroids")
       .select($"cluster_id", $"centroid")
-    // |cent|× expansion per node (Expand.floorParallelism scaladoc)
+    // |cent|× expansion per node (Expand.floorParallelism scaladoc);
+    // qv rides the probe row so the fan-out is scored at the join and
+    // absorbed by the same stage's partial top-k (knnGraphFrames
+    // discipline — no post-fan-out shuffle)
     val probes = Expand.floorParallelism(nodes).crossJoin(broadcast(cent))
       .groupBy($"vec_id")
       .agg(topK(l2Sq($"embedding", $"centroid"), $"cluster_id".cast("long"),
-        nprobe).as("ps"))
-      .select($"vec_id".as("query_id"),
+        nprobe).as("ps"),
+        first($"embedding").as("qv"))
+      .select($"vec_id".as("query_id"), $"qv",
         explode(transform($"ps", p => p.getField("id"))).as("cluster_id"))
     val sl = Expand.pinJoinParallelism(probes, $"cluster_id")
       .join(Expand.floorParallelism(members), "cluster_id")
       .filter($"neighbor_id" =!= $"query_id")
-      .join(nodes.select($"vec_id".as("query_id"), $"embedding".as("qv")),
-        "query_id")
       .groupBy($"query_id")
       .agg(topK(l2Sq($"nv", $"qv"), $"neighbor_id", shortlist).as("sl"))
     // re-attach candidate embeddings (bounded: shortlist rows/node) for
@@ -143,12 +145,23 @@ object GraphSearch {
     val s = cent.sparkSession
     import s.implicits._
     // |cent|× expansion per row — parallelism must not be left to
-    // byte-based split sizing (Expand.floorParallelism scaladoc)
+    // byte-based split sizing (Expand.floorParallelism scaladoc).
+    // The query vector RIDES the probe row (first() within the
+    // vec_id group — all rows of a group carry the same embedding):
+    // scoring then happens AT the members join and the per-row
+    // fan-out dies in the same stage's partial top-k, so only
+    // |queries|×k result rows ever cross a shuffle. The r7 shape
+    // joined qv back AFTER the fan-out instead — re-shuffling
+    // population×queries candidate rows, each dragging a 260-byte
+    // neighbor embedding, by query_id (~30 GB at sf10 for a 100 MB
+    // corpus; the single plan change the second-decade probe paid
+    // for most dearly).
     val probes = Expand.floorParallelism(e).crossJoin(broadcast(cent))
       .groupBy($"vec_id")
       .agg(topK(l2Sq($"embedding", $"centroid"), $"cluster_id".cast("long"),
-        nprobe).as("ps"))
-      .select($"vec_id".as("query_id"),
+        nprobe).as("ps"),
+        first($"embedding").as("qv"))
+      .select($"vec_id".as("query_id"), $"qv",
         explode(transform($"ps", p => p.getField("id"))).as("cluster_id"))
     // the members join fans out cluster-population × probing-queries
     // rows — k× either input, invisible to both byte-based split
@@ -161,8 +174,6 @@ object GraphSearch {
     Expand.pinJoinParallelism(probes, $"cluster_id")
       .join(Expand.floorParallelism(members), "cluster_id")
       .filter($"neighbor_id" =!= $"query_id")
-      .join(e.select($"vec_id".as("query_id"), $"embedding".as("qv")),
-        "query_id")
       .groupBy($"query_id")
       .agg(topK(l2Sq($"nv", $"qv"), $"neighbor_id", k).as("nn"))
       .select($"query_id".as("vec_id"), posexplode($"nn"))

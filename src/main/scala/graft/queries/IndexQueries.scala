@@ -870,13 +870,17 @@ object IndexQueries {
     val e = load(s, d, "embeddings").select($"vec_id", $"embedding")
     // k×-expansion stages: scan and join parallelism both floored
     // (Expand scaladocs — byte-based split sizing and AQE are blind
-    // to the |cent|× probe fan-out and the population× join fan-out)
+    // to the |cent|× probe fan-out and the population× join fan-out);
+    // qv rides the probe row so the fan-out is scored AT the members
+    // join and dies in the same stage's partial top-k — only
+    // |queries|×k rows ever cross a shuffle (GraphSearch discipline)
     val probes = graft.operators.Expand.floorParallelism(e)
       .crossJoin(broadcast(cent))
       .groupBy($"vec_id")
       .agg(topK(l2Sq($"embedding", $"centroid"), $"cluster_id".cast("long"), 2)
-        .as("ps"))
-      .select($"vec_id".as("query_id"),
+        .as("ps"),
+        first($"embedding").as("qv"))
+      .select($"vec_id".as("query_id"), $"qv",
         explode(transform($"ps", p => p.getField("id"))).as("cluster_id"))
     val members = s.read.parquet(s"$dir/assignments")
       .select($"vec_id".as("neighbor_id"), $"embedding".as("nv"),
@@ -884,8 +888,6 @@ object IndexQueries {
     graft.operators.Expand.pinJoinParallelism(probes, $"cluster_id")
       .join(graft.operators.Expand.floorParallelism(members), "cluster_id")
       .filter($"neighbor_id" =!= $"query_id")
-      .join(e.select($"vec_id".as("query_id"), $"embedding".as("qv")),
-        "query_id")
       .groupBy($"query_id")
       .agg(topK(l2Sq($"nv", $"qv"), $"neighbor_id", 5).as("nn"))
       .select($"query_id".as("vec_id"), posexplode($"nn"))
