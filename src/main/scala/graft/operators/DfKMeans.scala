@@ -27,17 +27,52 @@ object DfKMeans {
   def fit(points: DataFrame, k: Int, iters: Int): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
-
     val byGroup = Window.partitionBy($"group").orderBy($"id")
-    var cent = points
-      .withColumn("rn", row_number().over(byGroup))
-      .filter($"rn" <= k)
-      .select($"group", ($"rn" - 1).cast("int").as("code"),
-        $"vec".as("centroid"))
-      .cache()
+    lloydLoop(points,
+      points.withColumn("rn", row_number().over(byGroup))
+        .filter($"rn" <= k)
+        .select($"group", ($"rn" - 1).cast("int").as("code"),
+          $"vec".as("centroid")),
+      iters)
+  }
 
+  /** [[fit]] with a PER-GROUP centroid count — the shape cluster
+    * rebalancing needs (each oversized cluster is one group, and its
+    * sub-centroid budget scales with its own population, not the
+    * worst group's). `kPerGroup`: (group int, kg int), broadcast-sized
+    * by contract (one row per group being fit). Same deterministic
+    * init (each group's first kg vectors in id order) and the same
+    * two-shuffles-per-iteration loop as [[fit]]. */
+  def fitVarK(points: DataFrame, kPerGroup: DataFrame, iters: Int)
+      : DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val byGroup = Window.partitionBy($"group").orderBy($"id")
+    lloydLoop(points,
+      points.withColumn("rn", row_number().over(byGroup))
+        .join(broadcast(kPerGroup), "group")
+        .filter($"rn" <= $"kg")
+        .select($"group", ($"rn" - 1).cast("int").as("code"),
+          $"vec".as("centroid")),
+      iters)
+  }
+
+  /** The shared Lloyd iteration: assignment is an argmin over broadcast
+    * centroids, recomputation the [[VectorAvg]] distributive aggregate;
+    * clusters that go empty keep their previous centroid. `iters` is a
+    * CEILING: the loop stops early once an iteration changes no
+    * centroid bit-for-bit — from a fixed point every further iteration
+    * reproduces it exactly, so the early exit is output-identical to
+    * running out the count (degenerate inputs, e.g. an identical-point
+    * mass, converge after one pass instead of paying all of them). */
+  private def lloydLoop(points: DataFrame, init: DataFrame, iters: Int)
+      : DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    var cent = init.cache()
     var i = 0
-    while (i < iters) {
+    var converged = false
+    while (i < iters && !converged) {
       val assigned = points.join(broadcast(cent), "group")
         .withColumn("d", l2Sq($"vec", $"centroid"))
         .groupBy($"group", $"id")
@@ -52,7 +87,11 @@ object DfKMeans {
         .select($"group", $"code",
           coalesce($"newCentroid", $"centroid").as("centroid"))
         .cache()
-      next.count() // materialize before unpersisting the parent
+      // one bounded job over the (k-sized, cached) centroid frames —
+      // never touches `points`
+      converged = next.as("n").join(cent.as("c"), Seq("group", "code"))
+        .filter(col("n.centroid") =!= col("c.centroid"))
+        .isEmpty
       cent.unpersist()
       cent = next
       i += 1

@@ -1128,6 +1128,74 @@ object IndexOracle {
        |ORDER BY cluster_id, origin""".stripMargin
   }
 
+  /** v_ivf_balance: the population-bounded rebuild replayed decision
+    * for decision against the persisted literals. Base assignment is
+    * the argmin law over the PRE-balance centroids; members of split
+    * parents re-argmin over that parent's literal sub-centroids (ids
+    * ascending = engine code order, first-min tie-break both sides);
+    * members of salt parents re-shard by the avalanche id hash over
+    * the parent's literal (base, ks) layout. Populations re-counted
+    * from scratch and joined onto the literal centroid-row skeleton —
+    * empty salt subs must surface as explicit population-0 rows.
+    *
+    * `baseCent`: the pre-balance (cluster_id, centroid) rows.
+    * `rows`: every POST-balance centroid row (cluster_id, parent_id,
+    * method). `subs`: the method=split rows with their trained
+    * centroids. */
+  def ivfBalanceOracle(baseCent: Seq[(Int, Seq[Float])],
+      rows: Seq[(Int, Int, String)],
+      subs: Seq[(Int, Int, Seq[Float])]): String = {
+    val splitParents = subs.map(_._2).distinct.sorted
+    // per split parent: pick the nearest sub id (first-position min ==
+    // the engine's min_by(code, struct(d, code)) — sub ids ascend with
+    // code inside a parent). `subs` includes the salt ANCHORS (still
+    // method-tagged geo subs): the argmin must see every trained
+    // sub-centroid, or members of a salted family would be misrouted
+    // to the nearest surviving sibling.
+    val geoPick = splitParents.map { p =>
+      val ps = subs.filter(_._2 == p).sortBy(_._1)
+      val ids = ps.map(_._1).mkString("[", ",", "]")
+      val ds = ps.map { case (_, _, c) => l2sqLit("embedding", 0, c) }
+        .mkString("[", ",\n ", "]")
+      s"WHEN $p THEN ($ids)[list_position($ds, list_min($ds))]"
+    }.mkString("\n      ")
+    // per salt anchor: shard 0 keeps the anchor id, shards 1..ks−1 map
+    // to base..base+ks−2 (ALL extension rows are persisted, populated
+    // or not, so base = min extension id and ks = extensions + 1)
+    val saltRows = rows.filter(_._3 == "salt")
+    val saltPick = saltRows.groupBy(_._2).toSeq.sortBy(_._1).map {
+      case (p, ss) =>
+        val base = ss.map(_._1).min
+        val ks = ss.size + 1
+        s"WHEN $p THEN CASE ((vec_id * 2654435761) % 4294967296) % $ks " +
+          s"WHEN 0 THEN $p " +
+          s"ELSE $base + ((vec_id * 2654435761) % 4294967296) % $ks - 1 END"
+    }.mkString("\n      ")
+    val geoCase =
+      if (splitParents.isEmpty) "cluster_id"
+      else s"CASE cluster_id\n      $geoPick\n      ELSE cluster_id END"
+    val saltCase =
+      if (saltRows.isEmpty) "g.cluster_id"
+      else s"CASE g.cluster_id\n      $saltPick\n      ELSE g.cluster_id END"
+    val skeleton = rows.sortBy(_._1).map { case (c, p, m) =>
+      s"($c, $p, '$m')"
+    }.mkString(",\n    ")
+    s"""WITH ${assignCte(baseCent)},
+       |g AS (
+       |  SELECT vec_id, $geoCase AS cluster_id
+       |  FROM a),
+       |f AS (SELECT vec_id, $saltCase AS cluster_id FROM g),
+       |pops AS (SELECT cluster_id, count(*)::BIGINT AS population
+       |         FROM f GROUP BY cluster_id),
+       |skel(cluster_id, parent_id, method) AS (VALUES
+       |    $skeleton)
+       |SELECT s.cluster_id::BIGINT AS cluster_id,
+       |  s.parent_id::BIGINT AS parent_id, s.method,
+       |  coalesce(p.population, 0)::BIGINT AS population
+       |FROM skel s LEFT JOIN pops p ON p.cluster_id = s.cluster_id
+       |ORDER BY cluster_id""".stripMargin
+  }
+
   /** v_refine_sweep: the matryoshka prefix shortlist ranked ONCE, then
     * each refine factor takes its own prefix of it, exact-refines, and
     * scores against the brute-force truth — no literals anywhere. */

@@ -31,9 +31,10 @@ object IndexStore {
 
   /** Build-recipe version, folded into every cache key: bump when an
     * index BUILD algorithm changes (e.g. the r8 hash-uniform training
-    * sample) so artifacts persisted by an older build can never serve a
-    * newer engine. */
-  private val BuildVersion = 3
+    * sample; v4 = the population-bounded graph coarse store) so
+    * artifacts persisted by an older build can never serve a newer
+    * engine. */
+  private val BuildVersion = 4
 
   /** Cache key folding in the source parquet's mtime/size so regenerated
     * data self-invalidates (shared by every derived-artifact cache —
@@ -110,15 +111,50 @@ object IndexStore {
       dir
     }
 
+  /** The population-BOUNDED IVF store: [[ivf]]'s sampled build followed
+    * by [[IvfBalance.balance]], so no cluster's population exceeds
+    * `maxPop` — the residual-skew repair chooseK can't make (a dense
+    * mode under-represented in the global training sample gets giant
+    * clusters no matter how k is sized; the second-decade probe
+    * measured 2 of 782 clusters holding 37 % of the corpus, an O(pop²)
+    * bill for every probe and graph build touching them). Same layout
+    * as [[ivf]] plus (parent_id, method) on the centroid rows. */
+  def ivfBalanced(spark: SparkSession, sfDir: String, k: Int,
+      targetPop: Int = 256, maxPop: Int = 1024): String =
+    lock.synchronized {
+      val dir = s"$root/${sfKey(sfDir)}/ivf${k}mbal$targetPop-$maxPop"
+      if (!done(dir, "centroids", "centroids0", "assignments")) {
+        val e = Tables.load(spark, sfDir, "embeddings")
+        val (cent0, assign0) =
+          IvfIndex.buildSampled(e, "vec_id", "embedding", k)
+        val (cent, assign) = IvfBalance.balance(cent0, assign0,
+          "vec_id", "embedding", targetPop, maxPop)
+        // the PRE-balance coarse centroids, kept beside the balanced
+        // table: the audit trail an oracle needs to replay the whole
+        // derivation (base argmin → sub argmin → salt hash)
+        cent0.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids0")
+        cent.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+        assign.select("vec_id", "embedding", "cluster_id")
+          .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+          .repartition(col("cluster_id"))
+          .write.partitionBy("cluster_id").mode("overwrite")
+          .parquet(s"$dir/assignments")
+      }
+      dir
+    }
+
   /** The GRAPH family's coarse quantizer: k sized by the corpus
     * ([[IvfIndex.chooseK]]) so the kNN-graph build's per-row candidate
     * list (n·nprobe/k) stays bounded — the O(n²/k) wall the SCALE_sf1
-    * artifact measured at fixed k (knnGraph 41× for 10× data). At
-    * oracle scale (sf0.01: 2,000 vectors) chooseK floors at the
-    * suite's pinned k=16, so this resolves to the SAME ivf16m store
-    * the oracle gate's literal-centroid CTEs embed; past that the
-    * graph build path self-sizes. Memoized per sfKey (which folds in
-    * the source mtime/size) so the count runs once per dataset. */
+    * artifact measured at fixed k (knnGraph 41× for 10× data) — and,
+    * past oracle scale, populations bounded by [[ivfBalanced]] (the
+    * second-decade probe's residual-skew wall: right k, wrong
+    * populations). At oracle scale (sf0.01: 2,000 vectors) chooseK
+    * floors at the suite's pinned k=16 and this resolves to the SAME
+    * unbalanced ivf16m store the oracle gate's literal-centroid CTEs
+    * embed; past that the graph build path self-sizes AND self-bounds.
+    * Memoized per sfKey (which folds in the source mtime/size) so the
+    * count runs once per dataset. */
   private val graphKMemo =
     scala.collection.concurrent.TrieMap.empty[String, Int]
   def graphIvf(spark: SparkSession, sfDir: String): String = {
@@ -126,7 +162,7 @@ object IndexStore {
       val n = Tables.load(spark, sfDir, "embeddings").count()
       IvfIndex.chooseK(n)
     })
-    ivf(spark, sfDir, k)
+    if (k <= 16) ivf(spark, sfDir, k) else ivfBalanced(spark, sfDir, k)
   }
 
   /** Ensure the persisted kNN GRAPH artifact (the reference's navigable

@@ -24,6 +24,13 @@ object IndexQueries {
     * embed-neardup operators — the synthetic corpus' planted near-dups
     * sit well above it, the random mass well below). */
   private[graft] val SemDedupTau = 0.4
+  /** v_ivf_balance thresholds — aggressive on purpose: at the oracle
+    * scale's ~31-member average clusters (sf0.01: 500 vectors, k=16)
+    * maxPop=16 guarantees the geometric pass actually fires, so the
+    * oracle replays real splits, not a no-op. The production defaults
+    * (graphIvf) are 256/1024. */
+  private val BalanceTargetPop = 8
+  private val BalanceMaxPop = 16
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // IVF index build: sampled-Lloyd centroids fitted + assignments
@@ -345,6 +352,32 @@ object IndexQueries {
       graft.operators.IvfMaintenance
         .splitHottest(assign, cent, k = 16L)
         .orderBy("cluster_id", "origin")
+    }),
+
+    // Population-BOUNDED rebuild (IvfBalance): the build-time
+    // generalization of v_ivf_split's one-cluster action — every
+    // cluster over maxPop re-clustered into its own sub-centroids
+    // (grouped sub-Lloyd, hash-uniform training sample), identical-
+    // point residue salt-sharded. At 100 TB this is how the graph
+    // family's coarse store self-bounds (IndexStore.graphIvf past
+    // oracle scale); the entry exercises it at oracle scale with
+    // aggressive thresholds so splits actually trigger on 2k vectors.
+    // Output: the post-balance layout audit — one row per surviving
+    // centroid with its parent, method, and re-counted population.
+    "v_ivf_balance" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val dir = IndexStore.ivfBalanced(s, d, k = 16,
+        targetPop = BalanceTargetPop, maxPop = BalanceMaxPop)
+      val cent = s.read.parquet(s"$dir/centroids")
+        .select($"cluster_id".cast("long").as("cluster_id"),
+          $"parent_id".cast("long").as("parent_id"), $"method")
+      val pops = s.read.parquet(s"$dir/assignments")
+        .groupBy($"cluster_id".cast("long").as("cluster_id"))
+        .agg(count(lit(1)).as("population"))
+      cent.join(pops, Seq("cluster_id"), "left")
+        .select($"cluster_id", $"parent_id", $"method",
+          coalesce($"population", lit(0L)).as("population"))
+        .orderBy("cluster_id")
     }),
 
     // Matryoshka (prefix-dimension) search: coarse rank on the first 16
@@ -852,7 +885,7 @@ object IndexQueries {
     Set("v_ivf_build", "v_ivf_search", "v_ivf_filtered", "v_pq_search",
       "v_pq_rerank", "v_opq_search", "v_ivfpq_search", "d_semantic_dedup",
       "v_nprobe_sweep", "v_quantize_error", "v_knn_graph", "v_ivf_stats",
-      "v_ivf_split", "v_maxsim_pruned",
+      "v_ivf_split", "v_ivf_balance", "v_maxsim_pruned",
       "v_ood_score", "v_embed_clusters", "v_graph_search", "v_ef_sweep",
       "v_graph_insert", "v_hnsw_search", "v_mips_ivf", "v_ivfpq_residual",
       "v_graph_delete", "v_graph_compact")
@@ -946,6 +979,21 @@ object IndexQueries {
       "v_ivf_stats" -> graft.operators.IndexOracle.ivfStatsOracle(cent),
       "v_ivf_split" -> graft.operators.IndexOracle
         .ivfSplitOracle(cent, dim = 64),
+      "v_ivf_balance" -> {
+        val bDir = IndexStore.ivfBalanced(s, d, k = 16,
+          targetPop = BalanceTargetPop, maxPop = BalanceMaxPop)
+        val baseCent = s.read.parquet(s"$bDir/centroids0")
+          .orderBy("cluster_id").collect()
+          .map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
+        val balRows = s.read.parquet(s"$bDir/centroids")
+          .orderBy("cluster_id").collect()
+        graft.operators.IndexOracle.ivfBalanceOracle(
+          baseCent,
+          balRows.map(r => (r.getInt(0), r.getInt(2), r.getString(3))).toSeq,
+          // salt anchors ARE geo subs — the argmin replay needs them
+          balRows.filter(r => Set("split", "salt_anchor")(r.getString(3)))
+            .map(r => (r.getInt(0), r.getInt(2), r.getSeq[Float](1))).toSeq)
+      },
       "v_maxsim_pruned" -> graft.operators.IndexOracle
         .maxsimPrunedOracle(cent, kAnn = 8, nprobe = 2, k = 5,
           groupWidth = graft.operators.MaxSim.GroupWidth,
