@@ -1128,6 +1128,56 @@ object IndexOracle {
        |ORDER BY cluster_id, origin""".stripMargin
   }
 
+  /** v_ivf_merge: the cold-cluster merge replayed end to end from the
+    * literal centroids — assignment by the argmin law, populations on
+    * the full literal-id skeleton (a zero-member cluster is real, cold
+    * layout), the cold rule in exact integer arithmetic
+    * (pop·k·den < num·total ⟺ pop < (num/den)·mean), the target argmin
+    * over the literal k×k centroid distance matrix restricted to
+    * cold→surviving pairs with the same (d², dst) tie-break, and the
+    * audit accounting (cold rows absorbed to population 0, survivors
+    * gain what they absorb). */
+  def ivfMergeOracle(centroids: Seq[(Int, Seq[Float])], dim: Int,
+      num: Int, den: Int): String = {
+    val k = centroids.size
+    val centl = centroids.sortBy(_._1).map { case (i, c) =>
+      s"($i, ${lit(c)}::FLOAT[])"
+    }.mkString(",\n    ")
+    s"""WITH ${assignCte(centroids)},
+       |centl(cluster_id, c) AS (VALUES
+       |    $centl),
+       |popsr AS (SELECT cluster_id, count(*)::BIGINT AS pop
+       |          FROM a GROUP BY cluster_id),
+       |pops AS (SELECT cl.cluster_id, coalesce(p.pop, 0)::BIGINT AS pop
+       |         FROM centl cl LEFT JOIN popsr p USING (cluster_id)),
+       |tot AS (SELECT sum(pop)::BIGINT AS total FROM pops),
+       |flags AS (SELECT cluster_id, pop,
+       |            (pop * $k * $den < $num * total) AS cold
+       |          FROM pops, tot),
+       |dmat AS (SELECT s.cluster_id AS src, t.cluster_id AS dst,
+       |           ${l2sqCol("s.c", "t.c", dim)} AS d2
+       |         FROM centl s JOIN centl t ON s.cluster_id <> t.cluster_id),
+       |tgt AS (SELECT src, dst FROM (
+       |          SELECT d.src, d.dst,
+       |            row_number() OVER (PARTITION BY d.src
+       |                               ORDER BY d.d2, d.dst) AS rn
+       |          FROM dmat d
+       |          JOIN flags fs ON fs.cluster_id = d.src AND fs.cold
+       |          JOIN flags ft ON ft.cluster_id = d.dst AND NOT ft.cold)
+       |        WHERE rn = 1),
+       |absorbed AS (SELECT t.dst AS cluster_id, sum(f.pop)::BIGINT AS extra
+       |             FROM tgt t JOIN flags f ON f.cluster_id = t.src
+       |             GROUP BY t.dst)
+       |SELECT f.cluster_id::BIGINT AS cluster_id,
+       |  coalesce(t.dst, f.cluster_id)::BIGINT AS merged_into,
+       |  (CASE WHEN f.cold THEN 0
+       |        ELSE f.pop + coalesce(ab.extra, 0) END)::BIGINT AS population
+       |FROM flags f
+       |LEFT JOIN tgt t ON t.src = f.cluster_id
+       |LEFT JOIN absorbed ab ON ab.cluster_id = f.cluster_id
+       |ORDER BY cluster_id""".stripMargin
+  }
+
   /** v_ivf_balance: the population-bounded rebuild replayed decision
     * for decision against the persisted literals. Base assignment is
     * the argmin law over the PRE-balance centroids; members of split

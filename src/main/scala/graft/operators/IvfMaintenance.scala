@@ -85,4 +85,75 @@ object IvfMaintenance {
     * frame behind [[splitHottest]]'s counts) — exposed for specs. */
   def splitSides(assign: DataFrame, cent: DataFrame): DataFrame =
     splitCore(assign, cent)._3
+
+  /** The inverse maintenance action: merge COLD clusters (population
+    * strictly below `num/den` of the mean) into their nearest surviving
+    * sibling — FAISS-world: inverted-list concatenation, reclaiming
+    * probe slots from clusters the data has drifted away from (a probe
+    * spent on a 3-member cluster buys ~nothing; after the merge the
+    * same nprobe budget covers more of the corpus). Members keep the
+    * absorber's id WITHOUT re-argmin — list merge semantics, the exact
+    * dual of [[splitHottest]]'s relabel.
+    *
+    * Target rule (deterministic): nearest surviving centroid by
+    * centroid-to-centroid d², ties to the lowest cluster id. Survivors
+    * always exist: any cluster at or above the mean is never cold
+    * (pop ≥ total/k ⇒ pop·k·den ≥ total·den > total·num for num<den).
+    *
+    * Scale shape: populations are one aggregate over the assignment;
+    * the cold set and the k×k_cold distance argmin live on bounded
+    * centroid frames (k rows — broadcast both sides); nothing
+    * corpus-sized moves. Returns the post-merge audit — one row per
+    * ORIGINAL cluster id: (cluster_id, merged_into, population) where
+    * cold rows show their absorber and population 0, survivors show
+    * themselves and own + absorbed counts. */
+  def mergeCold(assign: DataFrame, cent: DataFrame,
+      num: Int = 9, den: Int = 10): DataFrame = {
+    require(0 < num && num < den, s"need 0 < num=$num < den=$den")
+    val spark = assign.sparkSession
+    import spark.implicits._
+    val popsRaw = assign.groupBy($"cluster_id".cast("int").as("cluster_id"))
+      .agg(count(lit(1)).as("pop"))
+    // skeleton from the centroid table: a zero-member cluster is real
+    // layout (and maximally cold) — GROUP BY alone would drop it
+    val k = cent.count()
+    val pops = cent.select($"cluster_id".cast("int").as("cluster_id"))
+      .join(popsRaw, Seq("cluster_id"), "left")
+      .select($"cluster_id", coalesce($"pop", lit(0L)).as("pop"))
+    val tot = pops.agg(sum($"pop").as("total"))
+    val flags = pops.crossJoin(broadcast(tot))
+      .select($"cluster_id", $"pop",
+        ($"pop" * lit(k) * lit(den.toLong) < lit(num.toLong) * $"total")
+          .as("cold"))
+      .localCheckpoint(true) // three consumers below; pops is k rows
+    val centI = cent.select($"cluster_id".cast("int").as("cluster_id"),
+      $"centroid")
+    val coldCent = centI.join(
+      flags.filter($"cold").select($"cluster_id"), Seq("cluster_id"))
+    val survCent = centI.join(
+      flags.filter(!$"cold").select($"cluster_id"), Seq("cluster_id"))
+    // k_surv × k_cold distance argmin on bounded frames; ties → lowest
+    // surviving id (min_by on the (d², dst) struct)
+    val tgt = survCent
+      .select($"cluster_id".as("dst"), $"centroid".as("sc"))
+      .crossJoin(broadcast(coldCent
+        .select($"cluster_id".as("src"), $"centroid".as("cc"))))
+      .groupBy($"src")
+      .agg(min_by($"dst", struct(graft.GraftVector.l2Sq($"sc", $"cc"),
+        $"dst")).as("dst"))
+    val absorbed = tgt
+      .join(flags.select($"cluster_id".as("src"), $"pop"), "src")
+      .groupBy($"dst").agg(sum($"pop").as("extra"))
+    flags
+      .join(tgt.withColumnRenamed("src", "cluster_id"),
+        Seq("cluster_id"), "left")
+      .join(absorbed.withColumnRenamed("dst", "cluster_id"),
+        Seq("cluster_id"), "left")
+      .select($"cluster_id".cast("long").as("cluster_id"),
+        coalesce($"dst", $"cluster_id").cast("long").as("merged_into"),
+        when($"cold", lit(0L))
+          .otherwise($"pop" + coalesce($"extra", lit(0L)))
+          .as("population"))
+      .orderBy("cluster_id")
+  }
 }

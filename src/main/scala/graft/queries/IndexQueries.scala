@@ -380,6 +380,26 @@ object IndexQueries {
         .orderBy("cluster_id")
     }),
 
+    // The inverse maintenance action (IvfMaintenance.mergeCold): merge
+    // clusters colder than 90% of the mean population into their
+    // nearest surviving sibling — FAISS-world inverted-list
+    // concatenation, reclaiming probe slots from clusters the data has
+    // drifted away from. Relative threshold (not an absolute count) so
+    // the entry exercises real merges on whatever population spread
+    // the regenerated fixture has. Populations one aggregate; the cold
+    // set and the target argmin live on bounded broadcast centroid
+    // frames — nothing corpus-sized moves. Output: the post-merge
+    // audit — every ORIGINAL cluster id with its absorber (self for
+    // survivors) and re-counted population (0 for absorbed rows).
+    "v_ivf_merge" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val dir = IndexStore.ivf(s, d, k = 16)
+      val cent = s.read.parquet(s"$dir/centroids")
+      val assign = s.read.parquet(s"$dir/assignments")
+        .select($"vec_id", $"cluster_id")
+      graft.operators.IvfMaintenance.mergeCold(assign, cent)
+    }),
+
     // Matryoshka (prefix-dimension) search: coarse rank on the first 16
     // of 64 coordinates (4× less data in the hot scan — and a column
     // slice, so there is no index to build, persist, or invalidate),
@@ -885,7 +905,7 @@ object IndexQueries {
     Set("v_ivf_build", "v_ivf_search", "v_ivf_filtered", "v_pq_search",
       "v_pq_rerank", "v_opq_search", "v_ivfpq_search", "d_semantic_dedup",
       "v_nprobe_sweep", "v_quantize_error", "v_knn_graph", "v_ivf_stats",
-      "v_ivf_split", "v_ivf_balance", "v_maxsim_pruned",
+      "v_ivf_split", "v_ivf_balance", "v_ivf_merge", "v_maxsim_pruned",
       "v_ood_score", "v_embed_clusters", "v_graph_search", "v_ef_sweep",
       "v_graph_insert", "v_hnsw_search", "v_mips_ivf", "v_ivfpq_residual",
       "v_graph_delete", "v_graph_compact")
@@ -979,6 +999,8 @@ object IndexQueries {
       "v_ivf_stats" -> graft.operators.IndexOracle.ivfStatsOracle(cent),
       "v_ivf_split" -> graft.operators.IndexOracle
         .ivfSplitOracle(cent, dim = 64),
+      "v_ivf_merge" -> graft.operators.IndexOracle
+        .ivfMergeOracle(cent, dim = 64, num = 9, den = 10),
       "v_ivf_balance" -> {
         val bDir = IndexStore.ivfBalanced(s, d, k = 16,
           targetPop = BalanceTargetPop, maxPop = BalanceMaxPop)
