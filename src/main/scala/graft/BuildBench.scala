@@ -25,6 +25,9 @@ object BuildBench {
     import graft.operators.IndexStore
     val builds: Seq[(String, () => Any)] = Seq(
       "ivf" -> (() => IndexStore.ivf(spark, sfDir, k = 16)),
+      "ivf_balanced" -> (() => IndexStore.ivfBalanced(spark, sfDir,
+        k = graft.operators.IvfIndex.chooseK(
+          Tables.load(spark, sfDir, "embeddings").count()))),
       "pq" -> (() => IndexStore.pq(spark, sfDir)),
       "opq" -> (() => IndexStore.opq(spark, sfDir)),
       "sq8" -> (() => IndexStore.sq8(spark, sfDir)),

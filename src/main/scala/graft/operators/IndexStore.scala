@@ -155,13 +155,18 @@ object IndexStore {
     * embed; past that the graph build path self-sizes AND self-bounds.
     * Memoized per sfKey (which folds in the source mtime/size) so the
     * count runs once per dataset. */
-  private val graphKMemo =
-    scala.collection.concurrent.TrieMap.empty[String, Int]
+  private val corpusNMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Embedding-corpus row count, memoized per sfKey (which folds in the
+    * source mtime/size, so regenerated data re-counts) — the input every
+    * corpus-self-sizing law shares (graph coarse k, LSH bucket bits). */
+  def corpusN(spark: SparkSession, sfDir: String): Long =
+    corpusNMemo.getOrElseUpdate(sfKey(sfDir),
+      Tables.load(spark, sfDir, "embeddings").count())
+
   def graphIvf(spark: SparkSession, sfDir: String): String = {
-    val k = graphKMemo.getOrElseUpdate(sfKey(sfDir), {
-      val n = Tables.load(spark, sfDir, "embeddings").count()
-      IvfIndex.chooseK(n)
-    })
+    val k = IvfIndex.chooseK(corpusN(spark, sfDir))
     if (k <= 16) ivf(spark, sfDir, k) else ivfBalanced(spark, sfDir, k)
   }
 

@@ -87,11 +87,40 @@ object LshBuckets {
     PqIndex.refineExact(shortlist, embeddings, idCol, vecCol, queries, k)
   }
 
+  /** Corpus-sized band width for [[bandedPairs]]: bits so the EXPECTED
+    * bucket population stays ≈128 (b = ⌈log₂(n/128)⌉, floored at the
+    * oracle contract's 8). At a FIXED width, bucket populations grow
+    * linearly with the corpus and the candidate-pair volume n²/2^(b+1)
+    * per table grows quadratically — measured at sf10 (200k vectors,
+    * b=8): ~1.2 B candidate pairs, a ~70 GB DISTINCT spill, disk-full
+    * abort. Self-sizing restores the sub-quadratic contract: pairs per
+    * table ≈ n·128/2, linear in n. More bits lowers per-table collision
+    * odds for MODERATELY similar pairs (the probabilistic-candidates
+    * contract these operators declare); genuinely-near pairs agree on
+    * almost every hyperplane and keep colliding across the 16 tables.
+    * The floor means oracle/spec scales (≲32k vectors) are bit-for-bit
+    * unchanged. */
+  def chooseBits(n: Long, targetPopulation: Int = 128): Int =
+    math.max(8, 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, (n - 1) / targetPopulation)))
+
+  /** [[chooseBits]] for the ORACLE-generation side: same law, same
+    * corpus (the pinned oracle sfDir), so the `bandedPairsSql` CTEs stay
+    * bit-for-bit aligned with the engine at ANY verify scale — not just
+    * where the floor hides the difference. Falls back to the floor when
+    * no session is active (oracles rendered outside a Spark run). */
+  def oracleBits: Int = try {
+    val s = org.apache.spark.sql.SparkSession.active
+    val d = sys.props.getOrElse("graft.oracle.sfDir", "/root/testdata/sf0.01")
+    chooseBits(IndexStore.corpusN(s, d))
+  } catch { case scala.util.control.NonFatal(_) => 8 }
+
   /** Banded candidate pairs (vec_a, vec_b): explode the [[bucketBands]]
     * keys, self-join on the band key plus any `extraKeys` equi-columns
     * (e.g. a label/shard column), distinct with vec_a < vec_b. The one
     * sub-quadratic candidate-generation skeleton shared by every LSH
-    * near-dup operator — callers attach their own metric verify. */
+    * near-dup operator — callers attach their own metric verify
+    * (width via [[chooseBits]] so the skeleton stays sub-quadratic). */
   def bandedPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       extraKeys: Seq[String] = Nil, nTables: Int = 16,
       bitsPerTable: Int = 8, seed: Long = 42L): DataFrame = {

@@ -812,7 +812,9 @@ object DedupQueries {
     "d_embed_lsh" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       val e = load(s, d, "embeddings")
-      graft.operators.LshBuckets.bandedPairs(e, "vec_id", "embedding", 64)
+      graft.operators.LshBuckets.bandedPairs(e, "vec_id", "embedding", 64,
+          bitsPerTable = graft.operators.LshBuckets.chooseBits(
+            graft.operators.IndexStore.corpusN(s, d)))
         .join(e.select($"vec_id".as("vec_a"), $"embedding".as("va")), "vec_a")
         .join(e.select($"vec_id".as("vec_b"), $"embedding".as("vb")), "vec_b")
         .withColumn("cos_sim", cosine($"va", $"vb"))
@@ -833,7 +835,9 @@ object DedupQueries {
       import s.implicits._
       val e = load(s, d, "embeddings")
       graft.operators.LshBuckets
-        .bandedPairs(e, "vec_id", "embedding", 64, extraKeys = Seq("label"))
+        .bandedPairs(e, "vec_id", "embedding", 64, extraKeys = Seq("label"),
+          bitsPerTable = graft.operators.LshBuckets.chooseBits(
+            graft.operators.IndexStore.corpusN(s, d)))
         .join(e.select($"vec_id".as("vec_a"), $"embedding".as("va")), "vec_a")
         .join(e.select($"vec_id".as("vec_b"), $"embedding".as("vb")), "vec_b")
         .withColumn("cos_sim", cosine($"va", $"vb"))
@@ -1338,7 +1342,8 @@ object DedupQueries {
 
     "d_embed_neardup" -> {
       val cand = graft.operators.LshBuckets.bandedPairsSql(
-        "embeddings", "vec_id", "embedding", 64, extraKeys = Seq("label"))
+        "embeddings", "vec_id", "embedding", 64, extraKeys = Seq("label"),
+        bitsPerTable = graft.operators.LshBuckets.oracleBits)
       s"""WITH $cand
          |SELECT vec_a, vec_b, round(cos_sim, 4) AS cos_sim FROM (
          |  SELECT vec_a, vec_b,
@@ -1392,7 +1397,8 @@ object DedupQueries {
 
     "d_embed_lsh" -> {
       val cand = graft.operators.LshBuckets
-        .bandedPairsSql("embeddings", "vec_id", "embedding", 64)
+        .bandedPairsSql("embeddings", "vec_id", "embedding", 64,
+          bitsPerTable = graft.operators.LshBuckets.oracleBits)
       s"""WITH $cand
          |SELECT vec_a, vec_b, round(cos_sim, 4) AS cos_sim FROM (
          |  SELECT vec_a, vec_b,

@@ -24,13 +24,21 @@ object IndexQueries {
     * embed-neardup operators — the synthetic corpus' planted near-dups
     * sit well above it, the random mass well below). */
   private[graft] val SemDedupTau = 0.4
-  /** v_ivf_balance thresholds — aggressive on purpose: at the oracle
-    * scale's ~31-member average clusters (sf0.01: 500 vectors, k=16)
-    * maxPop=16 guarantees the geometric pass actually fires, so the
-    * oracle replays real splits, not a no-op. The production defaults
-    * (graphIvf) are 256/1024. */
-  private val BalanceTargetPop = 8
-  private val BalanceMaxPop = 16
+  /** v_ivf_balance thresholds — aggressive at oracle scale on purpose:
+    * at the oracle scale's ~31-member average clusters (sf0.01: 500
+    * vectors, k=16) maxPop=16 guarantees the geometric pass actually
+    * fires, so the oracle replays real splits, not a no-op. Past oracle
+    * scale the floor scales with the corpus (n/2000, maxPop=2×): the
+    * fixed 8/16 at sf10 produced ~25k sub-clusters, and the store
+    * write's one-file-per-cluster layout — right at production
+    * populations — became a 25k-tiny-file bill (measured 268 s). Both
+    * the entry AND its oracle builder derive thresholds here, so the
+    * persisted literals replayed by the oracle always match. The
+    * production defaults (graphIvf) remain 256/1024. */
+  private def balancePops(s: SparkSession, d: String): (Int, Int) = {
+    val t = math.max(8, (IndexStore.corpusN(s, d) / 2000L).toInt)
+    (t, 2 * t)
+  }
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // IVF index build: sampled-Lloyd centroids fitted + assignments
@@ -366,8 +374,9 @@ object IndexQueries {
     // centroid with its parent, method, and re-counted population.
     "v_ivf_balance" -> ((s: SparkSession, d: String) => {
       import s.implicits._
+      val (tp, mp) = balancePops(s, d)
       val dir = IndexStore.ivfBalanced(s, d, k = 16,
-        targetPop = BalanceTargetPop, maxPop = BalanceMaxPop)
+        targetPop = tp, maxPop = mp)
       val cent = s.read.parquet(s"$dir/centroids")
         .select($"cluster_id".cast("long").as("cluster_id"),
           $"parent_id".cast("long").as("parent_id"), $"method")
@@ -1002,8 +1011,9 @@ object IndexQueries {
       "v_ivf_merge" -> graft.operators.IndexOracle
         .ivfMergeOracle(cent, dim = 64, num = 9, den = 10),
       "v_ivf_balance" -> {
+        val (tp, mp) = balancePops(s, d)
         val bDir = IndexStore.ivfBalanced(s, d, k = 16,
-          targetPop = BalanceTargetPop, maxPop = BalanceMaxPop)
+          targetPop = tp, maxPop = mp)
         val baseCent = s.read.parquet(s"$bDir/centroids0")
           .orderBy("cluster_id").collect()
           .map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq

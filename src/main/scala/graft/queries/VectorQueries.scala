@@ -207,7 +207,9 @@ object VectorQueries {
     "v_knn_self_pairs" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       val e = load(s, d, "embeddings")
-      graft.operators.LshBuckets.bandedPairs(e, "vec_id", "embedding", 64)
+      graft.operators.LshBuckets.bandedPairs(e, "vec_id", "embedding", 64,
+          bitsPerTable = graft.operators.LshBuckets.chooseBits(
+            graft.operators.IndexStore.corpusN(s, d)))
         .join(e.select($"vec_id".as("vec_a"), $"embedding".as("va")), "vec_a")
         .join(e.select($"vec_id".as("vec_b"), $"embedding".as("vb")), "vec_b")
         .withColumn("dist", round(l2($"va", $"vb"), 4))
@@ -599,7 +601,8 @@ object VectorQueries {
 
     "v_knn_self_pairs" -> {
       val cand = graft.operators.LshBuckets
-        .bandedPairsSql("embeddings", "vec_id", "embedding", 64)
+        .bandedPairsSql("embeddings", "vec_id", "embedding", 64,
+          bitsPerTable = graft.operators.LshBuckets.oracleBits)
       s"""WITH $cand
          |SELECT vec_a, vec_b, dist FROM (
          |  SELECT vec_a, vec_b,

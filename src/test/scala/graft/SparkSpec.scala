@@ -14,7 +14,7 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
-    s
+    SparkEntry.tune(s)
   }
 }
 
