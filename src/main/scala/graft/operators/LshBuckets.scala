@@ -88,19 +88,24 @@ object LshBuckets {
   }
 
   /** Corpus-sized band width for [[bandedPairs]]: bits so the EXPECTED
-    * bucket population stays ≈128 (b = ⌈log₂(n/128)⌉, floored at the
+    * bucket population stays ≈32 (b = ⌈log₂(n/32)⌉, floored at the
     * oracle contract's 8). At a FIXED width, bucket populations grow
     * linearly with the corpus and the candidate-pair volume n²/2^(b+1)
     * per table grows quadratically — measured at sf10 (200k vectors,
     * b=8): ~1.2 B candidate pairs, a ~70 GB DISTINCT spill, disk-full
-    * abort. Self-sizing restores the sub-quadratic contract: pairs per
-    * table ≈ n·128/2, linear in n. More bits lowers per-table collision
-    * odds for MODERATELY similar pairs (the probabilistic-candidates
-    * contract these operators declare); genuinely-near pairs agree on
-    * almost every hyperplane and keep colliding across the 16 tables.
-    * The floor means oracle/spec scales (≲32k vectors) are bit-for-bit
-    * unchanged. */
-  def chooseBits(n: Long, targetPopulation: Int = 128): Int =
+    * abort (the uniform estimate 16·n²/2⁹ predicts exactly this).
+    * Self-sizing restores the sub-quadratic contract: pairs per table
+    * ≈ n·16, linear in n — and the pair-verify join, which shuffles
+    * BOTH vectors per candidate (~0.5 KB/pair at d=64), stays
+    * shuffle-affordable (target 32 ⇒ ~0.2 GB per million corpus rows
+    * vs ~13 GB at target 128's b). More bits lowers per-table
+    * collision odds for MODERATELY similar pairs (the
+    * probabilistic-candidates contract these operators declare);
+    * genuinely-near pairs agree on almost every hyperplane and keep
+    * colliding across the 16 tables (planted-near-dup recall ≥ 99 % at
+    * n=200k, p_agree=0.9: 1−(1−0.9¹³)¹⁶). The floor means oracle/spec
+    * scales (≲8k vectors) are bit-for-bit unchanged. */
+  def chooseBits(n: Long, targetPopulation: Int = 32): Int =
     math.max(8, 64 - java.lang.Long.numberOfLeadingZeros(
       math.max(1L, (n - 1) / targetPopulation)))
 

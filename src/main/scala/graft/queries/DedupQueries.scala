@@ -340,10 +340,10 @@ object DedupQueries {
     * band signature, i.e. near-dup families — where the old blocks
     * ("same language, similar length") hold O(corpus/constant) docs.
     * The residual is duplicate-heavy families (a 10⁶-copy boilerplate
-    * family is 10¹² candidates); the pipeline discipline for that is
-    * the one p_curation_pipeline already encodes — EXACT dedup
-    * upstream collapses byte-identical mass first, leaving families of
-    * distinct variants. A star/chain sparsification (each doc to its
+    * family is 10¹² candidates); since the sf10 probe the build applies
+    * the p_curation_pipeline stage order ITSELF — identical word-sets
+    * collapse to a representative before banding, so only families of
+    * distinct variants reach the quadratic core. A star/chain sparsification (each doc to its
     * bucket min only) was tried and REJECTED: verify kills star edges
     * whose hub is < threshold to a member even when member pairs are
     * ≥ threshold, and chain-structured families fragment — measured on
@@ -358,7 +358,32 @@ object DedupQueries {
       threshold: Double, numBands: Int = 32): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val buckets = docs
+    // EXACT-DUP COLLAPSE first — the production stage order this build's
+    // own scaladoc cites, now applied INSIDE the build: on a
+    // replica-heavy corpus (web crawls; the sf10 fixture) identical
+    // word-sets form families whose banded candidates AND verified
+    // edges are both Ω(family²) — the sf10 probe measured the verify
+    // join spilling >75 GB on exactly this mass. Every consumer reads
+    // this store for CONNECTIVITY only (ConnectedComponents.minLabel),
+    // so: identical word-sets collapse to their min-id representative
+    // (one window shuffle), the banded verify runs over DISTINCT
+    // signatures, and each non-rep doc attaches by one star edge —
+    // j(identical sets) = 1.0 ≥ any threshold ≤ 1, rep < member by
+    // construction. Closure equivalence: j depends only on ws, so
+    // substituting a doc's rep preserves every ≥-threshold relation —
+    // components are unchanged (the d_dedup_cluster oracle's
+    // INDEPENDENT full-corpus closure re-derivation gates this
+    // data-level, not just by argument). Edge volume: linear in
+    // replicas + the rep graph's true near-dup families.
+    val wm = org.apache.spark.sql.expressions.Window.partitionBy($"ws")
+    val tagged = docs
+      .select($"doc_id", $"ws", min($"doc_id").over(wm).as("rep"))
+      .cache()
+    val reps = tagged.filter($"doc_id" === $"rep").select($"doc_id", $"ws")
+    val stars = tagged.filter($"doc_id" =!= $"rep")
+      .select($"rep".as("doc_a"), $"doc_id".as("doc_b"),
+        lit(1.0).as("jaccard"))
+    val buckets = reps
       .select($"doc_id",
         posexplode(GraftText.minhashBands($"ws", 1, 64, numBands))
           .as(Seq("band_id", "bh")))
@@ -369,15 +394,17 @@ object DedupQueries {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     val out = cand
-      .join(docs.select($"doc_id".as("doc_a"), $"ws".as("wa")), "doc_a")
-      .join(docs.select($"doc_id".as("doc_b"), $"ws".as("wb")), "doc_b")
+      .join(reps.select($"doc_id".as("doc_a"), $"ws".as("wa")), "doc_a")
+      .join(reps.select($"doc_id".as("doc_b"), $"ws".as("wb")), "doc_b")
       .withColumn("jaccard", jaccard($"wa", $"wb"))
       .filter($"jaccard" >= threshold)
       .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
-      // eager linear output, exploded-buckets cache released before
-      // return (the jaccardPairsRaw discipline)
+      .unionByName(stars)
+      // eager linear output, both caches released before return (the
+      // jaccardPairsRaw discipline)
       .localCheckpoint(true)
     buckets.unpersist()
+    tagged.unpersist()
     out
   }
 
@@ -394,11 +421,12 @@ object DedupQueries {
     * sf10 scale probe spent >16 min inside this one build before the
     * recipe change; the banded build's quadratic is confined to
     * near-dup family buckets). d_jaccard_pairs remains the declared
-    * quadratic verifier entry, unchanged. Key "jedges2":
-    * recipe changes self-invalidate artifacts persisted by the old
-    * build (the IndexStore BuildVersion discipline). */
+    * quadratic verifier entry, unchanged. Key "jedges3" (v3 = the
+    * exact-dup collapse inside [[minhashVerifiedEdges]]): recipe
+    * changes self-invalidate artifacts persisted by the old build (the
+    * IndexStore BuildVersion discipline). */
   private[graft] def jaccardEdgeStore(s: SparkSession, d: String): String =
-    TextQueries.docArtifact(d, "jedges2") { out =>
+    TextQueries.docArtifact(d, "jedges3") { out =>
       import s.implicits._
       val docs = load(s, d, "documents")
         .select($"doc_id", sort_array(array_distinct(toks($"text"))).as("ws"))
