@@ -48,6 +48,11 @@ object GraftText {
   def jaccardSortedLong(a: Column, b: Column): Column =
     Shims.column(JaccardSortedLong(Shims.expression(a), Shims.expression(b)))
 
+  /** First position where two equal-length bigint arrays agree, or -1
+    * (the LSH band-ownership primitive; see FirstEqIndex). */
+  def firstEqIndex(a: Column, b: Column): Column =
+    Shims.column(FirstEqIndex(Shims.expression(a), Shims.expression(b)))
+
   /** FNV-1a hash per width-word shingle, one pass (array<long>). */
   def wordShingleHashes(tokens: Column, width: Int): Column =
     Shims.column(WordShingleHashes(Shims.expression(tokens), width))

@@ -319,6 +319,48 @@ case class JaccardSorted(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** first_eq_index(a, b) → int: the first position where two EQUAL-LENGTH
+  * bigint arrays agree, or -1. The band-OWNERSHIP primitive of the
+  * streaming LSH verify (DedupQueries.minhashVerifiedEdges): a candidate
+  * pair colliding in k of the 32 minhash bands reaches the join fan-out
+  * k times, and emitting it from exactly the FIRST colliding band (a
+  * pure, order-free function of the two signature arrays) replaces a
+  * verified-rows dropDuplicates — whose shuffle is sized by
+  * true-edges × band-duplication — with a per-row filter, and cuts the
+  * exact-verify calls by the same duplication factor. The builtin
+  * spelling (array_position(zip_with(a, b, _ === _), true)) allocates a
+  * boxed boolean array per fan-out row; this is a short-circuiting
+  * primitive loop. */
+case class FirstEqIndex(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def prettyName: String = "first_eq_index"
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"first_eq_index requires array<bigint> inputs, got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) return i
+      i += 1
+    }
+    -1
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** char_ngram_set(text, n) → sorted DISTINCT array of the n-character
   * substrings of text — one pass, one sort, no intermediate arrays.
   *

@@ -383,27 +383,69 @@ object DedupQueries {
     val stars = tagged.filter($"doc_id" =!= $"rep")
       .select($"rep".as("doc_a"), $"doc_id".as("doc_b"),
         lit(1.0).as("jaccard"))
+    // Bucket rows CARRY the word set, and the exact-Jaccard verify runs
+    // INSIDE the bucket join — nothing candidate-sized is ever
+    // materialized. The r8 sf10 probe killed the previous shape
+    // (candidates → distinct() → attach-ws joins → verify) on a
+    // degenerate-vocabulary corpus where BACKGROUND Jaccard sits near
+    // the banding floor (measured: 31-word vocab, ~23-token sets, mean
+    // pairwise j = 0.55 → 98% of all pairs collide in ≥1 of 32×2-row
+    // bands): the billion-row candidate distinct() is a fixed-width
+    // hash aggregate whose spill is proportional to the CANDIDATE set,
+    // and it filled the disk. No banding parameters fix that corpus —
+    // separating j≈0.55 background from a 0.8 threshold is what the
+    // exact verify is FOR — so the verify must stream: candidates now
+    // exist only as codegen'd join fan-out rows that die in the join
+    // filter, and the first materialized frame is the VERIFIED edge
+    // set (linear in true near-dup mass). Cost model: ws rides every
+    // bucket row (numBands copies), so shuffle volume is
+    // numBands × Σ|ws| — corpus-linear — instead of candidate-scaled.
+    // A cheap size guard short-circuits the merge-scan: j(A,B) ≥ t
+    // implies |A| ≥ t·|B| and |B| ≥ t·|A| (|A∩B| ≤ min, |A∪B| ≥ max),
+    // so length-skewed fan-out rows never pay the full intersection.
+    // A pair colliding in k bands reaches the fan-out k times; band
+    // OWNERSHIP (emit from the FIRST colliding band only — each bucket
+    // row carries its doc's full band-hash array, and firstEqIndex is a
+    // pure order-free function of the two arrays) makes emission
+    // exactly-once per candidate pair, so there is NO post-verify
+    // dropDuplicates: on a high-background-similarity corpus that
+    // aggregate's shuffle is sized by true-edges × band-duplication
+    // (measured at the sf10 probe: ~9% of ALL pairs are true ≥0.8
+    // edges, ×~20 colliding bands each — a 1.4-billion-row dedup), and
+    // ownership also cuts the exact-verify calls by the same factor.
+    // Both join sides are pinned to (band_id, bh) at default
+    // parallelism — the r8 AQE lesson: the shuffle INPUT here is MBs
+    // while the fan-out is the whole quadratic core, so
+    // coalesce-by-input-bytes would serialize it onto one task. The
+    // bucket frame is NOT cached: the self-join's two sides are
+    // plan-identical up to the pinned exchange, so ReusedExchange
+    // serves both reads from ONE shuffle — caching a corpus×bands
+    // frame to save a re-projection is the wrong trade at scale (the
+    // 16 GiB probe JVM OOM'd on exactly that cache).
     val buckets = reps
-      .select($"doc_id",
-        posexplode(GraftText.minhashBands($"ws", 1, 64, numBands))
-          .as(Seq("band_id", "bh")))
-      .cache()
-    val cand = buckets.as("x")
+      .select($"doc_id", $"ws",
+        GraftText.minhashBands($"ws", 1, 64, numBands).as("bands"))
+      .select($"doc_id", $"ws", $"bands",
+        posexplode($"bands").as(Seq("band_id", "bh")))
+      .repartition(spark.sparkContext.defaultParallelism,
+        $"band_id", $"bh")
+    val sizeGuard =
+      size(col("x.ws")).cast("double") >= lit(threshold) * size(col("y.ws")) &&
+        size(col("y.ws")).cast("double") >= lit(threshold) * size(col("x.ws"))
+    val out = buckets.as("x")
       .join(buckets.as("y"), Seq("band_id", "bh"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    val out = cand
-      .join(reps.select($"doc_id".as("doc_a"), $"ws".as("wa")), "doc_a")
-      .join(reps.select($"doc_id".as("doc_b"), $"ws".as("wb")), "doc_b")
-      .withColumn("jaccard", jaccard($"wa", $"wb"))
+      .filter(col("x.doc_id") < col("y.doc_id") &&
+        $"band_id" === GraftText.firstEqIndex(col("x.bands"), col("y.bands")))
+      .withColumn("jaccard",
+        when(sizeGuard, jaccard(col("x.ws"), col("y.ws")))
+          .otherwise(lit(-1.0)))
       .filter($"jaccard" >= threshold)
-      .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        round($"jaccard", 4).as("jaccard"))
       .unionByName(stars)
-      // eager linear output, both caches released before return (the
-      // jaccardPairsRaw discipline)
+      // eager linear output, the tagged cache released before return
+      // (the jaccardPairsRaw discipline)
       .localCheckpoint(true)
-    buckets.unpersist()
     tagged.unpersist()
     out
   }

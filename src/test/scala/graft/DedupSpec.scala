@@ -269,4 +269,62 @@ class DedupSpec extends SparkSpec {
         s"near-dup pair ($a, $b) split across the boundary: ${split(a)} vs ${split(b)}")
     }
   }
+
+  test("streaming banded verify: exactly-once emission, sound edges, exact closure " +
+      "on a high-background-similarity corpus") {
+    // Degenerate-vocabulary fixture (the sf10 probe's corpus shape):
+    // background Jaccard between UNRELATED docs sits near the verify
+    // threshold, so nearly every pair collides in some band — the
+    // regime where band-ownership emission and the streaming verify
+    // carry the load. Seeded subsets of an 8-word vocab + planted
+    // exact-dup families.
+    val vocab = Vector("alpha", "beta", "gamma", "delta",
+      "epsilon", "zeta", "eta", "theta")
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 40L).map { i =>
+      val k = 4 + rnd.nextInt(4)
+      i -> rnd.shuffle(vocab).take(k).sorted
+    }
+    // ids 100+ are exact copies of docs 0-9 (identical word sets)
+    val copies = (0L until 10L).map(i => (100L + i) -> base(i.toInt)._2)
+    val docs = (base ++ copies)
+      .toDF("doc_id", "ws")
+      .select($"doc_id", sort_array(array_distinct($"ws")).as("ws"))
+    val edges = DedupQueries.minhashVerifiedEdges(
+        docs, GraftText.jaccardSorted(_, _), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exactly-once: band ownership must never emit a pair twice
+    val keys = edges.map(e => (e._1, e._2))
+    assert(keys.length === keys.distinct.length,
+      s"duplicate edges emitted: ${keys.diff(keys.distinct).take(5).toSeq}")
+    // soundness: every emitted edge is a true >= 0.8 pair
+    val sets = (base ++ copies).toMap.view.mapValues(_.toSet).toMap
+    def j(a: Long, b: Long): Double =
+      (sets(a) & sets(b)).size.toDouble / (sets(a) | sets(b)).size
+    edges.foreach { case (a, b, jac) =>
+      assert(a < b, s"unordered edge ($a, $b)")
+      assert(j(a, b) >= 0.8, s"edge ($a, $b) has true j=${j(a, b)} < 0.8")
+      assert(math.abs(j(a, b) - jac) < 5e-4, s"edge ($a, $b) jaccard drift")
+    }
+    // closure: components over the sparsified store == components over
+    // the brute-force full >= 0.8 pair set (connectivity is the store's
+    // contract; the exact-dup collapse star-sparsifies inside families)
+    val ids = sets.keys.toSeq.sorted
+    def components(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      ids.map(i => i -> find(i)).toMap
+    }
+    val truePairs = for {
+      a <- ids; b <- ids if a < b && j(a, b) >= 0.8
+    } yield (a, b)
+    assert(truePairs.nonEmpty, "fixture produced no true near-dup pairs")
+    assert(components(keys.toSeq) === components(truePairs),
+      "sparsified edge store changed connected components")
+  }
 }
