@@ -356,6 +356,22 @@ object DedupQueries {
   private[graft] def minhashVerifiedEdges(docs: DataFrame,
       jaccard: (Column, Column) => Column,
       threshold: Double, numBands: Int = 32): DataFrame = {
+    val (plan, tagged) =
+      minhashVerifiedEdgesRaw(docs, jaccard, threshold, numBands)
+    // eager linear output, the tagged cache released before return
+    // (the jaccardPairsRaw discipline)
+    val out = plan.localCheckpoint(true)
+    tagged.unpersist()
+    out
+  }
+
+  /** The PRE-CHECKPOINT plan of [[minhashVerifiedEdges]] plus the one
+    * cache it holds, for plan-shape specs (the dedupIncrementalRaw
+    * pattern: the entry's eager checkpoint truncates the executed
+    * plan). Callers must unpersist the returned cache. */
+  private[graft] def minhashVerifiedEdgesRaw(docs: DataFrame,
+      jaccard: (Column, Column) => Column,
+      threshold: Double, numBands: Int = 32): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     // EXACT-DUP COLLAPSE first — the production stage order this build's
@@ -443,11 +459,7 @@ object DedupQueries {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         round($"jaccard", 4).as("jaccard"))
       .unionByName(stars)
-      // eager linear output, the tagged cache released before return
-      // (the jaccardPairsRaw discipline)
-      .localCheckpoint(true)
-    tagged.unpersist()
-    out
+    (out, tagged)
   }
 
   /** Persisted verified-edge artifact (the IndexStore discipline, keyed
@@ -496,15 +508,29 @@ object DedupQueries {
     val chunkCols = (0 until nChunks).map { c =>
       shiftright($"fp", c * bits).bitwiseAND(lit(mask))
     }
+    // Chunk-OWNERSHIP emission, the streaming discipline of
+    // minhashVerifiedEdges: each bucket row carries the doc's full
+    // chunk-value array, a pair is emitted from exactly its FIRST
+    // agreeing chunk, and the true-Hamming verify runs INSIDE the join
+    // — so nothing candidate-scaled ever reaches an aggregate. The
+    // previous shape dropDuplicates'd the RAW candidate set before the
+    // Hamming filter; on a concentrated-fingerprint corpus (the sf10
+    // probe: a 31-word vocabulary collapses simhash onto few values,
+    // so chunk buckets hold large fractions of a replica) that
+    // aggregate's spill is proportional to Σ bucket², and it filled
+    // the disk. The pinned exchange is the jedges AQE lesson (input
+    // corpus-linear, fan-out quadratic); the self-join reuses it.
     val buckets = docs
-      .select($"doc_id", $"fp",
-        posexplode(array(chunkCols: _*)).as(Seq("chunk_id", "cv")))
-    buckets.as("x").join(buckets.as("y"),
-        $"x.chunk_id" === $"y.chunk_id" && $"x.cv" === $"y.cv" &&
-          $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
-        bit_count($"x.fp".bitwiseXOR($"y.fp")).cast("long").as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
+      .select($"doc_id", $"fp", array(chunkCols: _*).as("cvs"))
+      .select($"doc_id", $"fp", $"cvs",
+        posexplode($"cvs").as(Seq("chunk_id", "cv")))
+      .repartition(s.sparkContext.defaultParallelism, $"chunk_id", $"cv")
+    buckets.as("x").join(buckets.as("y"), Seq("chunk_id", "cv"))
+      .filter(col("x.doc_id") < col("y.doc_id") &&
+        $"chunk_id" === GraftText.firstEqIndex(col("x.cvs"), col("y.cvs")))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long")
+          .as("hamming"))
       .filter($"hamming" <= maxHamming)
   }
 

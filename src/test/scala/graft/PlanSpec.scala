@@ -360,4 +360,63 @@ class PlanSpec extends SparkSpec {
       s"hot-member scan must carry a cluster_id partition filter:\n" +
         p.linesIterator.filter(_.contains("Partition")).mkString("\n"))
   }
+
+  test("near-dup edge store: streaming ownership verify — no cartesian, no " +
+      "candidate aggregate, pinned band exchange, self-join shuffle reused") {
+    import org.apache.spark.sql.functions._
+    // plan shape only — the ws projection need not match the entry's
+    // tokenizer. Broadcast is disabled for the test: at spec scale the
+    // optimizer broadcasts the self-join's right side (fine — tiny
+    // corpus), which hides the shuffle-reuse shape this test pins for
+    // cluster scale, where neither side of a corpus×bands self-join is
+    // broadcastable.
+    spark.catalog.clearCache()
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        sort_array(array_distinct(split(lower(col("text")), "\\s+")))
+          .as("ws"))
+    val (raw, tagged) = graft.queries.DedupQueries.minhashVerifiedEdgesRaw(
+      docs, GraftText.jaccardSorted(_, _), 0.8)
+    val p = raw.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"edge store has a cartesian:\n$p")
+    assert(p.contains("first_eq_index"),
+      s"band-ownership emission missing from the join filter:\n$p")
+    // the candidate set must never pass through an aggregate: the old
+    // distinct()/dropDuplicates shapes spill proportionally to the
+    // candidate volume (the sf10 disk-full), the streaming shape has
+    // NO aggregate anywhere (exact-dup collapse is a Window)
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate") &&
+      !p.contains("ObjectHashAggregate"),
+      s"candidate-scaled aggregate reappeared in the edge store:\n$p")
+    // the band exchange is user-pinned (AQE-exempt): its fan-out is the
+    // quadratic core while its INPUT is corpus-linear, so
+    // coalesce-by-input-bytes would serialize it onto one task
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"band exchange must be pinned against AQE coalescing:\n$p")
+    // executing finalizes the adaptive plan: both self-join sides must
+    // feed off the CACHED rep map (the window collapse runs once; each
+    // side re-derives only a projection + explode from it), and the
+    // corpus×bands frame itself must NOT be cached — persisting it
+    // OOM'd the 16 GiB sf10 probe JVM, while the re-derivation is
+    // corpus-linear compute off the shared cache. (AQE materializes
+    // the two pinned exchanges as separate stages rather than reusing
+    // one — acceptable: the duplicated work is the cheap projection,
+    // not the window.)
+    try {
+      // collect() drives THIS frame's QueryExecution (a noop-sink write
+      // plans a fresh one), finalizing the adaptive plan in place
+      raw.collect()
+      val pFinal = raw.queryExecution.executedPlan.toString
+      val cacheReads = pFinal.linesIterator
+        .count(_.contains("InMemoryTableScan"))
+      assert(cacheReads >= 3, // x side, y side, stars side
+        s"self-join sides must read the cached rep map, saw $cacheReads " +
+          s"InMemoryTableScans:\n$pFinal")
+    } finally {
+      tagged.unpersist(false)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
 }
