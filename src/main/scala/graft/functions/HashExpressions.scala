@@ -332,7 +332,7 @@ case class JaccardSorted(left: Expression, right: Expression)
   * boxed boolean array per fan-out row; this is a short-circuiting
   * primitive loop. */
 case class FirstEqIndex(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def prettyName: String = "first_eq_index"
   override def dataType: DataType = IntegerType
@@ -355,6 +355,23 @@ case class FirstEqIndex(left: Expression, right: Expression)
     }
     -1
   }
+
+  // codegen'd: this is evaluated on EVERY row of the LSH self-join
+  // fan-out (the quadratic core of the near-dup operators) — an
+  // interpreted fallback would pay boxing + virtual dispatch per
+  // candidate pair
+  override def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = -1;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) { ${ev.value} = $i; break; }
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

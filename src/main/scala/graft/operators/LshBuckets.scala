@@ -120,26 +120,50 @@ object LshBuckets {
     chooseBits(IndexStore.corpusN(s, d))
   } catch { case scala.util.control.NonFatal(_) => 8 }
 
-  /** Banded candidate pairs (vec_a, vec_b): explode the [[bucketBands]]
-    * keys, self-join on the band key plus any `extraKeys` equi-columns
-    * (e.g. a label/shard column), distinct with vec_a < vec_b. The one
-    * sub-quadratic candidate-generation skeleton shared by every LSH
-    * near-dup operator — callers attach their own metric verify
-    * (width via [[chooseBits]] so the skeleton stays sub-quadratic). */
+  /** Banded candidate pairs WITH their vectors (vec_a, vec_b, va, vb):
+    * explode the [[bucketBands]] keys, self-join on the band key plus
+    * any `extraKeys` equi-columns (e.g. a label/shard column), emit
+    * each colliding pair from exactly its FIRST colliding table
+    * (vec_a < vec_b). The one sub-quadratic candidate-generation
+    * skeleton shared by every LSH near-dup operator — callers filter
+    * on their own metric verify over (va, vb), which Catalyst folds
+    * into the join stage, so candidates only ever exist as streaming
+    * fan-out rows.
+    *
+    * Table-OWNERSHIP emission (the minhashVerifiedEdges discipline)
+    * replaced the previous distinct() + caller-side vector-attach
+    * joins: [[chooseBits]] sizes buckets for the UNIFORM case, but
+    * clustered embeddings (every real corpus; the sf10 fixture's
+    * label clusters) concentrate sign-codes onto hot buckets, where
+    * Σ bucket² detaches from the uniform estimate — the candidate
+    * distinct() spilled ~60 GB at the sf10 probe and the two attach
+    * joins shuffled candidate-scale again. Each bucket row now carries
+    * its vector and full per-table key array (corpus-linear ×
+    * nTables), a pair is emitted exactly once (bk values embed the
+    * table id, so positions align and firstEqIndex is the owner), and
+    * the pinned exchange keeps AQE from coalescing the fan-out by its
+    * corpus-linear input bytes. */
   def bandedPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       extraKeys: Seq[String] = Nil, nTables: Int = 16,
       bitsPerTable: Int = 8, seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
     val buckets = df.select(
-      (Seq(col(idCol)) ++ extraKeys.map(col) :+
-        posexplode(bucketBands(col(vecCol), dim, nTables, bitsPerTable, seed))
-          .as(Seq("t", "bk"))): _*)
+      (Seq(col(idCol), col(vecCol)) ++ extraKeys.map(col) :+
+        bucketBands(col(vecCol), dim, nTables, bitsPerTable, seed)
+          .as("bks")): _*)
+      .select(
+        (Seq(col(idCol), col(vecCol), col("bks")) ++ extraKeys.map(col) :+
+          posexplode(col("bks")).as(Seq("t", "bk"))): _*)
+      .repartition(spark.sparkContext.defaultParallelism, col("bk"))
     val joinCond = (Seq(col(s"x.bk") === col(s"y.bk"),
-        col(s"x.$idCol") < col(s"y.$idCol")) ++
+        col(s"x.$idCol") < col(s"y.$idCol"),
+        col(s"x.t") === graft.GraftText.firstEqIndex(
+          col("x.bks"), col("y.bks"))) ++
       extraKeys.map(k => col(s"x.$k") === col(s"y.$k")))
       .reduce(_ && _)
     buckets.as("x").join(buckets.as("y"), joinCond)
-      .select(col(s"x.$idCol").as("vec_a"), col(s"y.$idCol").as("vec_b"))
-      .distinct()
+      .select(col(s"x.$idCol").as("vec_a"), col(s"y.$idCol").as("vec_b"),
+        col(s"x.$vecCol").as("va"), col(s"y.$vecCol").as("vb"))
   }
 
   /** DuckDB equivalent of [[bandedPairs]]: a `b AS (...), cand AS (...)`

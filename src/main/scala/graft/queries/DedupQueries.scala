@@ -908,11 +908,12 @@ object DedupQueries {
     "d_embed_lsh" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       val e = load(s, d, "embeddings")
+      // pairs arrive with their vectors (streaming ownership emission);
+      // the cosine verify folds into the join stage — candidates never
+      // materialize
       graft.operators.LshBuckets.bandedPairs(e, "vec_id", "embedding", 64,
           bitsPerTable = graft.operators.LshBuckets.chooseBits(
             graft.operators.IndexStore.corpusN(s, d)))
-        .join(e.select($"vec_id".as("vec_a"), $"embedding".as("va")), "vec_a")
-        .join(e.select($"vec_id".as("vec_b"), $"embedding".as("vb")), "vec_b")
         .withColumn("cos_sim", cosine($"va", $"vb"))
         .filter($"cos_sim" > 0.4)
         .select($"vec_a", $"vec_b", round($"cos_sim", 4).as("cos_sim"))
@@ -934,8 +935,6 @@ object DedupQueries {
         .bandedPairs(e, "vec_id", "embedding", 64, extraKeys = Seq("label"),
           bitsPerTable = graft.operators.LshBuckets.chooseBits(
             graft.operators.IndexStore.corpusN(s, d)))
-        .join(e.select($"vec_id".as("vec_a"), $"embedding".as("va")), "vec_a")
-        .join(e.select($"vec_id".as("vec_b"), $"embedding".as("vb")), "vec_b")
         .withColumn("cos_sim", cosine($"va", $"vb"))
         .filter($"cos_sim" > 0.4)
         .select($"vec_a", $"vec_b", round($"cos_sim", 4).as("cos_sim"))

@@ -207,11 +207,12 @@ object VectorQueries {
     "v_knn_self_pairs" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       val e = load(s, d, "embeddings")
+      // pairs arrive with their vectors (streaming ownership emission);
+      // the L2 verify folds into the join stage — candidates never
+      // materialize
       graft.operators.LshBuckets.bandedPairs(e, "vec_id", "embedding", 64,
           bitsPerTable = graft.operators.LshBuckets.chooseBits(
             graft.operators.IndexStore.corpusN(s, d)))
-        .join(e.select($"vec_id".as("vec_a"), $"embedding".as("va")), "vec_a")
-        .join(e.select($"vec_id".as("vec_b"), $"embedding".as("vb")), "vec_b")
         .withColumn("dist", round(l2($"va", $"vb"), 4))
         .filter($"dist" < 1.1)
         .select($"vec_a", $"vec_b", $"dist")
