@@ -287,7 +287,7 @@ object SimHashVotes {
   * (`sort_array(array_distinct(...))`); order is checked nowhere for
   * speed. */
 case class JaccardSorted(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def prettyName: String = "jaccard_sorted"
   override def dataType: DataType = DoubleType
@@ -313,6 +313,31 @@ case class JaccardSorted(left: Expression, right: Expression)
     val union = nx + ny - inter
     if (union == 0) 1.0 else inter.toDouble / union
   }
+
+  // codegen'd: this is the exact verify inside the near-dup bucket
+  // joins — it runs once per candidate pair of the quadratic core, so
+  // an interpreted fallback pays boxing + virtual dispatch exactly
+  // where the engine spends its time
+  override def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val inter = ctx.freshName("inter"); val c = ctx.freshName("c")
+      val union = ctx.freshName("union")
+      s"""
+         |int $nx = $a.numElements(); int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; int $inter = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($c == 0) { $inter++; $i++; $j++; }
+         |  else if ($c < 0) $i++;
+         |  else $j++;
+         |}
+         |int $union = $nx + $ny - $inter;
+         |${ev.value} = $union == 0 ? 1.0 : (double)$inter / $union;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -483,7 +508,7 @@ case class CharNgramLongSet(child: Expression, n: Int)
   * bigint arrays via a single merge scan — the packed-gram counterpart
   * of [[JaccardSorted]]. */
 case class JaccardSortedLong(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def prettyName: String = "jaccard_sorted_long"
   override def dataType: DataType = DoubleType
@@ -509,6 +534,32 @@ case class JaccardSortedLong(left: Expression, right: Expression)
     val union = nx + ny - inter
     if (union == 0) 1.0 else inter.toDouble / union
   }
+
+  // codegen'd for the same reason as JaccardSorted: the packed-gram
+  // verify runs once per candidate pair in the banded joins (and in
+  // d_dedup_incremental's batch × corpus near path), a primitive
+  // merge over two long arrays
+  override def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val inter = ctx.freshName("inter")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      val union = ctx.freshName("union")
+      s"""
+         |int $nx = $a.numElements(); int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; int $inter = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $inter++; $i++; $j++; }
+         |  else if ($xv < $yv) $i++;
+         |  else $j++;
+         |}
+         |int $union = $nx + $ny - $inter;
+         |${ev.value} = $union == 0 ? 1.0 : (double)$inter / $union;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
