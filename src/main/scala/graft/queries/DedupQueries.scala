@@ -230,7 +230,25 @@ object DedupQueries {
     val rhs = corpus.select($"doc_id".as("cid"), $"lang",
       $"ws".as("wb"), $"nw".as("nb"), expr("nw div 25").as("band"))
       .join(broadcast(batchBands), Seq("lang", "band"), "left_semi")
-    val near = lhs.join(rhs, Seq("lang", "band"))
+    // SALTED verify join — the (lang, band) blocking key space is
+    // DATA-SIZED, not corpus-sized: a fixed-length single-language
+    // corpus collapses it to a handful of values (the sf10 fixture:
+    // 5 langs × 2 bands → ≤10 join keys, so the billions-of-pairs
+    // verify ran on ≤10 of 32 cores). The corpus side takes a
+    // deterministic salt (pmod of its id), the SMALL side — the batch,
+    // 5 % by contract, already semi-pruned — replicates across all R
+    // salts (R × |batch| rows, bounded), so every true pair still
+    // meets exactly once, now spread over langs × bands × R reducers.
+    // Both sides pinned: the shuffle INPUT is corpus-linear MBs while
+    // the fan-out is the verify volume — AQE's coalesce-by-input-bytes
+    // would re-collapse the parallelism the salt just bought.
+    val nSalt = s.sparkContext.defaultParallelism
+    val lhsS = lhs.withColumn("salt",
+        explode(sequence(lit(0), lit(nSalt - 1))))
+      .repartition(nSalt, $"lang", $"band", $"salt")
+    val rhsS = rhs.withColumn("salt", pmod($"cid", lit(nSalt)).cast("int"))
+      .repartition(nSalt, $"lang", $"band", $"salt")
+    val near = lhsS.join(rhsS, Seq("lang", "band", "salt"))
       .filter(lit(5) * least($"na", $"nb") >= lit(4) * greatest($"na", $"nb"))
       .filter(GraftText.jaccardSortedLong($"wa", $"wb") >= 0.8)
       .groupBy($"doc_id").agg(min($"cid").as("near_keeper"))
