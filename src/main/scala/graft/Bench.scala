@@ -222,6 +222,9 @@ object Bench {
         : Map[String, Double] = {
       import scala.jdk.CollectionConverters._
       val xs = q.asScala.toSeq.sorted
+      // a zero-client/zero-round mix leaves a queue empty — report n=0
+      // rather than throwing on pct / dividing by zero into NaN
+      if (xs.isEmpty) return Map("n" -> 0.0)
       def pct(p: Double): Double =
         xs(math.max(0, math.min(xs.size - 1, math.ceil(p * xs.size).toInt - 1)))
       def r3(v: Double) = math.rint(v * 1000) / 1000

@@ -41,6 +41,21 @@ object HashSql {
        |      [ord(($strSql)[i]) for i in range(1, length($strSql)+1)]::HUGEINT[]),
        |    (h, b) -> ((xor(h::UBIGINT, b::UBIGINT))::HUGEINT * $FnvPrime) % $Mod)""".stripMargin
 
+  /** The Knuth multiplicative avalanche step `pmod(id * 2654435761L, m)`
+    * exactly as the engine computes it in Java long arithmetic — the
+    * multiply wraps SILENTLY mod 2^64 to a signed long, then pmod takes
+    * the non-negative residue. A naive BIGINT replication raises a
+    * DuckDB overflow error once `id` exceeds ~3.5e9, diverging from the
+    * engine (error vs wrapped result); this form routes through HUGEINT
+    * (id < 2^63 × K < 2^32 never overflows INT128), reproduces the
+    * 64-bit wrap, re-maps the signed view through 2^63, and reduces —
+    * identical to the engine at ANY id magnitude. */
+  def knuthSql(idSql: String, m: Long): String = {
+    val w = s"((($idSql)::HUGEINT * 2654435761::HUGEINT) % $Mod)"
+    val xs = s"($w - CASE WHEN $w >= $SignBit THEN $Mod ELSE 0::HUGEINT END)"
+    s"((($xs % $m::HUGEINT) + $m::HUGEINT) % $m::HUGEINT)"
+  }
+
   /** Murmur3 fmix64 over a HUGEINT-in-[0, 2^64) SQL expression —
     * exactly [[GraftHash.fmix64]]. Nested single-element list_transforms
     * serve as let bindings; the two multiplications use the 32-bit-split

@@ -232,6 +232,24 @@ object IndexOracle {
        |SELECT vec_id, neighbor_id, rnk, dist FROM kg
        |ORDER BY vec_id, rnk""".stripMargin
 
+  /** v_graph_stats: the in-degree distribution of the kNN graph,
+    * re-derived from the literal coarse centroids (same edge CTEs as
+    * the v_knn_graph gate) — in-degree-0 nodes surface via the corpus
+    * left join, shares in basis points by integer division. */
+  def graphStatsOracle(centroids: Seq[(Int, Seq[Float])],
+      k: Int, nprobe: Int): String =
+    s"""WITH ${knnGraphCtes(centroids, k, nprobe)},
+       |ind AS (
+       |  SELECT e.vec_id, coalesce(g.c, 0) AS in_degree
+       |  FROM (SELECT vec_id FROM embeddings) e
+       |  LEFT JOIN (SELECT neighbor_id AS vec_id, count(*) AS c
+       |             FROM kg GROUP BY neighbor_id) g USING (vec_id)),
+       |nn AS (SELECT count(*) AS n FROM ind)
+       |SELECT in_degree::BIGINT AS in_degree, count(*)::BIGINT AS n_nodes,
+       |  ((count(*) * 10000) // n)::BIGINT AS share_bp
+       |FROM ind, nn GROUP BY in_degree, n
+       |ORDER BY in_degree""".stripMargin
+
   /** v_graph_search: the beam search over the kNN graph, re-derived end
     * to end — graph edges from the literal centroids (knnGraphCtes),
     * per-cluster medoids (nearest-own-centroid member, ties by vec_id),
@@ -429,8 +447,9 @@ object IndexOracle {
       |    CASE WHEN (h * h + h) % 999983 % 64 = 0 THEN 2
       |         WHEN (h * h + h) % 999983 % 8 = 0 THEN 1
       |         ELSE 0 END AS lv
-      |  FROM (SELECT vec_id, (vec_id * 2654435761) % 1000003 AS h
+      |  FROM (SELECT vec_id, KNUTH_H AS h
       |        FROM embeddings))""".stripMargin
+      .replace("KNUTH_H", graft.functions.HashSql.knuthSql("vec_id", 1000003L))
 
   /** One upper-layer graph re-derived among the level-≥`minLvl` nodes:
     * the knnGraphCtes probe rule truncated to the `shortlist`, then the
@@ -1217,9 +1236,13 @@ object IndexOracle {
       case (p, ss) =>
         val base = ss.map(_._1).min
         val ks = ss.size + 1
-        s"WHEN $p THEN CASE ((vec_id * 2654435761) % 4294967296) % $ks " +
+        // HUGEINT-wrapped Knuth step (HashSql.knuthSql): BIGINT would
+        // raise an overflow error past vec_id ~3.5e9 where the engine
+        // wraps silently — the oracle must replay the wrap, not error.
+        val h = graft.functions.HashSql.knuthSql("vec_id", 4294967296L)
+        s"WHEN $p THEN CASE ($h) % $ks " +
           s"WHEN 0 THEN $p " +
-          s"ELSE $base + ((vec_id * 2654435761) % 4294967296) % $ks - 1 END"
+          s"ELSE $base + ($h) % $ks - 1 END"
     }.mkString("\n      ")
     val geoCase =
       if (splitParents.isEmpty) "cluster_id"

@@ -165,6 +165,29 @@ object IndexStore {
     corpusNMemo.getOrElseUpdate(sfKey(sfDir),
       Tables.load(spark, sfDir, "embeddings").count())
 
+  /** [[corpusN]] without a Spark session: sums row counts straight from
+    * the parquet footers (a file or a directory of part files). The
+    * oracle-SQL renderers size their CTEs with this — it shares the
+    * mtime-stamped memo with the engine side, and a missing or
+    * unreadable dataset FAILS here (no silent fallback: an oracle sized
+    * for the wrong corpus produces confusing hash mismatches; a loud
+    * error at render time names the real problem). */
+  def corpusNFromFooters(sfDir: String): Long =
+    corpusNMemo.getOrElseUpdate(sfKey(sfDir), {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val root = new File(sfDir, "embeddings.parquet")
+      require(root.exists(), s"no embeddings.parquet under $sfDir")
+      val files = Option(root.listFiles())
+        .map(_.filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq)
+        .getOrElse(Seq(root))
+      files.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+    })
+
   def graphIvf(spark: SparkSession, sfDir: String): String = {
     val k = IvfIndex.chooseK(corpusN(spark, sfDir))
     if (k <= 16) ivf(spark, sfDir, k) else ivfBalanced(spark, sfDir, k)

@@ -121,6 +121,20 @@ object IvfBalance {
       .select($"group", $"id", $"vec")
     val subCent = DfKMeans.fitVarK(sample,
       planDf.select($"group", $"kg"), iters).localCheckpoint(true)
+    // Guard: a group whose hash-sample selected zero rows (possible —
+    // the threshold is probabilistic) trains zero sub-centroids, and
+    // DfKMeans.assign's inner join would silently drop its members
+    // from the remap while the filter below removed its centroid row,
+    // leaving assignments that reference a nonexistent cluster. Such
+    // groups KEEP their original centroid row instead and fall through
+    // to the salt pass (their population is unchanged, so `still`
+    // necessarily picks them up), whose anchor/extension centroids are
+    // drawn from the kept rows below. Bounded collect: ≤ |over| rows.
+    val trainedGroups = subCent.select($"group").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val untrainedKept = keptTag
+      .filter($"cluster_id".isin(
+        overIds.filterNot(trainedGroups.contains).map(i => i: Any): _*))
     // argmin over the cluster's own subs; ties to the lowest code —
     // the fan-out is kg× the member scan, floored inside assign()
     val subAssign = DfKMeans.assign(members, subCent)
@@ -150,12 +164,18 @@ object IvfBalance {
         $"centroid", $"group".cast("int").as("parent_id"),
         lit("split").as("method"))
 
+    // the candidate centroid rows every salted cluster draws from:
+    // trained geo subs plus the kept originals of untrained groups
+    val candCent = geoCent.unionByName(untrainedKept)
+
     if (still.isEmpty) {
-      // drop memberless geometric subs (argmin can never produce them)
+      // drop memberless geometric subs (argmin can never produce them).
+      // (An untrained group keeps its full population, so it is always
+      // in `still` — untrainedKept here is empty; unioned for safety.)
       val live = geoCent.join(
         a1.select($"cluster_id").distinct(), Seq("cluster_id"), "leftsemi")
       return (keptTag.filter(!$"cluster_id".isin(overIds.map(i => i: Any): _*))
-        .unionByName(live), a1)
+        .unionByName(live).unionByName(untrainedKept), a1)
     }
 
     // The still-oversized cluster becomes the ANCHOR of its own salt
@@ -193,11 +213,11 @@ object IvfBalance {
     // extension rows: fresh ids carrying the anchor's centroid, ALL
     // ks−1 retained populated or not (the hash, not geometry, decides
     // membership — an empty shard is real layout the caller must see)
-    val anchorCent = geoCent
+    val anchorCent = candCent
       .filter($"cluster_id".isin(saltIds.map(i => i: Any): _*))
       .select($"cluster_id", $"centroid", $"parent_id",
         lit("salt_anchor").as("method"))
-    val saltCent = geoCent
+    val saltCent = candCent
       .filter($"cluster_id".isin(saltIds.map(i => i: Any): _*))
       .select($"cluster_id".as("anchor"), $"centroid")
       .join(broadcast(saltDf), "anchor")

@@ -110,15 +110,16 @@ object LshBuckets {
       math.max(1L, (n - 1) / targetPopulation)))
 
   /** [[chooseBits]] for the ORACLE-generation side: same law, same
-    * corpus (the pinned oracle sfDir), so the `bandedPairsSql` CTEs stay
-    * bit-for-bit aligned with the engine at ANY verify scale — not just
-    * where the floor hides the difference. Falls back to the floor when
-    * no session is active (oracles rendered outside a Spark run). */
-  def oracleBits: Int = try {
-    val s = org.apache.spark.sql.SparkSession.active
-    val d = sys.props.getOrElse("graft.oracle.sfDir", "/root/testdata/sf0.01")
-    chooseBits(IndexStore.corpusN(s, d))
-  } catch { case scala.util.control.NonFatal(_) => 8 }
+    * corpus (the pinned oracle sfDir — `graft.oracle.sfDir`, which
+    * Verify sets to the dataset it actually runs, the one channel the
+    * fixed `oracleSql: Map[String, String]` contract offers), so the
+    * `bandedPairsSql` CTEs stay bit-for-bit aligned with the engine at
+    * ANY verify scale. Counts rows straight from parquet footers (no
+    * session needed) and FAILS LOUDLY on a missing dataset — a silent
+    * fallback would size the oracle for the wrong corpus and surface as
+    * an inscrutable hash mismatch instead of a config error. */
+  def oracleBits: Int = chooseBits(IndexStore.corpusNFromFooters(
+    sys.props.getOrElse("graft.oracle.sfDir", "/root/testdata/sf0.01")))
 
   /** Banded candidate pairs WITH their vectors (vec_a, vec_b, va, vb):
     * explode the [[bucketBands]] keys, self-join on the band key plus

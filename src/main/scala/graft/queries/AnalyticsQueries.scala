@@ -78,10 +78,10 @@ object AnalyticsQueries {
     val spine = ev.groupBy($"user_id")
       .agg(min($"hr").as("h0"), max($"hr").as("h1"))
       .select($"user_id", explode(sequence($"h0",
-        when($"h1" - $"h0" < lit(MaxSpineHours), $"h1").otherwise(
+        when($"h1" - $"h0" <= lit(MaxSpineHours), $"h1").otherwise(
           raise_error(concat(lit("q_resample_ffill: user "),
             $"user_id".cast("string"), lit(" spans "),
-            ($"h1" - $"h0" + 1).cast("string"),
+            ($"h1" - $"h0").cast("string"),
             lit(s" hours > cap $MaxSpineHours — corrupt timestamp?")))
             .cast("long")))).as("hr"))
     val hourly = ev.groupBy($"user_id", $"hr")
@@ -114,6 +114,37 @@ object AnalyticsQueries {
           round(avg($"l_discount"), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // TPC-H Q6 flavor: the canonical pushdown probe — every predicate
+    // is scan-side (PushedFilters carries all three), the projection
+    // reads 4 of 16 columns, and the agg is a 1-row map-side combine.
+    // A plan that reads more than that is wrong at any scale.
+    "q6_forecast_revenue" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      load(s, d, "lineitem")
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+          $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
+          $"l_quantity" < 24)
+        .agg(round(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q14 flavor: fact scan ⋈ broadcast part dim, conditional
+    // promo share in one pass (no second scan for the denominator).
+    "q14_promo_effect" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val li = load(s, d, "lineitem")
+        .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-02-01").cast("timestamp"))
+      li.join(broadcast(load(s, d, "part")), $"l_partkey" === $"p_partkey")
+        .agg(round(lit(100.0) *
+          sum(when($"p_type" === "PROMO",
+            $"l_extendedprice" * (lit(1) - $"l_discount")).otherwise(0.0)) /
+          sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4)
+          .as("promo_revenue_pct"),
+          count(lit(1)).as("n_lines"))
     }),
 
     // TPC-H Q3 flavor: two fact joins + top-10 by revenue.
@@ -1139,6 +1170,24 @@ object AnalyticsQueries {
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q14_promo_effect" ->
+      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |    / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-02-01'""".stripMargin,
 
     // same 7-day cover expansion, same distinct frames, one division
     "q_dau_wau" ->

@@ -613,6 +613,35 @@ object DedupQueries {
         .transform(orderedLarge(_, "doc_id"))
     }),
 
+    // Duplication PROFILE of the corpus — the audit run before
+    // choosing a dedup strategy (exact-only vs near vs semantic) and
+    // after it to prove the result: the near-dup cluster-size
+    // histogram. size-1 mass = unique docs; a fat tail of giant
+    // clusters = template/boilerplate floods where keep-one dedup
+    // reclaims the most tokens. Rides the same persisted verified-edge
+    // store + bounded-shuffle components as d_dedup_cluster; the
+    // histogram itself is two map-side-combinable aggregates over
+    // component-sized then size-sized frames — nothing corpus-scaled
+    // past the component assignment.
+    "d_cluster_sizes" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val docs = load(s, d, "documents").select($"doc_id")
+      val comp = graft.operators.ConnectedComponents.minLabel(
+        docs, "doc_id", s.read.parquet(jaccardEdgeStore(s, d)),
+        "doc_a", "doc_b",
+        validateNodes = false, trustedEndpoints = true)
+      val hist = comp.groupBy($"component")
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy($"cluster_size").agg(count(lit(1)).as("n_clusters"))
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      hist.crossJoin(broadcast(total))
+        .select($"cluster_size", $"n_clusters",
+          ($"cluster_size" * $"n_clusters").as("docs_in_size"),
+          expr("cluster_size * n_clusters * 10000 DIV n_docs")
+            .as("doc_share_bp"))
+        .orderBy("cluster_size")
+    }),
+
     // Leakage-safe train/test split — the SPLIT stage that follows
     // dedup in a training-data pipeline. A plain per-doc hash split
     // leaks near-duplicates across the boundary (a test doc whose
@@ -1314,6 +1343,31 @@ object DedupQueries {
          |FROM comp c JOIN sizes z USING (cluster_id)
          |ORDER BY c.doc_id""".stripMargin,
 
+    // Same recursive-CTE components; identical histogram arithmetic
+    "d_cluster_sizes" ->
+      s"""WITH RECURSIVE ${graft.functions.HashSql.minhashEdgesCtes(
+              graft.functions.HashSql.wordSetDef, jaccardThreshold = 0.8,
+              numBands = 32)},
+         |sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+         |        UNION ALL SELECT doc_b, doc_a FROM edges),
+         |reach(node, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT sym.b, r.lab FROM reach r JOIN sym ON sym.a = r.node
+         |),
+         |comp AS (SELECT node AS doc_id, min(lab) AS cluster_id
+         |         FROM reach GROUP BY node),
+         |hist AS (SELECT cluster_size, count(*) AS n_clusters FROM (
+         |           SELECT cluster_id, count(*) AS cluster_size
+         |           FROM comp GROUP BY cluster_id) GROUP BY cluster_size),
+         |nn AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT cluster_size::BIGINT AS cluster_size,
+         |  n_clusters::BIGINT AS n_clusters,
+         |  (cluster_size * n_clusters)::BIGINT AS docs_in_size,
+         |  ((cluster_size * n_clusters * 10000) // n_docs)::BIGINT
+         |    AS doc_share_bp
+         |FROM hist, nn ORDER BY cluster_size""".stripMargin,
+
     // Same recursive-CTE component derivation as the d_dedup_cluster
     // oracle; the split is the identical Knuth-hash literal arithmetic
     // over the component representative (all values non-negative, so
@@ -1332,9 +1386,11 @@ object DedupQueries {
          |comp AS (SELECT node AS doc_id, min(lab) AS group_id
          |         FROM reach GROUP BY node)
          |SELECT doc_id, group_id,
-         |  CASE WHEN (group_id * 2654435761) % 4294967296 < 3865470566
+         |  CASE WHEN KNUTH32 < 3865470566
          |       THEN 'train' ELSE 'test' END AS split
-         |FROM comp ORDER BY doc_id""".stripMargin,
+         |FROM comp ORDER BY doc_id""".stripMargin
+        .replace("KNUTH32",
+          graft.functions.HashSql.knuthSql("group_id", 4294967296L)),
 
     // The oracle is the straight quadratic contract — the Spark plan's
     // q-gram prefilter is lossless, so both must produce identical rows.
@@ -1351,9 +1407,11 @@ object DedupQueries {
       """SELECT lang, doc_id, rnk FROM (
         |  SELECT lang, doc_id,
         |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rnk
+        |      ORDER BY KNUTH32, doc_id) AS rnk
         |  FROM documents
-        |) WHERE rnk <= 20 ORDER BY lang, rnk""".stripMargin,
+        |) WHERE rnk <= 20 ORDER BY lang, rnk""".stripMargin
+        .replace("KNUTH32",
+          graft.functions.HashSql.knuthSql("doc_id", 4294967296L)),
 
     // the rate thresholds are re-derived in SQL with the same literal
     // weights and the same IEEE double ops in the same order (mul, div,
@@ -1373,8 +1431,10 @@ object DedupQueries {
         |  FROM n JOIN w ON n.lang = w.lang GROUP BY n.lang, wt)
         |SELECT n.lang, n.doc_id, n.n_toks
         |FROM n JOIN r ON n.lang = r.lang
-        |WHERE (n.doc_id * 2654435761) % 4294967296 < r.threshold
-        |ORDER BY n.lang, n.doc_id""".stripMargin,
+        |WHERE KNUTH32 < r.threshold
+        |ORDER BY n.lang, n.doc_id""".stripMargin
+        .replace("KNUTH32",
+          graft.functions.HashSql.knuthSql("n.doc_id", 4294967296L)),
 
     // Independent derivation: groups the shingle STRINGS (the plan
     // groups their FNV hashes — equal modulo 64-bit collisions, which
@@ -1581,7 +1641,7 @@ object DedupQueries {
     "d_minhash_eval" ->
       graft.functions.HashSql.minhashEvalOracle(
         graft.functions.HashSql.wordSetDef +
-          " ORDER BY (doc_id * 2654435761) % 4294967296" +
+          s" ORDER BY ${graft.functions.HashSql.knuthSql("doc_id", 4294967296L)}" +
           s" LIMIT $MinhashEvalSample", 0.8)
   )
 }

@@ -595,6 +595,32 @@ object IndexQueries {
       knnGraphRaw(s, d)
         .transform(graft.queries.DedupQueries.orderedLarge(_, "vec_id", "rnk"))),
 
+    // Graph maintenance AUDIT (the v_ivf_stats analog for the graph
+    // family): the in-degree distribution of the persisted kNN graph —
+    // out-degree is k by construction, so in-degree is where hubs and
+    // orphans (unreachable-by-backlink nodes, the beam search's blind
+    // spots) show up; the histogram is what tells an operator the graph
+    // needs re-linking before search recall quietly sags. One count per
+    // neighbor key (map-side combinable), a corpus left join for the
+    // in-degree-0 nodes, a bounded (≤ max-degree) histogram frame,
+    // shares in basis points by integer division.
+    "v_graph_stats" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val gDir = IndexStore.knnGraph(s, d, k = 5, nprobe = 2)
+      val inDeg = load(s, d, "embeddings").select($"vec_id")
+        .join(s.read.parquet(s"$gDir/edges")
+          .groupBy($"neighbor_id".as("vec_id"))
+          .agg(count(lit(1)).as("c")), Seq("vec_id"), "left")
+        .select(coalesce($"c", lit(0L)).as("in_degree"))
+      val hist = inDeg.groupBy($"in_degree")
+        .agg(count(lit(1)).as("n_nodes"))
+      val total = hist.agg(sum($"n_nodes").as("n"))
+      hist.crossJoin(broadcast(total))
+        .select($"in_degree", $"n_nodes",
+          expr("n_nodes * 10000 DIV n").as("share_bp"))
+        .orderBy("in_degree")
+    }),
+
     // Graph-traversal ANN search — the reference's HNSW beam search
     // (hnsw_index.h:268-330) re-expressed set-at-a-time: entry = the
     // medoid of the query's nearest coarse centroid, then 3 rounds of
@@ -917,7 +943,7 @@ object IndexQueries {
       "v_ivf_split", "v_ivf_balance", "v_ivf_merge", "v_maxsim_pruned",
       "v_ood_score", "v_embed_clusters", "v_graph_search", "v_ef_sweep",
       "v_graph_insert", "v_hnsw_search", "v_mips_ivf", "v_ivfpq_residual",
-      "v_graph_delete", "v_graph_compact")
+      "v_graph_delete", "v_graph_compact", "v_graph_stats")
 
   /** The approximate kNN graph (v_knn_graph before output ordering):
     * every vector probes its 2 nearest persisted IVF centroids and
@@ -1036,6 +1062,8 @@ object IndexQueries {
         .quantizeErrorOracle(books, numSub = 8, subDim = 8, dim = 64),
       "v_knn_graph" -> graft.operators.IndexOracle
         .knnGraphOracle(gcent, k = 5, nprobe = 2),
+      "v_graph_stats" -> graft.operators.IndexOracle
+        .graphStatsOracle(gcent, k = 5, nprobe = 2),
       "v_embed_clusters" -> graft.operators.IndexOracle
         .embedClustersOracle(gcent, k = 5, nprobe = 2),
       "v_graph_search" -> graft.operators.IndexOracle

@@ -215,7 +215,7 @@ object PipelineQueries {
          |  FROM p3 JOIN p_w ON p3.lang = p_w.lang GROUP BY p3.lang, wt),
          |p4 AS (
          |  SELECT p3.* FROM p3 JOIN p_r ON p3.lang = p_r.lang
-         |  WHERE (p3.doc_id * 2654435761) % 4294967296 < p_r.threshold)
+         |  WHERE KNUTH32 < p_r.threshold)
          |SELECT stage, docs, tokens FROM (
          |  SELECT '0_raw' AS stage, count(*)::BIGINT AS docs,
          |    sum(n_tokens)::BIGINT AS tokens FROM g_r
@@ -228,6 +228,7 @@ object PipelineQueries {
          |  UNION ALL SELECT '4_mixture_sample', count(*)::BIGINT,
          |    coalesce(sum(n_tokens), 0)::BIGINT FROM p4)
          |ORDER BY stage""".stripMargin
+        .replace("KNUTH32", HashSql.knuthSql("p3.doc_id", 4294967296L))
     },
     // Replicates the stub featurizer exactly: 16-bin byte histogram of
     // the UTF-8 payload (ASCII corpus → ord(char) == byte), normalized

@@ -450,6 +450,31 @@ object TextQueries {
        |  FROM g_s)""".stripMargin
   }
 
+  /** t_ngram_novelty before its output ordering (orderedLarge's
+    * checkpoint cuts the plan at an ExistingRDD scan; PlanSpec needs
+    * the real shape — the scd2Raw pattern). */
+  private[graft] def ngramNoveltyRaw(documents: DataFrame): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val docs = documents.select($"doc_id", tokens($"text").as("toks"))
+    val grams = docs.select($"doc_id", explode(array_distinct(
+      when(size($"toks") >= 3, expr(
+        "transform(sequence(0, size(toks)-3)," +
+          " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+        .otherwise(array().cast("array<string>")))).as("gram"))
+    val owner = grams.groupBy($"gram").agg(min($"doc_id").as("owner"))
+    val per = grams.join(owner, "gram")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"owner" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+    docs.select($"doc_id").join(per, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_grams", lit(0L)).as("n_grams"),
+        coalesce($"n_novel", lit(0L)).as("n_novel"))
+      .withColumn("novelty_bp",
+        expr("n_novel * 10000 DIV greatest(n_grams, 1)"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_count" -> ((s: SparkSession, d: String) => {
       import s.implicits._
@@ -748,6 +773,58 @@ object TextQueries {
     // occurrence is a map-side-combinable min over the (token, span)
     // frame, and the running sums ride a 16-row window. One shuffle on
     // token; nothing corpus-global beyond the bounded span frame.
+    // Per-doc n-gram NOVELTY in doc_id (ingest) order — the "how much
+    // genuinely new text does this doc add" curation signal: the share
+    // of a doc's distinct word 3-grams whose FIRST corpus occurrence
+    // (min doc_id over the gram) is this doc. One map-side-combinable
+    // min per gram, then an equi-join back on the gram key — hot grams
+    // (stopword trigrams) skew that join's key, but the owner side is
+    // one row per gram and AQE skew-split applies; no candidate
+    // expansion anywhere. Ratio reported in basis points via integer
+    // division so the oracle compare never rides float rounding.
+    "t_ngram_novelty" -> ((s: SparkSession, d: String) =>
+      ngramNoveltyRaw(load(s, d, "documents"))
+        .transform(DedupQueries.orderedLarge(_, "doc_id"))),
+
+    // Zipf-law exponent per language (the power-law sanity check run
+    // before trusting token statistics — a corpus whose slope drifts
+    // far from ≈−1 is boilerplate-flooded or template-generated):
+    // least-squares fit of log2(freq) against log2(rank) over the
+    // whole per-lang vocabulary. Hash-stable by construction: ranks
+    // and counts are integers, both logs are DetMath (bit-identical
+    // cross-engine), each log is scaled by 2^20 (an EXACT power-of-two
+    // multiply) and rounded to an integer, the five regression sums
+    // run in exact decimal arithmetic (order-free — no float fold
+    // anywhere), and the final slope is one fixed-order IEEE
+    // expression over the exact sums. The per-lang rank window sorts
+    // the vocab frame (bounded by vocabulary, the t_ccnet_bucket
+    // contract); fixed-point products stay under 10^31 to vocab 10^8.
+    "t_zipf_slope" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      import graft.functions.DetMath
+      val wl = Window.partitionBy($"lang").orderBy($"c".desc, $"token")
+      val f = load(s, d, "documents")
+        .select($"lang", explode(tokens($"text")).as("token"))
+        .groupBy($"lang", $"token").agg(count(lit(1)).as("c"))
+        .withColumn("rnk", row_number().over(wl))
+      val fx = f.select($"lang",
+        round(DetMath.log2Det($"rnk") * (1 << 20))
+          .cast("decimal(18,0)").as("x"),
+        round(DetMath.log2Det($"c") * (1 << 20))
+          .cast("decimal(18,0)").as("y"))
+      fx.groupBy($"lang")
+        .agg(count(lit(1)).as("n_types"),
+          sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+        .select($"lang", $"n_types",
+          round(($"n_types".cast("double") * $"sxy".cast("double") -
+            $"sx".cast("double") * $"sy".cast("double")) /
+            ($"n_types".cast("double") * $"sxx".cast("double") -
+              $"sx".cast("double") * $"sx".cast("double")), 4)
+            .as("zipf_slope"))
+        .orderBy("lang")
+    }),
+
     "t_vocab_growth" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       val docs = load(s, d, "documents")
@@ -1425,6 +1502,54 @@ object TextQueries {
          |       WHEN (rnk - 1) * 3 < n_lang * 2 THEN 'middle'
          |       ELSE 'tail' END AS bucket
          |FROM lcl ORDER BY doc_id""".stripMargin,
+
+    // same tokenizer, same per-doc distinct 3-grams, same min-doc_id
+    // ownership, basis-point ratio in integer division both sides
+    "t_ngram_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |     for i in range(1, greatest(len(toks) - 1, 1))])) AS gram
+        |  FROM t),
+        |own AS (SELECT gram, min(doc_id) AS owner FROM g GROUP BY gram),
+        |per AS (
+        |  SELECT g.doc_id, count(*) AS n_grams,
+        |    sum(CASE WHEN o.owner = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+        |  FROM g JOIN own o USING (gram) GROUP BY g.doc_id)
+        |SELECT t.doc_id, coalesce(per.n_grams, 0)::BIGINT AS n_grams,
+        |  coalesce(per.n_novel, 0)::BIGINT AS n_novel,
+        |  ((coalesce(per.n_novel, 0) * 10000)
+        |    // greatest(coalesce(per.n_grams, 0), 1))::BIGINT AS novelty_bp
+        |FROM t LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // same integer ranks/counts, same DetMath logs, same 2^20
+    // fixed-point rounding, exact HUGEINT sums, same final IEEE chain
+    "t_zipf_slope" -> {
+      import graft.functions.DetMath
+      s"""WITH tok AS (
+         |  SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+         |  FROM documents),
+         |f AS (SELECT lang, token, count(*) AS c FROM tok GROUP BY lang, token),
+         |r AS (SELECT lang, c,
+         |        row_number() OVER (PARTITION BY lang ORDER BY c DESC, token) AS rnk
+         |      FROM f),
+         |xy AS (SELECT lang,
+         |        round(${DetMath.log2DetSql("rnk")} * 1048576)::HUGEINT AS x,
+         |        round(${DetMath.log2DetSql("c")} * 1048576)::HUGEINT AS y
+         |       FROM r),
+         |a AS (SELECT lang, count(*)::BIGINT AS n_types,
+         |        sum(x) AS sx, sum(y) AS sy,
+         |        sum(x * y) AS sxy, sum(x * x) AS sxx
+         |      FROM xy GROUP BY lang)
+         |SELECT lang, n_types,
+         |  round((n_types::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+         |    / (n_types::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 4)
+         |    AS zipf_slope
+         |FROM a ORDER BY lang""".stripMargin
+    },
 
     // identical integer span arithmetic and first-occurrence min
     "t_vocab_growth" ->

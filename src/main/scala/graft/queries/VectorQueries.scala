@@ -370,6 +370,37 @@ object VectorQueries {
         .orderBy("label", "idx")
     }),
 
+    // Per-label centroid DRIFT between the first and second half of
+    // the corpus in vec_id (ingest) order — the monitoring signal that
+    // tells a 100 TB pipeline its coarse quantizer was trained on a
+    // stale era (the IvfIndex.buildSampled hash-uniform sample exists
+    // precisely because ids correlate with ingest time; this entry
+    // measures that correlation). Two map-side-combinable aggregates
+    // (count + per-label-era vector avg), a broadcast 1-row count, an
+    // inner join of two label-sized frames — nothing corpus-scaled
+    // crosses the shuffle except the one grouped avg.
+    "v_centroid_drift" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val e = load(s, d, "embeddings")
+      val n = e.agg(count(lit(1)).as("n"))
+      val cent = e.crossJoin(broadcast(n))
+        .select($"label",
+          when($"vec_id" * 2 < $"n", 0).otherwise(1).as("era"),
+          $"embedding")
+        .groupBy($"label", $"era")
+        .agg(vectorAvg($"embedding").as("c"), count(lit(1)).as("pop"))
+      val old = cent.filter($"era" === 0)
+        .select($"label", $"c".as("c0"), $"pop".as("n_old"))
+      val nw = cent.filter($"era" === 1)
+        .select($"label", $"c".as("c1"), $"pop".as("n_new"))
+      old.join(nw, "label")
+        .select($"label", $"n_old", $"n_new",
+          round(sqrt(aggregate(
+            zip_with($"c0", $"c1", (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x)), 4).as("drift"))
+        .orderBy("label")
+    }),
+
     // Upsert merge: base ∪ delta, latest write wins per id — the batch
     // analog of engine.h insert() + background flush compaction.
     "v_insert_merge" -> ((s: SparkSession, d: String) => {
@@ -692,6 +723,26 @@ object VectorQueries {
       """SELECT label, i - 1 AS idx, round(avg(embedding[i]), 4) AS v
         |FROM embeddings, range(1, 65) t(i)
         |GROUP BY label, i ORDER BY label, idx""".stripMargin,
+
+    // same halves split on the same count, same per-(label, era) dim
+    // averages, same squared-diff fold
+    "v_centroid_drift" ->
+      """WITH nn AS (SELECT count(*) AS n FROM embeddings),
+        |e AS (SELECT label,
+        |        CASE WHEN vec_id * 2 < n THEN 0 ELSE 1 END AS era, embedding
+        |      FROM embeddings, nn),
+        |p AS (SELECT label, era, count(*) AS pop FROM e GROUP BY label, era),
+        |c AS (SELECT label, era, i, avg(embedding[i]) AS v
+        |      FROM e, range(1, 65) t(i) GROUP BY label, era, i),
+        |dd AS (SELECT c0.label, sum((c0.v - c1.v) * (c0.v - c1.v)) AS ss
+        |       FROM c c0 JOIN c c1 ON c0.label = c1.label AND c0.i = c1.i
+        |       WHERE c0.era = 0 AND c1.era = 1 GROUP BY c0.label)
+        |SELECT dd.label, p0.pop::BIGINT AS n_old, p1.pop::BIGINT AS n_new,
+        |  round(sqrt(dd.ss), 4) AS drift
+        |FROM dd
+        |JOIN p p0 ON p0.label = dd.label AND p0.era = 0
+        |JOIN p p1 ON p1.label = dd.label AND p1.era = 1
+        |ORDER BY dd.label""".stripMargin,
 
     // same unique-seq max_by resolution, same tombstone filter
     "v_delete_merge" ->

@@ -103,6 +103,50 @@ class IvfBalanceSpec extends SparkSpec {
       "salt shard centroid must equal its anchor's")
   }
 
+  test("a cluster whose hash-sample selects zero rows keeps its centroid " +
+      "and salt-splits (no orphaned assignments)") {
+    // Adversarial ids: every member of the oversized cluster hashes
+    // ABOVE the sample threshold, so the geometric pass trains zero
+    // sub-centroids for it. p=1000, targetPop=100 ⇒ kg=10, thresh =
+    // ceil(1e6·32·10/1000) = 320000 millionths; all ids chosen with
+    // idHash%1e6 ≥ 350000 ⇒ the sample is empty by construction.
+    def hMil(id: Long): Long =
+      java.lang.Long.remainderUnsigned(id * 2654435761L, 4294967296L) % 1000000L
+    // EVERY id in the fixture is adversarial, so whatever coarse
+    // cluster shapes the build produces, any oversized cluster's
+    // sample is empty (side blobs merging with the mass can only
+    // RAISE p, which lowers thresh further)
+    val advIds = Iterator.iterate(100000L)(_ + 1)
+      .filter(hMil(_) >= 350000L).take(1300).toSeq
+    // identical-point mass so the coarse argmin puts all 1000 in ONE
+    // cluster (ties to the lowest code)
+    val rows = advIds.take(1000).map(id => (id, Array.fill(dim)(0f))) ++
+      advIds.slice(1000, 1150).map(id => (id, Array.tabulate(dim)(d =>
+        50f + (((id * 31 + d * 7) % 13).toFloat / 13f - 0.5f)))) ++
+      advIds.slice(1150, 1300).map(id => (id, Array.tabulate(dim)(d =>
+        -50f + (((id * 31 + d * 7) % 13).toFloat / 13f - 0.5f))))
+    val (cent, assign) = frames(rows)
+    val before = assign.groupBy($"cluster_id").count()
+      .agg(max($"count")).head.getLong(0)
+    assert(before >= 1000L, s"fixture must hold an oversized cluster: $before")
+
+    val (centB, aB) = IvfBalance.balance(cent, assign, "vec_id",
+      "embedding", targetPop = 100, maxPop = 200)
+    // the load-bearing invariant the guard restores: every assigned
+    // cluster id has a centroid row (pre-guard, the mass's members kept
+    // a cluster_id whose centroid row was dropped)
+    checkInvariants(centB, aB, rows.map(_._1).toSet, maxPop = 200)
+    // the untrained path is visible: no geometric splits happened at
+    // all, and the salt anchor is the ORIGINAL centroid row (parent =
+    // self — a trained geo anchor would carry its group as parent)
+    assert(centB.filter($"method" === "split").count() === 0,
+      "an empty sample cannot have trained geometric subs")
+    val anchors = centB.filter($"method" === "salt_anchor").collect()
+    assert(anchors.nonEmpty, "the untrained cluster must be salt-anchored")
+    assert(anchors.forall(r => r.getInt(0) == r.getInt(2)),
+      "untrained anchors keep their own centroid row (parent = self)")
+  }
+
   test("already-balanced input passes through untouched") {
     val rows = blob(0, 100, 0f, 2f) ++ blob(10000, 100, 50f, 1f) ++
       blob(20000, 100, -50f, 1f) ++ blob(30000, 100, 25f, 1f)

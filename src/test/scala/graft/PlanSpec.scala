@@ -31,6 +31,55 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_v_top_k"))
   }
 
+  test("q6: all three predicates reach the parquet scan; 4-column read") {
+    // formatted mode — the plan toString truncates PushedFilters
+    spark.catalog.clearCache()
+    val p = AnalyticsQueries.all("q6_forecast_revenue")(spark, sfDir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString("\n")
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)", "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)"))
+      assert(p.contains(f), s"predicate $f not pushed:\n$pushed")
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"))
+      assert(read.contains(c), s"$c missing from scan schema: $read")
+    assert(!read.contains("l_orderkey") && !read.contains("l_returnflag"),
+      s"scan must prune to the 4 referenced columns: $read")
+    assert(p.contains("HashAggregate"), "agg must map-side combine")
+  }
+
+  test("q14: part dim broadcasts; the month filter reaches the fact scan") {
+    val p = planOf(AnalyticsQueries.all, "q14_promo_effect")
+    assert(p.contains("BroadcastHashJoin"), s"part must broadcast:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      "shipdate window not pushed to the lineitem scan")
+  }
+
+  test("t_ngram_novelty: gram ownership is an equi-join, no cartesian; " +
+      "per-doc distinct grams stay scan-side") {
+    val p = freshPlan {
+      graft.queries.TextQueries.ngramNoveltyRaw(
+        spark.read.parquet(s"$sfDir/documents.parquet"))
+    }
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"novelty must never enumerate doc pairs:\n$p")
+    assert(p.contains("array_distinct"),
+      "per-doc gram dedup must fold into the scan projection, not a shuffle")
+  }
+
+  test("v_centroid_drift: corpus count broadcasts; era averages map-side combine") {
+    val p = planOf(VectorQueries.all, "v_centroid_drift")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row count must broadcast onto the scan")
+    assert(p.contains("partial_vector_avg") || p.contains("partial_vectoravg")
+      || p.toLowerCase.contains("partial"),
+      "era centroids must partial-aggregate map-side")
+  }
+
   test("q5: dimension joins broadcast (no shuffle join for region/nation)") {
     val p = planOf(AnalyticsQueries.all, "q5_local_supplier")
     assert(p.contains("BroadcastHashJoin"))

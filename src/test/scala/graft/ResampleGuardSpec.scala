@@ -59,4 +59,23 @@ class ResampleGuardSpec extends SparkSpec {
         .select($"user_id", $"event_id", $"value", lit(t1).as("ts")))
     assert(AnalyticsQueries.resampleFfill(ok).count() === span + 1)
   }
+
+  test("the cap is inclusive: exactly MaxSpineHours passes, one more aborts") {
+    def atSpan(span: Long) = {
+      val t1 = new Timestamp(span * 3600L * 1000L)
+      events((1L, 1L, 1.0, "1970-01-01 00:00:00"))
+        .unionByName(Seq((1L, 2L, 2.0)).toDF("user_id", "event_id", "value")
+          .select($"user_id", $"event_id", $"value", lit(t1).as("ts")))
+    }
+    val cap = AnalyticsQueries.MaxSpineHours
+    assert(AnalyticsQueries.resampleFfill(atSpan(cap)).count() === cap + 1)
+    val ex = intercept[Exception] {
+      AnalyticsQueries.resampleFfill(atSpan(cap + 1)).collect()
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).map(_.getMessage).getOrElse("")
+    // the message's reported span must agree with the predicate's units
+    assert(msg.contains(s"spans ${cap + 1} hours > cap $cap"),
+      s"boundary arithmetic drifted: $msg")
+  }
 }
