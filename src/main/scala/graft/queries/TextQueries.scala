@@ -462,12 +462,18 @@ object TextQueries {
         "transform(sequence(0, size(toks)-3)," +
           " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
         .otherwise(array().cast("array<string>")))).as("gram"))
-    val owner = grams.groupBy($"gram").agg(min($"doc_id").as("owner"))
-    val per = grams.join(owner, "gram")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when($"owner" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
-    docs.select($"doc_id").join(per, Seq("doc_id"), "left")
+    // Every gram has exactly ONE owner (the min doc_id), so a doc's
+    // novel-gram count is just how many grams it OWNS — a count over
+    // the vocab-sized owner frame, never a join back on the gram key.
+    // Both gram passes are map-side-combinable aggregates, so a hot
+    // stopword trigram collapses to one row per partition in the
+    // combine; nothing corpus-scaled and un-combined crosses a shuffle.
+    val nGrams = grams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+    val nNovel = grams.groupBy($"gram").agg(min($"doc_id").as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_novel"))
+    docs.select($"doc_id")
+      .join(nGrams, Seq("doc_id"), "left")
+      .join(nNovel, Seq("doc_id"), "left")
       .select($"doc_id",
         coalesce($"n_grams", lit(0L)).as("n_grams"),
         coalesce($"n_novel", lit(0L)).as("n_novel"))
@@ -776,12 +782,13 @@ object TextQueries {
     // Per-doc n-gram NOVELTY in doc_id (ingest) order — the "how much
     // genuinely new text does this doc add" curation signal: the share
     // of a doc's distinct word 3-grams whose FIRST corpus occurrence
-    // (min doc_id over the gram) is this doc. One map-side-combinable
-    // min per gram, then an equi-join back on the gram key — hot grams
-    // (stopword trigrams) skew that join's key, but the owner side is
-    // one row per gram and AQE skew-split applies; no candidate
-    // expansion anywhere. Ratio reported in basis points via integer
-    // division so the oracle compare never rides float rounding.
+    // (min doc_id over the gram) is this doc. Every gram has exactly
+    // one owner, so the novel count is a count over the vocab-sized
+    // owner frame — both corpus-scale passes are map-side-combinable
+    // aggregates (a hot stopword trigram collapses per partition in
+    // the combine), and no join ever carries the gram key. Ratio in
+    // basis points via integer division so the oracle compare never
+    // rides float rounding.
     "t_ngram_novelty" -> ((s: SparkSession, d: String) =>
       ngramNoveltyRaw(load(s, d, "documents"))
         .transform(DedupQueries.orderedLarge(_, "doc_id"))),

@@ -58,8 +58,8 @@ class PlanSpec extends SparkSpec {
       "shipdate window not pushed to the lineitem scan")
   }
 
-  test("t_ngram_novelty: gram ownership is an equi-join, no cartesian; " +
-      "per-doc distinct grams stay scan-side") {
+  test("t_ngram_novelty: both gram passes map-side combine; no join ever " +
+      "carries the gram key; per-doc distinct grams stay scan-side") {
     val p = freshPlan {
       graft.queries.TextQueries.ngramNoveltyRaw(
         spark.read.parquet(s"$sfDir/documents.parquet"))
@@ -69,6 +69,12 @@ class PlanSpec extends SparkSpec {
       s"novelty must never enumerate doc pairs:\n$p")
     assert(p.contains("array_distinct"),
       "per-doc gram dedup must fold into the scan projection, not a shuffle")
+    assert(p.contains("partial_min"),
+      "gram ownership must partial-aggregate map-side (hot grams collapse " +
+        s"in the combine):\n$p")
+    // the only joins are the doc-keyed assembly of two doc-sized frames
+    assert(!p.linesIterator.exists(l => l.contains("Join") && l.contains("gram")),
+      s"no join may carry the gram key:\n$p")
   }
 
   test("v_centroid_drift: corpus count broadcasts; era averages map-side combine") {
