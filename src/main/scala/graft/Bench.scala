@@ -285,6 +285,7 @@ object Bench {
       // like the indexes: the timed entries measure inference/read,
       // not the build (t_bpe_train still times the build path itself)
       "store:jedges" -> (() => graft.queries.DedupQueries.jaccardEdgeStore(spark, sfDir)),
+      "store:jcomp" -> (() => graft.queries.DedupQueries.componentStore(spark, sfDir)),
       "store:lm" -> (() => graft.queries.TextQueries.lmStore(spark, sfDir)),
       "store:bpe" -> (() => graft.queries.TextQueries.bpeStore(spark, sfDir)))
     // warmup honors the skip list too: a skipped graph query must not
