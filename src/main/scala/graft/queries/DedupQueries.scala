@@ -649,7 +649,11 @@ object DedupQueries {
       val hist = comp.groupBy($"component")
         .agg(count(lit(1)).as("cluster_size"))
         .groupBy($"cluster_size").agg(count(lit(1)).as("n_clusters"))
-      val total = comp.agg(count(lit(1)).as("n_docs"))
+      // total from the bounded hist frame (components partition the
+      // docs, so Σ size·count == n_docs) — the v_graph_stats idiom;
+      // a comp.count() here would scan the corpus-sized store twice
+      val total = hist.agg(
+        sum($"cluster_size" * $"n_clusters").as("n_docs"))
       hist.crossJoin(broadcast(total))
         .select($"cluster_size", $"n_clusters",
           ($"cluster_size" * $"n_clusters").as("docs_in_size"),

@@ -823,6 +823,11 @@ object TextQueries {
         .agg(count(lit(1)).as("n_types"),
           sum($"x").as("sx"), sum($"y").as("sy"),
           sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+        // a 1-type language has no fit (the denominator is exactly 0,
+        // where Spark Divide yields NULL but DuckDB IEEE yields NaN —
+        // an engine-vs-oracle divergence); with n ≥ 2 the x values are
+        // distinct logs, so the denominator is strictly positive
+        .filter($"n_types" >= 2)
         .select($"lang", $"n_types",
           round(($"n_types".cast("double") * $"sxy".cast("double") -
             $"sx".cast("double") * $"sy".cast("double")) /
@@ -1550,7 +1555,7 @@ object TextQueries {
          |a AS (SELECT lang, count(*)::BIGINT AS n_types,
          |        sum(x) AS sx, sum(y) AS sy,
          |        sum(x * y) AS sxy, sum(x * x) AS sxx
-         |      FROM xy GROUP BY lang)
+         |      FROM xy GROUP BY lang HAVING count(*) >= 2)
          |SELECT lang, n_types,
          |  round((n_types::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
          |    / (n_types::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 4)

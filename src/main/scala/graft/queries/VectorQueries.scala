@@ -725,7 +725,12 @@ object VectorQueries {
         |GROUP BY label, i ORDER BY label, idx""".stripMargin,
 
     // same halves split on the same count, same per-(label, era) dim
-    // averages, same squared-diff fold
+    // averages; the squared-diff reduction is the engine's EXACT left
+    // fold from 0.0 (list_reduce over a dim-ordered list — a grouped
+    // SUM may combine partials in engine-private order, and IEEE
+    // addition is not associative). The per-dim avg itself is the
+    // v_centroids-established risk class (round-4 absorbs partial-sum
+    // ULPs).
     "v_centroid_drift" ->
       """WITH nn AS (SELECT count(*) AS n FROM embeddings),
         |e AS (SELECT label,
@@ -734,9 +739,13 @@ object VectorQueries {
         |p AS (SELECT label, era, count(*) AS pop FROM e GROUP BY label, era),
         |c AS (SELECT label, era, i, avg(embedding[i]) AS v
         |      FROM e, range(1, 65) t(i) GROUP BY label, era, i),
-        |dd AS (SELECT c0.label, sum((c0.v - c1.v) * (c0.v - c1.v)) AS ss
-        |       FROM c c0 JOIN c c1 ON c0.label = c1.label AND c0.i = c1.i
-        |       WHERE c0.era = 0 AND c1.era = 1 GROUP BY c0.label)
+        |cl AS (SELECT label, era, list(v ORDER BY i) AS av
+        |       FROM c GROUP BY label, era),
+        |dd AS (SELECT c0.label, list_reduce(list_prepend(0.0,
+        |         [(c0.av[i] - c1.av[i]) * (c0.av[i] - c1.av[i])
+        |          for i in range(1, 65)]), (x, y) -> x + y) AS ss
+        |       FROM cl c0 JOIN cl c1
+        |         ON c0.label = c1.label AND c0.era = 0 AND c1.era = 1)
         |SELECT dd.label, p0.pop::BIGINT AS n_old, p1.pop::BIGINT AS n_new,
         |  round(sqrt(dd.ss), 4) AS drift
         |FROM dd
