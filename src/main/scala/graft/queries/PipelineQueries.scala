@@ -119,6 +119,37 @@ object PipelineQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // Perceptual-hash dedup over the media features — the image-dedup
+    // stage every multimodal corpus runs before training (aHash/pHash
+    // keep-one at web scale): bit i of the 16-bit hash = feature i
+    // above the feature-vector mean (classic average-hash), grouped
+    // EXACTLY (hamming-0) with keep-min. A hamming-radius variant
+    // would pair-join banded nibbles — deliberately not shipped here,
+    // because near-identical histograms (this corpus: ASCII text
+    // payloads) concentrate hashes and make any radius join
+    // output-quadratic; exact grouping shuffles one 2-byte key per doc
+    // regardless. The mean and the bit fold are fixed-order IEEE so the
+    // oracle replays them bit-for-bit; with a real decoder the features
+    // become CNN embeddings and nothing else changes.
+    "m_phash_dedup" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val f = Multimodal.featurize(Multimodal.asMedia(load(s, d, "documents")))
+        .toDF().select($"doc_id", $"features")
+      val ph = f
+        .withColumn("mu",
+          aggregate($"features", lit(0.0), (a, x) => a + x) / 16.0)
+        .select($"doc_id", posexplode($"features"), $"mu")
+        .groupBy($"doc_id")
+        .agg(sum(when($"col" > $"mu",
+          expr("shiftleft(1L, pos)")).otherwise(0L)).as("phash"))
+      val g = ph.groupBy($"phash")
+        .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_same"))
+      ph.join(g, "phash")
+        .select($"doc_id", $"phash", $"keeper_id",
+          ($"doc_id" =!= $"keeper_id").as("is_dup"), $"n_same")
+        .orderBy("doc_id")
+    }),
+
     // Streaming exact dedup's materialized state, batch-gated: the
     // keepers (first doc per content fingerprint, keep-min rule) that
     // streaming/StreamDedup.firstPerFingerprint emits for a
@@ -244,6 +275,32 @@ object PipelineQueries {
         |FROM (SELECT doc_id, 'application/x-fake' AS mime,
         |        length(text)::BIGINT AS n_bytes, text FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // same stub-featurizer histogram as the meta oracle, mean as the
+    // engine's exact left fold from 0.0, same bit packing, same
+    // keep-min grouping
+    "m_phash_dedup" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    [ (len(list_filter([ord(text[i]) for i in range(1, length(text)+1)],
+        |         b -> b // 16 = bin))::FLOAT
+        |       / greatest(length(text), 1)::FLOAT)::DOUBLE
+        |      for bin in range(0, 16) ] AS fv
+        |  FROM documents),
+        |mu AS (SELECT doc_id, fv,
+        |         list_reduce(list_prepend(0.0, fv), (x, y) -> x + y) / 16.0
+        |           AS mu
+        |       FROM f),
+        |ph AS (SELECT doc_id,
+        |         list_sum([CASE WHEN fv[i+1] > mu THEN 1 << i ELSE 0 END
+        |                   for i in range(0, 16)])::BIGINT AS phash
+        |       FROM mu),
+        |g AS (SELECT phash, min(doc_id) AS keeper_id,
+        |        count(*)::BIGINT AS n_same
+        |      FROM ph GROUP BY phash)
+        |SELECT p.doc_id, p.phash, g.keeper_id,
+        |  p.doc_id != g.keeper_id AS is_dup, g.n_same
+        |FROM ph p JOIN g USING (phash) ORDER BY p.doc_id""".stripMargin,
 
     // the t_fingerprint FNV fold, keep-min + count per fingerprint —
     // the state StreamDedupSpec proves the live stream converges to
