@@ -37,6 +37,7 @@ object BuildBench {
       "knn_graph" -> (() => IndexStore.knnGraph(spark, sfDir)),
       "hnsw_layers" -> (() => IndexStore.hnsw(spark, sfDir)),
       "jaccard_edges" -> (() => graft.queries.DedupQueries.jaccardEdgeStore(spark, sfDir)),
+      "components" -> (() => graft.queries.DedupQueries.componentStore(spark, sfDir)),
       "lm_scores" -> (() => graft.queries.TextQueries.lmStore(spark, sfDir)),
       "bpe_merges" -> (() => graft.queries.TextQueries.bpeStore(spark, sfDir)))
     val times = builds.map { case (name, build) =>
