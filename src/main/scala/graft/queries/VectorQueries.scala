@@ -383,17 +383,22 @@ object VectorQueries {
       import s.implicits._
       val e = load(s, d, "embeddings")
       val n = e.agg(count(lit(1)).as("n"))
-      val cent = e.crossJoin(broadcast(n))
+      // BOTH era centroids in ONE corpus aggregate (VectorAvg skips the
+      // null branch of the conditional): a per-(label, era) groupBy
+      // filtered twice planned the corpus aggregation twice — measured
+      // 4 partial_v_avg phases / 7 scans; this form is 2 / 4, and at
+      // 100 TB that is the difference between one corpus pass and two
+      e.crossJoin(broadcast(n))
         .select($"label",
           when($"vec_id" * 2 < $"n", 0).otherwise(1).as("era"),
           $"embedding")
-        .groupBy($"label", $"era")
-        .agg(vectorAvg($"embedding").as("c"), count(lit(1)).as("pop"))
-      val old = cent.filter($"era" === 0)
-        .select($"label", $"c".as("c0"), $"pop".as("n_old"))
-      val nw = cent.filter($"era" === 1)
-        .select($"label", $"c".as("c1"), $"pop".as("n_new"))
-      old.join(nw, "label")
+        .groupBy($"label")
+        .agg(
+          vectorAvg(when($"era" === 0, $"embedding")).as("c0"),
+          vectorAvg(when($"era" === 1, $"embedding")).as("c1"),
+          sum(when($"era" === 0, 1L).otherwise(0L)).as("n_old"),
+          sum(when($"era" === 1, 1L).otherwise(0L)).as("n_new"))
+        .filter($"n_old" > 0 && $"n_new" > 0)
         .select($"label", $"n_old", $"n_new",
           round(sqrt(aggregate(
             zip_with($"c0", $"c1", (a, b) => (a - b) * (a - b)),

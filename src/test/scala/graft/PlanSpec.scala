@@ -86,12 +86,18 @@ class PlanSpec extends SparkSpec {
       s"no join may carry the gram key: $joins")
   }
 
-  test("v_centroid_drift: corpus count broadcasts; era averages map-side combine") {
+  test("v_centroid_drift: corpus count broadcasts; BOTH era averages ride " +
+      "ONE map-side-combined corpus aggregate") {
     val p = planOf(VectorQueries.all, "v_centroid_drift")
     assert(p.contains("BroadcastNestedLoopJoin"),
       "the 1-row count must broadcast onto the scan")
     assert(p.contains("partial_v_avg"),
       s"era centroids must partial-aggregate map-side (partial_v_avg):\n$p")
+    // a per-(label, era) groupBy filtered twice plans the corpus
+    // aggregation twice (measured: 4 partial phases, 7 scans) — the
+    // conditional-aggregate form must keep it to one
+    assert(p.linesIterator.count(_.contains("partial_v_avg")) <= 2,
+      s"corpus aggregated more than once:\n$p")
   }
 
   test("q5: dimension joins broadcast (no shuffle join for region/nation)") {
