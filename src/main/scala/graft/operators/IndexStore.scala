@@ -177,9 +177,15 @@ object IndexStore {
       val conf = new org.apache.hadoop.conf.Configuration()
       val root = new File(sfDir, "embeddings.parquet")
       require(root.exists(), s"no embeddings.parquet under $sfDir")
-      val files = Option(root.listFiles())
-        .map(_.filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq)
-        .getOrElse(Seq(root))
+      // recursive: a partitioned dataset nests part files under
+      // subdirectories — a top-level-only listing would silently
+      // undercount, exactly the quiet wrong-sizing this method's
+      // fail-loudly contract exists to prevent
+      def walk(f: File): Seq[File] =
+        if (f.isFile) { if (f.getName.endsWith(".parquet")) Seq(f) else Nil }
+        else Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Nil)
+      val files = walk(root)
+      require(files.nonEmpty, s"no parquet part files under $root")
       files.map { f =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)

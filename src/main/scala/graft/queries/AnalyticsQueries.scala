@@ -131,14 +131,18 @@ object AnalyticsQueries {
           count(lit(1)).as("n_lines"))
     }),
 
-    // TPC-H Q14 flavor: fact scan ⋈ broadcast part dim, conditional
-    // promo share in one pass (no second scan for the denominator).
+    // TPC-H Q14 flavor: fact scan ⋈ part dim, conditional promo share
+    // in one pass (no second scan for the denominator). No broadcast
+    // HINT on part: the dim scales with SF (2M rows at sf10), and a
+    // forced broadcast bypasses the planner's size check straight into
+    // the 8 GB broadcast limit at the scale probes — below the auto
+    // threshold the planner broadcasts it anyway (plan-guarded).
     "q14_promo_effect" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       val li = load(s, d, "lineitem")
         .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
           $"l_shipdate" < lit("1997-02-01").cast("timestamp"))
-      li.join(broadcast(load(s, d, "part")), $"l_partkey" === $"p_partkey")
+      li.join(load(s, d, "part"), $"l_partkey" === $"p_partkey")
         .agg(round(lit(100.0) *
           sum(when($"p_type" === "PROMO",
             $"l_extendedprice" * (lit(1) - $"l_discount")).otherwise(0.0)) /

@@ -497,8 +497,14 @@ object DedupQueries {
     * exact-dup collapse inside [[minhashVerifiedEdges]]): recipe
     * changes self-invalidate artifacts persisted by the old build (the
     * IndexStore BuildVersion discipline). */
+  /** Edge-store recipe version: chained into every downstream artifact
+    * key (componentStore) so a recipe bump invalidates derived stores
+    * in lockstep — a jcomp keyed only on the corpus would silently
+    * serve components of the OLD graph after an edge-recipe change. */
+  private val JaccardEdgeRecipe = "jedges3"
+
   private[graft] def jaccardEdgeStore(s: SparkSession, d: String): String =
-    TextQueries.docArtifact(d, "jedges3") { out =>
+    TextQueries.docArtifact(d, JaccardEdgeRecipe) { out =>
       import s.implicits._
       val docs = load(s, d, "documents")
         .select($"doc_id", sort_array(array_distinct(toks($"text"))).as("ws"))
@@ -517,7 +523,7 @@ object DedupQueries {
     * d_dedup_cluster deliberately keeps timing the live assignment
     * (the family's build-step entry, the lmStore discipline). */
   private[graft] def componentStore(s: SparkSession, d: String): String =
-    TextQueries.docArtifact(d, "jcomp") { out =>
+    TextQueries.docArtifact(d, s"jcomp-$JaccardEdgeRecipe") { out =>
       import s.implicits._
       graft.operators.ConnectedComponents.minLabel(
           load(s, d, "documents").select($"doc_id"), "doc_id",

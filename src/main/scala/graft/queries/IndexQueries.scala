@@ -1048,7 +1048,14 @@ object IndexQueries {
         graft.operators.IndexOracle.ivfBalanceOracle(
           baseCent,
           balRows.map(r => (r.getInt(0), r.getInt(2), r.getString(3))).toSeq,
-          // salt anchors ARE geo subs — the argmin replay needs them
+          // the argmin replay needs every per-parent candidate: trained
+          // geo subs AND salt anchors. An anchor is usually a relabeled
+          // geo sub (parent = its group), but after the empty-sample
+          // guard it can be an UNTRAINED group's original centroid
+          // (parent = self; IvfBalanceSpec pins that case) — the replay
+          // degenerates to a single candidate and members stay put, so
+          // do NOT "simplify" this filter to method == 'split' or
+          // assert parent != self
           balRows.filter(r => Set("split", "salt_anchor")(r.getString(3)))
             .map(r => (r.getInt(0), r.getInt(2), r.getSeq[Float](1))).toSeq)
       },

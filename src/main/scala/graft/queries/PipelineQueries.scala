@@ -135,6 +135,10 @@ object PipelineQueries {
       import s.implicits._
       val f = Multimodal.featurize(Multimodal.asMedia(load(s, d, "documents")))
         .toDF().select($"doc_id", $"features")
+      // materialize (doc_id, phash) — 16 bytes/row — so the featurizer
+      // (the expensive stage with a real decoder) runs ONCE: the
+      // group-by consumer, the join probe, and the output ordering
+      // would otherwise each re-execute it (the orderedLarge rationale)
       val ph = f
         .withColumn("mu",
           aggregate($"features", lit(0.0), (a, x) => a + x) / 16.0)
@@ -142,12 +146,16 @@ object PipelineQueries {
         .groupBy($"doc_id")
         .agg(sum(when($"col" > $"mu",
           expr("shiftleft(1L, pos)")).otherwise(0L)).as("phash"))
+        .localCheckpoint(true)
+      // g is bounded by 2^16 rows (a 16-bit hash space) — broadcast,
+      // so no corpus shuffle happens on the join no matter how the
+      // hashes concentrate
       val g = ph.groupBy($"phash")
         .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_same"))
-      ph.join(g, "phash")
+      ph.join(broadcast(g), "phash")
         .select($"doc_id", $"phash", $"keeper_id",
           ($"doc_id" =!= $"keeper_id").as("is_dup"), $"n_same")
-        .orderBy("doc_id")
+        .transform(graft.queries.DedupQueries.orderedLarge(_, "doc_id"))
     }),
 
     // Streaming exact dedup's materialized state, batch-gated: the
