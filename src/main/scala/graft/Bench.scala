@@ -280,6 +280,7 @@ object Bench {
       "store:mips" -> (() => graft.operators.IndexStore.mips(spark, sfDir)),
       "store:ivfpqr" -> (() => graft.operators.IndexStore.ivfpqResidual(spark, sfDir)),
       "store:sq8" -> (() => graft.operators.IndexStore.sq8(spark, sfDir)),
+      "store:sq4" -> (() => graft.operators.IndexStore.sq4(spark, sfDir)),
       "store:opq" -> (() => graft.operators.IndexStore.opq(spark, sfDir)),
       // the LM-score and BPE-merge stores are corpus-build artifacts
       // like the indexes: the timed entries measure inference/read,

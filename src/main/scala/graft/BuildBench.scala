@@ -31,6 +31,7 @@ object BuildBench {
       "pq" -> (() => IndexStore.pq(spark, sfDir)),
       "opq" -> (() => IndexStore.opq(spark, sfDir)),
       "sq8" -> (() => IndexStore.sq8(spark, sfDir)),
+      "sq4" -> (() => IndexStore.sq4(spark, sfDir)),
       "ivfpq" -> (() => IndexStore.ivfpq(spark, sfDir)),
       "ivfpq_residual" -> (() => IndexStore.ivfpqResidual(spark, sfDir)),
       "mips" -> (() => IndexStore.mips(spark, sfDir)),

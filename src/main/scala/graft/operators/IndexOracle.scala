@@ -877,11 +877,11 @@ object IndexOracle {
     * step is exact-specified double arithmetic in the same evaluation
     * order as Sq8Index. */
   def sq8SearchOracle(dim: Int, k: Int, refineFactor: Int,
-      numQueries: Int): String = {
+      numQueries: Int, levels: Int = 255): String = {
     val d1 = dim + 1
     s"""WITH g AS (
        |  SELECT j, min(x)::DOUBLE AS mn, max(x)::DOUBLE AS mx,
-       |    (max(x)::DOUBLE - min(x)::DOUBLE) / 255.0 AS scale
+       |    (max(x)::DOUBLE - min(x)::DOUBLE) / $levels.0 AS scale
        |  FROM (SELECT unnest(embedding) AS x, unnest(range(1, $d1)) AS j FROM embeddings)
        |  GROUP BY j),
        |gl AS (SELECT list(mn ORDER BY j) AS mns, list(scale ORDER BY j) AS scales FROM g),
@@ -889,7 +889,7 @@ object IndexOracle {
        |  SELECT vec_id, list(code ORDER BY j) AS cs FROM (
        |    SELECT v.vec_id, v.j,
        |      CASE WHEN g.scale = 0.0 THEN 0.0
-       |           ELSE least(greatest(floor((v.x::DOUBLE - g.mn) / g.scale + 0.5), 0.0), 255.0) END AS code
+       |           ELSE least(greatest(floor((v.x::DOUBLE - g.mn) / g.scale + 0.5), 0.0), $levels.0) END AS code
        |    FROM (SELECT vec_id, unnest(embedding) AS x, unnest(range(1, $d1)) AS j FROM embeddings) v
        |    JOIN g USING (j))
        |  GROUP BY vec_id),

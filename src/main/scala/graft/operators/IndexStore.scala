@@ -97,15 +97,24 @@ object IndexStore {
     * ingestion pipeline it is fused with the load, never recomputed per
     * query. */
   def sq8(spark: SparkSession, sfDir: String): String =
+    scalarQuantized(spark, sfDir, "sq8", levels = 255)
+
+  /** Int4 sibling of [[sq8]] (levels = 15, 8× at-rest): same grid, same
+    * encode, same ADC/refine machinery — one rung coarser. */
+  def sq4(spark: SparkSession, sfDir: String): String =
+    scalarQuantized(spark, sfDir, "sq4", levels = 15)
+
+  private def scalarQuantized(spark: SparkSession, sfDir: String,
+      name: String, levels: Int): String =
     lock.synchronized {
-      val dir = s"$root/${sfKey(sfDir)}/sq8"
+      val dir = s"$root/${sfKey(sfDir)}/$name"
       if (!done(dir, "grid", "codes")) {
         val e = Tables.load(spark, sfDir, "embeddings")
-        Sq8Index.buildGrid(e, "embedding")
+        Sq8Index.buildGrid(e, "embedding", levels)
           .coalesce(1).write.mode("overwrite").parquet(s"$dir/grid")
         val (mins, scales) =
           Sq8Index.gridArrays(spark.read.parquet(s"$dir/grid"))
-        Sq8Index.encode(e, "vec_id", "embedding", mins, scales)
+        Sq8Index.encode(e, "vec_id", "embedding", mins, scales, levels)
           .write.mode("overwrite").parquet(s"$dir/codes")
       }
       dir

@@ -28,10 +28,15 @@ import graft.GraftVector._
   */
 object Sq8Index {
 
-  /** One-pass grid fit: (dim j ∈ 1..dim, mn, mx, scale=(mx−mn)/255).
+  /** One-pass grid fit: (dim j ∈ 1..dim, mn, mx, scale=(mx−mn)/levels).
     * A plain per-dim min/max aggregation — map-side combined, one
-    * bounded shuffle of dim×partitions rows. */
-  def buildGrid(embeddings: DataFrame, vecCol: String): DataFrame = {
+    * bounded shuffle of dim×partitions rows. `levels` = the top code:
+    * 255 is SQ8 (4×), 15 is SQ4 (8× — the int4 point modern quantized
+    * serving runs at); parquet's bit-packed integer encodings realize
+    * the at-rest compression for both. */
+  def buildGrid(embeddings: DataFrame, vecCol: String,
+      levels: Int = 255): DataFrame = {
+    require(levels >= 1 && levels <= 255, s"levels in [1,255], got $levels")
     val spark = embeddings.sparkSession
     import spark.implicits._
     embeddings
@@ -40,7 +45,8 @@ object Sq8Index {
       .agg(min($"x").as("mnf"), max($"x").as("mxf"))
       .select($"j", $"mnf".cast("double").as("mn"),
         $"mxf".cast("double").as("mx"),
-        (($"mxf".cast("double") - $"mnf".cast("double")) / 255.0).as("scale"))
+        (($"mxf".cast("double") - $"mnf".cast("double"))
+          / levels.toDouble).as("scale"))
   }
 
   /** Grid rows collected to (mins, scales) arrays ordered by dim —
@@ -51,10 +57,10 @@ object Sq8Index {
   }
 
   /** Distributed encode: code_j = clamp(floor((x_j − mn_j)/scale_j + ½),
-    * 0, 255), degenerate dims (scale 0) coding to 0. Scan-side transform
-    * against the literal grid — no shuffle. */
+    * 0, levels), degenerate dims (scale 0) coding to 0. Scan-side
+    * transform against the literal grid — no shuffle. */
   def encode(embeddings: DataFrame, idCol: String, vecCol: String,
-      mins: Seq[Double], scales: Seq[Double]): DataFrame = {
+      mins: Seq[Double], scales: Seq[Double], levels: Int = 255): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val mn = typedlit(mins); val sc = typedlit(scales)
@@ -64,7 +70,7 @@ object Sq8Index {
         when(element_at(sc, j) === 0.0, lit(0)).otherwise(
           least(greatest(
             floor((x.cast("double") - element_at(mn, j)) / element_at(sc, j)
-              + 0.5), lit(0L)), lit(255L)).cast("int"))
+              + 0.5), lit(0L)), lit(levels.toLong)).cast("int"))
       }).as("codes"))
   }
 

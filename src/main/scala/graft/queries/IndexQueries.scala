@@ -216,6 +216,25 @@ object IndexQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // Int4 rung of the scalar-quantization ladder (levels = 15, 8× at
+    // rest — the point modern quantized serving runs at): same grid /
+    // encode / decoded-ADC / exact-refine machinery as SQ8 one rung
+    // coarser, with a wider refine (8×) buying back the recall the
+    // coarser grid costs. Like SQ8 there is no seeded training, so the
+    // oracle re-derives the ENTIRE index from the raw table.
+    "v_sq4_search" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val dir = IndexStore.sq4(s, d)
+      val grid = s.read.parquet(s"$dir/grid")
+      val codes = s.read.parquet(s"$dir/codes")
+      val e = load(s, d, "embeddings")
+      val q = e.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      graft.operators.Sq8Index.searchRefined(grid, codes, e, "vec_id",
+          "embedding", q, k = K, refineFactor = 8)
+        .orderBy("query_id", "rnk")
+    }),
+
     // Johnson–Lindenstrauss random-projection search: a seeded ±1 sign
     // matrix compresses 64-dim vectors to 16 (4×), the shortlist is
     // ranked in the projected space, exact L2 refine decides — the
@@ -1136,6 +1155,10 @@ object IndexQueries {
   def staticOracles: Map[String, String] = Map(
     "v_sq8_search" -> graft.operators.IndexOracle
       .sq8SearchOracle(dim = 64, K, refineFactor = 4, NumQueries),
+
+    "v_sq4_search" -> graft.operators.IndexOracle
+      .sq8SearchOracle(dim = 64, K, refineFactor = 8, NumQueries,
+        levels = 15),
 
     "v_bq_search" -> graft.operators.IndexOracle
       .bqSearchOracle(dim = 64, K, refineFactor = 8, NumQueries),
