@@ -222,14 +222,19 @@ object Bench {
         : Map[String, Double] = {
       import scala.jdk.CollectionConverters._
       val xs = q.asScala.toSeq.sorted
-      // a zero-client/zero-round mix leaves a queue empty — report n=0
-      // rather than throwing on pct / dividing by zero into NaN
-      if (xs.isEmpty) return Map("n" -> 0.0)
+      // a zero-client/zero-round mix leaves a queue empty — report the
+      // FULL key set with zeros (not a bare n=0) so the artifact's
+      // latency-stats schema is identical run to run; diff tooling
+      // keyed on these fields must never see missing keys
+      if (xs.isEmpty)
+        return Map("n" -> 0.0, "avg_ms" -> 0.0, "p50_ms" -> 0.0,
+          "p99_ms" -> 0.0, "p999_ms" -> 0.0)
       def pct(p: Double): Double =
         xs(math.max(0, math.min(xs.size - 1, math.ceil(p * xs.size).toInt - 1)))
       def r3(v: Double) = math.rint(v * 1000) / 1000
       Map("n" -> xs.size.toDouble, "avg_ms" -> r3(xs.sum / xs.size),
-        "p50_ms" -> r3(pct(0.50)), "p99_ms" -> r3(pct(0.99)))
+        "p50_ms" -> r3(pct(0.50)), "p99_ms" -> r3(pct(0.99)),
+        "p999_ms" -> r3(pct(0.999)))
     }
     Map("search" -> stats(searchLat), "insert" -> stats(insertLat))
   }

@@ -28,19 +28,23 @@ object Multimodal {
   val FeatureDim = 16
 
   /** Shared stub "decode": 16-bin byte histogram of a payload slice,
-    * L1-normalized in float (replicable bit-for-bit in the SQL oracle). */
+    * L1-normalized in float (replicable bit-for-bit in the SQL oracle).
+    * Counts accumulate EXACTLY in long — a float accumulator saturates
+    * at 2^24 occurrences per bin while the oracle counts exactly, so
+    * engine/oracle hashes would diverge for >16.7 MB-per-bin payloads.
+    * The final count→float conversion is exact for any payload this
+    * side of 2^53 bytes, and for sub-2^24 counts the emitted values are
+    * bit-identical to the old float-accumulated ones. */
   private[operators] def byteHistogram(
       payload: Array[Byte], from: Int, until: Int): Array[Float] = {
-    val hist = new Array[Float](FeatureDim)
+    val counts = new Array[Long](FeatureDim)
     var i = from
     while (i < until) {
-      hist((payload(i) & 0xff) >> 4) += 1f
+      counts((payload(i) & 0xff) >> 4) += 1L
       i += 1
     }
     val n = math.max(until - from, 1)
-    var j = 0
-    while (j < FeatureDim) { hist(j) /= n.toFloat; j += 1 }
-    hist
+    Array.tabulate(FeatureDim)(j => counts(j).toFloat / n.toFloat)
   }
 
   /** The decoder SEAM: featurize with a caller-supplied decoder factory.
