@@ -90,6 +90,43 @@ object GraphSearch {
     val nodes = e.filter(levelCol($"vec_id") >= minLevel)
     val members = s.read.parquet(s"$ivfDir/assignments")
       .filter(levelCol($"vec_id") >= minLevel)
+    layerGraphFrames(s, ivfDir, e, nodes, members, k, nprobe, shortlist)
+  }
+
+  /** The layered-index INSERT rule for one upper layer (hnsw_index.h's
+    * add, restricted to layers ≤ the new node's level: find the layer
+    * neighborhood, select with the diversity heuristic, link): the
+    * `batch` nodes at level ≥ `minLevel` run the SAME probe → shortlist
+    * → select-neighbors fold the layer BUILD runs ([[layerGraph]]),
+    * with `existingAssigns` supplying candidates — the caller passes
+    * assignments with the not-yet-inserted batch filtered out, the
+    * v_graph_insert masking discipline. Insert-equals-rebuild by
+    * construction: a batch node's selected adjacency is exactly what a
+    * fresh [[layerGraph]] over existing∪{node} would give it, so the
+    * unioned-in edges never drift from the build rule. Scale shape:
+    * identical to the build (the batch rides the probe side; members
+    * are hit by cluster key). */
+  def layerInsert(s: SparkSession, ivfDir: String, e: DataFrame,
+      batch: DataFrame, existingAssigns: DataFrame, minLevel: Int,
+      k: Int = 3, nprobe: Int = 4, shortlist: Int = 32): DataFrame = {
+    import s.implicits._
+    val nodes = batch.filter(levelCol($"vec_id") >= minLevel)
+    val members = existingAssigns.filter(levelCol($"vec_id") >= minLevel)
+    layerGraphFrames(s, ivfDir, e, nodes, members, k, nprobe, shortlist)
+  }
+
+  /** The probe → shortlist → select-neighbors-heuristic core shared by
+    * the layer BUILD ([[layerGraph]]) and the layer INSERT
+    * ([[layerInsert]]): `nodes` carry (vec_id, embedding) — the rows
+    * whose adjacency is being computed; `members` carry
+    * (vec_id, embedding, cluster_id) — the candidate pool (the insert
+    * path pre-masks its batch out). `e` supplies candidate embeddings
+    * for the pairwise diversity checks (candidates ⊆ members ⊆ e). */
+  private def layerGraphFrames(s: SparkSession, ivfDir: String,
+      e: DataFrame, nodes: DataFrame, membersRaw: DataFrame, k: Int,
+      nprobe: Int, shortlist: Int): DataFrame = {
+    import s.implicits._
+    val members = membersRaw
       .select($"vec_id".as("neighbor_id"), $"embedding".as("nv"),
         $"cluster_id".cast("long").as("cluster_id"))
     val cent = s.read.parquet(s"$ivfDir/centroids")

@@ -462,7 +462,9 @@ object IndexOracle {
     * undirected `${p}kgu`. */
   private def layerGraphCtes(centroids: Seq[(Int, Seq[Float])],
       k: Int, nprobe: Int, minLvl: Int, p: String,
-      shortlist: Int = 32): String = {
+      shortlist: Int = 32,
+      qPred: Option[String] = None,
+      memberMask: Option[String => String] = None): String = {
     val qdists = centroids.map { case (_, c) => l2sqLit("embedding", 0, c) }
       .mkString("[", ",\n ", "]")
     val cids = centroids.map(_._1).mkString("[", ",", "]")
@@ -494,7 +496,7 @@ object IndexOracle {
        |    FROM (SELECT query_id, unnest($cids) AS cid, unnest(ds) AS d
        |          FROM (SELECT e.vec_id AS query_id, $qdists AS ds
        |                FROM embeddings e JOIN lvl ON lvl.vec_id = e.vec_id
-       |                WHERE lvl.lv >= $minLvl))
+       |                WHERE lvl.lv >= $minLvl${qPred.map(q => s" AND $q").getOrElse("")}))
        |  ) WHERE crnk <= $nprobe),
        |${p}cand AS MATERIALIZED (
        |  SELECT query_id, vec_id, d, cr FROM (
@@ -507,18 +509,20 @@ object IndexOracle {
        |      JOIN a ON a.cluster_id = p.cluster_id
        |      JOIN lvl lm ON lm.vec_id = a.vec_id AND lm.lv >= $minLvl
        |      JOIN embeddings q ON q.vec_id = p.query_id
-       |      WHERE a.vec_id != p.query_id)
+       |      WHERE a.vec_id != p.query_id${memberMask.map(m =>
+             s" AND NOT (${m("a.vec_id")})").getOrElse("")})
        |  ) WHERE cr <= $shortlist),
        |${p}sel1 AS (SELECT query_id, vec_id, cr FROM ${p}cand WHERE cr = 1),
        |$slots,
        |${p}selall AS (
        |  $selUnion),
        |${p}kg AS MATERIALIZED (
-       |  SELECT vec_id, neighbor_id FROM (
+       |  SELECT vec_id, neighbor_id, rnk, dist FROM (
        |    SELECT c.query_id AS vec_id, c.vec_id AS neighbor_id,
        |      row_number() OVER (PARTITION BY c.query_id
        |        ORDER BY (CASE WHEN s.vec_id IS NOT NULL THEN 0 ELSE 1 END),
-       |                 c.cr) AS rnk
+       |                 c.cr) AS rnk,
+       |      round(sqrt(c.d), 4) AS dist
        |    FROM ${p}cand c
        |    LEFT JOIN ${p}selall s
        |      ON s.query_id = c.query_id AND s.vec_id = c.vec_id
@@ -548,8 +552,12 @@ object IndexOracle {
        |  UNION
        |  SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM kg),
        |${lvlCte},
-       |${layerGraphCtes(centroids, layerK, nprobe = 16, minLvl = 2, p = "l2")},
-       |${layerGraphCtes(centroids, layerK, nprobe = 4, minLvl = 1, p = "l1")},
+       |${layerGraphCtes(centroids, layerK,
+           nprobe = graft.queries.IndexQueries.HnswL2Nprobe, minLvl = 2,
+           p = "l2")},
+       |${layerGraphCtes(centroids, layerK,
+           nprobe = graft.queries.IndexQueries.HnswL1Nprobe, minLvl = 1,
+           p = "l1")},
        |q AS (SELECT vec_id AS query_id, embedding AS qv
        |      FROM embeddings WHERE vec_id < $numQueries),
        |ent AS (SELECT min(vec_id) AS node FROM lvl WHERE lv >= 2),
@@ -562,6 +570,32 @@ object IndexOracle {
        |SELECT query_id, node AS neighbor_id, r AS rnk,
        |  round(sqrt(d), 4) AS dist
        |FROM h_s$hops WHERE r <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** v_hnsw_insert: the layered-index insert re-derived end to end —
+    * the level rule assigns each batch node its level, and for every
+    * upper layer ≤ that level the node's new adjacency is the layer
+    * BUILD rule (probe → shortlist → select-neighbors heuristic →
+    * backfill, the layerGraphCtes unroll) with the batch masked out of
+    * the candidate pool (each insert computed as if it were first —
+    * the engine's v_graph_insert masking discipline, layered). Layer
+    * nprobe values match the build: 4 at layer 1, 16 at layer 2. */
+  def hnswInsertOracle(centroids: Seq[(Int, Seq[Float])], layerK: Int,
+      batchPredOf: String => String): String = {
+    val qp = batchPredOf("e.vec_id")
+    s"""WITH ${assignCte(centroids)},
+       |$lvlCte,
+       |${layerGraphCtes(centroids, layerK,
+           nprobe = graft.queries.IndexQueries.HnswL1Nprobe, minLvl = 1,
+           p = "i1", qPred = Some(qp), memberMask = Some(batchPredOf))},
+       |${layerGraphCtes(centroids, layerK,
+           nprobe = graft.queries.IndexQueries.HnswL2Nprobe, minLvl = 2,
+           p = "i2", qPred = Some(qp), memberMask = Some(batchPredOf))}
+       |SELECT layer, vec_id, neighbor_id, rnk::BIGINT AS rnk, dist FROM (
+       |  SELECT 1::BIGINT AS layer, vec_id, neighbor_id, rnk, dist FROM i1kg
+       |  UNION ALL
+       |  SELECT 2::BIGINT AS layer, vec_id, neighbor_id, rnk, dist FROM i2kg)
+       |ORDER BY layer, vec_id, rnk""".stripMargin
   }
 
   /** The native DotProduct fold: sequential double accumulation of

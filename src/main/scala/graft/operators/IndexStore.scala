@@ -346,10 +346,10 @@ object IndexStore {
         val e = Tables.load(spark, sfDir, "embeddings")
           .select(col("vec_id"), col("embedding"))
         GraphSearch.layerGraph(spark, ivfDir, e, minLevel = 1, k = k,
-            nprobe = 4)
+            nprobe = graft.queries.IndexQueries.HnswL1Nprobe)
           .write.mode("overwrite").parquet(s"$dir/layer1")
         GraphSearch.layerGraph(spark, ivfDir, e, minLevel = 2, k = k,
-            nprobe = 16)
+            nprobe = graft.queries.IndexQueries.HnswL2Nprobe)
           .write.mode("overwrite").parquet(s"$dir/layer2")
         e.filter(GraphSearch.levelCol(col("vec_id")) >= 2)
           .agg(min(col("vec_id")).as("node"))

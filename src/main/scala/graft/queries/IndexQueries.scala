@@ -769,6 +769,37 @@ object IndexQueries {
         .orderBy("vec_id", "rnk")
     }),
 
+    // The LAYERED-index insert path (hnsw_index.h's add beyond layer 0:
+    // assign the new node its level, then link it at every layer ≤
+    // that level with the select-neighbors heuristic — the
+    // add_neighbor_inplace pruning). Set-at-a-time: batch nodes at
+    // level ≥ l compute their layer-l adjacency by the SAME rule the
+    // layer BUILD uses (IVF probe → bounded shortlist → diversity fold
+    // → backfill, GraphSearch.layerInsert == layerGraph's core) with
+    // the batch masked out of the candidate pool — so inserting then
+    // reading equals rebuilding, and the new edges union straight into
+    // the layer tables (the sibling-dir swap IvfDeltaIngest uses).
+    // Layer 0's ingest is v_graph_insert (the flat graph IS layer 0).
+    // Scale shape: the batch rides the probe/broadcast side of every
+    // join; members are hit by cluster key; upper layers hold n/8^l
+    // nodes so each layer's pass shrinks geometrically.
+    "v_hnsw_insert" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val ivfDir = IndexStore.graphIvf(s, d)
+      def isNew(c: org.apache.spark.sql.Column) =
+        pmod(c, lit(HnswInsertMod)) === HnswInsertResidue
+      val e = load(s, d, "embeddings").select($"vec_id", $"embedding")
+      val batch = e.filter(isNew($"vec_id"))
+      val existing = s.read.parquet(s"$ivfDir/assignments")
+        .filter(!isNew($"vec_id"))
+      Seq((1, HnswL1Nprobe), (2, HnswL2Nprobe)).map { case (lv, np) =>
+        graft.operators.GraphSearch.layerInsert(s, ivfDir, e, batch,
+            existing, minLevel = lv, k = HnswLayerK, nprobe = np)
+          .select(lit(lv.toLong).as("layer"), $"vec_id", $"neighbor_id",
+            $"rnk", $"dist")
+      }.reduce(_ unionAll _).orderBy("layer", "vec_id", "rnk")
+    }),
+
     // The DELETE path (the reference's soft-delete contract: deleted
     // nodes are MARKED and skipped during traversal — hnsw search
     // filters them out, the graph is never restructured per delete;
@@ -930,6 +961,14 @@ object IndexQueries {
   private[graft] val HnswDescentEf = 2
   private[graft] val HnswDescentHops = 2
 
+  /** Per-layer IVF probe budgets of the layered BUILD — sparser layers
+    * probe more clusters to find same-layer neighbors (the topmost
+    * probes all 16). ONE definition feeds the store build
+    * (IndexStore.hnsw), the insert entry, and both oracles; the insert
+    * rule is only insert-equals-rebuild if these never drift. */
+  private[graft] val HnswL1Nprobe = 4
+  private[graft] val HnswL2Nprobe = 16
+
   /** v_graph_insert's "new batch" slice: vec_id % mod == residue.
     * ONE pair of constants feeds the engine Column predicate, the
     * oracle SQL string, and the spec — three hand-copies of the
@@ -942,6 +981,16 @@ object IndexQueries {
     * same ONE-definition discipline as the insert batch. */
   private[graft] val DeleteMod = 17
   private[graft] val DeleteResidue = 5
+
+  /** v_hnsw_insert's "new batch" slice — its own rule (disjoint from
+    * the flat-graph slices) chosen so the batch holds nodes at EVERY
+    * level at gate scale (sf0.01: 25 ids, 4 at level ≥1, 2 at level 2
+    * under [[graft.operators.GraphSearch.levelCol]]); a batch with no
+    * upper-level node would leave the layer-2 linking rule exercised
+    * by an empty frame. Levels are a pure function of the id, so the
+    * slice's level census shifts only if the corpus size does. */
+  private[graft] val HnswInsertMod = 20
+  private[graft] val HnswInsertResidue = 11
 
   /** Oracles for the seeded-KMeans entries, generated from the PERSISTED
     * index (see [[graft.operators.IndexOracle]]): centroids/codebooks are
@@ -961,8 +1010,9 @@ object IndexQueries {
       "v_nprobe_sweep", "v_quantize_error", "v_knn_graph", "v_ivf_stats",
       "v_ivf_split", "v_ivf_balance", "v_ivf_merge", "v_maxsim_pruned",
       "v_ood_score", "v_embed_clusters", "v_graph_search", "v_ef_sweep",
-      "v_graph_insert", "v_hnsw_search", "v_mips_ivf", "v_ivfpq_residual",
-      "v_graph_delete", "v_graph_compact", "v_graph_stats")
+      "v_graph_insert", "v_hnsw_search", "v_hnsw_insert", "v_mips_ivf",
+      "v_ivfpq_residual", "v_graph_delete", "v_graph_compact",
+      "v_graph_stats")
 
   /** The approximate kNN graph (v_knn_graph before output ordering):
     * every vector probes its 2 nearest persisted IVF centroids and
@@ -1106,6 +1156,9 @@ object IndexQueries {
         .hnswSearchOracle(gcent, K, GraphEf, GraphHops, NumQueries,
           graphK = 5, graphNprobe = 2, layerK = HnswLayerK,
           descentEf = HnswDescentEf, descentHops = HnswDescentHops),
+      "v_hnsw_insert" -> graft.operators.IndexOracle
+        .hnswInsertOracle(gcent, layerK = HnswLayerK,
+          batchPredOf = c => s"($c % $HnswInsertMod) = $HnswInsertResidue"),
       "v_graph_delete" -> graft.operators.IndexOracle
         .graphDeleteOracle(gcent, K, GraphEf, GraphHops, NumQueries,
           delPredOf = c => s"($c % $DeleteMod) = $DeleteResidue",
