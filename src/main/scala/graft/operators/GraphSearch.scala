@@ -440,27 +440,45 @@ object GraphSearch {
   def hnswSearch(s: SparkSession, hnswDir: String, graphDir: String,
       e: DataFrame, q: DataFrame, k: Int, ef: Int, hops: Int,
       descentEf: Int = 2, descentHops: Int = 2): DataFrame = {
+    import s.implicits._
+    hnswSearchFrames(s,
+      s.read.parquet(s"$hnswDir/layer2"),
+      s.read.parquet(s"$hnswDir/layer1"),
+      s.read.parquet(s"$hnswDir/entry"),
+      s.read.parquet(s"$graphDir/edges"),
+      e, q, k, ef, hops, descentEf, descentHops)
+  }
+
+  /** [[hnswSearch]] over caller-supplied layer-edge/entry/graph FRAMES
+    * — the delete path masks the tombstoned slice out of every layer's
+    * edges (both endpoints), recomputes the entry over live top-layer
+    * nodes, and reuses the identical traversal: the reference's
+    * soft-delete filtering applied per layer, zero index mutation.
+    * `l2`/`l1`/`stored0` carry (vec_id, neighbor_id); `entryDf` one
+    * (node) row. */
+  def hnswSearchFrames(s: SparkSession, l2: DataFrame, l1: DataFrame,
+      entryDf: DataFrame, stored0: DataFrame, e: DataFrame, q: DataFrame,
+      k: Int, ef: Int, hops: Int, descentEf: Int = 2,
+      descentHops: Int = 2): DataFrame = {
     require(k <= ef, s"k=$k must be <= ef=$ef")
     import s.implicits._
     val vecs = e.select($"vec_id".as("node"), $"embedding".as("nv"))
-    def layerEdges(name: String) = undirected(
-      s.read.parquet(s"$hnswDir/$name")
-        .select($"vec_id".as("node"), $"neighbor_id"))
+    def layerEdges(df: DataFrame) = undirected(
+      df.select($"vec_id".as("node"), $"neighbor_id"))
     // the global entry point: the min-id node of the top layer (the
     // reference's enter_point_ is "first insert to reach the top
     // level" — insert order doesn't exist distributed, min id does)
     val entry = q.select($"query_id")
-      .crossJoin(broadcast(s.read.parquet(s"$hnswDir/entry")))
-    val s2 = beamLoop(layerEdges("layer2"), vecs, q, entry,
+      .crossJoin(broadcast(entryDf.select($"node")))
+    val s2 = beamLoop(layerEdges(l2), vecs, q, entry,
       descentEf, descentHops)
     val b1 = s2.select($"query_id",
       explode(transform($"beam", x => x.getField("id"))).as("node"))
-    val s1 = beamLoop(layerEdges("layer1"), vecs, q, b1,
+    val s1 = beamLoop(layerEdges(l1), vecs, q, b1,
       descentEf, descentHops)
     val b0 = s1.select($"query_id",
       explode(transform($"beam", x => x.getField("id"))).as("node"))
-    val stored = s.read.parquet(s"$graphDir/edges")
-      .select($"vec_id".as("node"), $"neighbor_id")
+    val stored = stored0.select($"vec_id".as("node"), $"neighbor_id")
     finalTopK(beamLoop(undirected(stored), vecs, q, b0, ef, hops), k)
   }
 }

@@ -572,6 +572,91 @@ object IndexOracle {
        |FROM h_s$hops WHERE r <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** v_hnsw_delete: the layered traversal with the soft-delete masks
+    * applied per layer — both layer graphs re-derived AS BUILT (over
+    * the full corpus), then edges touching the deleted slice filtered
+    * from every undirected view (the scan-side mask), the entry
+    * recomputed over live top-layer nodes, the layer-0 graph masked
+    * the same way; queries unchanged. Deleted nodes never score: they
+    * are unreachable through masked edges and the masked entry. */
+  def hnswDeleteOracle(centroids: Seq[(Int, Seq[Float])], k: Int, ef: Int,
+      hops: Int, numQueries: Int, delPredOf: String => String,
+      graphK: Int, graphNprobe: Int, layerK: Int, descentEf: Int,
+      descentHops: Int): String = {
+    val l0 = knnGraphCtes(centroids, graphK, graphNprobe)
+      .replaceFirst("\\Aa AS \\(", "a AS MATERIALIZED (")
+      .replace("kg AS (", "kg AS MATERIALIZED (")
+    def keep(src: String, p: String) =
+      s"""${p}kept AS (
+         |  SELECT vec_id, neighbor_id FROM $src
+         |  WHERE NOT (${delPredOf("vec_id")})
+         |    AND NOT (${delPredOf("neighbor_id")})),
+         |${p}kgud AS MATERIALIZED (
+         |  SELECT vec_id, neighbor_id FROM ${p}kept
+         |  UNION
+         |  SELECT neighbor_id AS vec_id, vec_id AS neighbor_id
+         |  FROM ${p}kept)""".stripMargin
+    s"""WITH $l0,
+       |${lvlCte},
+       |${layerGraphCtes(centroids, layerK,
+           nprobe = graft.queries.IndexQueries.HnswL2Nprobe, minLvl = 2,
+           p = "l2")},
+       |${layerGraphCtes(centroids, layerK,
+           nprobe = graft.queries.IndexQueries.HnswL1Nprobe, minLvl = 1,
+           p = "l1")},
+       |${keep("kg", "g0")},
+       |${keep("l2kg", "d2m")},
+       |${keep("l1kg", "d1m")},
+       |q AS (SELECT vec_id AS query_id, embedding AS qv
+       |      FROM embeddings WHERE vec_id < $numQueries),
+       |ent AS (SELECT min(vec_id) AS node FROM lvl
+       |        WHERE lv >= 2 AND NOT (${delPredOf("vec_id")})),
+       |hb0 AS (SELECT query_id, ent.node FROM q, ent),
+       |${beamRounds("d2_", descentEf, descentHops, edges = "d2mkgud",
+           entry = "hb0")},
+       |${beamRounds("d1_", descentEf, descentHops, edges = "d1mkgud",
+           entry = s"d2_b$descentHops")},
+       |${beamRounds("h_", ef, hops, edges = "g0kgud",
+           entry = s"d1_b$descentHops")}
+       |SELECT query_id, node AS neighbor_id, r AS rnk,
+       |  round(sqrt(d), 4) AS dist
+       |FROM h_s$hops WHERE r <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** v_hnsw_compact: the layered repair delta re-derived — each layer
+    * graph AS BUILT identifies the affected nodes (live, ≥1 tombstoned
+    * out-edge), then the SAME layer rule re-runs for exactly those
+    * nodes with the deleted slice masked out of the candidate pool
+    * (the re-link = the insert rule over live members). */
+  def hnswCompactOracle(centroids: Seq[(Int, Seq[Float])], layerK: Int,
+      delPredOf: String => String): String = {
+    def aff(builtKg: String) =
+      s"e.vec_id IN (SELECT b.vec_id FROM $builtKg b " +
+        s"WHERE ${delPredOf("b.neighbor_id")}) " +
+        s"AND NOT (${delPredOf("e.vec_id")})"
+    s"""WITH ${assignCte(centroids)},
+       |$lvlCte,
+       |${layerGraphCtes(centroids, layerK,
+           nprobe = graft.queries.IndexQueries.HnswL1Nprobe, minLvl = 1,
+           p = "b1")},
+       |${layerGraphCtes(centroids, layerK,
+           nprobe = graft.queries.IndexQueries.HnswL2Nprobe, minLvl = 2,
+           p = "b2")},
+       |${layerGraphCtes(centroids, layerK,
+           nprobe = graft.queries.IndexQueries.HnswL1Nprobe, minLvl = 1,
+           p = "c1", qPred = Some(aff("b1kg")),
+           memberMask = Some(delPredOf))},
+       |${layerGraphCtes(centroids, layerK,
+           nprobe = graft.queries.IndexQueries.HnswL2Nprobe, minLvl = 2,
+           p = "c2", qPred = Some(aff("b2kg")),
+           memberMask = Some(delPredOf))}
+       |SELECT layer, vec_id, neighbor_id, rnk::BIGINT AS rnk, dist FROM (
+       |  SELECT 1::BIGINT AS layer, vec_id, neighbor_id, rnk, dist FROM c1kg
+       |  UNION ALL
+       |  SELECT 2::BIGINT AS layer, vec_id, neighbor_id, rnk, dist FROM c2kg)
+       |ORDER BY layer, vec_id, rnk""".stripMargin
+  }
+
   /** v_hnsw_insert: the layered-index insert re-derived end to end —
     * the level rule assigns each batch node its level, and for every
     * upper layer ≤ that level the node's new adjacency is the layer

@@ -358,6 +358,59 @@ object IndexStore {
       dir
     }
 
+  /** The COMPACTED sibling of [[hnsw]]: each layer table with the
+    * (delMod, delResidue) tombstone slice folded out and the
+    * under-filled nodes re-linked by the layer BUILD rule over live
+    * members only ([[GraphSearch.layerInsert]] with the deleted slice
+    * masked — the [[knnGraphCompacted]] contract per layer), plus the
+    * entry recomputed over live top-layer nodes. Unaffected nodes keep
+    * their as-built adjacency (minus edges INTO tombstones): the
+    * repair is local, like the reference's reclamation — a full
+    * rebuild would also reshuffle adjacency of untouched nodes.
+    * `_COMPACTED` marks completion separately from the parquet
+    * `_SUCCESS`es (a crash between fold and re-link must re-run). */
+  def hnswCompacted(spark: SparkSession, sfDir: String, delMod: Int,
+      delResidue: Int, k: Int = 3): String =
+    lock.synchronized {
+      val dir = s"$root/${sfKey(sfDir)}/hnsw${k}del$delMod-$delResidue"
+      val marker = new File(s"$dir/_COMPACTED")
+      if (!marker.exists) {
+        graft.streaming.IvfDeltaIngest.deleteRecursively(new File(dir))
+        val base = hnsw(spark, sfDir, k)
+        val ivfDir = graphIvf(spark, sfDir)
+        def isDel(c: org.apache.spark.sql.Column) =
+          pmod(c, lit(delMod)) === delResidue
+        val e = Tables.load(spark, sfDir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val liveAssigns = spark.read.parquet(s"$ivfDir/assignments")
+          .filter(!isDel(col("vec_id")))
+        for ((name, minLvl, np) <- Seq(
+            ("layer1", 1, graft.queries.IndexQueries.HnswL1Nprobe),
+            ("layer2", 2, graft.queries.IndexQueries.HnswL2Nprobe))) {
+          val edges = spark.read.parquet(s"$base/$name")
+          val affected = edges
+            .filter(!isDel(col("vec_id")) && isDel(col("neighbor_id")))
+            .select(col("vec_id")).distinct()
+          val kept = edges
+            .filter(!isDel(col("vec_id")) && !isDel(col("neighbor_id")))
+            .join(broadcast(affected), Seq("vec_id"), "left_anti")
+          val relink = GraphSearch.layerInsert(spark, ivfDir, e,
+            batch = e.join(broadcast(affected), "vec_id"),
+            existingAssigns = liveAssigns, minLevel = minLvl, k = k,
+            nprobe = np)
+          kept.select("vec_id", "neighbor_id", "rnk", "dist")
+            .unionByName(relink)
+            .write.mode("overwrite").parquet(s"$dir/$name")
+        }
+        e.filter(GraphSearch.levelCol(col("vec_id")) >= 2 &&
+            !isDel(col("vec_id")))
+          .agg(min(col("vec_id")).as("node"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/entry")
+        marker.createNewFile()
+      }
+      dir
+    }
+
   /** Ensure the OPQ index (variance-balancing dimension permutation +
     * codebooks trained on the permuted sample + permuted-space codes).
     * The permutation is 64 ints of metadata — it enters search plans as

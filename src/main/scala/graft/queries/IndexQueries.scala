@@ -860,6 +860,69 @@ object IndexQueries {
         .orderBy("vec_id", "rnk")
     }),
 
+    // The LAYERED delete path: the reference's soft-delete contract
+    // applied per layer — the deleted slice is masked out of every
+    // layer's edge table (both endpoints), the global entry is
+    // recomputed over live top-layer nodes, scoring sees live vectors
+    // only, and the IDENTICAL layered traversal runs (zero index
+    // mutation; scan-side predicates). Queries are NOT filtered: a
+    // deleted vector may still be searched FOR, it just can't be
+    // returned or traversed through. Same scale shape as
+    // v_hnsw_search.
+    "v_hnsw_delete" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val hDir = IndexStore.hnsw(s, d, k = HnswLayerK)
+      val gDir = IndexStore.knnGraph(s, d, k = 5, nprobe = 2)
+      def isDel(c: org.apache.spark.sql.Column) =
+        pmod(c, lit(DeleteMod)) === DeleteResidue
+      val e = load(s, d, "embeddings").select($"vec_id", $"embedding")
+      val live = e.filter(!isDel($"vec_id"))
+      val q = e.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      def masked(name: String) = s.read.parquet(s"$hDir/$name")
+        .filter(!isDel($"vec_id") && !isDel($"neighbor_id"))
+      val entry = live.filter(graft.operators.GraphSearch.levelCol($"vec_id") >= 2)
+        .agg(min($"vec_id").as("node"))
+      val stored = s.read.parquet(s"$gDir/edges")
+        .filter(!isDel($"vec_id") && !isDel($"neighbor_id"))
+      graft.operators.GraphSearch.hnswSearchFrames(s, masked("layer2"),
+          masked("layer1"), entry, stored, live, q,
+          k = K, ef = GraphEf, hops = GraphHops,
+          descentEf = HnswDescentEf, descentHops = HnswDescentHops)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // LAYERED compaction — close the layered delete cycle the way
+    // v_graph_compact closes the flat one: fold the tombstone slice
+    // out of each persisted layer table, re-link the nodes whose
+    // adjacency the fold under-filled via the layer BUILD rule over
+    // live members (GraphSearch.layerInsert — the same
+    // insert-equals-rebuild core), recompute the entry over live
+    // top-layer nodes; all into a compacted SIBLING store (atomic-swap
+    // discipline, the shared artifact stays untouched). The entry
+    // returns the repair delta: each affected node's new per-layer
+    // adjacency. Scale shape: folds are scan-side predicates + one
+    // write per layer; the re-link batch rides the probe/broadcast
+    // side exactly as the insert path does, and upper layers shrink
+    // geometrically.
+    "v_hnsw_compact" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val hDir = IndexStore.hnsw(s, d, k = HnswLayerK)
+      val cDir = IndexStore.hnswCompacted(s, d, DeleteMod, DeleteResidue,
+        k = HnswLayerK)
+      def isDel(c: org.apache.spark.sql.Column) =
+        pmod(c, lit(DeleteMod)) === DeleteResidue
+      Seq((1L, "layer1"), (2L, "layer2")).map { case (lv, name) =>
+        val affected = s.read.parquet(s"$hDir/$name")
+          .filter(!isDel($"vec_id") && isDel($"neighbor_id"))
+          .select($"vec_id").distinct()
+        s.read.parquet(s"$cDir/$name")
+          .join(broadcast(affected), "vec_id")
+          .select(lit(lv).as("layer"), $"vec_id", $"neighbor_id",
+            $"rnk", $"dist")
+      }.reduce(_ unionAll _).orderBy("layer", "vec_id", "rnk")
+    }),
+
     // Mutual-kNN clustering (the curation grouping pass: concept /
     // near-duplicate families over the embedding space): keep only
     // RECIPROCAL kNN-graph edges — a↔b each in the other's top-5, the
@@ -1010,9 +1073,9 @@ object IndexQueries {
       "v_nprobe_sweep", "v_quantize_error", "v_knn_graph", "v_ivf_stats",
       "v_ivf_split", "v_ivf_balance", "v_ivf_merge", "v_maxsim_pruned",
       "v_ood_score", "v_embed_clusters", "v_graph_search", "v_ef_sweep",
-      "v_graph_insert", "v_hnsw_search", "v_hnsw_insert", "v_mips_ivf",
-      "v_ivfpq_residual", "v_graph_delete", "v_graph_compact",
-      "v_graph_stats")
+      "v_graph_insert", "v_hnsw_search", "v_hnsw_insert", "v_hnsw_delete",
+      "v_hnsw_compact", "v_mips_ivf", "v_ivfpq_residual", "v_graph_delete",
+      "v_graph_compact", "v_graph_stats")
 
   /** The approximate kNN graph (v_knn_graph before output ordering):
     * every vector probes its 2 nearest persisted IVF centroids and
@@ -1159,6 +1222,14 @@ object IndexQueries {
       "v_hnsw_insert" -> graft.operators.IndexOracle
         .hnswInsertOracle(gcent, layerK = HnswLayerK,
           batchPredOf = c => s"($c % $HnswInsertMod) = $HnswInsertResidue"),
+      "v_hnsw_delete" -> graft.operators.IndexOracle
+        .hnswDeleteOracle(gcent, K, GraphEf, GraphHops, NumQueries,
+          delPredOf = c => s"($c % $DeleteMod) = $DeleteResidue",
+          graphK = 5, graphNprobe = 2, layerK = HnswLayerK,
+          descentEf = HnswDescentEf, descentHops = HnswDescentHops),
+      "v_hnsw_compact" -> graft.operators.IndexOracle
+        .hnswCompactOracle(gcent, layerK = HnswLayerK,
+          delPredOf = c => s"($c % $DeleteMod) = $DeleteResidue"),
       "v_graph_delete" -> graft.operators.IndexOracle
         .graphDeleteOracle(gcent, K, GraphEf, GraphHops, NumQueries,
           delPredOf = c => s"($c % $DeleteMod) = $DeleteResidue",
