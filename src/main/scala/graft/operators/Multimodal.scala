@@ -103,6 +103,71 @@ object Multimodal {
       if (counts(i) == 0) 0f else (sums(i) / counts(i) / 255.0).toFloat)
   }
 
+  case class MediaStats(doc_id: Long, width: Int, height: Int, px_sum: Long)
+
+  /** Synthesize a REAL PNG per document: a (8 + id%5) × (8 + id%3)
+    * grayscale test pattern with pixel(x,y) = (id·31 + x·7 + y·13)
+    * mod 256, encoded through javax.imageio — genuine compressed media
+    * bytes, not a stand-in. The pixel rule is a pure integer function
+    * of (id, x, y), and PNG is lossless, so anything computed from the
+    * DECODED raster is independently re-derivable from the rule alone
+    * (the m_decode_stats oracle re-derives it in SQL) — this is how a
+    * real decoder gets a full hash gate without shipping image
+    * fixtures. Same mapPartitions shape a real encode stage has. */
+  def synthPngMedia(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = 8 + (id % 5).toInt
+        val h = 8 + (id % 3).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, ((id * 31 + x * 7 + y * 13) % 256).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRow(id, bos.toByteArray, "image/png")
+      }
+    }
+  }
+
+  /** REAL media decode to integer raster stats: ImageIO-decode the
+    * payload (per-partition reader shape, like [[featurizeWith]]),
+    * read the first band straight off the raster (no colorspace
+    * conversion — the exact stored samples), fold width/height/pixel
+    * sum. Exact longs end to end, so the output is hash-stable across
+    * engines — the LIVE decode path the oracle gate runs. */
+  def decodeStats(ds: Dataset[MediaRow]): Dataset[MediaStats] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"payload of ${r.doc_id} is not decodable media")
+        val raster = img.getRaster
+        var s = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            s += raster.getSample(x, y, 0)
+            x += 1
+          }
+          y += 1
+        }
+        MediaStats(r.doc_id, img.getWidth, img.getHeight, s)
+      }
+    }
+  }
+
   /** Frame sampling for "video" payloads: fixed-size byte windows play
     * the role of decoded frames; each frame runs the stub featurizer.
     * The real-codec version swaps the slicing for a demuxer/decoder

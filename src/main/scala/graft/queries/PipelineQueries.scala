@@ -158,6 +158,29 @@ object PipelineQueries {
         .transform(graft.queries.DedupQueries.orderedLarge(_, "doc_id"))
     }),
 
+    // REAL media decode in the gated, benched path: synthesize a
+    // genuine PNG per document (deterministic grayscale test pattern —
+    // pixel = a pure integer function of (doc_id, x, y) — encoded
+    // through javax.imageio, real compressed bytes), then DECODE it
+    // back through the per-partition ImageIO seam and fold exact
+    // integer raster stats. PNG is lossless, so the oracle re-derives
+    // the stats from the pixel rule alone in SQL — a full hash gate
+    // over a live decoder, no image fixtures shipped. The byte-
+    // histogram stub stays the default for the text-payload corpus;
+    // this entry is where the decode seam itself is load-bearing.
+    // Scale shape: embarrassingly parallel encode and decode legs
+    // (mapPartitions, no shuffle), one bounded sort at the output.
+    "m_decode_stats" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val media = Multimodal.synthPngMedia(
+        load(s, d, "documents").select($"doc_id"))
+      Multimodal.decodeStats(media).toDF()
+        .select($"doc_id", $"width".cast("long").as("width"),
+          $"height".cast("long").as("height"), $"px_sum",
+          expr("px_sum * 1000 DIV (width * height)").as("mean_milli"))
+        .orderBy("doc_id")
+    }),
+
     // Streaming exact dedup's materialized state, batch-gated: the
     // keepers (first doc per content fingerprint, keep-min rule) that
     // streaming/StreamDedup.firstPerFingerprint emits for a
@@ -309,6 +332,25 @@ object PipelineQueries {
         |SELECT p.doc_id, p.phash, g.keeper_id,
         |  p.doc_id != g.keeper_id AS is_dup, g.n_same
         |FROM ph p JOIN g USING (phash) ORDER BY p.doc_id""".stripMargin,
+
+    // the engine encodes the deterministic test pattern to REAL PNG
+    // and decodes it back (lossless), so the decoded-raster stats
+    // equal the pixel rule re-derived directly: pixel i of a w×h grid
+    // is (doc_id·31 + (i%w)·7 + (i//w)·13) mod 256 — exact integer
+    // arithmetic both sides, one flat range per doc
+    "m_decode_stats" ->
+      """SELECT doc_id, width, height, px_sum,
+        |  (px_sum * 1000) // (width * height) AS mean_milli
+        |FROM (
+        |  SELECT doc_id,
+        |    (8 + doc_id % 5)::BIGINT AS width,
+        |    (8 + doc_id % 3)::BIGINT AS height,
+        |    list_sum([ (doc_id*31 + (i % (8 + doc_id % 5))*7
+        |                + (i // (8 + doc_id % 5))*13) % 256
+        |      for i in range(0, (8 + doc_id % 5) * (8 + doc_id % 3)) ]
+        |      )::BIGINT AS px_sum
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     // the t_fingerprint FNV fold, keep-min + count per fingerprint —
     // the state StreamDedupSpec proves the live stream converges to

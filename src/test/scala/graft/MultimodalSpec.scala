@@ -109,6 +109,40 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L).n_bytes === jpeg.length.toLong)
   }
 
+  test("synthPngMedia emits genuine PNG bytes and decodeStats recovers " +
+      "the exact pixel rule (lossless encode->decode round trip)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).limit(30).repartition(3)
+    val media = Multimodal.synthPngMedia(docs)
+    // real compressed media: PNG magic on every payload
+    media.collect().foreach { r =>
+      val m = r.payload.take(8).map(_ & 0xff)
+      assert(m.startsWith(Seq(0x89, 0x50, 0x4e, 0x47)),
+        s"doc ${r.doc_id} payload is not a PNG")
+    }
+    val got = Multimodal.decodeStats(media).collect()
+      .map(s => s.doc_id -> s).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (id, s) =>
+      val w = 8 + (id % 5).toInt
+      val h = 8 + (id % 3).toInt
+      val want = (for (y <- 0 until h; x <- 0 until w)
+        yield (id * 31 + x * 7 + y * 13) % 256).sum
+      assert(s.width == w && s.height == h && s.px_sum == want,
+        s"doc $id stats ${(s.width, s.height, s.px_sum)} != ${(w, h, want)}")
+    }
+  }
+
+  test("decodeStats fails loudly on an undecodable payload") {
+    val bad = spark.createDataset(Seq(
+      Multimodal.MediaRow(7L, Array[Byte](1, 2, 3), "image/png")))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeStats(bad).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("stub featurizer is deterministic and produces unit-L1 features") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(20)
     val f1 = Multimodal.featurize(Multimodal.asMedia(docs)).collect()
