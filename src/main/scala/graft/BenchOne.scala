@@ -24,6 +24,20 @@ object BenchOne {
         println(s"BENCHONE distance ${Bench.distanceBench(spark, sfDir)}")
         spark.stop(); return
       }
+      if (name == "throughput") {
+        println(s"BENCHONE throughput ${Bench.throughput(spark, sfDir)}")
+        spark.stop(); return
+      }
+      if (name == "throughput_batched") {
+        println(s"BENCHONE throughput_batched ${Bench.throughputBatched(spark, sfDir)}")
+        spark.stop(); return
+      }
+      if (name == "latency") {
+        val t0 = System.nanoTime()
+        val lat = Bench.latencyBench(spark, sfDir)
+        println(f"BENCHONE latency wall ${(System.nanoTime() - t0) / 1e9}%.1f s $lat")
+        spark.stop(); return
+      }
       val fn = SparkEntry.queries(name)
       (0 until reps).foreach { i =>
         val t0 = System.nanoTime()

@@ -148,10 +148,25 @@ object IvfIndex {
 
   def searchPruned(spark: SparkSession, indexDir: String, queries: DataFrame,
       k: Int, nprobe: Int): DataFrame = {
-    import spark.implicits._
     val centroids = spark.read.parquet(s"$indexDir/centroids")
     val probes = resolveProbes(queries, centroids, nprobe)
     val probeIds = collectProbeIds(probes)
+    searchPrunedFrames(spark, indexDir, queries, probes, probeIds, k)
+  }
+
+  /** [[searchPruned]] past probe resolution: the pruned scan + buffer
+    * shadow + top-k over caller-supplied `probes` (query_id, qv,
+    * cluster_id) and their distinct `probeIds`. The serving front end
+    * ([[graft.streaming.SearchServer]]) resolves probes DRIVER-SIDE
+    * against its in-memory centroid copy — the two Spark jobs
+    * (cross-join rank + distinct-collect) that per-request plans paid
+    * become plain arithmetic there, and this one job is all a request
+    * batch costs. `queries` must carry one (query_id, qv) row per
+    * query (the buffer brute-force side). */
+  def searchPrunedFrames(spark: SparkSession, indexDir: String,
+      queries: DataFrame, probes: DataFrame, probeIds: Seq[Int],
+      k: Int): DataFrame = {
+    import spark.implicits._
     val raw = spark.read.option("mergeSchema", "true")
       .parquet(s"$indexDir/assignments")
       .filter($"cluster_id".isin(probeIds.map(i => i: Any): _*))

@@ -1,0 +1,185 @@
+package graft.streaming
+
+import java.util.concurrent.{LinkedBlockingQueue, TimeUnit}
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.concurrent.{Future, Promise}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.IvfIndex
+
+/** Micro-batching serving front ends — the Spark-shaped answer to the
+  * reference's multi-client server (/root/reference/proto/
+  * vector_search.proto: Search/Insert RPCs; client_bench.cpp drives
+  * them concurrently). A per-request Spark job pays the scheduler's
+  * fixed costs — plan, job submit, stage barriers — which floor
+  * per-request latency near ~2 s however small the data (measured r9:
+  * 8.7 QPS at 8 clients on sf0.1, flat across two data decades — a
+  * scheduler artifact, not a data cost). The serving fix is GROUP
+  * COMMIT in both directions:
+  *
+  *  - [[SearchServer]]: requests enqueue; a dispatcher drains whatever
+  *    is pending (≤ maxBatch) and runs ONE pruned-search job for the
+  *    whole batch. The pruned search is per-query independent (every
+  *    stage keys by query_id), so the batched job is answer-identical
+  *    to per-request jobs — ServingSpec proves equality against
+  *    searchPruned — while the fixed job cost amortizes across the
+  *    batch: QPS scales with offered concurrency. Probe resolution
+  *    runs DRIVER-SIDE against the collected centroids (bounded index
+  *    metadata, the same rows the reference server holds in RAM),
+  *    saving the two per-request Spark jobs the DataFrame form pays.
+  *  - [[IngestServer]]: concurrent insert requests coalesce into one
+  *    delta-log append per dispatch round under a single writer — the
+  *    LSM group-commit discipline (the reference serializes its write
+  *    buffer behind a mutex the same way).
+  *
+  * On a real cluster the dispatcher is exactly this code on the
+  * driver; batch size rides offered load, and the per-batch job scans
+  * only the probed partitions, so serving cost stays nprobe/k of the
+  * corpus regardless of concurrency.
+  */
+object Serving {
+  /** One ranked hit. */
+  final case class Hit(neighborId: Long, rnk: Long, dist: Double)
+}
+
+/** See [[Serving]]. `close()` drains the queue, then stops the
+  * dispatcher. */
+final class SearchServer(spark: SparkSession, indexDir: String, k: Int,
+    nprobe: Int, maxBatch: Int = 128) extends AutoCloseable {
+  import Serving.Hit
+  import spark.implicits._
+
+  // bounded index metadata, collected once per server lifetime
+  private val cents: Array[(Int, Array[Float])] =
+    spark.read.parquet(s"$indexDir/centroids")
+      .select(col("cluster_id").cast("int"), col("centroid"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+  require(cents.nonEmpty, s"no centroids under $indexDir")
+
+  private final case class Req(rid: Long, qv: Array[Float], p: Promise[Seq[Hit]])
+  private val queue = new LinkedBlockingQueue[Req]()
+  private val nextRid = new AtomicLong(0L)
+  @volatile private var open = true
+
+  /** Enqueue one search; completes when its batch's job does. Results
+    * are exactly searchPruned's rows for this query vector. */
+  def search(qv: Array[Float]): Future[Seq[Hit]] = {
+    require(open, "SearchServer is closed")
+    val p = Promise[Seq[Hit]]()
+    queue.put(Req(nextRid.getAndIncrement(), qv, p))
+    p.future
+  }
+
+  // the engine's l2Sq fold order exactly: per-element float->double
+  // subtract, double accumulate left to right — probe ranking must be
+  // decision-identical to resolveProbes' (cdist, cluster_id) order
+  private def l2sq(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      val d = a(i).toDouble - b(i).toDouble
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  private def runBatch(reqs: Seq[Req]): Unit =
+    try {
+      val probeRows = reqs.flatMap { r =>
+        cents.map { case (cid, cv) => (l2sq(r.qv, cv), cid) }
+          .sorted.take(nprobe)
+          .map { case (_, cid) => (r.rid, r.qv.toSeq, cid) }
+      }
+      val probeIds = probeRows.map(_._3).distinct.sorted
+      val probes = probeRows.toDF("query_id", "qv", "cluster_id")
+      val queries = reqs.map(r => (r.rid, r.qv.toSeq)).toDF("query_id", "qv")
+      val byRid = IvfIndex
+        .searchPrunedFrames(spark, indexDir, queries, probes, probeIds, k)
+        .collect()
+        .groupBy(_.getLong(0))
+      reqs.foreach { r =>
+        val hits = byRid.getOrElse(r.rid, Array.empty).toSeq
+          .map(row => Hit(row.getLong(1), row.getLong(2), row.getDouble(3)))
+          .sortBy(_.rnk)
+        r.p.success(hits)
+      }
+    } catch { case e: Throwable => reqs.foreach(_.p.tryFailure(e)) }
+
+  private val dispatcher = new Thread(() => {
+    while (open || !queue.isEmpty) {
+      val first = queue.poll(10, TimeUnit.MILLISECONDS)
+      if (first != null) {
+        val drained = new java.util.ArrayList[Req](maxBatch)
+        drained.add(first)
+        queue.drainTo(drained, maxBatch - 1)
+        import scala.jdk.CollectionConverters._
+        runBatch(drained.asScala.toSeq)
+      }
+    }
+  }, "graft-search-server")
+  dispatcher.setDaemon(true)
+  dispatcher.start()
+
+  override def close(): Unit = {
+    open = false
+    dispatcher.join(30000)
+  }
+}
+
+/** See [[Serving]]: single-writer group commit into the IVF delta log.
+  * Requests drained in one dispatch round share ONE sequence number
+  * and ONE append job; per-request ordering between colliding vec_ids
+  * within a round is therefore undefined (callers needing it must
+  * serialize their own submissions — the reference's mutexed buffer
+  * gives the same guarantee boundary). */
+final class IngestServer(spark: SparkSession, indexDir: String,
+    startSeq: Long, maxBatch: Int = 64) extends AutoCloseable {
+  import spark.implicits._
+
+  private final case class Req(rows: Seq[(Long, Seq[Float])], p: Promise[Long])
+  private val queue = new LinkedBlockingQueue[Req]()
+  private val nextSeq = new AtomicLong(startSeq)
+  @volatile private var open = true
+
+  /** Enqueue one insert batch; the future completes with the sequence
+    * number its group commit landed under. */
+  def insert(rows: Seq[(Long, Seq[Float])]): Future[Long] = {
+    require(open, "IngestServer is closed")
+    val p = Promise[Long]()
+    queue.put(Req(rows, p))
+    p.future
+  }
+
+  private def runBatch(reqs: Seq[Req]): Unit =
+    try {
+      val seq = nextSeq.getAndIncrement()
+      val batch = reqs.flatMap(_.rows).toDF("vec_id", "embedding")
+      IvfDeltaIngest.appendBatch(spark, indexDir, batch, seq)
+      reqs.foreach(_.p.success(seq))
+    } catch { case e: Throwable => reqs.foreach(_.p.tryFailure(e)) }
+
+  private val dispatcher = new Thread(() => {
+    while (open || !queue.isEmpty) {
+      val first = queue.poll(10, TimeUnit.MILLISECONDS)
+      if (first != null) {
+        val drained = new java.util.ArrayList[Req](maxBatch)
+        drained.add(first)
+        queue.drainTo(drained, maxBatch - 1)
+        import scala.jdk.CollectionConverters._
+        runBatch(drained.asScala.toSeq)
+      }
+    }
+  }, "graft-ingest-server")
+  dispatcher.setDaemon(true)
+  dispatcher.start()
+
+  override def close(): Unit = {
+    open = false
+    dispatcher.join(30000)
+  }
+}
