@@ -336,6 +336,15 @@ object Bench {
       "store:ivfpq" -> (() => graft.operators.IndexStore.ivfpq(spark, sfDir)),
       "store:knng" -> (() => graft.operators.IndexStore.knnGraph(spark, sfDir)),
       "store:hnsw" -> (() => graft.operators.IndexStore.hnsw(spark, sfDir)),
+      // the compacted siblings are build-once artifacts like their
+      // bases: warm them here or the first timed compact query after a
+      // data regen pays the whole rebuild (the d_cluster_sizes lesson)
+      "store:knngc" -> (() => graft.operators.IndexStore.knnGraphCompacted(
+        spark, sfDir, graft.queries.IndexQueries.DeleteMod,
+        graft.queries.IndexQueries.DeleteResidue)),
+      "store:hnswc" -> (() => graft.operators.IndexStore.hnswCompacted(
+        spark, sfDir, graft.queries.IndexQueries.DeleteMod,
+        graft.queries.IndexQueries.DeleteResidue)),
       "store:mips" -> (() => graft.operators.IndexStore.mips(spark, sfDir)),
       "store:ivfpqr" -> (() => graft.operators.IndexStore.ivfpqResidual(spark, sfDir)),
       "store:sq8" -> (() => graft.operators.IndexStore.sq8(spark, sfDir)),

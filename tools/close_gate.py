@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Round-close correctness gate.
+
+The round's single hard signal is a per-query oracle compare; round 9
+shipped an empty `{}` driver artifact and the claim had to be
+recovered by a judge re-run. This gate makes an empty or partial
+record impossible to close on:
+
+  1. runs every oracle SQL from <outDir>/oracle_sql.json in DuckDB
+     against the sf tables and compares rows/schema/values with the
+     Spark dumps under <outDir>/<name>/,
+  2. asserts EVERY query dumped by Verify has a verdict — a key with a
+     dump but no oracle is recorded as rows_only (with its row count),
+     never silently dropped,
+  3. writes CLOSE_GATE.json (one row per key: match flags + counts),
+  4. exits non-zero unless every oracled key matches and every
+     rows_only key is non-empty.
+
+Usage: python3 tools/close_gate.py [sfDir] [outDir]
+       (defaults: /root/testdata/sf0.01 /tmp/verify_out)
+Run AFTER `runMain graft.Verify <sfDir> <outDir>` at HEAD.
+"""
+import duckdb, json, os, sys
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    p = f"{sf}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+dumped = sorted(d for d in os.listdir(out)
+                if os.path.isdir(os.path.join(out, d)))
+if not dumped:
+    print("CLOSE GATE FAIL: no query dumps under", out)
+    sys.exit(1)
+
+record, fails = {}, []
+for name in dumped:
+    try:
+        s = duckdb.connect().execute(
+            f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')").fetchdf()
+        if name not in oracle:
+            ok = len(s) > 0
+            record[name] = {"mode": "rows_only", "rows": int(len(s)),
+                            "ok": bool(ok)}
+            if not ok:
+                fails.append(name)
+            continue
+        o = con.execute(oracle[name]).fetchdf()
+        o = o[sorted(o.columns)]
+        s = s[sorted(s.columns)]
+        rows = len(o) == len(s)
+        schema = list(o.columns) == list(s.columns)
+        values = (rows and schema and
+                  o.reset_index(drop=True).astype(str)
+                   .equals(s.reset_index(drop=True).astype(str)))
+        record[name] = {"mode": "oracle", "rows_match": bool(rows),
+                        "schema_match": bool(schema),
+                        "values_match": bool(values),
+                        "rows": int(len(s))}
+        if not (rows and schema and values):
+            fails.append(name)
+    except Exception as e:
+        record[name] = {"mode": "error", "error": str(e)[:200]}
+        fails.append(name)
+
+n_oracle = sum(1 for r in record.values() if r.get("mode") == "oracle")
+summary = {"sf": sf, "n_queries": len(record), "n_oracle": n_oracle,
+           "n_rows_only": len(record) - n_oracle,
+           "n_fail": len(fails), "fails": sorted(fails)}
+with open("CLOSE_GATE.json", "w") as f:
+    json.dump({"summary": summary, "queries": record}, f, indent=1,
+              sort_keys=True)
+print(json.dumps(summary))
+if fails:
+    print("CLOSE GATE FAIL:", sorted(fails))
+    sys.exit(1)
+print(f"CLOSE GATE OK: {n_oracle} oracled + "
+      f"{len(record) - n_oracle} rows-only, all green")
