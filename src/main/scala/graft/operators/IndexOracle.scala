@@ -657,6 +657,39 @@ object IndexOracle {
        |ORDER BY layer, vec_id, rnk""".stripMargin
   }
 
+  /** v_hnsw_stats: the per-layer maintenance audit re-derived — both
+    * layer graphs from the level rule + literal centroids (the same
+    * unrolls the search oracle replays), then exact-integer occupancy,
+    * edge count, milli out-degree, and orphan (in-degree-0) share per
+    * layer. */
+  def hnswStatsOracle(centroids: Seq[(Int, Seq[Float])],
+      layerK: Int): String = {
+    def row(lv: Int, p: String) =
+      s"""SELECT $lv::BIGINT AS layer,
+         |  (SELECT count(*) FROM lvl WHERE lv >= $lv)::BIGINT AS n_nodes,
+         |  (SELECT count(*) FROM ${p}kg)::BIGINT AS n_edges,
+         |  ((SELECT count(*) FROM ${p}kg) * 1000
+         |    // (SELECT count(*) FROM lvl WHERE lv >= $lv))::BIGINT
+         |    AS avg_degree_milli,
+         |  ((SELECT count(*) FROM lvl WHERE lv >= $lv
+         |     AND vec_id NOT IN (SELECT neighbor_id FROM ${p}kg)) * 10000
+         |    // (SELECT count(*) FROM lvl WHERE lv >= $lv))::BIGINT
+         |    AS orphan_bp""".stripMargin
+    s"""WITH ${assignCte(centroids)},
+       |$lvlCte,
+       |${layerGraphCtes(centroids, layerK,
+           nprobe = graft.queries.IndexQueries.HnswL1Nprobe, minLvl = 1,
+           p = "s1")},
+       |${layerGraphCtes(centroids, layerK,
+           nprobe = graft.queries.IndexQueries.HnswL2Nprobe, minLvl = 2,
+           p = "s2")}
+       |SELECT * FROM (
+       |${row(1, "s1")}
+       |UNION ALL
+       |${row(2, "s2")})
+       |ORDER BY layer""".stripMargin
+  }
+
   /** v_hnsw_insert: the layered-index insert re-derived end to end —
     * the level rule assigns each batch node its level, and for every
     * upper layer ≤ that level the node's new adjacency is the layer

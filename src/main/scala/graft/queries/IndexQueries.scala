@@ -860,6 +860,37 @@ object IndexQueries {
         .orderBy("vec_id", "rnk")
     }),
 
+    // Layered-index maintenance AUDIT (v_graph_stats' layer face): per
+    // upper layer, node occupancy (the level rule's geometric census —
+    // drift here means the id hash degraded), edge count and average
+    // out-degree in millis (under-filled layers mean the probe budget
+    // found no same-layer neighbors: raise nprobe), and the share of
+    // layer nodes with NO incoming edge in basis points (orphans are
+    // descent blind spots — a greedy walk can never land on them; the
+    // signal that schedules a layer re-link). Counts and integer
+    // ratios only — exact at any scale; two corpus-free aggregates per
+    // layer (the layer tables are n/8^l rows).
+    "v_hnsw_stats" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val hDir = IndexStore.hnsw(s, d, k = HnswLayerK)
+      val e = load(s, d, "embeddings").select($"vec_id")
+      Seq((1, "layer1"), (2, "layer2")).map { case (lv, name) =>
+        val nodes = e.filter(graft.operators.GraphSearch.levelCol($"vec_id") >= lv)
+        val edges = s.read.parquet(s"$hDir/$name")
+          .select($"vec_id", $"neighbor_id")
+        val nn = nodes.agg(count(lit(1)).as("n_nodes"))
+        val ne = edges.agg(count(lit(1)).as("n_edges"))
+        val orphans = nodes.join(
+            edges.select($"neighbor_id".as("vec_id")).distinct(),
+            Seq("vec_id"), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        nn.crossJoin(broadcast(ne)).crossJoin(broadcast(orphans))
+          .select(lit(lv.toLong).as("layer"), $"n_nodes", $"n_edges",
+            expr("n_edges * 1000 DIV n_nodes").as("avg_degree_milli"),
+            expr("n_orphans * 10000 DIV n_nodes").as("orphan_bp"))
+      }.reduce(_ unionAll _).orderBy("layer")
+    }),
+
     // The LAYERED delete path: the reference's soft-delete contract
     // applied per layer — the deleted slice is masked out of every
     // layer's edge table (both endpoints), the global entry is
@@ -1074,8 +1105,8 @@ object IndexQueries {
       "v_ivf_split", "v_ivf_balance", "v_ivf_merge", "v_maxsim_pruned",
       "v_ood_score", "v_embed_clusters", "v_graph_search", "v_ef_sweep",
       "v_graph_insert", "v_hnsw_search", "v_hnsw_insert", "v_hnsw_delete",
-      "v_hnsw_compact", "v_mips_ivf", "v_ivfpq_residual", "v_graph_delete",
-      "v_graph_compact", "v_graph_stats")
+      "v_hnsw_compact", "v_hnsw_stats", "v_mips_ivf", "v_ivfpq_residual",
+      "v_graph_delete", "v_graph_compact", "v_graph_stats")
 
   /** The approximate kNN graph (v_knn_graph before output ordering):
     * every vector probes its 2 nearest persisted IVF centroids and
@@ -1222,6 +1253,8 @@ object IndexQueries {
       "v_hnsw_insert" -> graft.operators.IndexOracle
         .hnswInsertOracle(gcent, layerK = HnswLayerK,
           batchPredOf = c => s"($c % $HnswInsertMod) = $HnswInsertResidue"),
+      "v_hnsw_stats" -> graft.operators.IndexOracle
+        .hnswStatsOracle(gcent, layerK = HnswLayerK),
       "v_hnsw_delete" -> graft.operators.IndexOracle
         .hnswDeleteOracle(gcent, K, GraphEf, GraphHops, NumQueries,
           delPredOf = c => s"($c % $DeleteMod) = $DeleteResidue",

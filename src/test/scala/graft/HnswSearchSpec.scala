@@ -87,6 +87,25 @@ class HnswSearchSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
   }
 
+  test("v_hnsw_stats matches a driver-side recomputation from the " +
+      "persisted layer tables") {
+    val hDir = IndexStore.hnsw(spark, fixtureDir)
+    val got = SparkEntry.queries("v_hnsw_stats")(spark, fixtureDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    for ((name, lv) <- Seq("layer1" -> 1L, "layer2" -> 2L)) {
+      val nodes = (0L until 400L).filter(levelOf(_) >= lv).toSet
+      val edges = spark.read.parquet(s"$hDir/$name")
+        .select($"vec_id", $"neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val incoming = edges.map(_._2).toSet
+      val want = (nodes.size.toLong, edges.length.toLong,
+        edges.length * 1000L / nodes.size,
+        (nodes -- incoming).size * 10000L / nodes.size)
+      assert(got(lv) == want, s"$name stats ${got(lv)} != $want")
+    }
+  }
+
   test("layered search recall@10 >= 0.9 on clustered data (production ef/hops)") {
     val gt = emb.crossJoin(broadcast(queries))
       .groupBy($"query_id")
