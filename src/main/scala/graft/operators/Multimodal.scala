@@ -116,7 +116,18 @@ object Multimodal {
     * fixtures. Same mapPartitions shape a real encode stage has. */
   def synthPngMedia(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+    // codec work is ~0.5 ms/row against an 8-byte input row: byte-based
+    // split sizing would serialize the whole encode+decode leg onto the
+    // id column's one or two file splits (measured: 24.8 s at sf1 on
+    // 32 idle cores) — floor the stage's parallelism explicitly
+    Expand.floorParallelism(docs.select(col("doc_id").cast("long")))
+      .as[Long].mapPartitions { it =>
+      // per-partition codec init (the featurizeWith seam discipline):
+      // ImageIO's default stream cache is a TEMP FILE per image — a
+      // file create/write/delete round trip that dwarfs the encode of
+      // a tiny raster and serializes on the filesystem. In-memory
+      // streams only.
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { id =>
         val w = 8 + (id % 5).toInt
         val h = 8 + (id % 3).toInt
@@ -148,6 +159,7 @@ object Multimodal {
   def decodeStats(ds: Dataset[MediaRow]): Dataset[MediaStats] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // see synthPngMedia
       it.map { r =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.payload))
