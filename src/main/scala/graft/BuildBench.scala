@@ -37,6 +37,12 @@ object BuildBench {
       "mips" -> (() => IndexStore.mips(spark, sfDir)),
       "knn_graph" -> (() => IndexStore.knnGraph(spark, sfDir)),
       "hnsw_layers" -> (() => IndexStore.hnsw(spark, sfDir)),
+      "knn_graph_compacted" -> (() => IndexStore.knnGraphCompacted(
+        spark, sfDir, graft.queries.IndexQueries.DeleteMod,
+        graft.queries.IndexQueries.DeleteResidue)),
+      "hnsw_compacted" -> (() => IndexStore.hnswCompacted(
+        spark, sfDir, graft.queries.IndexQueries.DeleteMod,
+        graft.queries.IndexQueries.DeleteResidue)),
       "jaccard_edges" -> (() => graft.queries.DedupQueries.jaccardEdgeStore(spark, sfDir)),
       "components" -> (() => graft.queries.DedupQueries.componentStore(spark, sfDir)),
       "lm_scores" -> (() => graft.queries.TextQueries.lmStore(spark, sfDir)),
