@@ -488,4 +488,31 @@ class PlanSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
+  test("m_decode_stats: codec legs are shuffle-free map partitions with " +
+      "floored parallelism — no join, no hash exchange") {
+    val p = planOf(graft.queries.PipelineQueries.all, "m_decode_stats")
+    assert(!p.contains("Join"), s"codec pipeline must not join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"codec pipeline must not hash-shuffle:\n$p")
+    assert(p.contains("Exchange roundrobin") || p.contains("RoundRobin"),
+      s"codec stage parallelism must be floored (round-robin repartition):\n$p")
+    assert(p.contains("MapPartitions"), "encode/decode legs are mapPartitions")
+  }
+
+  test("v_hnsw_insert: batch probes broadcast against centroids, members " +
+      "hit by cluster key, top-k partial-aggregates — no cartesian") {
+    val p = planOf(graft.queries.IndexQueries.all, "v_hnsw_insert")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("partial_v_top_k"),
+      "probe ranking must partial-aggregate map-side")
+  }
+
+  test("v_hnsw_stats: orphan census is a broadcast anti-join, never a " +
+      "sort-merge of the corpus") {
+    val p = planOf(graft.queries.IndexQueries.all, "v_hnsw_stats")
+    assert(p.contains("LeftAnti"), s"orphan census must anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"layer-sized sides must broadcast:\n$p")
+  }
+
 }
