@@ -29,7 +29,9 @@ object BenchOne {
         spark.stop(); return
       }
       if (name == "throughput_batched") {
-        println(s"BENCHONE throughput_batched ${Bench.throughputBatched(spark, sfDir)}")
+        val clients = sys.env.getOrElse("SPARK_GRAFT_TB_CLIENTS", "32").toInt
+        println(s"BENCHONE throughput_batched ${
+          Bench.throughputBatched(spark, sfDir, clients = clients)}")
         spark.stop(); return
       }
       if (name == "latency") {

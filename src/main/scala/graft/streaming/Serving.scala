@@ -48,13 +48,28 @@ object Serving {
 /** See [[Serving]]. `close()` drains the queue, then stops the
   * dispatcher. */
 final class SearchServer(spark: SparkSession, indexDir: String, k: Int,
-    nprobe: Int, maxBatch: Int = 128) extends AutoCloseable {
+    nprobe: Int, maxBatch: Int = 128, maxInFlight: Int = 3)
+    extends AutoCloseable {
   import Serving.Hit
-  import spark.implicits._
+
+  // a cloned session tuned for bounded serving jobs (shares the
+  // SparkContext and all caches; separate SQLConf): a probe batch
+  // aggregates a few thousand rows, so the analytics session's
+  // shuffle width just mints empty tasks, and AQE's stage-by-stage
+  // re-planning adds a barrier per exchange for plans whose joins are
+  // all explicit broadcasts anyway. Answers are conf-independent —
+  // ServingSpec's equality against searchPruned holds on this session.
+  private val serve: SparkSession = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2
+  }
+  import serve.implicits._
 
   // bounded index metadata, collected once per server lifetime
   private val cents: Array[(Int, Array[Float])] =
-    spark.read.parquet(s"$indexDir/centroids")
+    serve.read.parquet(s"$indexDir/centroids")
       .select(col("cluster_id").cast("int"), col("centroid"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
@@ -99,7 +114,7 @@ final class SearchServer(spark: SparkSession, indexDir: String, k: Int,
       val probes = probeRows.toDF("query_id", "qv", "cluster_id")
       val queries = reqs.map(r => (r.rid, r.qv.toSeq)).toDF("query_id", "qv")
       val byRid = IvfIndex
-        .searchPrunedFrames(spark, indexDir, queries, probes, probeIds, k)
+        .searchPrunedFrames(serve, indexDir, queries, probes, probeIds, k)
         .collect()
         .groupBy(_.getLong(0))
       reqs.foreach { r =>
@@ -110,24 +125,41 @@ final class SearchServer(spark: SparkSession, indexDir: String, k: Int,
       }
     } catch { case e: Throwable => reqs.foreach(_.p.tryFailure(e)) }
 
+  // PIPELINED dispatch: up to maxInFlight batch jobs overlap (Spark
+  // schedules concurrent jobs fine — stages interleave on the
+  // executor pool), so the scheduler's per-job latency stops gating
+  // aggregate QPS. The semaphore doubles as natural batch sizing:
+  // while maxInFlight jobs run, arrivals accumulate in the queue and
+  // the NEXT drain picks them all up — load adaptively deepens the
+  // batches instead of the queue.
+  private val inFlight = new java.util.concurrent.Semaphore(maxInFlight)
+  private val workers =
+    java.util.concurrent.Executors.newFixedThreadPool(maxInFlight)
   private val dispatcher = new Thread(() => {
     while (open || !queue.isEmpty) {
       val first = queue.poll(10, TimeUnit.MILLISECONDS)
       if (first != null) {
+        inFlight.acquire()
         val drained = new java.util.ArrayList[Req](maxBatch)
         drained.add(first)
         queue.drainTo(drained, maxBatch - 1)
         import scala.jdk.CollectionConverters._
-        runBatch(drained.asScala.toSeq)
+        val batch = drained.asScala.toSeq
+        workers.submit(new Runnable {
+          override def run(): Unit =
+            try runBatch(batch) finally inFlight.release()
+        })
       }
     }
+    inFlight.acquire(maxInFlight) // wait out the in-flight jobs
+    workers.shutdown()
   }, "graft-search-server")
   dispatcher.setDaemon(true)
   dispatcher.start()
 
   override def close(): Unit = {
     open = false
-    dispatcher.join(30000)
+    dispatcher.join(60000)
   }
 }
 
