@@ -332,6 +332,14 @@ object Bench {
     // shifts its full cost into the first timed query that rebuilds it
     val stores: Seq[(String, () => Any)] = Seq(
       "store:ivf" -> (() => graft.operators.IndexStore.ivf(spark, sfDir, k = 16)),
+      // the balanced sibling too: its cold build landed inside the
+      // timed v_ivf_balance sample at sf10 (197 s first sample, 5 s
+      // warm) and the retime spent the whole budget recovering it
+      "store:ivfb" -> (() => {
+        val (tp, mp) = graft.queries.IndexQueries.balancePops(spark, sfDir)
+        graft.operators.IndexStore.ivfBalanced(spark, sfDir, k = 16,
+          targetPop = tp, maxPop = mp)
+      }),
       "store:pq" -> (() => graft.operators.IndexStore.pq(spark, sfDir)),
       "store:ivfpq" -> (() => graft.operators.IndexStore.ivfpq(spark, sfDir)),
       "store:knng" -> (() => graft.operators.IndexStore.knnGraph(spark, sfDir)),
@@ -411,8 +419,17 @@ object Bench {
     // DURING the sample (direct evidence of contamination, whatever
     // the wall time); slowest first so the budget goes to the worst
     firstPass.filter(r => r._2 >= 2.0 || (r._2 >= 0 && r._3 >= 1.0))
-      .sortBy(-_._2).foreach { case (name, first, _) =>
-        if (retimeBudget > 0) {
+      .sortBy(-_._2).foreach { case (name, first, steal) =>
+        // a retime costs roughly the query's true time: when even the
+        // FIRST sample exceeds the remaining budget and no steal was
+        // observed during it (no contamination evidence), the second
+        // sample would starve every cheaper contaminated query below
+        // it — at sf10 v_knn_batched's 183 s retime ate the entire
+        // budget re-confirming a documented contract cost while a
+        // genuinely cold 41 s sample two rows down went unretimed.
+        // Steal-evidenced samples stay eligible regardless: their
+        // retime is expected to come back far cheaper.
+        if (retimeBudget > 0 && (first <= retimeBudget || steal >= 1.0)) {
           val t0 = System.nanoTime()
           try {
             exhaust(SparkEntry.queries(name)(spark, sfDir))

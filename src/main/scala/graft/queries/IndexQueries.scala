@@ -35,7 +35,7 @@ object IndexQueries {
     * the entry AND its oracle builder derive thresholds here, so the
     * persisted literals replayed by the oracle always match. The
     * production defaults (graphIvf) remain 256/1024. */
-  private def balancePops(s: SparkSession, d: String): (Int, Int) = {
+  private[graft] def balancePops(s: SparkSession, d: String): (Int, Int) = {
     val t = math.max(8, (IndexStore.corpusN(s, d) / 2000L).toInt)
     (t, 2 * t)
   }
