@@ -125,9 +125,12 @@ object Multimodal {
       // per-partition codec init (the featurizeWith seam discipline):
       // ImageIO's default stream cache is a TEMP FILE per image — a
       // file create/write/delete round trip that dwarfs the encode of
-      // a tiny raster and serializes on the filesystem. In-memory
-      // streams only.
+      // a tiny raster and serializes on the filesystem — and the
+      // ImageIO.write convenience method re-scans the SPI registry per
+      // call. One in-memory-stream writer per partition.
       javax.imageio.ImageIO.setUseCache(false)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("png").next()
       it.map { id =>
         val w = 8 + (id % 5).toInt
         val h = 8 + (id % 3).toInt
@@ -144,7 +147,10 @@ object Multimodal {
           y += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(img)
+        ios.flush()
         MediaRow(id, bos.toByteArray, "image/png")
       }
     }
@@ -161,6 +167,10 @@ object Multimodal {
     ds.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false) // see synthPngMedia
       it.map { r =>
+        // the static ImageIO.read re-runs format sniffing + SPI lookup
+        // per call; that stays — payload formats may vary row to row
+        // (the decoder seam's contract) and the sniff is cheap next to
+        // the temp-file cache the setUseCache call removes
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.payload))
         require(img != null, s"payload of ${r.doc_id} is not decodable media")
