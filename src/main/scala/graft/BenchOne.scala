@@ -46,7 +46,7 @@ object BenchOne {
         Bench.exhaust(fn(spark, sfDir))
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"BENCHONE $name rep$i $sec%.3f s")
-        spark.catalog.clearCache()
+        Bench.resetSharedState(spark)
       }
     }
     spark.stop()
