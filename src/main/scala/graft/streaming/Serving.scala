@@ -153,6 +153,13 @@ final class SearchServer(spark: SparkSession, indexDir: String, k: Int,
     }
     inFlight.acquire(maxInFlight) // wait out the in-flight jobs
     workers.shutdown()
+    // a submit that raced close() past its open-check may have landed
+    // after the final drain — fail it loudly rather than hang its
+    // caller on a promise nobody will complete
+    val stragglers = new java.util.ArrayList[Req]()
+    queue.drainTo(stragglers)
+    stragglers.forEach(r =>
+      r.p.tryFailure(new IllegalStateException("SearchServer closed")))
   }, "graft-search-server")
   dispatcher.setDaemon(true)
   dispatcher.start()
@@ -206,6 +213,12 @@ final class IngestServer(spark: SparkSession, indexDir: String,
         runBatch(drained.asScala.toSeq)
       }
     }
+    // fail any insert that raced close() past its open-check (see
+    // SearchServer) — never leave a caller hanging on a dead promise
+    val stragglers = new java.util.ArrayList[Req]()
+    queue.drainTo(stragglers)
+    stragglers.forEach(r =>
+      r.p.tryFailure(new IllegalStateException("IngestServer closed")))
   }, "graft-ingest-server")
   dispatcher.setDaemon(true)
   dispatcher.start()
