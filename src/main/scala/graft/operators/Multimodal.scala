@@ -11,11 +11,15 @@ import org.apache.spark.sql.functions._
   * typed `mapPartitions` (the Scala analog of `mapInPandas` batch UDFs) so
   * heavyweight decoders initialize once per partition, not per row.
   *
-  * The decode step is a STUB — image/audio codecs are not available in
-  * this environment. `featurize` applies a deterministic byte-histogram
-  * featurizer where a real decoder (JPEG → pixels → CNN features, PCM →
-  * mel spectrogram, …) would plug in; everything around it (schema,
-  * encoders, batch shape, partitioning) is real and tested.
+  * Two decode tiers coexist behind one seam ([[featurizeWith]]):
+  * the deterministic byte-histogram STUB (`featurize`) remains the
+  * default for the text-payload corpus, and REAL javax.imageio
+  * decoders run in the gated, benched paths — [[synthPngMedia]] +
+  * [[decodeStats]] (m_decode_stats: encode→decode round trip, exact
+  * raster stats) and [[rasterPoolDecoder]] (m_image_knn: similarity
+  * search over genuinely decoded, exactly-pooled features). A CNN
+  * featurizer or audio codec plugs into the same per-partition
+  * factory shape.
   */
 object Multimodal {
 
@@ -104,6 +108,41 @@ object Multimodal {
   }
 
   case class MediaStats(doc_id: Long, width: Int, height: Int, px_sum: Long)
+
+  /** A REAL image featurizer with EXACT arithmetic: decode, mean-pool
+    * the raw first-band raster samples onto a 4×4 grid, feature =
+    * (cellSum / cellCount) / 255 — integer sums, one double division
+    * chain, one float rounding, all IEEE-exact and therefore
+    * re-derivable in SQL (unlike [[imageDecoder]], whose getRGB path
+    * runs the gray→sRGB colorspace conversion — deterministic but not
+    * clean arithmetic). The decoded-feature similarity entry
+    * (m_image_knn) rides this through [[featurizeWith]], so the
+    * oracle-gated kNN ranks features a genuine decoder produced. */
+  def rasterPoolDecoder(): Array[Byte] => Array[Float] = {
+    javax.imageio.ImageIO.setUseCache(false) // per-partition init
+    payload =>
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    val sums = new Array[Long](FeatureDim)
+    val counts = new Array[Long](FeatureDim)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val cell = math.min(3, y * 4 / h) * 4 + math.min(3, x * 4 / w)
+        sums(cell) += raster.getSample(x, y, 0)
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(FeatureDim)(i =>
+      if (counts(i) == 0) 0f
+      else (sums(i).toDouble / counts(i) / 255.0).toFloat)
+  }
 
   /** Synthesize a REAL PNG per document: a (8 + id%5) × (8 + id%3)
     * grayscale test pattern with pixel(x,y) = (id·31 + x·7 + y·13)

@@ -158,6 +158,41 @@ object PipelineQueries {
         .transform(graft.queries.DedupQueries.orderedLarge(_, "doc_id"))
     }),
 
+    // Similarity search over REALLY-DECODED image features: the synth
+    // PNGs decode through the per-partition ImageIO seam and mean-pool
+    // their raw raster samples onto a 4×4 grid (integer sums, one
+    // double division chain, one float rounding — IEEE-exact, so the
+    // oracle re-derives the features from the pixel rule alone), then
+    // the v_knn ranking contract runs over the decoded features. This
+    // is m_feature_knn with the stub replaced by a genuine decoder in
+    // the hash-gated path; with a CNN the pooling becomes the model
+    // and nothing else in the plan changes. Query branch filters
+    // BEFORE the codec legs (mapPartitions is an optimization barrier
+    // — the m_feature_knn pushdown discipline).
+    "m_image_knn" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      import graft.GraftVector._
+      val f = Multimodal.featurizeWith(
+          Multimodal.synthPngMedia(load(s, d, "documents").select($"doc_id")),
+          Multimodal.rasterPoolDecoder _)
+        .toDF().select($"doc_id", $"features")
+      val q = Multimodal.featurizeWith(
+          Multimodal.synthPngMedia(
+            load(s, d, "documents").filter($"doc_id" < 8).select($"doc_id")),
+          Multimodal.rasterPoolDecoder _)
+        .toDF().select($"doc_id".as("query_id"), $"features".as("qv"))
+      f.select($"doc_id".as("neighbor_id"), $"features")
+        .crossJoin(broadcast(q))
+        .withColumn("d2", l2Sq($"features", $"qv"))
+        .groupBy($"query_id")
+        .agg(topK($"d2", $"neighbor_id", 5).as("nn"))
+        .select($"query_id", posexplode($"nn"))
+        .select($"query_id", $"col.id".as("neighbor_id"),
+          ($"pos" + 1).cast("long").as("rnk"),
+          round(sqrt($"col.score"), 4).as("dist"))
+        .orderBy("query_id", "rnk")
+    }),
+
     // REAL media decode in the gated, benched path: synthesize a
     // genuine PNG per document (deterministic grayscale test pattern —
     // pixel = a pure integer function of (doc_id, x, y) — encoded
@@ -332,6 +367,41 @@ object PipelineQueries {
         |SELECT p.doc_id, p.phash, g.keeper_id,
         |  p.doc_id != g.keeper_id AS is_dup, g.n_same
         |FROM ph p JOIN g USING (phash) ORDER BY p.doc_id""".stripMargin,
+
+    // the decoded-raster pooled features re-derived from the pixel
+    // rule (PNG lossless + exact pooling arithmetic), then the same
+    // ranking contract as m_feature_knn — every cell of the 4×4 grid
+    // is non-empty for w,h >= 8, so the ordered 16-list is total
+    "m_image_knn" ->
+      """WITH px AS (
+        |  SELECT doc_id, w, h, i % w AS x, i // w AS y,
+        |    (doc_id*31 + (i % w)*7 + (i // w)*13) % 256 AS v
+        |  FROM (SELECT doc_id,
+        |          (8 + doc_id % 5)::BIGINT AS w,
+        |          (8 + doc_id % 3)::BIGINT AS h,
+        |          unnest(range(0, (8 + doc_id % 5) * (8 + doc_id % 3))) AS i
+        |        FROM documents)),
+        |cells AS (
+        |  SELECT doc_id,
+        |    least(3, y * 4 // h) * 4 + least(3, x * 4 // w) AS cell,
+        |    sum(v)::BIGINT AS s, count(*)::BIGINT AS c
+        |  FROM px GROUP BY 1, 2),
+        |mf AS (
+        |  SELECT doc_id,
+        |    list((s::DOUBLE / c / 255.0)::FLOAT ORDER BY cell) AS fv
+        |  FROM cells GROUP BY doc_id),
+        |mq AS (SELECT doc_id AS query_id, fv AS qv FROM mf WHERE doc_id < 8)
+        |SELECT query_id, neighbor_id, rnk, dist FROM (
+        |  SELECT query_id, doc_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY d, doc_id) AS rnk,
+        |    round(sqrt(d), 4) AS dist
+        |  FROM (SELECT mq.query_id, mf.doc_id,
+        |          list_reduce(list_prepend(0.0,
+        |            [ (mf.fv[i]::DOUBLE - mq.qv[i]::DOUBLE)
+        |              * (mf.fv[i]::DOUBLE - mq.qv[i]::DOUBLE)
+        |              for i in range(1, 17) ]), (x, y) -> x + y) AS d
+        |        FROM mf CROSS JOIN mq)
+        |) WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
     // the engine encodes the deterministic test pattern to REAL PNG
     // and decodes it back (lossless), so the decoded-raster stats

@@ -133,6 +133,30 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("rasterPoolDecoder features equal the pixel rule pooled exactly " +
+      "(decode -> pool round trip, no colorspace drift)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).limit(20).repartition(2)
+    val got = Multimodal.featurizeWith(Multimodal.synthPngMedia(docs),
+        Multimodal.rasterPoolDecoder _)
+      .collect().map(f => f.doc_id -> f.features.toSeq).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (id, fv) =>
+      val w = 8 + (id % 5).toInt
+      val h = 8 + (id % 3).toInt
+      val sums = new Array[Long](16)
+      val counts = new Array[Long](16)
+      for (y <- 0 until h; x <- 0 until w) {
+        val cell = math.min(3, y * 4 / h) * 4 + math.min(3, x * 4 / w)
+        sums(cell) += (id * 31 + x * 7 + y * 13) % 256
+        counts(cell) += 1
+      }
+      val want = (0 until 16).map(i =>
+        (sums(i).toDouble / counts(i) / 255.0).toFloat)
+      assert(fv == want, s"doc $id features drifted from the pixel rule")
+    }
+  }
+
   test("decodeStats fails loudly on an undecodable payload") {
     val bad = spark.createDataset(Seq(
       Multimodal.MediaRow(7L, Array[Byte](1, 2, 3), "image/png")))(
