@@ -193,6 +193,36 @@ object PipelineQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // Perceptual-hash dedup over REALLY-DECODED features — the
+    // m_phash_dedup contract (average-hash, exact hamming-0 keep-min
+    // grouping, bounded 2^16 hash space) with the stub features
+    // replaced by the decoded-raster pooling of m_image_knn: the
+    // image-dedup stage production multimodal curation actually runs,
+    // decoder included, inside the hash gate. Same scale shape as
+    // m_phash_dedup (one codec pass materialized to 16 bytes/row, a
+    // broadcast-bounded group join).
+    "m_image_phash" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val f = Multimodal.featurizeWith(
+          Multimodal.synthPngMedia(load(s, d, "documents").select($"doc_id")),
+          Multimodal.rasterPoolDecoder _)
+        .toDF().select($"doc_id", $"features")
+      val ph = f
+        .withColumn("mu",
+          aggregate($"features", lit(0.0), (a, x) => a + x) / 16.0)
+        .select($"doc_id", posexplode($"features"), $"mu")
+        .groupBy($"doc_id")
+        .agg(sum(when($"col" > $"mu",
+          expr("shiftleft(1L, pos)")).otherwise(0L)).as("phash"))
+        .localCheckpoint(true)
+      val g = ph.groupBy($"phash")
+        .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_same"))
+      ph.join(broadcast(g), "phash")
+        .select($"doc_id", $"phash", $"keeper_id",
+          ($"doc_id" =!= $"keeper_id").as("is_dup"), $"n_same")
+        .transform(graft.queries.DedupQueries.orderedLarge(_, "doc_id"))
+    }),
+
     // REAL media decode in the gated, benched path: synthesize a
     // genuine PNG per document (deterministic grayscale test pattern —
     // pixel = a pure integer function of (doc_id, x, y) — encoded
@@ -402,6 +432,42 @@ object PipelineQueries {
         |              for i in range(1, 17) ]), (x, y) -> x + y) AS d
         |        FROM mf CROSS JOIN mq)
         |) WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // decoded-raster pooled features from the pixel rule (the
+    // m_image_knn derivation), then m_phash_dedup's mean fold, bit
+    // packing, and keep-min grouping verbatim
+    "m_image_phash" ->
+      """WITH px AS (
+        |  SELECT doc_id, w, h, i % w AS x, i // w AS y,
+        |    (doc_id*31 + (i % w)*7 + (i // w)*13) % 256 AS v
+        |  FROM (SELECT doc_id,
+        |          (8 + doc_id % 5)::BIGINT AS w,
+        |          (8 + doc_id % 3)::BIGINT AS h,
+        |          unnest(range(0, (8 + doc_id % 5) * (8 + doc_id % 3))) AS i
+        |        FROM documents)),
+        |cells AS (
+        |  SELECT doc_id,
+        |    least(3, y * 4 // h) * 4 + least(3, x * 4 // w) AS cell,
+        |    sum(v)::BIGINT AS s, count(*)::BIGINT AS c
+        |  FROM px GROUP BY 1, 2),
+        |f AS (
+        |  SELECT doc_id,
+        |    list((s::DOUBLE / c / 255.0)::FLOAT ORDER BY cell) AS fv
+        |  FROM cells GROUP BY doc_id),
+        |mu AS (SELECT doc_id, fv,
+        |         list_reduce(list_prepend(0.0, fv::DOUBLE[]), (x, y) -> x + y)
+        |           / 16.0 AS mu
+        |       FROM f),
+        |ph AS (SELECT doc_id,
+        |         list_sum([CASE WHEN fv[i+1] > mu THEN 1 << i ELSE 0 END
+        |                   for i in range(0, 16)])::BIGINT AS phash
+        |       FROM mu),
+        |g AS (SELECT phash, min(doc_id) AS keeper_id,
+        |        count(*)::BIGINT AS n_same
+        |      FROM ph GROUP BY phash)
+        |SELECT p.doc_id, p.phash, g.keeper_id,
+        |  p.doc_id != g.keeper_id AS is_dup, g.n_same
+        |FROM ph p JOIN g USING (phash) ORDER BY p.doc_id""".stripMargin,
 
     // the engine encodes the deterministic test pattern to REAL PNG
     // and decodes it back (lossless), so the decoded-raster stats
