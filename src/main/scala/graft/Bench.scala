@@ -32,18 +32,27 @@ object Bench {
   def exhaust(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
+  /** Snapshot of the RDD ids currently persisted — take one BEFORE a
+    * query and pass it to [[resetSharedState]] so the reset only drops
+    * what the query itself left behind. */
+  def persistedRddIds(spark: SparkSession): Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
   /** Drop every block a finished query left in the storage region:
     * `clearCache` covers SQL-cached relations but NOT eager
     * localCheckpoints (persisted RDDs that linger until the
     * ContextCleaner gets to them) — measured at sf10, the blocks
     * d_dedup_cluster leaves behind inflate the NEXT query's first
     * sample ~3.5× (d_ngram_jaccard 38.7 s after it in one JVM, 11.2 s
-    * once the state drains). Unpersisting an exhausted query's
-    * checkpoint RDDs is safe: results are consumed, and cross-query
-    * shared artifacts are parquet stores, never RDDs. */
-  def resetSharedState(spark: SparkSession): Unit = {
+    * once the state drains). `keep` holds the ids persisted BEFORE the
+    * query ran: only ids that appeared during it are unpersisted, so a
+    * component sharing the context (a live server, a caller's own
+    * checkpoint — whose truncated lineage an unpersist would destroy
+    * unrecoverably, not merely force to recompute) is never touched. */
+  def resetSharedState(spark: SparkSession, keep: Set[Int] = Set.empty): Unit = {
     spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    spark.sparkContext.getPersistentRDDs
+      .foreach { case (id, rdd) => if (!keep(id)) rdd.unpersist(false) }
     // torrent-broadcast blocks release via ContextCleaner, which only
     // acts when the JVM collects the weak refs — nudge it so a heavy
     // query's broadcasts don't occupy the storage region into the next
@@ -81,14 +90,17 @@ object Bench {
       line.trim.split("\\s+").drop(1).lift(7).map(_.toLong).getOrElse(0L)
     } catch { case _: Throwable => 0L }
 
-  /** The distance_bench.cpp analog (/root/reference/benchmark/
-    * distance_bench.cpp times the scalar vs AVX2 L2 kernels over a
-    * vector batch): time the codegen'd distance expressions over
-    * `passes` full corpus scans against a broadcast probe vector and
-    * report million distance-evaluations per second per kernel. The
-    * Spark "SIMD" is whole-stage codegen — this measures the fused
-    * scan→expression loop exactly as the reference measures its
-    * intrinsics loop. */
+  /** SCAN throughput for the codegen'd distance expressions: full
+    * DataFrame passes over the (memory-persisted) embedding column
+    * against a broadcast probe vector, million evaluations/second.
+    * This is deliberately NOT the reference's distance_bench number —
+    * columnar-cache row decode (ArrayData accessors, batch iteration)
+    * dominates the arithmetic here, so it measures what a distance
+    * costs INSIDE a real scan plan. The kernel-only analog of
+    * /root/reference/benchmark/distance_bench.cpp (a tight loop over
+    * in-RAM primitive arrays, no row plumbing) is
+    * [[distanceKernelBench]]; both land in the artifact so the
+    * reference comparison reads apples-to-apples. */
   def distanceBench(spark: SparkSession, sfDir: String,
       targetEvals: Long = 10_000_000L): Map[String, Double] = {
     import spark.implicits._
@@ -115,10 +127,74 @@ object Bench {
       name -> math.rint(evals / sec / 1e3) / 1e3
     }
     try Map(
-      time("l2_meval_per_sec", l2($"embedding", probe)),
-      time("dot_meval_per_sec", dot($"embedding", probe)),
-      time("cosine_meval_per_sec", cosine($"embedding", probe)))
+      time("l2_scan_meval_per_sec", l2($"embedding", probe)),
+      time("dot_scan_meval_per_sec", dot($"embedding", probe)),
+      time("cosine_scan_meval_per_sec", cosine($"embedding", probe)))
     finally base.unpersist(false)
+  }
+
+  /** The distance_bench.cpp analog proper (/root/reference/benchmark/
+    * distance_bench.cpp:20-48 times the raw L2 kernel over an in-RAM
+    * vector batch, no storage in the loop): single-threaded primitive
+    * float[] loops with the EXACT per-element op order the codegen'd
+    * expressions emit (float→double subtract/multiply, double
+    * accumulate left to right — VectorExpressions.scala), timed over
+    * enough passes to hit `targetEvals`. Million evals/second per
+    * kernel. The gap between this and [[distanceBench]]'s scan numbers
+    * is the row-decode cost of running a kernel inside a query plan. */
+  def distanceKernelBench(spark: SparkSession, sfDir: String,
+      targetEvals: Long = 20_000_000L): Map[String, Double] = {
+    import org.apache.spark.sql.functions._
+    val vecs: Array[Array[Float]] = Tables.load(spark, sfDir, "embeddings")
+      .select(col("embedding")).limit(4096).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(vecs.nonEmpty, "no embeddings to bench")
+    val probe = Array.fill(vecs(0).length)(0.5f)
+    def l2k(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      math.sqrt(s)
+    }
+    def dotk(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cosk(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        d += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // blackhole: fold every result into a sum the caller can't see
+    // eliminated — a dead-code'd loop would "measure" nothing
+    var sink = 0.0
+    def time(name: String, f: (Array[Float], Array[Float]) => Double)
+        : (String, Double) = {
+      def pass(evals: Long): Unit = {
+        var e = 0L
+        while (e < evals) {
+          sink += f(vecs((e % vecs.length).toInt), probe)
+          e += 1
+        }
+      }
+      pass(targetEvals / 10) // JIT warm
+      val t0 = System.nanoTime()
+      pass(targetEvals)
+      val sec = (System.nanoTime() - t0) / 1e9
+      name -> math.rint(targetEvals / sec / 1e3) / 1e3
+    }
+    val out = Map(
+      time("l2_kernel_meval_per_sec", l2k),
+      time("dot_kernel_meval_per_sec", dotk),
+      time("cosine_kernel_meval_per_sec", cosk))
+    require(!sink.isNaN) // keep `sink` observably live
+    out
   }
 
   /** Multi-client aggregate QPS: `clients` threads × `perClient` pruned
@@ -174,9 +250,12 @@ object Bench {
     * decades), group commit amortizes that cost across whatever is
     * concurrently pending. Answers are exactly searchPruned's
     * (ServingSpec), so this number is the same contract served
-    * faster. */
+    * faster. Returns (clients, searches, elapsed sec, qps, p99 ms) —
+    * per-request latency is recorded so the client sweep can report
+    * the throughput/latency trade-off per offered depth. */
   def throughputBatched(spark: SparkSession, sfDir: String,
-      clients: Int = 32, perClient: Int = 8): (Int, Int, Double, Double) = {
+      clients: Int = 32, perClient: Int = 8)
+      : (Int, Int, Double, Double, Double) = {
     import org.apache.spark.sql.functions._
     val dir = graft.operators.IndexStore.ivf(spark, sfDir, k = 16)
     // clients hold their query vectors (a real client supplies the
@@ -194,13 +273,16 @@ object Bench {
       // warm outside the clock: codegen + parquet footers
       scala.concurrent.Await.result(server.search(qvecs(0)),
         scala.concurrent.duration.Duration(600, "s"))
+      val lats = new java.util.concurrent.ConcurrentLinkedQueue[Double]
       val t0 = System.nanoTime()
       val futures = (0 until clients).map { c =>
         scala.concurrent.Future {
           (0 until perClient).foreach { r =>
+            val r0 = System.nanoTime()
             scala.concurrent.Await.result(
               server.search(qvecs((c * perClient + r) % qvecs.length)),
               scala.concurrent.duration.Duration(600, "s"))
+            lats.add((System.nanoTime() - r0) / 1e6)
           }
         }
       }
@@ -209,7 +291,12 @@ object Bench {
         scala.concurrent.duration.Duration(600, "s"))
       val sec = math.rint((System.nanoTime() - t0) / 1e6) / 1e3
       val n = clients * perClient
-      (clients, n, sec, math.rint(n / sec * 1000) / 1000)
+      import scala.jdk.CollectionConverters._
+      val xs = lats.asScala.toSeq.sorted
+      val p99 = xs(math.max(0, math.min(xs.size - 1,
+        math.ceil(0.99 * xs.size).toInt - 1)))
+      (clients, n, sec, math.rint(n / sec * 1000) / 1000,
+        math.rint(p99 * 1000) / 1000)
     } finally { pool.shutdownNow(); server.close() }
   }
 
@@ -254,11 +341,18 @@ object Bench {
       k = 10, nprobe = 4)
     val ingest = new graft.streaming.IngestServer(spark, scratch,
       startSeq = 1L)
-    // fresh high ids: never collide with corpus ids or each other, so
-    // group-commit ordering within a round is irrelevant
+    // fresh ids above the corpus maximum (measured, not assumed — a
+    // fixed literal base would silently SHADOW corpus rows via the
+    // buffer-shadows-index branch at a large enough scale factor,
+    // quietly changing what the mixed-workload searches measure):
+    // never collide with corpus ids or each other, so group-commit
+    // ordering within a round is irrelevant. +8 leaves room for the
+    // warm-up request at reqIdx = -1.
+    val insertIdBase: Long = Tables.load(spark, sfDir, "embeddings")
+      .agg(max(col("vec_id"))).collect()(0).getLong(0) + 1L + 8L
     def insertRows(reqIdx: Int): Seq[(Long, Seq[Float])] =
       (0 until 8).map { j =>
-        (10_000_000L + reqIdx.toLong * 8 + j,
+        (insertIdBase + reqIdx.toLong * 8 + j,
           qvecs(Math.floorMod(reqIdx * 8 + j, qvecs.length)).toSeq)
       }
     def await[T](f: scala.concurrent.Future[T]): T =
@@ -406,6 +500,7 @@ object Bench {
     // (time, steal seconds observed during the sample) per query
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => skipped(q._1)).map { case (name, fn) =>
+      val keep = persistedRddIds(spark)
       val s0 = stealTicks()
       val t0 = System.nanoTime()
       val ok =
@@ -416,7 +511,7 @@ object Bench {
       // a query may cache its own shared subtrees or leave eager
       // checkpoints; drop them so pinned blocks never bleed into (or
       // evict under) later measurements
-      resetSharedState(spark)
+      resetSharedState(spark, keep)
       (name, if (ok) sec else -1.0, steal)
     }
     // Outlier re-time pass: this box shows BURSTY host-level CPU steal
@@ -451,6 +546,7 @@ object Bench {
         // Steal-evidenced samples stay eligible regardless: their
         // retime is expected to come back far cheaper.
         if (retimeBudget > 0 && (first <= retimeBudget || steal >= 1.0)) {
+          val keep = persistedRddIds(spark)
           val t0 = System.nanoTime()
           try {
             exhaust(SparkEntry.queries(name)(spark, sfDir))
@@ -459,7 +555,7 @@ object Bench {
             retimes(name) = (first, sec)
             retimeBudget -= sec
           } catch { case _: Throwable => () } // keep the first sample
-          resetSharedState(spark)
+          resetSharedState(spark, keep)
         }
       }
     val results = firstPass.map { case (name, sec, _) =>
@@ -479,12 +575,20 @@ object Bench {
       catch { case e: Throwable => errors("throughput") = errMsg(e); None }
 
     // the same requests through the micro-batching server (the serving
-    // architecture): per-request jobs above are the honest FLOOR, this
-    // is the number the front end actually serves at
-    val tputBatched =
-      try Some(throughputBatched(spark, sfDir))
-      catch { case e: Throwable =>
-        errors("throughput_batched") = errMsg(e); None }
+    // architecture): per-request jobs above are the honest FLOOR, and
+    // the SWEEP shows how aggregate QPS scales with offered depth —
+    // group commit deepens its batches under load instead of
+    // saturating at one batch per scheduler round trip. One point per
+    // depth {8, 32, 96}; qps + per-request p99 each.
+    val tputSweep: Seq[(Int, Int, Double, Double, Double)] =
+      Seq(8, 32, 96).flatMap { c =>
+        try Some(throughputBatched(spark, sfDir, clients = c))
+        catch { case e: Throwable =>
+          errors(s"throughput_sweep:$c") = errMsg(e); None }
+      }
+    // the 32-client point doubles as the stable throughput_batched
+    // block earlier rounds' artifacts carry
+    val tputBatched = tputSweep.find(_._1 == 32)
 
     // serving-latency percentiles (client_bench.cpp:153-159 analog):
     // mixed concurrent search+insert per-request latency distribution
@@ -492,10 +596,20 @@ object Bench {
       try Some(latencyBench(spark, sfDir))
       catch { case e: Throwable => errors("latency") = errMsg(e); None }
 
-    // distance-kernel microbench (distance_bench.cpp analog)
-    val dist =
-      try distanceBench(spark, sfDir)
-      catch { case e: Throwable => errors("distance") = errMsg(e); Map.empty[String, Double] }
+    // distance microbenches: scan throughput (kernel inside a real
+    // plan — row decode included) AND kernel-only primitive-array
+    // loops (the honest distance_bench.cpp apples-to-apples number)
+    val dist = {
+      val scan =
+        try distanceBench(spark, sfDir)
+        catch { case e: Throwable =>
+          errors("distance") = errMsg(e); Map.empty[String, Double] }
+      val kern =
+        try distanceKernelBench(spark, sfDir)
+        catch { case e: Throwable =>
+          errors("distance_kernel") = errMsg(e); Map.empty[String, Double] }
+      scan ++ kern
+    }
 
     // stop BEFORE emitting the result lines: Spark's shutdown logging
     // goes to stderr, and with 2>&1 capture an executor-shutdown WARN
@@ -517,9 +631,13 @@ object Bench {
     val tputJson = tput.map { case (c, n, sec, qps) =>
       s"""{"clients":$c,"searches":$n,"elapsed_sec":$sec,"qps":$qps}"""
     }.getOrElse("null")
-    val tputBatchedJson = tputBatched.map { case (c, n, sec, qps) =>
-      s"""{"clients":$c,"searches":$n,"elapsed_sec":$sec,"qps":$qps}"""
-    }.getOrElse("null")
+    def sweepPointJson(p: (Int, Int, Double, Double, Double)): String = {
+      val (c, n, sec, qps, p99) = p
+      s"""{"clients":$c,"searches":$n,"elapsed_sec":$sec,"qps":$qps,"p99_ms":$p99}"""
+    }
+    val tputBatchedJson = tputBatched.map(sweepPointJson).getOrElse("null")
+    val tputSweepJson = tputSweep.map(sweepPointJson)
+      .mkString("[", ",", "]")
     val distJson = dist.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val latJson = lat.map(_.map { case (kind, m) =>
@@ -531,7 +649,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val stealSec = math.rint((stealTicks() - runSteal0) / 100.0 * 10) / 10
     val skippedJson = skipped.toSeq.sorted.map(jstr).mkString("[", ",", "]")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"timing":"min of up to 2 runs for contaminated samples (>2s or steal observed)","steal_sec":$stealSec,"skipped":$skippedJson,"retimes":$retimesJson,"queries":$qs,"errors":$errs,"throughput":$tputJson,"throughput_batched":$tputBatchedJson,"latency":$latJson,"distance":$distJson,"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"timing":"min of up to 2 runs for contaminated samples (>2s or steal observed)","steal_sec":$stealSec,"skipped":$skippedJson,"retimes":$retimesJson,"queries":$qs,"errors":$errs,"throughput":$tputJson,"throughput_batched":$tputBatchedJson,"throughput_sweep":$tputSweepJson,"latency":$latJson,"distance":$distJson,"sf":"$sfDir"}"""
     // The machine-readable artifact: the COMPLETE result object as one
     // JSON file. Five rounds of stdout-only emission parsed as null —
     // sbt appends "[success] Total time: …" after the last println, so
@@ -552,7 +670,7 @@ object Bench {
     // timing signal (-1), so they never spend query-entry bytes.
     val budget = 1500
     val errHead = errors.keys.take(5).map(jstr).mkString("[", ",", "]")
-    val sfx = s""","n_errors":${errors.size},"n_skipped":${skipped.size},"err_head":$errHead,"throughput":$tputJson,"throughput_batched":$tputBatchedJson,"sf":"$sfDir"}"""
+    val sfx = s""","n_errors":${errors.size},"n_skipped":${skipped.size},"err_head":$errHead,"throughput":$tputJson,"throughput_sweep":$tputSweepJson,"sf":"$sfDir"}"""
     val head = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":{"""
     val slowestFirst = results.filter(_._2 >= 0).sortBy(-_._2)
       .map { case (k, v) => jstr(k) + ":" + v }

@@ -22,6 +22,8 @@ object BenchOne {
     names.foreach { name =>
       if (name == "distance") {
         println(s"BENCHONE distance ${Bench.distanceBench(spark, sfDir)}")
+        println(s"BENCHONE distance_kernel ${
+          Bench.distanceKernelBench(spark, sfDir)}")
         spark.stop(); return
       }
       if (name == "throughput") {
@@ -42,11 +44,12 @@ object BenchOne {
       }
       val fn = SparkEntry.queries(name)
       (0 until reps).foreach { i =>
+        val keep = Bench.persistedRddIds(spark)
         val t0 = System.nanoTime()
         Bench.exhaust(fn(spark, sfDir))
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"BENCHONE $name rep$i $sec%.3f s")
-        Bench.resetSharedState(spark)
+        Bench.resetSharedState(spark, keep)
       }
     }
     spark.stop()

@@ -78,14 +78,24 @@ final class SearchServer(spark: SparkSession, indexDir: String, k: Int,
   private final case class Req(rid: Long, qv: Array[Float], p: Promise[Seq[Hit]])
   private val queue = new LinkedBlockingQueue[Req]()
   private val nextRid = new AtomicLong(0L)
+  // gate: the open-check + put must be atomic with respect to close()'s
+  // open=false flip — a put that wins this lock lands while the
+  // dispatcher loop is provably still live (it exits only after
+  // observing open==false), so no request can slip in after the final
+  // straggler drain and hang its caller. Uncontended in steady state.
+  private val gate = new Object
   @volatile private var open = true
 
   /** Enqueue one search; completes when its batch's job does. Results
-    * are exactly searchPruned's rows for this query vector. */
+    * are exactly searchPruned's rows for this query vector. Throws
+    * (synchronously) once the server is closed — never hands back a
+    * promise nobody will complete. */
   def search(qv: Array[Float]): Future[Seq[Hit]] = {
-    require(open, "SearchServer is closed")
     val p = Promise[Seq[Hit]]()
-    queue.put(Req(nextRid.getAndIncrement(), qv, p))
+    gate.synchronized {
+      require(open, "SearchServer is closed")
+      queue.put(Req(nextRid.getAndIncrement(), qv, p))
+    }
     p.future
   }
 
@@ -153,9 +163,8 @@ final class SearchServer(spark: SparkSession, indexDir: String, k: Int,
     }
     inFlight.acquire(maxInFlight) // wait out the in-flight jobs
     workers.shutdown()
-    // a submit that raced close() past its open-check may have landed
-    // after the final drain — fail it loudly rather than hang its
-    // caller on a promise nobody will complete
+    // belt-and-braces: the gate lock means nothing can be here, but a
+    // leftover would hang its caller forever, so drain loudly anyway
     val stragglers = new java.util.ArrayList[Req]()
     queue.drainTo(stragglers)
     stragglers.forEach(r =>
@@ -165,7 +174,7 @@ final class SearchServer(spark: SparkSession, indexDir: String, k: Int,
   dispatcher.start()
 
   override def close(): Unit = {
-    open = false
+    gate.synchronized { open = false }
     dispatcher.join(60000)
   }
 }
@@ -183,14 +192,19 @@ final class IngestServer(spark: SparkSession, indexDir: String,
   private final case class Req(rows: Seq[(Long, Seq[Float])], p: Promise[Long])
   private val queue = new LinkedBlockingQueue[Req]()
   private val nextSeq = new AtomicLong(startSeq)
+  // see SearchServer.gate: open-check + put atomic vs close()'s flip
+  private val gate = new Object
   @volatile private var open = true
 
   /** Enqueue one insert batch; the future completes with the sequence
-    * number its group commit landed under. */
+    * number its group commit landed under. Throws (synchronously) once
+    * the server is closed — never hands back a dead promise. */
   def insert(rows: Seq[(Long, Seq[Float])]): Future[Long] = {
-    require(open, "IngestServer is closed")
     val p = Promise[Long]()
-    queue.put(Req(rows, p))
+    gate.synchronized {
+      require(open, "IngestServer is closed")
+      queue.put(Req(rows, p))
+    }
     p.future
   }
 
@@ -213,8 +227,8 @@ final class IngestServer(spark: SparkSession, indexDir: String,
         runBatch(drained.asScala.toSeq)
       }
     }
-    // fail any insert that raced close() past its open-check (see
-    // SearchServer) — never leave a caller hanging on a dead promise
+    // belt-and-braces: the gate lock means nothing can land post-drain,
+    // but a leftover would hang its caller forever — drain loudly anyway
     val stragglers = new java.util.ArrayList[Req]()
     queue.drainTo(stragglers)
     stragglers.forEach(r =>
@@ -224,7 +238,7 @@ final class IngestServer(spark: SparkSession, indexDir: String,
   dispatcher.start()
 
   override def close(): Unit = {
-    open = false
+    gate.synchronized { open = false }
     dispatcher.join(30000)
   }
 }

@@ -126,4 +126,51 @@ class ServingSpec extends SparkSpec {
       assert(Await.result(f, Duration(120, "s")).nonEmpty)
     }
   }
+
+  test("a request racing close() either completes or throws — never hangs") {
+    // the r10 TOCTOU: require(open) passes, close() flips + final-drains,
+    // THEN the put lands → a promise nobody completes. The gate lock
+    // makes open-check+put atomic vs the flip, so every submitter either
+    // gets a completable future or a synchronous IllegalArgumentException.
+    // Hammer the window: many submitter threads racing one close().
+    val dir = scratchStore()
+    val qv = vecsOf(Seq(0L)).head._2
+    for (_ <- 1 to 5) {
+      val server = new SearchServer(spark, dir, k = 3, nprobe = 2)
+      val outcomes =
+        new java.util.concurrent.ConcurrentLinkedQueue[
+          Either[Throwable, scala.concurrent.Future[Seq[graft.streaming.Serving.Hit]]]]()
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val threads = (1 to 16).map { _ =>
+        val t = new Thread(() => {
+          start.await()
+          try outcomes.add(Right(server.search(qv)))
+          catch { case e: IllegalArgumentException => outcomes.add(Left(e)) }
+        })
+        t.start(); t
+      }
+      start.countDown()
+      Thread.sleep(1) // let some submits land before, some after the flip
+      server.close()
+      threads.foreach(_.join(30000))
+      import scala.jdk.CollectionConverters._
+      assert(outcomes.size == 16)
+      outcomes.asScala.foreach {
+        case Right(f) =>
+          // accepted ⇒ the dispatcher must complete it (success or failure)
+          Await.ready(f, Duration(120, "s"))
+          assert(f.value.isDefined)
+        case Left(e) =>
+          assert(e.getMessage.contains("closed"))
+      }
+    }
+    // post-close calls always throw synchronously on both servers
+    val closedSearch = new SearchServer(spark, dir, k = 3, nprobe = 2)
+    closedSearch.close()
+    intercept[IllegalArgumentException](closedSearch.search(qv))
+    val closedIngest = new IngestServer(spark, dir, startSeq = 100L)
+    closedIngest.close()
+    intercept[IllegalArgumentException](
+      closedIngest.insert(Seq(5000L -> qv.toSeq)))
+  }
 }

@@ -21,9 +21,32 @@ Usage: python3 tools/close_gate.py [sfDir] [outDir]
 Run AFTER `runMain graft.Verify <sfDir> <outDir>` at HEAD.
 """
 import duckdb, json, os, sys
+import numpy as np
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+
+def normalize(df):
+    """Column-sort, widen float32 -> float64 (exact), explicit row order.
+
+    Two representation hazards would otherwise fail (or pass) the gate on
+    formatting rather than values: float32 (Spark dump) and float64
+    (DuckDB oracle) render differently under str() even when the
+    underlying value is the same IEEE number, and read_parquet's row
+    order follows file-glob order, not the query's ORDER BY, once a dump
+    spans multiple part files. Widening float32 to float64 is exact, so
+    the compare stays bit-strict; the row sort is the SAME deterministic
+    key on both sides, so it cannot mask a value mismatch.
+    """
+    df = df[sorted(df.columns)].reset_index(drop=True)
+    for c in df.columns:
+        if df[c].dtype == np.float32:
+            df[c] = df[c].astype(np.float64)
+    if len(df) == 0:
+        return df
+    key = df.astype(str).apply(lambda r: "\x1f".join(r), axis=1)
+    return df.iloc[key.argsort(kind="mergesort")].reset_index(drop=True)
 
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -51,14 +74,12 @@ for name in dumped:
             if not ok:
                 fails.append(name)
             continue
-        o = con.execute(oracle[name]).fetchdf()
-        o = o[sorted(o.columns)]
-        s = s[sorted(s.columns)]
+        o = normalize(con.execute(oracle[name]).fetchdf())
+        s = normalize(s)
         rows = len(o) == len(s)
         schema = list(o.columns) == list(s.columns)
         values = (rows and schema and
-                  o.reset_index(drop=True).astype(str)
-                   .equals(s.reset_index(drop=True).astype(str)))
+                  o.astype(str).equals(s.astype(str)))
         record[name] = {"mode": "oracle", "rows_match": bool(rows),
                         "schema_match": bool(schema),
                         "values_match": bool(values),
