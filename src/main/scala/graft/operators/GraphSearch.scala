@@ -43,25 +43,81 @@ object GraphSearch {
       .select($"cluster_id", $"centroid"), members, e, k, nprobe)
   }
 
+  /** The deepest upper layer the level hash can size exactly: the
+    * avalanche modulus 999983 bounds the hash codomain below 2^20, and
+    * 8^6 = 262144 is the last power-of-8 bucket inside it — beyond
+    * level 6 the geometric law P(≥l) = 8^-l degrades to P(h2 = 0).
+    * The reference makes the same move with a constant
+    * (hnsw_node.h:12 MAX_HNSW_LEVELS = 16 caps get_random_level); six
+    * upper layers cover a ~33M-vector corpus at the ≥2 occupancy law
+    * ([[levelsFor]]) — past that, shard the id space (the same
+    * guidance [[levelCol]] gives for ids beyond int64 exactness). */
+  val MaxUpperLevels = 6
+
+  /** Data-sized upper-layer count — the distributed analog of the
+    * reference's max_level_ (hnsw_index.h: max over get_random_level
+    * draws, i.e. the deepest layer the corpus actually populates,
+    * capped by MAX_HNSW_LEVELS). A drawn max is insert-order state a
+    * distributed build doesn't have, so the count comes from the same
+    * geometric law the draws follow: the deepest level whose EXPECTED
+    * occupancy n/8^l is still ≥ 2 (a 1-node layer is legal — it is
+    * the reference's own top — but adds a no-op descent stage), so
+    * L(n) = max{l : 2·8^l ≤ n}, clamped to [1, MaxUpperLevels].
+    * Growth is logarithmic: 10× the corpus adds ~1.1 layers — the
+    * structure ADDS LAYERS rather than widening one, which is what
+    * keeps the descent O(log n) hops at any scale. */
+  def levelsFor(n: Long): Int = {
+    var l = 1
+    while (l < MaxUpperLevels && 2L * math.pow(8, l + 1).toLong <= n) l += 1
+    l
+  }
+
   /** Deterministic HNSW level assignment (hnsw_index.h:get_random_level
     * draws level = floor(-ln(u)·1/ln(M)) — geometric occupancy
     * P(level≥l) = M^-l). A distributed build can't thread an RNG
     * through insert order, so the level is a pure function of the id:
     * a multiplicative hash folded through a prime modulus, a
     * mid-square avalanche pass, then power-of-two buckets —
-    * P(≥1)=1/8, P(≥2)=1/64 (M=8). Both folds matter: `id % 8` alone
-    * would tie layer membership to data generation order, and the
+    * P(≥l) = 8^-l for l ≤ `maxLevel` (M=8; the buckets nest because
+    * 8^l | 8^(l+1)). Both folds matter: `id % 8` alone would tie
+    * layer membership to data generation order, and the
     * multiplicative step alone keeps lattice structure (sequential
     * ids land in arithmetic progressions, measured: all top-layer
     * nodes in 2 of 8 planted clusters) — squaring breaks the
     * linearity. Exact in int64 for ids < ~3.4e9 (beyond that, shard
-    * the id space before assignment). */
-  def levelCol(id: Column): Column = {
+    * the id space before assignment); exact geometric occupancy for
+    * maxLevel ≤ [[MaxUpperLevels]] (the avalanche modulus bounds the
+    * codomain). */
+  def levelCol(id: Column, maxLevel: Int): Column = {
+    require(maxLevel >= 1 && maxLevel <= MaxUpperLevels,
+      s"maxLevel=$maxLevel outside [1, $MaxUpperLevels]")
     val h = pmod(id * lit(2654435761L), lit(1000003L))
     val h2 = pmod(h * h + h, lit(999983L))
-    when(pmod(h2, lit(64)) === 0, 2)
-      .when(pmod(h2, lit(8)) === 0, 1)
-      .otherwise(0)
+    (maxLevel to 1 by -1).foldLeft(Option.empty[Column]) { (acc, l) =>
+      val cond = pmod(h2, lit(math.pow(8, l).toLong)) === 0
+      Some(acc.fold(when(cond, l))(_.when(cond, l)))
+    }.get.otherwise(0)
+  }
+
+  /** Per-layer probe budget: sparser layers must probe more coarse
+    * clusters to find any same-layer neighbors (level-l occupancy is
+    * n/8^l, so the expected same-layer candidates per cluster fall
+    * geometrically), growing 4× per level until the budget covers the
+    * whole centroid table — the topmost layers probe ALL clusters,
+    * which at their occupancy is still a vanishing row count. */
+  def hnswNprobe(level: Int, nClusters: Int): Int =
+    math.min(nClusters.toLong, 1L << (2 * level)).toInt
+
+  /** Membership test for the level-≥l slice. Because the level buckets
+    * nest (8^l | 8^(l+1)), "level ≥ l" is a single divisibility test
+    * independent of the hierarchy's total depth — the predicate every
+    * layer filter uses, so a store built at one L and read at another
+    * agrees on every slice. */
+  def levelAtLeast(id: Column, l: Int): Column = {
+    require(l >= 1 && l <= MaxUpperLevels, s"level $l outside [1, $MaxUpperLevels]")
+    val h = pmod(id * lit(2654435761L), lit(1000003L))
+    val h2 = pmod(h * h + h, lit(999983L))
+    pmod(h2, lit(math.pow(8, l).toLong)) === 0
   }
 
   /** One of HNSW's sparse upper layers as an edge table: a kNN graph
@@ -87,9 +143,9 @@ object GraphSearch {
       minLevel: Int, k: Int = 3, nprobe: Int = 4,
       shortlist: Int = 32): DataFrame = {
     import s.implicits._
-    val nodes = e.filter(levelCol($"vec_id") >= minLevel)
+    val nodes = e.filter(levelAtLeast($"vec_id", minLevel))
     val members = s.read.parquet(s"$ivfDir/assignments")
-      .filter(levelCol($"vec_id") >= minLevel)
+      .filter(levelAtLeast($"vec_id", minLevel))
     layerGraphFrames(s, ivfDir, e, nodes, members, k, nprobe, shortlist)
   }
 
@@ -110,8 +166,8 @@ object GraphSearch {
       batch: DataFrame, existingAssigns: DataFrame, minLevel: Int,
       k: Int = 3, nprobe: Int = 4, shortlist: Int = 32): DataFrame = {
     import s.implicits._
-    val nodes = batch.filter(levelCol($"vec_id") >= minLevel)
-    val members = existingAssigns.filter(levelCol($"vec_id") >= minLevel)
+    val nodes = batch.filter(levelAtLeast($"vec_id", minLevel))
+    val members = existingAssigns.filter(levelAtLeast($"vec_id", minLevel))
     layerGraphFrames(s, ivfDir, e, nodes, members, k, nprobe, shortlist)
   }
 
@@ -425,6 +481,13 @@ object GraphSearch {
     }
   }
 
+  /** The number of upper layers a persisted [[graft.operators.IndexStore.hnsw]]
+    * store carries — read from its one-row `meta` table, so readers
+    * never re-derive the sizing law against a corpus that may have
+    * grown since the build. */
+  def storedLevels(s: SparkSession, hnswDir: String): Int =
+    s.read.parquet(s"$hnswDir/meta").collect()(0).getInt(0)
+
   /** The full layered search (hnsw_index.h:268-330: greedy descent from
     * the global entry point through the sparse upper layers, then an
     * ef-beam search at layer 0). Set-at-a-time: each upper layer is a
@@ -434,16 +497,18 @@ object GraphSearch {
     * the way the layer-0 search keeps `entries` medoids), and the final
     * layer-1 beam IS the layer-0 entry — replacing v_graph_search's
     * medoid entry with the structure the reference actually descends.
-    * Every layer's loop is |Q|·descentEf broadcast rows probing
-    * key-partitioned edge tables — the upper layers add O(hops) tiny
-    * barrier stages, never a corpus-scale shuffle. */
+    * The layer COUNT is data-sized ([[levelsFor]], persisted in the
+    * store's meta), so the descent stays O(log n) hops as the corpus
+    * grows — the structure adds layers, it never widens one. Every
+    * layer's loop is |Q|·descentEf broadcast rows probing
+    * key-partitioned edge tables — the upper layers add O(hops·log n)
+    * tiny barrier stages, never a corpus-scale shuffle. */
   def hnswSearch(s: SparkSession, hnswDir: String, graphDir: String,
       e: DataFrame, q: DataFrame, k: Int, ef: Int, hops: Int,
       descentEf: Int = 2, descentHops: Int = 2): DataFrame = {
-    import s.implicits._
+    val levels = storedLevels(s, hnswDir)
     hnswSearchFrames(s,
-      s.read.parquet(s"$hnswDir/layer2"),
-      s.read.parquet(s"$hnswDir/layer1"),
+      (levels to 1 by -1).map(l => s.read.parquet(s"$hnswDir/layer$l")),
       s.read.parquet(s"$hnswDir/entry"),
       s.read.parquet(s"$graphDir/edges"),
       e, q, k, ef, hops, descentEf, descentHops)
@@ -454,13 +519,14 @@ object GraphSearch {
     * edges (both endpoints), recomputes the entry over live top-layer
     * nodes, and reuses the identical traversal: the reference's
     * soft-delete filtering applied per layer, zero index mutation.
-    * `l2`/`l1`/`stored0` carry (vec_id, neighbor_id); `entryDf` one
-    * (node) row. */
-  def hnswSearchFrames(s: SparkSession, l2: DataFrame, l1: DataFrame,
+    * `upperLayers` carry (vec_id, neighbor_id) ordered TOP layer
+    * first (the descent order); `entryDf` one (node) row. */
+  def hnswSearchFrames(s: SparkSession, upperLayers: Seq[DataFrame],
       entryDf: DataFrame, stored0: DataFrame, e: DataFrame, q: DataFrame,
       k: Int, ef: Int, hops: Int, descentEf: Int = 2,
       descentHops: Int = 2): DataFrame = {
     require(k <= ef, s"k=$k must be <= ef=$ef")
+    require(upperLayers.nonEmpty, "need at least one upper layer")
     import s.implicits._
     val vecs = e.select($"vec_id".as("node"), $"embedding".as("nv"))
     def layerEdges(df: DataFrame) = undirected(
@@ -470,14 +536,11 @@ object GraphSearch {
     // level" — insert order doesn't exist distributed, min id does)
     val entry = q.select($"query_id")
       .crossJoin(broadcast(entryDf.select($"node")))
-    val s2 = beamLoop(layerEdges(l2), vecs, q, entry,
-      descentEf, descentHops)
-    val b1 = s2.select($"query_id",
-      explode(transform($"beam", x => x.getField("id"))).as("node"))
-    val s1 = beamLoop(layerEdges(l1), vecs, q, b1,
-      descentEf, descentHops)
-    val b0 = s1.select($"query_id",
-      explode(transform($"beam", x => x.getField("id"))).as("node"))
+    val b0 = upperLayers.foldLeft(entry) { (beam, layer) =>
+      beamLoop(layerEdges(layer), vecs, q, beam, descentEf, descentHops)
+        .select($"query_id",
+          explode(transform($"beam", x => x.getField("id"))).as("node"))
+    }
     val stored = stored0.select($"vec_id".as("node"), $"neighbor_id")
     finalTopK(beamLoop(undirected(stored), vecs, q, b0, ef, hops), k)
   }

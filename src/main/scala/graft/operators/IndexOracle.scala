@@ -439,17 +439,20 @@ object IndexOracle {
 
   /** The deterministic HNSW level rule (GraphSearch.levelCol): a
     * multiplicative hash folded through a prime, a mid-square
-    * avalanche pass, power-of-two level buckets — P(≥1)=1/8,
-    * P(≥2)=1/64. */
-  private def lvlCte: String =
-    """lvl AS MATERIALIZED (
-      |  SELECT vec_id,
-      |    CASE WHEN (h * h + h) % 999983 % 64 = 0 THEN 2
-      |         WHEN (h * h + h) % 999983 % 8 = 0 THEN 1
-      |         ELSE 0 END AS lv
-      |  FROM (SELECT vec_id, KNUTH_H AS h
-      |        FROM embeddings))""".stripMargin
+    * avalanche pass, power-of-eight level buckets — P(≥l) = 8^-l up
+    * to `maxLevel` (the buckets nest: 8^l | 8^(l+1)). */
+  private def lvlCte(maxLevel: Int): String = {
+    val arms = (maxLevel to 1 by -1).map { l =>
+      s"WHEN (h * h + h) % 999983 % ${math.pow(8, l).toLong} = 0 THEN $l"
+    }.mkString("\n    ", "\n         ", "")
+    s"""lvl AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    CASE$arms
+       |         ELSE 0 END AS lv
+       |  FROM (SELECT vec_id, KNUTH_H AS h
+       |        FROM embeddings))""".stripMargin
       .replace("KNUTH_H", graft.functions.HashSql.knuthSql("vec_id", 1000003L))
+  }
 
   /** One upper-layer graph re-derived among the level-≥`minLvl` nodes:
     * the knnGraphCtes probe rule truncated to the `shortlist`, then the
@@ -540,33 +543,41 @@ object IndexOracle {
     * ef-beam rounds off the full kNN graph, final top-k. Every rank
     * orders by (exact-fold d, node), so the descent is replayed
     * decision for decision. */
+  /** `layers` = the engine's data-sized ladder (ascending (level,
+    * nprobe) pairs, IndexQueries.hnswLayerLadder): one layer-graph
+    * unroll per level, then the descent chains top layer → … →
+    * layer 1 → the layer-0 ef-beam, exactly the hnswSearchFrames
+    * fold. */
   def hnswSearchOracle(centroids: Seq[(Int, Seq[Float])], k: Int, ef: Int,
       hops: Int, numQueries: Int, graphK: Int, graphNprobe: Int,
-      layerK: Int, descentEf: Int, descentHops: Int): String = {
+      layerK: Int, descentEf: Int, descentHops: Int,
+      layers: Seq[(Int, Int)]): String = {
+    val top = layers.map(_._1).max
     val l0 = knnGraphCtes(centroids, graphK, graphNprobe)
       .replaceFirst("\\Aa AS \\(", "a AS MATERIALIZED (")
       .replace("kg AS (", "kg AS MATERIALIZED (")
+    val layerCtes = layers.map { case (lv, np) =>
+      layerGraphCtes(centroids, layerK, nprobe = np, minLvl = lv, p = s"l$lv")
+    }.mkString(",\n")
+    val descent = layers.sortBy(-_._1).map(_._1)
+      .foldLeft(("hb0", List.empty[String])) { case ((entry, acc), lv) =>
+        (s"d${lv}_b$descentHops",
+          acc :+ beamRounds(s"d${lv}_", descentEf, descentHops,
+            edges = s"l${lv}kgu", entry = entry))
+      }
     s"""WITH $l0,
        |kgu AS MATERIALIZED (
        |  SELECT vec_id, neighbor_id FROM kg
        |  UNION
        |  SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM kg),
-       |${lvlCte},
-       |${layerGraphCtes(centroids, layerK,
-           nprobe = graft.queries.IndexQueries.HnswL2Nprobe, minLvl = 2,
-           p = "l2")},
-       |${layerGraphCtes(centroids, layerK,
-           nprobe = graft.queries.IndexQueries.HnswL1Nprobe, minLvl = 1,
-           p = "l1")},
+       |${lvlCte(top)},
+       |$layerCtes,
        |q AS (SELECT vec_id AS query_id, embedding AS qv
        |      FROM embeddings WHERE vec_id < $numQueries),
-       |ent AS (SELECT min(vec_id) AS node FROM lvl WHERE lv >= 2),
+       |ent AS (SELECT min(vec_id) AS node FROM lvl WHERE lv >= $top),
        |hb0 AS (SELECT query_id, ent.node FROM q, ent),
-       |${beamRounds("d2_", descentEf, descentHops, edges = "l2kgu", entry = "hb0")},
-       |${beamRounds("d1_", descentEf, descentHops, edges = "l1kgu",
-           entry = s"d2_b$descentHops")},
-       |${beamRounds("h_", ef, hops, edges = "kgu",
-           entry = s"d1_b$descentHops")}
+       |${descent._2.mkString(",\n")},
+       |${beamRounds("h_", ef, hops, edges = "kgu", entry = descent._1)}
        |SELECT query_id, node AS neighbor_id, r AS rnk,
        |  round(sqrt(d), 4) AS dist
        |FROM h_s$hops WHERE r <= $k ORDER BY query_id, rnk""".stripMargin
@@ -582,7 +593,8 @@ object IndexOracle {
   def hnswDeleteOracle(centroids: Seq[(Int, Seq[Float])], k: Int, ef: Int,
       hops: Int, numQueries: Int, delPredOf: String => String,
       graphK: Int, graphNprobe: Int, layerK: Int, descentEf: Int,
-      descentHops: Int): String = {
+      descentHops: Int, layers: Seq[(Int, Int)]): String = {
+    val top = layers.map(_._1).max
     val l0 = knnGraphCtes(centroids, graphK, graphNprobe)
       .replaceFirst("\\Aa AS \\(", "a AS MATERIALIZED (")
       .replace("kg AS (", "kg AS MATERIALIZED (")
@@ -596,28 +608,30 @@ object IndexOracle {
          |  UNION
          |  SELECT neighbor_id AS vec_id, vec_id AS neighbor_id
          |  FROM ${p}kept)""".stripMargin
+    val layerCtes = layers.map { case (lv, np) =>
+      layerGraphCtes(centroids, layerK, nprobe = np, minLvl = lv, p = s"l$lv")
+    }.mkString(",\n")
+    val keeps = layers.map { case (lv, _) => keep(s"l${lv}kg", s"d${lv}m") }
+      .mkString(",\n")
+    val descent = layers.sortBy(-_._1).map(_._1)
+      .foldLeft(("hb0", List.empty[String])) { case ((entry, acc), lv) =>
+        (s"d${lv}_b$descentHops",
+          acc :+ beamRounds(s"d${lv}_", descentEf, descentHops,
+            edges = s"d${lv}mkgud", entry = entry))
+      }
     s"""WITH $l0,
-       |${lvlCte},
-       |${layerGraphCtes(centroids, layerK,
-           nprobe = graft.queries.IndexQueries.HnswL2Nprobe, minLvl = 2,
-           p = "l2")},
-       |${layerGraphCtes(centroids, layerK,
-           nprobe = graft.queries.IndexQueries.HnswL1Nprobe, minLvl = 1,
-           p = "l1")},
+       |${lvlCte(top)},
+       |$layerCtes,
        |${keep("kg", "g0")},
-       |${keep("l2kg", "d2m")},
-       |${keep("l1kg", "d1m")},
+       |$keeps,
        |q AS (SELECT vec_id AS query_id, embedding AS qv
        |      FROM embeddings WHERE vec_id < $numQueries),
        |ent AS (SELECT min(vec_id) AS node FROM lvl
-       |        WHERE lv >= 2 AND NOT (${delPredOf("vec_id")})),
+       |        WHERE lv >= $top AND NOT (${delPredOf("vec_id")})),
        |hb0 AS (SELECT query_id, ent.node FROM q, ent),
-       |${beamRounds("d2_", descentEf, descentHops, edges = "d2mkgud",
-           entry = "hb0")},
-       |${beamRounds("d1_", descentEf, descentHops, edges = "d1mkgud",
-           entry = s"d2_b$descentHops")},
+       |${descent._2.mkString(",\n")},
        |${beamRounds("h_", ef, hops, edges = "g0kgud",
-           entry = s"d1_b$descentHops")}
+           entry = descent._1)}
        |SELECT query_id, node AS neighbor_id, r AS rnk,
        |  round(sqrt(d), 4) AS dist
        |FROM h_s$hops WHERE r <= $k ORDER BY query_id, rnk""".stripMargin
@@ -629,31 +643,29 @@ object IndexOracle {
     * nodes with the deleted slice masked out of the candidate pool
     * (the re-link = the insert rule over live members). */
   def hnswCompactOracle(centroids: Seq[(Int, Seq[Float])], layerK: Int,
-      delPredOf: String => String): String = {
+      delPredOf: String => String, layers: Seq[(Int, Int)]): String = {
+    val top = layers.map(_._1).max
     def aff(builtKg: String) =
       s"e.vec_id IN (SELECT b.vec_id FROM $builtKg b " +
         s"WHERE ${delPredOf("b.neighbor_id")}) " +
         s"AND NOT (${delPredOf("e.vec_id")})"
+    val built = layers.map { case (lv, np) =>
+      layerGraphCtes(centroids, layerK, nprobe = np, minLvl = lv, p = s"b$lv")
+    }.mkString(",\n")
+    val relinked = layers.map { case (lv, np) =>
+      layerGraphCtes(centroids, layerK, nprobe = np, minLvl = lv,
+        p = s"c$lv", qPred = Some(aff(s"b${lv}kg")),
+        memberMask = Some(delPredOf))
+    }.mkString(",\n")
+    val union = layers.map { case (lv, _) =>
+      s"SELECT $lv::BIGINT AS layer, vec_id, neighbor_id, rnk, dist FROM c${lv}kg"
+    }.mkString("\n  UNION ALL\n  ")
     s"""WITH ${assignCte(centroids)},
-       |$lvlCte,
-       |${layerGraphCtes(centroids, layerK,
-           nprobe = graft.queries.IndexQueries.HnswL1Nprobe, minLvl = 1,
-           p = "b1")},
-       |${layerGraphCtes(centroids, layerK,
-           nprobe = graft.queries.IndexQueries.HnswL2Nprobe, minLvl = 2,
-           p = "b2")},
-       |${layerGraphCtes(centroids, layerK,
-           nprobe = graft.queries.IndexQueries.HnswL1Nprobe, minLvl = 1,
-           p = "c1", qPred = Some(aff("b1kg")),
-           memberMask = Some(delPredOf))},
-       |${layerGraphCtes(centroids, layerK,
-           nprobe = graft.queries.IndexQueries.HnswL2Nprobe, minLvl = 2,
-           p = "c2", qPred = Some(aff("b2kg")),
-           memberMask = Some(delPredOf))}
+       |${lvlCte(top)},
+       |$built,
+       |$relinked
        |SELECT layer, vec_id, neighbor_id, rnk::BIGINT AS rnk, dist FROM (
-       |  SELECT 1::BIGINT AS layer, vec_id, neighbor_id, rnk, dist FROM c1kg
-       |  UNION ALL
-       |  SELECT 2::BIGINT AS layer, vec_id, neighbor_id, rnk, dist FROM c2kg)
+       |  $union)
        |ORDER BY layer, vec_id, rnk""".stripMargin
   }
 
@@ -663,7 +675,8 @@ object IndexOracle {
     * edge count, milli out-degree, and orphan (in-degree-0) share per
     * layer. */
   def hnswStatsOracle(centroids: Seq[(Int, Seq[Float])],
-      layerK: Int): String = {
+      layerK: Int, layers: Seq[(Int, Int)]): String = {
+    val top = layers.map(_._1).max
     def row(lv: Int, p: String) =
       s"""SELECT $lv::BIGINT AS layer,
          |  (SELECT count(*) FROM lvl WHERE lv >= $lv)::BIGINT AS n_nodes,
@@ -675,18 +688,16 @@ object IndexOracle {
          |     AND vec_id NOT IN (SELECT neighbor_id FROM ${p}kg)) * 10000
          |    // (SELECT count(*) FROM lvl WHERE lv >= $lv))::BIGINT
          |    AS orphan_bp""".stripMargin
+    val layerCtes = layers.map { case (lv, np) =>
+      layerGraphCtes(centroids, layerK, nprobe = np, minLvl = lv, p = s"s$lv")
+    }.mkString(",\n")
+    val rows = layers.map { case (lv, _) => row(lv, s"s$lv") }
+      .mkString("\nUNION ALL\n")
     s"""WITH ${assignCte(centroids)},
-       |$lvlCte,
-       |${layerGraphCtes(centroids, layerK,
-           nprobe = graft.queries.IndexQueries.HnswL1Nprobe, minLvl = 1,
-           p = "s1")},
-       |${layerGraphCtes(centroids, layerK,
-           nprobe = graft.queries.IndexQueries.HnswL2Nprobe, minLvl = 2,
-           p = "s2")}
+       |${lvlCte(top)},
+       |$layerCtes
        |SELECT * FROM (
-       |${row(1, "s1")}
-       |UNION ALL
-       |${row(2, "s2")})
+       |$rows)
        |ORDER BY layer""".stripMargin
   }
 
@@ -697,22 +708,24 @@ object IndexOracle {
     * backfill, the layerGraphCtes unroll) with the batch masked out of
     * the candidate pool (each insert computed as if it were first —
     * the engine's v_graph_insert masking discipline, layered). Layer
-    * nprobe values match the build: 4 at layer 1, 16 at layer 2. */
+    * nprobe values match the build — `layers` is the engine's ladder
+    * (IndexQueries.hnswLayerLadder). */
   def hnswInsertOracle(centroids: Seq[(Int, Seq[Float])], layerK: Int,
-      batchPredOf: String => String): String = {
+      batchPredOf: String => String, layers: Seq[(Int, Int)]): String = {
+    val top = layers.map(_._1).max
     val qp = batchPredOf("e.vec_id")
+    val layerCtes = layers.map { case (lv, np) =>
+      layerGraphCtes(centroids, layerK, nprobe = np, minLvl = lv,
+        p = s"i$lv", qPred = Some(qp), memberMask = Some(batchPredOf))
+    }.mkString(",\n")
+    val union = layers.map { case (lv, _) =>
+      s"SELECT $lv::BIGINT AS layer, vec_id, neighbor_id, rnk, dist FROM i${lv}kg"
+    }.mkString("\n  UNION ALL\n  ")
     s"""WITH ${assignCte(centroids)},
-       |$lvlCte,
-       |${layerGraphCtes(centroids, layerK,
-           nprobe = graft.queries.IndexQueries.HnswL1Nprobe, minLvl = 1,
-           p = "i1", qPred = Some(qp), memberMask = Some(batchPredOf))},
-       |${layerGraphCtes(centroids, layerK,
-           nprobe = graft.queries.IndexQueries.HnswL2Nprobe, minLvl = 2,
-           p = "i2", qPred = Some(qp), memberMask = Some(batchPredOf))}
+       |${lvlCte(top)},
+       |$layerCtes
        |SELECT layer, vec_id, neighbor_id, rnk::BIGINT AS rnk, dist FROM (
-       |  SELECT 1::BIGINT AS layer, vec_id, neighbor_id, rnk, dist FROM i1kg
-       |  UNION ALL
-       |  SELECT 2::BIGINT AS layer, vec_id, neighbor_id, rnk, dist FROM i2kg)
+       |  $union)
        |ORDER BY layer, vec_id, rnk""".stripMargin
   }
 

@@ -331,29 +331,58 @@ object IndexStore {
       dir
     }
 
+  /** The hierarchy depth for a corpus — [[GraphSearch.levelsFor]]'s
+    * occupancy law over the table's row count, stepped DOWN to the
+    * deepest level the id hash actually populates (the distributed
+    * analog of the reference's max_level_, which tracks the max drawn
+    * level — an expected-occupancy law can land on an empty slice at
+    * small n, and an empty top layer would leave the entry table
+    * rowless). Overridable via the `graft.hnsw.levels` system property
+    * or `GRAFT_HNSW_LEVELS` env (spec/gate forcing), still clamped to
+    * a populated slice. */
+  def hnswLevels(spark: SparkSession, sfDir: String): Int = {
+    val forced = sys.props.get("graft.hnsw.levels")
+      .orElse(sys.env.get("GRAFT_HNSW_LEVELS")).map(_.toInt)
+    val target = forced.getOrElse(GraphSearch.levelsFor(corpusN(spark, sfDir)))
+    require(target >= 1 && target <= GraphSearch.MaxUpperLevels,
+      s"hnsw levels $target outside [1, ${GraphSearch.MaxUpperLevels}]")
+    val e = Tables.load(spark, sfDir, "embeddings")
+    (target to 1 by -1).find { l =>
+      l == 1 || !e.filter(GraphSearch.levelAtLeast(col("vec_id"), l)).isEmpty
+    }.get
+  }
+
   /** Ensure the layered-graph artifact (the HNSW hierarchy as tables):
-    * `layer1`/`layer2` — kNN edge tables over the level-≥1 / level-≥2
-    * node slices (deterministic level rule, [[GraphSearch.levelCol]]),
-    * the topmost probing ALL clusters (its occupancy is n/64) — and
-    * `entry`, the single global entry-point row (min id on the top
-    * layer). Layer 0 is the full kNN graph ([[knnGraph]]); search
-    * descends layer2 → layer1 → layer0. */
+    * `layer1..layerL` — kNN edge tables over the level-≥l node slices
+    * (deterministic level rule, [[GraphSearch.levelCol]]; L data-sized
+    * by [[hnswLevels]] — the corpus ADDS layers as it grows, the
+    * reference's get_random_level/MAX_HNSW_LEVELS contract), each
+    * layer probing geometrically more clusters
+    * ([[GraphSearch.hnswNprobe]], the topmost probing ALL of them —
+    * at n/8^L occupancy still a vanishing row count) — plus `entry`,
+    * the single global entry-point row (min id on the top layer), and
+    * `meta`, the one-row layer count readers descend by. Layer 0 is
+    * the full kNN graph ([[knnGraph]]); search descends
+    * layerL → … → layer1 → layer0. */
   def hnsw(spark: SparkSession, sfDir: String, k: Int = 3): String =
     lock.synchronized {
-      val dir = s"$root/${sfKey(sfDir)}/hnsw$k"
-      if (!done(dir, "layer1", "layer2", "entry")) {
+      val levels = hnswLevels(spark, sfDir)
+      val dir = s"$root/${sfKey(sfDir)}/hnsw${k}L$levels"
+      val parts = (1 to levels).map(l => s"layer$l") ++ Seq("entry", "meta")
+      if (!done(dir, parts: _*)) {
         val ivfDir = graphIvf(spark, sfDir)
+        val nClusters = spark.read.parquet(s"$ivfDir/centroids").count().toInt
         val e = Tables.load(spark, sfDir, "embeddings")
           .select(col("vec_id"), col("embedding"))
-        GraphSearch.layerGraph(spark, ivfDir, e, minLevel = 1, k = k,
-            nprobe = graft.queries.IndexQueries.HnswL1Nprobe)
-          .write.mode("overwrite").parquet(s"$dir/layer1")
-        GraphSearch.layerGraph(spark, ivfDir, e, minLevel = 2, k = k,
-            nprobe = graft.queries.IndexQueries.HnswL2Nprobe)
-          .write.mode("overwrite").parquet(s"$dir/layer2")
-        e.filter(GraphSearch.levelCol(col("vec_id")) >= 2)
+        for (l <- 1 to levels)
+          GraphSearch.layerGraph(spark, ivfDir, e, minLevel = l, k = k,
+              nprobe = GraphSearch.hnswNprobe(l, nClusters))
+            .write.mode("overwrite").parquet(s"$dir/layer$l")
+        e.filter(GraphSearch.levelAtLeast(col("vec_id"), levels))
           .agg(min(col("vec_id")).as("node"))
           .coalesce(1).write.mode("overwrite").parquet(s"$dir/entry")
+        spark.range(1).select(lit(levels).as("levels"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
       }
       dir
     }
@@ -372,21 +401,23 @@ object IndexStore {
   def hnswCompacted(spark: SparkSession, sfDir: String, delMod: Int,
       delResidue: Int, k: Int = 3): String =
     lock.synchronized {
-      val dir = s"$root/${sfKey(sfDir)}/hnsw${k}del$delMod-$delResidue"
+      val levels = hnswLevels(spark, sfDir)
+      val dir = s"$root/${sfKey(sfDir)}/hnsw${k}L${levels}del$delMod-$delResidue"
       val marker = new File(s"$dir/_COMPACTED")
       if (!marker.exists) {
         graft.streaming.IvfDeltaIngest.deleteRecursively(new File(dir))
         val base = hnsw(spark, sfDir, k)
         val ivfDir = graphIvf(spark, sfDir)
+        val nClusters = spark.read.parquet(s"$ivfDir/centroids").count().toInt
         def isDel(c: org.apache.spark.sql.Column) =
           pmod(c, lit(delMod)) === delResidue
         val e = Tables.load(spark, sfDir, "embeddings")
           .select(col("vec_id"), col("embedding"))
         val liveAssigns = spark.read.parquet(s"$ivfDir/assignments")
           .filter(!isDel(col("vec_id")))
-        for ((name, minLvl, np) <- Seq(
-            ("layer1", 1, graft.queries.IndexQueries.HnswL1Nprobe),
-            ("layer2", 2, graft.queries.IndexQueries.HnswL2Nprobe))) {
+        for (minLvl <- 1 to levels) {
+          val name = s"layer$minLvl"
+          val np = GraphSearch.hnswNprobe(minLvl, nClusters)
           val edges = spark.read.parquet(s"$base/$name")
           val affected = edges
             .filter(!isDel(col("vec_id")) && isDel(col("neighbor_id")))
@@ -402,10 +433,12 @@ object IndexStore {
             .unionByName(relink)
             .write.mode("overwrite").parquet(s"$dir/$name")
         }
-        e.filter(GraphSearch.levelCol(col("vec_id")) >= 2 &&
+        e.filter(GraphSearch.levelAtLeast(col("vec_id"), levels) &&
             !isDel(col("vec_id")))
           .agg(min(col("vec_id")).as("node"))
           .coalesce(1).write.mode("overwrite").parquet(s"$dir/entry")
+        spark.range(1).select(lit(levels).as("levels"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
         marker.createNewFile()
       }
       dir

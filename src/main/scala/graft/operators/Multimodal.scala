@@ -229,12 +229,115 @@ object Multimodal {
     }
   }
 
+  case class FrameStats(
+      doc_id: Long, frame_idx: Long, width: Int, height: Int, px_sum: Long)
+
+  /** Synthesize a REAL multi-frame GIF per document — the moving-media
+    * sibling of [[synthPngMedia]]: 2 + id%3 frames of the same
+    * (8 + id%5) × (8 + id%3) grayscale test pattern, frame f's
+    * pixel(x,y) = (id·31 + f·17 + x·7 + y·13) mod 256, written as one
+    * animated-GIF sequence through javax.imageio (prepareWriteSequence
+    * → writeToSequence per frame → endWriteSequence — the only
+    * multi-frame container the JRE encodes natively, so no external
+    * codec). GIF's LZW is lossless over palette indices and the gray
+    * ramp palettizes losslessly, so every DECODED frame raster is
+    * re-derivable from the pixel rule alone — the m_decode_stats
+    * fixture-free gate, extended over the frame axis. Same
+    * per-partition writer discipline as the PNG leg (the 24.8 s → 1.4 s
+    * sf1 lesson: floor the codec stage's parallelism, keep streams in
+    * memory, init the writer once per partition). */
+  def synthGifMedia(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    Expand.floorParallelism(docs.select(col("doc_id").cast("long")))
+      .as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      it.map { id =>
+        val w = 8 + (id % 5).toInt
+        val h = 8 + (id % 3).toInt
+        val nFrames = 2 + (id % 3).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFrames) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0,
+                ((id * 31 + f * 17 + x * 7 + y * 13) % 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        ios.flush()
+        MediaRow(id, bos.toByteArray, "image/gif")
+      }
+    }
+  }
+
+  /** REAL multi-frame decode — the demuxer [[frameSample]]'s byte
+    * windows stood in for: one ImageIO reader per PARTITION (the
+    * featurizeWith seam), per payload getNumImages(true) walks the
+    * container's frame directory and reader.read(f) decodes each
+    * stored frame raster. Indexed rasters (GIF) map samples through
+    * the frame's own IndexColorModel — the sample is a palette INDEX,
+    * not a luminance; reading it raw would be exact only while the
+    * writer happens to emit an identity ramp. Output: one row per
+    * DECODED frame with exact integer stats (hash-stable across
+    * engines). Scale shape: embarrassingly parallel, no shuffle; the
+    * frame fan-out happens inside the partition iterator. */
+  def decodeFrames(ds: Dataset[MediaRow]): Dataset[FrameStats] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("gif").next()
+      it.flatMap { r =>
+        reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.payload)))
+        val n = reader.getNumImages(true)
+        require(n >= 1, s"payload of ${r.doc_id} has no decodable frames")
+        (0 until n).map { f =>
+          val img = reader.read(f)
+          val raster = img.getRaster
+          val gray: Int => Int = img.getColorModel match {
+            case icm: java.awt.image.IndexColorModel => i => icm.getRed(i)
+            case _ => identity
+          }
+          var s = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              s += gray(raster.getSample(x, y, 0))
+              x += 1
+            }
+            y += 1
+          }
+          FrameStats(r.doc_id, f.toLong, img.getWidth, img.getHeight, s)
+        }
+      }
+    }
+  }
+
   /** Frame sampling for "video" payloads: fixed-size byte windows play
     * the role of decoded frames; each frame runs the stub featurizer.
     * The real-codec version swaps the slicing for a demuxer/decoder
-    * initialized once per partition — the Spark shape (typed
-    * mapPartitions, one output row per frame, bounded frame width) is
-    * exactly what it would be with the codec present. */
+    * initialized once per partition — [[decodeFrames]] IS that version
+    * for the JRE's native multi-frame container (GIF); this byte-window
+    * form remains for opaque formats the JRE can't demux. */
   def frameSample(ds: Dataset[MediaRow], frameBytes: Int): Dataset[MediaFrame] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>

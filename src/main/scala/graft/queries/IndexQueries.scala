@@ -665,13 +665,15 @@ object IndexQueries {
     }),
 
     // The FULL layered search (hnsw_index.h:268-330): deterministic
-    // hash levels put ~1/8 of nodes on layer 1 and ~1/64 on layer 2
-    // (the reference's geometric get_random_level, M=8), each upper
-    // layer persisted as a kNN edge table over its slice; search
-    // descends greedily (beam 2) from the global entry through
-    // layer2 → layer1, and the surviving frontier REPLACES
-    // v_graph_search's medoid entry for the layer-0 ef-beam. Same
-    // scale shape as v_graph_search — upper layers add tiny
+    // hash levels put ~1/8^l of nodes on layer l (the reference's
+    // geometric get_random_level, M=8), the layer COUNT data-sized
+    // from the corpus (GraphSearch.levelsFor — the max_level_
+    // contract: 10× the data adds ~1.1 layers, keeping the descent
+    // O(log n)); each upper layer persisted as a kNN edge table over
+    // its slice; search descends greedily (beam 2) from the global
+    // entry through layerL → … → layer1, and the surviving frontier
+    // REPLACES v_graph_search's medoid entry for the layer-0 ef-beam.
+    // Same scale shape as v_graph_search — upper layers add tiny
     // broadcast-probe stages, never a corpus shuffle.
     "v_hnsw_search" -> ((s: SparkSession, d: String) => {
       import s.implicits._
@@ -792,9 +794,11 @@ object IndexQueries {
       val batch = e.filter(isNew($"vec_id"))
       val existing = s.read.parquet(s"$ivfDir/assignments")
         .filter(!isNew($"vec_id"))
-      Seq((1, HnswL1Nprobe), (2, HnswL2Nprobe)).map { case (lv, np) =>
+      val nClusters = s.read.parquet(s"$ivfDir/centroids").count().toInt
+      (1 to IndexStore.hnswLevels(s, d)).map { lv =>
         graft.operators.GraphSearch.layerInsert(s, ivfDir, e, batch,
-            existing, minLevel = lv, k = HnswLayerK, nprobe = np)
+            existing, minLevel = lv, k = HnswLayerK,
+            nprobe = graft.operators.GraphSearch.hnswNprobe(lv, nClusters))
           .select(lit(lv.toLong).as("layer"), $"vec_id", $"neighbor_id",
             $"rnk", $"dist")
       }.reduce(_ unionAll _).orderBy("layer", "vec_id", "rnk")
@@ -874,8 +878,9 @@ object IndexQueries {
       import s.implicits._
       val hDir = IndexStore.hnsw(s, d, k = HnswLayerK)
       val e = load(s, d, "embeddings").select($"vec_id")
-      Seq((1, "layer1"), (2, "layer2")).map { case (lv, name) =>
-        val nodes = e.filter(graft.operators.GraphSearch.levelCol($"vec_id") >= lv)
+      (1 to graft.operators.GraphSearch.storedLevels(s, hDir)).map { lv =>
+        val name = s"layer$lv"
+        val nodes = e.filter(graft.operators.GraphSearch.levelAtLeast($"vec_id", lv))
         val edges = s.read.parquet(s"$hDir/$name")
           .select($"vec_id", $"neighbor_id")
         val nn = nodes.agg(count(lit(1)).as("n_nodes"))
@@ -910,14 +915,17 @@ object IndexQueries {
       val live = e.filter(!isDel($"vec_id"))
       val q = e.filter($"vec_id" < NumQueries)
         .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      val levels = graft.operators.GraphSearch.storedLevels(s, hDir)
       def masked(name: String) = s.read.parquet(s"$hDir/$name")
         .filter(!isDel($"vec_id") && !isDel($"neighbor_id"))
-      val entry = live.filter(graft.operators.GraphSearch.levelCol($"vec_id") >= 2)
+      val entry = live
+        .filter(graft.operators.GraphSearch.levelAtLeast($"vec_id", levels))
         .agg(min($"vec_id").as("node"))
       val stored = s.read.parquet(s"$gDir/edges")
         .filter(!isDel($"vec_id") && !isDel($"neighbor_id"))
-      graft.operators.GraphSearch.hnswSearchFrames(s, masked("layer2"),
-          masked("layer1"), entry, stored, live, q,
+      graft.operators.GraphSearch.hnswSearchFrames(s,
+          (levels to 1 by -1).map(l => masked(s"layer$l")),
+          entry, stored, live, q,
           k = K, ef = GraphEf, hops = GraphHops,
           descentEf = HnswDescentEf, descentHops = HnswDescentHops)
         .orderBy("query_id", "rnk")
@@ -943,7 +951,8 @@ object IndexQueries {
         k = HnswLayerK)
       def isDel(c: org.apache.spark.sql.Column) =
         pmod(c, lit(DeleteMod)) === DeleteResidue
-      Seq((1L, "layer1"), (2L, "layer2")).map { case (lv, name) =>
+      (1L to graft.operators.GraphSearch.storedLevels(s, hDir)).map { lv =>
+        val name = s"layer$lv"
         val affected = s.read.parquet(s"$hDir/$name")
           .filter(!isDel($"vec_id") && isDel($"neighbor_id"))
           .select($"vec_id").distinct()
@@ -1055,13 +1064,17 @@ object IndexQueries {
   private[graft] val HnswDescentEf = 2
   private[graft] val HnswDescentHops = 2
 
-  /** Per-layer IVF probe budgets of the layered BUILD — sparser layers
-    * probe more clusters to find same-layer neighbors (the topmost
-    * probes all 16). ONE definition feeds the store build
-    * (IndexStore.hnsw), the insert entry, and both oracles; the insert
-    * rule is only insert-equals-rebuild if these never drift. */
-  private[graft] val HnswL1Nprobe = 4
-  private[graft] val HnswL2Nprobe = 16
+  /** The hnsw oracles replay the SAME data-sized layer ladder the
+    * engine builds: one (level, nprobe) pair per upper layer, levels
+    * from IndexStore.hnswLevels (the occupancy law + populated-slice
+    * clamp + any forcing override) and nprobe from
+    * GraphSearch.hnswNprobe over the SAME centroid count the build
+    * probed — derived in one place so engine and oracle can only
+    * agree or both be wrong. Ascending (layer 1 first). */
+  private[graft] def hnswLayerLadder(s: SparkSession, d: String,
+      nClusters: Int): Seq[(Int, Int)] =
+    (1 to IndexStore.hnswLevels(s, d)).map(l =>
+      l -> graft.operators.GraphSearch.hnswNprobe(l, nClusters))
 
   /** v_graph_insert's "new batch" slice: vec_id % mod == residue.
     * ONE pair of constants feeds the engine Column predicate, the
@@ -1249,20 +1262,25 @@ object IndexQueries {
       "v_hnsw_search" -> graft.operators.IndexOracle
         .hnswSearchOracle(gcent, K, GraphEf, GraphHops, NumQueries,
           graphK = 5, graphNprobe = 2, layerK = HnswLayerK,
-          descentEf = HnswDescentEf, descentHops = HnswDescentHops),
+          descentEf = HnswDescentEf, descentHops = HnswDescentHops,
+          layers = hnswLayerLadder(s, d, gcent.size)),
       "v_hnsw_insert" -> graft.operators.IndexOracle
         .hnswInsertOracle(gcent, layerK = HnswLayerK,
-          batchPredOf = c => s"($c % $HnswInsertMod) = $HnswInsertResidue"),
+          batchPredOf = c => s"($c % $HnswInsertMod) = $HnswInsertResidue",
+          layers = hnswLayerLadder(s, d, gcent.size)),
       "v_hnsw_stats" -> graft.operators.IndexOracle
-        .hnswStatsOracle(gcent, layerK = HnswLayerK),
+        .hnswStatsOracle(gcent, layerK = HnswLayerK,
+          layers = hnswLayerLadder(s, d, gcent.size)),
       "v_hnsw_delete" -> graft.operators.IndexOracle
         .hnswDeleteOracle(gcent, K, GraphEf, GraphHops, NumQueries,
           delPredOf = c => s"($c % $DeleteMod) = $DeleteResidue",
           graphK = 5, graphNprobe = 2, layerK = HnswLayerK,
-          descentEf = HnswDescentEf, descentHops = HnswDescentHops),
+          descentEf = HnswDescentEf, descentHops = HnswDescentHops,
+          layers = hnswLayerLadder(s, d, gcent.size)),
       "v_hnsw_compact" -> graft.operators.IndexOracle
         .hnswCompactOracle(gcent, layerK = HnswLayerK,
-          delPredOf = c => s"($c % $DeleteMod) = $DeleteResidue"),
+          delPredOf = c => s"($c % $DeleteMod) = $DeleteResidue",
+          layers = hnswLayerLadder(s, d, gcent.size)),
       "v_graph_delete" -> graft.operators.IndexOracle
         .graphDeleteOracle(gcent, K, GraphEf, GraphHops, NumQueries,
           delPredOf = c => s"($c % $DeleteMod) = $DeleteResidue",

@@ -246,6 +246,32 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL multi-frame (video-shaped) decode — closes the frameSample
+    // stand-in: synthesize a genuine ANIMATED GIF per document
+    // (2 + id%3 frames of the deterministic grayscale pattern, frame f's
+    // pixel = (doc_id·31 + f·17 + x·7 + y·13) mod 256, written as one
+    // multi-frame sequence through javax.imageio — the JRE's native
+    // multi-frame container, no external codec), then DEMUX + DECODE
+    // every stored frame back through the per-partition reader seam and
+    // fold exact integer raster stats per frame. GIF's LZW is lossless
+    // and the gray ramp palettizes losslessly, so the oracle re-derives
+    // each decoded frame from the pixel rule alone — the m_decode_stats
+    // fixture-free full-hash gate, extended over the frame axis. One
+    // row per REAL decoded frame. Scale shape: embarrassingly parallel
+    // encode and demux+decode legs (mapPartitions, floored parallelism,
+    // no shuffle), one bounded sort at the output.
+    "m_video_frames" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val media = Multimodal.synthGifMedia(
+        load(s, d, "documents").select($"doc_id"))
+      Multimodal.decodeFrames(media).toDF()
+        .select($"doc_id", $"frame_idx",
+          $"width".cast("long").as("width"),
+          $"height".cast("long").as("height"), $"px_sum",
+          expr("px_sum * 1000 DIV (width * height)").as("mean_milli"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // Streaming exact dedup's materialized state, batch-gated: the
     // keepers (first doc per content fingerprint, keep-min rule) that
     // streaming/StreamDedup.firstPerFingerprint emits for a
@@ -487,6 +513,27 @@ object PipelineQueries {
         |      )::BIGINT AS px_sum
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // the multi-frame pixel rule re-derived per (doc, frame): the
+    // engine wrote REAL animated GIFs and decoded every stored frame
+    // (lossless both ways), so the decoded stats equal the rule —
+    // one unnest over the frame count, then the m_decode_stats fold
+    // with the frame term added
+    "m_video_frames" ->
+      """SELECT doc_id, frame_idx, width, height, px_sum,
+        |  (px_sum * 1000) // (width * height) AS mean_milli
+        |FROM (
+        |  SELECT doc_id, frame_idx,
+        |    (8 + doc_id % 5)::BIGINT AS width,
+        |    (8 + doc_id % 3)::BIGINT AS height,
+        |    list_sum([ (doc_id*31 + frame_idx*17
+        |                + (i % (8 + doc_id % 5))*7
+        |                + (i // (8 + doc_id % 5))*13) % 256
+        |      for i in range(0, (8 + doc_id % 5) * (8 + doc_id % 3)) ]
+        |      )::BIGINT AS px_sum
+        |  FROM (SELECT doc_id, unnest(range(0, 2 + doc_id % 3)) AS frame_idx
+        |        FROM documents))
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     // the t_fingerprint FNV fold, keep-min + count per fingerprint —
     // the state StreamDedupSpec proves the live stream converges to

@@ -148,9 +148,11 @@ class HnswInsertSpec extends SparkSpec {
         .unionByName(delta)
         .write.mode("overwrite").parquet(s"$aug/$layer")
     }
-    emb.filter(GraphSearch.levelCol($"vec_id") >= 2)
+    emb.filter(GraphSearch.levelAtLeast($"vec_id", 2))
       .agg(min($"vec_id").as("node"))
       .coalesce(1).write.mode("overwrite").parquet(s"$aug/entry")
+    spark.range(1).select(lit(2).as("levels"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$aug/meta")
     // layer 0: the flat-graph insert path (v_graph_insert machinery)
     val cent = spark.read.parquet(s"$ivfDir/centroids")
       .select($"cluster_id", $"centroid")

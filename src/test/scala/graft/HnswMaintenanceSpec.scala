@@ -52,11 +52,12 @@ class HnswMaintenanceSpec extends SparkSpec {
       .select($"vec_id".as("query_id"), $"embedding".as("qv"))
     def masked(name: String) = spark.read.parquet(s"$hDir/$name")
       .filter(!isDel($"vec_id") && !isDel($"neighbor_id"))
-    val entry = live.filter(GraphSearch.levelCol($"vec_id") >= 2)
+    val entry = live.filter(GraphSearch.levelAtLeast($"vec_id", 2))
       .agg(min($"vec_id").as("node"))
     val stored = spark.read.parquet(s"$gDir/edges")
       .filter(!isDel($"vec_id") && !isDel($"neighbor_id"))
-    GraphSearch.hnswSearchFrames(spark, masked("layer2"), masked("layer1"),
+    GraphSearch.hnswSearchFrames(spark,
+        Seq(masked("layer2"), masked("layer1")),
         entry, stored, live, q, k = 10, ef = 16, hops = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getDouble(3))).toSeq

@@ -40,15 +40,16 @@ class HnswSearchSpec extends SparkSpec {
     .select($"vec_id".as("query_id"), $"embedding".as("qv"))
 
   /** The level rule reimplemented independently of the Column code. */
-  private def levelOf(v: Long): Int = {
+  private def levelOf(v: Long, maxLevel: Int = 2): Int = {
     val h = (v * 2654435761L) % 1000003L
     val h2 = (h * h + h) % 999983L
-    if (h2 % 64 == 0) 2 else if (h2 % 8 == 0) 1 else 0
+    (maxLevel to 1 by -1).find(l => h2 % math.pow(8, l).toLong == 0)
+      .getOrElse(0)
   }
 
   test("levelCol matches the reference arithmetic; layers nest and are sparse") {
     val got = emb.select($"vec_id",
-        GraphSearch.levelCol($"vec_id").as("lv"))
+        GraphSearch.levelCol($"vec_id", 2).as("lv"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     got.foreach { case (v, lv) => assert(lv == levelOf(v), s"level($v)") }
     val n1 = got.values.count(_ >= 1)
@@ -56,6 +57,19 @@ class HnswSearchSpec extends SparkSpec {
     // geometric occupancy: ~n/8 and ~n/64, and the layers nest
     assert(n1 > 0 && n2 > 0 && n2 < n1 && n1 < got.size / 4,
       s"layer occupancy off: n=${got.size}, n1=$n1, n2=$n2")
+  }
+
+  test("levelAtLeast agrees with levelCol at every depth; the fixture " +
+      "sizes to two upper layers") {
+    for (l <- 1 to 4) {
+      val rows = emb.select($"vec_id",
+          GraphSearch.levelAtLeast($"vec_id", l).as("in"),
+          (GraphSearch.levelCol($"vec_id", 6) >= l).as("want"))
+        .collect()
+      rows.foreach(r => assert(r.getBoolean(1) == r.getBoolean(2),
+        s"levelAtLeast($l) drifts from levelCol at ${r.getLong(0)}"))
+    }
+    assert(IndexStore.hnswLevels(spark, fixtureDir) == 2)
   }
 
   test("layer graphs connect only same-or-higher-level nodes") {

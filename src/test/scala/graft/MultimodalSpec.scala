@@ -157,6 +157,39 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("synthGifMedia emits genuine multi-frame GIFs and decodeFrames " +
+      "recovers every frame's exact pixel rule (lossless round trip)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).limit(30).repartition(3)
+    val media = Multimodal.synthGifMedia(docs)
+    // real container bytes: GIF89a/GIF87a magic on every payload
+    media.collect().foreach { r =>
+      assert(new String(r.payload.take(3), "US-ASCII") == "GIF",
+        s"doc ${r.doc_id} payload is not a GIF")
+    }
+    val got = Multimodal.decodeFrames(media).collect()
+      .groupBy(_.doc_id).view.mapValues(_.sortBy(_.frame_idx)).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (id, frames) =>
+      val w = 8 + (id % 5).toInt
+      val h = 8 + (id % 3).toInt
+      // one row per STORED frame, indices contiguous from 0
+      assert(frames.length == 2 + (id % 3).toInt, s"doc $id frame count")
+      assert(frames.map(_.frame_idx).toSeq == (0L until frames.length),
+        s"doc $id frame indices")
+      frames.foreach { fr =>
+        val want = (for (y <- 0 until h; x <- 0 until w)
+          yield (id * 31 + fr.frame_idx * 17 + x * 7 + y * 13) % 256).sum
+        assert(fr.width == w && fr.height == h && fr.px_sum == want,
+          s"doc $id frame ${fr.frame_idx}: " +
+            s"${(fr.width, fr.height, fr.px_sum)} != ${(w, h, want)}")
+      }
+    }
+    // the demux is deterministic across runs
+    assert(Multimodal.decodeFrames(media).collect().toSet ==
+      got.values.flatten.toSet)
+  }
+
   test("decodeStats fails loudly on an undecodable payload") {
     val bad = spark.createDataset(Seq(
       Multimodal.MediaRow(7L, Array[Byte](1, 2, 3), "image/png")))(
