@@ -42,6 +42,35 @@ object BenchOne {
         println(f"BENCHONE latency wall ${(System.nanoTime() - t0) / 1e9}%.1f s $lat")
         spark.stop(); return
       }
+      if (name == "dedup_cluster_split") {
+        // the d_dedup_cluster floor analysis (r10 verdict #7): split
+        // the entry into its three legs — edge-STORE scan, the
+        // label-contraction closure (ConnectedComponents.minLabel),
+        // and the output join+sort — timed separately with the same
+        // reset discipline, so the sf10 cost attributes to a leg
+        // instead of a single opaque number.
+        import org.apache.spark.sql.functions._
+        val edgeDir = graft.queries.DedupQueries.jaccardEdgeStore(spark, sfDir)
+        (0 until reps).foreach { i =>
+          val keep = Bench.persistedRddIds(spark)
+          val t0 = System.nanoTime()
+          val nEdges = spark.read.parquet(edgeDir).count()
+          val t1 = System.nanoTime()
+          val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
+          val comp = graft.operators.ConnectedComponents.minLabel(
+            docs, "doc_id", spark.read.parquet(edgeDir), "doc_a", "doc_b",
+            validateNodes = false, trustedEndpoints = true)
+          Bench.exhaust(comp)
+          val t2 = System.nanoTime()
+          Bench.exhaust(SparkEntry.queries("d_dedup_cluster")(spark, sfDir))
+          val t3 = System.nanoTime()
+          println(f"BENCHONE dedup_cluster_split rep$i edges=$nEdges " +
+            f"scan=${(t1 - t0) / 1e9}%.2f s closure=${(t2 - t1) / 1e9}%.2f s " +
+            f"full_query=${(t3 - t2) / 1e9}%.2f s")
+          Bench.resetSharedState(spark, keep)
+        }
+        spark.stop(); return
+      }
       val fn = SparkEntry.queries(name)
       (0 until reps).foreach { i =>
         val keep = Bench.persistedRddIds(spark)

@@ -117,14 +117,29 @@ object ConnectedComponents {
       // Same-label edges are dropped from eo PERMANENTLY — merged
       // classes never re-split, so most edges (intra-cluster ones)
       // stop being rejoined after the first round.
-      val alive = eo
-        .join(labels.select($"id".as("a"), $"lab".as("la")), "a")
-        .join(labels.select($"id".as("b"), $"lab".as("lb")), "b")
-        .filter($"la" =!= $"lb")
-        .localCheckpoint(false)
-      eo = alive.select($"a", $"b")
-      val e2 = alive.select($"la".as("a"), $"lb".as("b")).distinct()
-        .localCheckpoint(false) // counted AND scanned twice in sym
+      //
+      // ROUND 1 SHORTCUT: labels enter as identity (la = a, lb = b for
+      // every edge), so the two contraction joins and the distinct are
+      // identity maps over an already-distinct a≠b edge set — three
+      // corpus-scale shuffles of pure overhead (measured at sf10's
+      // 70M-edge near-dup graph: the closure leg dominates the
+      // d_dedup_cluster floor, and round 1 is its biggest slice).
+      // Valid ONLY with endpoints ⊆ nodes known: for unvalidated edges
+      // the round-1 joins are load-bearing (they DROP orphan-endpoint
+      // edges; merging through them would corrupt labels), so that
+      // path keeps the full join round.
+      val e2 =
+        if (iter == 0 && endpointsKnown) eo
+        else {
+          val alive = eo
+            .join(labels.select($"id".as("a"), $"lab".as("la")), "a")
+            .join(labels.select($"id".as("b"), $"lab".as("lb")), "b")
+            .filter($"la" =!= $"lb")
+            .localCheckpoint(false)
+          eo = alive.select($"a", $"b")
+          alive.select($"la".as("a"), $"lb".as("b")).distinct()
+            .localCheckpoint(false) // counted AND scanned twice in sym
+        }
       val nLabelEdges = e2.count()
       if (nLabelEdges == 0L) { converged = true }
       // no endpoint gate HERE: the contraction joins above already
