@@ -58,6 +58,42 @@ class ComponentsSpec extends SparkSpec {
     assert(run(true) === run(false))
   }
 
+  test("round-1 shortcut (endpoints known) and the full-join round agree, " +
+      "with and without the bounded finish") {
+    // endpointsKnown=true takes the identity-label round-1 shortcut;
+    // validateNodes=false && trustedEndpoints=false keeps the full
+    // contraction joins — all four (path × smallFinish) variants must
+    // land on one fixpoint. Mixed shapes: dense blob, chain, star,
+    // singletons.
+    val nodes = (0L until 40L).toDF("id")
+    val blob = for (i <- 0L until 8L; j <- i + 1 until 8L) yield (i, j)
+    val chain = (10L until 20L).map(i => (i - 1, i))
+    val star = (31L to 35L).map(i => (30L, i))
+    val edges = (blob ++ chain ++ star).toDF("a", "b")
+    def run(trusted: Boolean, sf: Int) =
+      ConnectedComponents.minLabel(nodes, "id", edges, "a", "b",
+          smallFinish = sf, validateNodes = false, trustedEndpoints = trusted)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val want = run(trusted = false, sf = 0) // full joins, pure loop
+    assert(run(trusted = true, sf = 0) === want)       // shortcut, pure loop
+    assert(run(trusted = true, sf = 1 << 20) === want) // shortcut + finish
+    assert(run(trusted = false, sf = 1 << 20) === want)
+  }
+
+  test("unvalidated orphan-endpoint edges are dropped by the join round, " +
+      "never merged through") {
+    // the round-1 shortcut must NOT fire here (endpoints unknown): edge
+    // (5, 3) references absent node 3 with an id LOWER than 5's
+    // component min — merging through it would corrupt 5's label to a
+    // non-node. The loop's contraction joins drop it instead.
+    val nodes = Seq(4L, 5L, 6L).toDF("id")
+    val edges = Seq((5L, 3L), (5L, 6L)).toDF("a", "b")
+    val comp = ConnectedComponents.minLabel(nodes, "id", edges, "a", "b",
+        validateNodes = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("random graph matches a driver-side BFS reference") {
     val n = 200
     val rnd = new scala.util.Random(7)
