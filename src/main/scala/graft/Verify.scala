@@ -6,7 +6,15 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default parallelism follows the box instead of a fixed 4: at 168
+    // queries a local[4] run is a 45-75 minute wall (cold stores), the
+    // plausible mechanism behind two rounds of empty driver artifacts
+    // (a timed-out Verify leaves nothing to compare). Half the cores,
+    // capped at 16, floored at 4 — leaves headroom for the caller's
+    // own work; the env override still wins.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.max(4, math.min(16,
+        Runtime.getRuntime.availableProcessors / 2)).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,9 +33,16 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // stderr progress per query: a partial run (timeout, OOM-kill)
+        // leaves a readable trail of how far it got and where the time
+        // went — the diagnosis an empty driver artifact needs
+        System.err.println(
+          f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       finally spark.catalog.clearCache() // per-query caches don't accumulate
