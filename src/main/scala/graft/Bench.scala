@@ -300,6 +300,86 @@ object Bench {
     } finally { pool.shutdownNow(); server.close() }
   }
 
+  /** Insert-side serving sweep — the write-path twin of the
+    * [[throughputBatched]] client sweep (client_bench.cpp benches both
+    * directions; search had `throughput_sweep`, insert had a single
+    * depth inside [[latencyBench]]): offered insert clients at several
+    * depths × `perClient` group-committed requests (8 rows each)
+    * through ONE [[graft.streaming.IngestServer]] — the single-writer
+    * LSM-buffer contract; concurrency lives in the ENQUEUE, group
+    * commit amortizes the per-job floor across whatever is pending.
+    * Runs against a scratch copy of the IVF store (inserts mutate it;
+    * the shared store must stay compaction-steady). One scratch for
+    * the whole sweep: the buffer is append-only, so a prior point's
+    * rows never change a later point's append cost. Returns one
+    * (clients, inserts, elapsed sec, qps, p99 ms) per depth. */
+  def insertSweep(spark: SparkSession, sfDir: String,
+      clientPoints: Seq[Int] = Seq(2, 8, 24), perClient: Int = 8)
+      : Seq[(Int, Int, Double, Double, Double)] = {
+    import org.apache.spark.sql.functions._
+    val src = graft.operators.IndexStore.ivf(spark, sfDir, k = 16)
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-insert-sweep-ivf").toString
+    spark.read.parquet(s"$src/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$scratch/centroids")
+    spark.read.parquet(s"$src/assignments")
+      .write.partitionBy("cluster_id").mode("overwrite")
+      .parquet(s"$scratch/assignments")
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 256)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    // fresh ids above the corpus max (the latencyBench discipline: a
+    // literal base would shadow corpus rows at a large enough sf)
+    val idBase: Long = Tables.load(spark, sfDir, "embeddings")
+      .agg(max(col("vec_id"))).collect()(0).getLong(0) + 1L + 8L
+    def await[T](f: scala.concurrent.Future[T]): T =
+      scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration(600, "s"))
+    var nextIdx = 0 // disjoint request-id ranges across sweep points
+    clientPoints.map { clients =>
+      val ingest = new graft.streaming.IngestServer(spark, scratch,
+        startSeq = nextIdx.toLong + 1L)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(clients)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        // warm this server's commit path outside the clock
+        val warmIdx = nextIdx; nextIdx += 1
+        await(ingest.insert((0 until 8).map(j => (
+          idBase + warmIdx.toLong * 8 + j,
+          vecs((warmIdx * 8 + j) % vecs.length).toSeq))))
+        val lats = new java.util.concurrent.ConcurrentLinkedQueue[Double]
+        val base = nextIdx; nextIdx += clients * perClient
+        val t0 = System.nanoTime()
+        val futures = (0 until clients).map { c =>
+          scala.concurrent.Future {
+            (0 until perClient).foreach { r =>
+              val reqIdx = base + c * perClient + r
+              val rows = (0 until 8).map(j => (
+                idBase + reqIdx.toLong * 8 + j,
+                vecs((reqIdx * 8 + j) % vecs.length).toSeq))
+              val r0 = System.nanoTime()
+              await(ingest.insert(rows))
+              lats.add((System.nanoTime() - r0) / 1e6)
+            }
+          }
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futures),
+          scala.concurrent.duration.Duration(600, "s"))
+        val sec = math.rint((System.nanoTime() - t0) / 1e6) / 1e3
+        val n = clients * perClient
+        import scala.jdk.CollectionConverters._
+        val xs = lats.asScala.toSeq.sorted
+        val p99 = xs(math.max(0, math.min(xs.size - 1,
+          math.ceil(0.99 * xs.size).toInt - 1)))
+        (clients, n, sec, math.rint(n / sec * 1000) / 1000,
+          math.rint(p99 * 1000) / 1000)
+      } finally { pool.shutdownNow(); ingest.close() }
+    }
+  }
+
   /** Serving-latency percentiles — the client_bench.cpp:153-159 analog
     * (the reference prints avg/p99/p999 per request for search AND
     * insert): a MIXED workload at client_bench sample depth — ≥1000
@@ -512,6 +592,10 @@ object Bench {
       // checkpoints; drop them so pinned blocks never bleed into (or
       // evict under) later measurements
       resetSharedState(spark, keep)
+      // stderr trail (the Verify discipline): a run killed mid-loop —
+      // the sf10 16 GiB OOM — names its in-flight query instead of
+      // leaving an unattributable dead JVM
+      System.err.println(f"[bench] $name ${if (ok) f"$sec%.2f s" else "FAILED"}")
       (name, if (ok) sec else -1.0, steal)
     }
     // Outlier re-time pass: this box shows BURSTY host-level CPU steal
@@ -562,6 +646,25 @@ object Bench {
       name -> secondPass.getOrElse(name, sec)
     }
 
+    // Bounded second-decade probes (PairProbes scaladoc): every SKIPPED
+    // pair-emitter still gets a timing at this scale — the identical
+    // candidate/verify plan into a count aggregate instead of the
+    // contractually-unmaterializable full pair dump. Probe rows land in
+    // a separate `probes` map so they are never mistaken for the
+    // entry's own (full-output) timing.
+    val probeTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    graft.queries.PairProbes.all.toSeq.sortBy(_._1)
+      .filter { case (name, _) => skipped(name) }
+      .foreach { case (name, fn) =>
+        val keep = persistedRddIds(spark)
+        val t0 = System.nanoTime()
+        try {
+          exhaust(fn(spark, sfDir))
+          probeTimes(name) = math.rint((System.nanoTime() - t0) / 1e6) / 1e3
+        } catch { case e: Throwable => errors(s"probe:$name") = errMsg(e) }
+        resetSharedState(spark, keep)
+      }
+
     // multi-client serving throughput, AFTER the serial loop so its
     // contention never perturbs per-query numbers; best of two rounds
     // (the steal-burst robustification above — an 8-client section is
@@ -589,6 +692,13 @@ object Bench {
     // the 32-client point doubles as the stable throughput_batched
     // block earlier rounds' artifacts carry
     val tputBatched = tputSweep.find(_._1 == 32)
+
+    // the write-path sweep beside the search sweep (r11 verdict #8):
+    // group-commit depth vs insert latency, per decade
+    val insSweep: Seq[(Int, Int, Double, Double, Double)] =
+      try insertSweep(spark, sfDir)
+      catch { case e: Throwable =>
+        errors("insert_sweep") = errMsg(e); Seq.empty }
 
     // serving-latency percentiles (client_bench.cpp:153-159 analog):
     // mixed concurrent search+insert per-request latency distribution
@@ -638,6 +748,9 @@ object Bench {
     val tputBatchedJson = tputBatched.map(sweepPointJson).getOrElse("null")
     val tputSweepJson = tputSweep.map(sweepPointJson)
       .mkString("[", ",", "]")
+    val insSweepJson = insSweep.map { case (c, n, sec, qps, p99) =>
+      s"""{"clients":$c,"inserts":$n,"elapsed_sec":$sec,"qps":$qps,"p99_ms":$p99}"""
+    }.mkString("[", ",", "]")
     val distJson = dist.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val latJson = lat.map(_.map { case (kind, m) =>
@@ -649,7 +762,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val stealSec = math.rint((stealTicks() - runSteal0) / 100.0 * 10) / 10
     val skippedJson = skipped.toSeq.sorted.map(jstr).mkString("[", ",", "]")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"timing":"min of up to 2 runs for contaminated samples (>2s or steal observed)","steal_sec":$stealSec,"skipped":$skippedJson,"retimes":$retimesJson,"queries":$qs,"errors":$errs,"throughput":$tputJson,"throughput_batched":$tputBatchedJson,"throughput_sweep":$tputSweepJson,"latency":$latJson,"distance":$distJson,"sf":"$sfDir"}"""
+    val probesJson = probeTimes.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"timing":"min of up to 2 runs for contaminated samples (>2s or steal observed)","steal_sec":$stealSec,"skipped":$skippedJson,"probes":$probesJson,"retimes":$retimesJson,"queries":$qs,"errors":$errs,"throughput":$tputJson,"throughput_batched":$tputBatchedJson,"throughput_sweep":$tputSweepJson,"insert_sweep":$insSweepJson,"latency":$latJson,"distance":$distJson,"sf":"$sfDir"}"""
     // The machine-readable artifact: the COMPLETE result object as one
     // JSON file. Five rounds of stdout-only emission parsed as null —
     // sbt appends "[success] Total time: …" after the last println, so

@@ -36,6 +36,10 @@ object BenchOne {
           Bench.throughputBatched(spark, sfDir, clients = clients)}")
         spark.stop(); return
       }
+      if (name == "insert_sweep") {
+        println(s"BENCHONE insert_sweep ${Bench.insertSweep(spark, sfDir)}")
+        spark.stop(); return
+      }
       if (name == "latency") {
         val t0 = System.nanoTime()
         val lat = Bench.latencyBench(spark, sfDir)
@@ -71,7 +75,39 @@ object BenchOne {
         }
         spark.stop(); return
       }
-      val fn = SparkEntry.queries(name)
+      if (name == "resample_ffill_split") {
+        // the q_resample_ffill floor analysis (r11 verdict #7): time the
+        // entry's own stage legs — spine generation, hourly aggregation,
+        // join+ffill window (no final sort), and the full query —
+        // separately under the same reset discipline. Legs recompute
+        // their inputs (no cross-leg caching: each number is the leg's
+        // standalone cost, the dedup_cluster_split convention).
+        import graft.queries.AnalyticsQueries._
+        (0 until reps).foreach { i =>
+          val keep = Bench.persistedRddIds(spark)
+          val ev = resampleEv(Tables.load(spark, sfDir, "events"))
+          val t0 = System.nanoTime()
+          Bench.exhaust(resampleSpine(ev))
+          val t1 = System.nanoTime()
+          Bench.exhaust(resampleHourly(ev))
+          val t2 = System.nanoTime()
+          Bench.exhaust(resampleFill(resampleSpine(ev), resampleHourly(ev)))
+          val t3 = System.nanoTime()
+          Bench.exhaust(SparkEntry.queries("q_resample_ffill")(spark, sfDir))
+          val t4 = System.nanoTime()
+          println(f"BENCHONE resample_ffill_split rep$i " +
+            f"spine=${(t1 - t0) / 1e9}%.2f s hourly=${(t2 - t1) / 1e9}%.2f s " +
+            f"joinfill=${(t3 - t2) / 1e9}%.2f s full_query=${(t4 - t3) / 1e9}%.2f s")
+          Bench.resetSharedState(spark, keep)
+        }
+        spark.stop(); return
+      }
+      // "probe:<entry>" times the bounded pair probe instead of the
+      // full-output entry (PairProbes — the sf10 skip-list companions)
+      val fn =
+        if (name.startsWith("probe:"))
+          graft.queries.PairProbes.all(name.stripPrefix("probe:"))
+        else SparkEntry.queries(name)
       (0 until reps).foreach { i =>
         val keep = Bench.persistedRddIds(spark)
         val t0 = System.nanoTime()

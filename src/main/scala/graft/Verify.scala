@@ -30,23 +30,6 @@ object Verify {
     val only = sys.env.get("GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        // stderr progress per query: a partial run (timeout, OOM-kill)
-        // leaves a readable trail of how far it got and where the time
-        // went — the diagnosis an empty driver artifact needs
-        System.err.println(
-          f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1f s")
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      finally spark.catalog.clearCache() // per-query caches don't accumulate
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -59,10 +42,40 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Dump oracle_sql.json FIRST: a truncated run (driver timeout,
+    // OOM-kill) then still leaves a gradeable partial artifact — the
+    // driver can compare every query dir that did land against its SQL.
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val wall0 = System.nanoTime()
+    var done = 0
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    selected.foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val marker = Paths.get(s"$outDir/$name/_SUCCESS")
+      done += 1
+      // Resumable: a re-run over a partially-filled outDir (set
+      // GRAFT_VERIFY_RESUME=1) skips queries whose parquet already
+      // committed, so a timed-out run can be completed incrementally.
+      if (sys.env.contains("GRAFT_VERIFY_RESUME") && Files.exists(marker)) {
+        System.err.println(s"[verify] $name skipped (already dumped)")
+      } else try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // stderr progress per query: a partial run (timeout, OOM-kill)
+        // leaves a readable trail of how far it got and where the time
+        // went — the diagnosis an empty driver artifact needs
+        System.err.println(
+          f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+          f"($done/${selected.size}, cum ${(System.nanoTime() - wall0) / 1e9}%.0f s)")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+      finally spark.catalog.clearCache() // per-query caches don't accumulate
+    }
     spark.stop()
   }
 }

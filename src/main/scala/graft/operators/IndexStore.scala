@@ -340,16 +340,26 @@ object IndexStore {
     * rowless). Overridable via the `graft.hnsw.levels` system property
     * or `GRAFT_HNSW_LEVELS` env (spec/gate forcing), still clamped to
     * a populated slice. */
+  /** Populated-slice memo for [[hnswLevels]]: the step-down probe runs
+    * up to target−1 isEmpty scans of the corpus, and callers invoke it
+    * per entry (v_hnsw_insert) and per oracle render — for a value
+    * constant per dataset. Keyed on (sfKey, forced-override) so a
+    * GRAFT_HNSW_LEVELS change still takes effect within a session. */
+  private val hnswLevelsMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Option[Int]), Int]
+
   def hnswLevels(spark: SparkSession, sfDir: String): Int = {
     val forced = sys.props.get("graft.hnsw.levels")
       .orElse(sys.env.get("GRAFT_HNSW_LEVELS")).map(_.toInt)
-    val target = forced.getOrElse(GraphSearch.levelsFor(corpusN(spark, sfDir)))
-    require(target >= 1 && target <= GraphSearch.MaxUpperLevels,
-      s"hnsw levels $target outside [1, ${GraphSearch.MaxUpperLevels}]")
-    val e = Tables.load(spark, sfDir, "embeddings")
-    (target to 1 by -1).find { l =>
-      l == 1 || !e.filter(GraphSearch.levelAtLeast(col("vec_id"), l)).isEmpty
-    }.get
+    hnswLevelsMemo.getOrElseUpdate((sfKey(sfDir), forced), {
+      val target = forced.getOrElse(GraphSearch.levelsFor(corpusN(spark, sfDir)))
+      require(target >= 1 && target <= GraphSearch.MaxUpperLevels,
+        s"hnsw levels $target outside [1, ${GraphSearch.MaxUpperLevels}]")
+      val e = Tables.load(spark, sfDir, "embeddings")
+      (target to 1 by -1).find { l =>
+        l == 1 || !e.filter(GraphSearch.levelAtLeast(col("vec_id"), l)).isEmpty
+      }.get
+    })
   }
 
   /** Ensure the layered-graph artifact (the HNSW hierarchy as tables):

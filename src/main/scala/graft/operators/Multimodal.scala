@@ -305,11 +305,16 @@ object Multimodal {
       val reader = javax.imageio.ImageIO
         .getImageReadersByFormatName("gif").next()
       it.flatMap { r =>
-        reader.setInput(javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(r.payload)))
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        reader.setInput(iis)
         val n = reader.getNumImages(true)
         require(n >= 1, s"payload of ${r.doc_id} has no decodable frames")
-        (0 until n).map { f =>
+        // strict map: every frame decodes before the rows are emitted,
+        // so the payload-sized input stream can close HERE — leaving it
+        // to GC would pin one memory-cache buffer per row across the
+        // whole partition (setUseCache(false) caches in heap, not tmp)
+        val rows = (0 until n).map { f =>
           val img = reader.read(f)
           val raster = img.getRaster
           val gray: Int => Int = img.getColorModel match {
@@ -328,6 +333,9 @@ object Multimodal {
           }
           FrameStats(r.doc_id, f.toLong, img.getWidth, img.getHeight, s)
         }
+        reader.setInput(null) // drop the reader's reference before close
+        iis.close()
+        rows
       }
     }
   }

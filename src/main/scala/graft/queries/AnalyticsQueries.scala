@@ -69,13 +69,29 @@ object AnalyticsQueries {
     * via raise_error inside the spine projection (evaluated scan-side,
     * before the explode can fan out), naming the offending user. */
   private[graft] def resampleFfill(events: DataFrame): DataFrame = {
+    val ev = resampleEv(events)
+    resampleFill(resampleSpine(ev), resampleHourly(ev))
+      .transform(DedupQueries.orderedLarge(_, "user_id", "hour_epoch"))
+  }
+
+  /** q_resample_ffill's stage legs, factored so BenchOne's
+    * `resample_ffill_split` can attribute the sf10 cost to spine
+    * generation vs hourly aggregation vs the join+ffill window (the
+    * dedup_cluster_split precedent) — the composition above IS the
+    * entry, the legs are never an alternate semantics. */
+  private[graft] def resampleEv(events: DataFrame): DataFrame = {
     val s = events.sparkSession
     import s.implicits._
-    val ev = events.select(
+    events.select(
       $"user_id", $"event_id", $"value",
       (unix_timestamp($"ts") / lit(3600)).cast("long").as("hr"),
       unix_micros($"ts").as("us"))
-    val spine = ev.groupBy($"user_id")
+  }
+
+  private[graft] def resampleSpine(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    ev.groupBy($"user_id")
       .agg(min($"hr").as("h0"), max($"hr").as("h1"))
       .select($"user_id", explode(sequence($"h0",
         when($"h1" - $"h0" <= lit(MaxSpineHours), $"h1").otherwise(
@@ -84,9 +100,20 @@ object AnalyticsQueries {
             ($"h1" - $"h0").cast("string"),
             lit(s" hours > cap $MaxSpineHours — corrupt timestamp?")))
             .cast("long")))).as("hr"))
-    val hourly = ev.groupBy($"user_id", $"hr")
+  }
+
+  private[graft] def resampleHourly(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    ev.groupBy($"user_id", $"hr")
       .agg(count(lit(1)).as("n"),
         max_by($"value", struct($"us", $"event_id")).as("lastv"))
+  }
+
+  private[graft] def resampleFill(spine: DataFrame,
+      hourly: DataFrame): DataFrame = {
+    val s = spine.sparkSession
+    import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"hr")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     spine.join(hourly, Seq("user_id", "hr"), "left")
@@ -94,7 +121,6 @@ object AnalyticsQueries {
         coalesce($"n", lit(0L)).as("n_events"),
         round(last($"lastv", ignoreNulls = true).over(w), 4)
           .as("filled_value"))
-      .transform(DedupQueries.orderedLarge(_, "user_id", "hour_epoch"))
   }
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -279,6 +279,24 @@ object DedupQueries {
     * an explode, a vocabulary window, a join back, and a collect_list
     * regroup: the measured majority of the whole operator.) */
   private def jaccardPairsRaw(s: SparkSession, d: String): DataFrame = {
+    val (pairs, docs) = jaccardPairsPlan(s, d)
+    // materialize the verified edge set eagerly (it is the operator's
+    // own bounded output), then drop the signature cache: callers — the
+    // d_jaccard_pairs entry and the cluster's contraction rounds —
+    // re-read EDGES, never the word-id signatures, and a lingering
+    // cache occupies executor storage for the rest of a 128-query run
+    val out = pairs.localCheckpoint(true)
+    docs.unpersist(false)
+    out
+  }
+
+  /** The verified-pair PLAN of [[jaccardPairsRaw]], lazy, plus the
+    * populated signature cache the caller owns (unpersist after the
+    * terminal action). Factored so the sf10 bounded probe
+    * ([[PairProbes]]) can run the identical plan shape into a count
+    * aggregate instead of a 2.7B-row checkpoint. */
+  private[graft] def jaccardPairsPlan(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val docs = load(s, d, "documents")
       .select($"doc_id", $"lang",
@@ -307,14 +325,63 @@ object DedupQueries {
       .withColumn("jaccard", GraftText.jaccardSortedLong($"wa", $"wb"))
       .filter($"jaccard" >= 0.8)
       .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
-    // materialize the verified edge set eagerly (it is the operator's
-    // own bounded output), then drop the signature cache: callers — the
-    // d_jaccard_pairs entry and the cluster's contraction rounds —
-    // re-read EDGES, never the word-id signatures, and a lingering
-    // cache occupies executor storage for the rest of a 128-query run
-    val out = pairs.localCheckpoint(true)
-    docs.unpersist(false)
-    out
+    (pairs, docs)
+  }
+
+  /** d_edit_distance's verified-pair frame (unordered) — the entry
+    * sorts it; the sf10 bounded probe ([[PairProbes]]) aggregates it. */
+  private[graft] def editDistancePairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val MaxEdit = 5
+    val Thresh = MaxEdit * 2 // k edits × q=2 distinct grams per edit
+    // cached: this subtree feeds the prefix explode, the tiny-doc
+    // fallback, and both sides of the verify join — without the cache
+    // the scan + bigram computation runs four times in one job
+    val short = load(s, d, "documents")
+      .filter($"n_chars" < 200)
+      // packed bigrams: the prefix filter only needs gram IDENTITY, so
+      // long keys make the explode/frequency/join stages primitive-wide
+      .select($"doc_id", $"lang", $"text", $"n_chars",
+        GraftText.charNgramLongSet($"text", 2).as("grams"))
+      .withColumn("ng", size($"grams"))
+      .cache()
+    val exploded = short.select($"doc_id", $"lang", $"n_chars", $"ng",
+      explode($"grams").as("g"))
+    // global gram frequencies define the prefix order (freq asc, gram)
+    val freq = exploded.groupBy($"g").agg(count(lit(1)).as("gf"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"gf", $"g")
+    val prefix = exploded.join(freq, "g")
+      .withColumn("rk", row_number().over(wRank))
+      .filter($"rk" <= Thresh + 1)
+      .select($"doc_id", $"lang", $"n_chars", $"g")
+    // second lossless gate in the join: |len diff| is a levenshtein
+    // lower bound — at sf0.1 it cuts candidates ~14× (267k → 19k)
+    val cand = prefix.as("x").join(prefix.as("y"),
+        $"x.lang" === $"y.lang" && $"x.g" === $"y.g" &&
+          $"x.doc_id" < $"y.doc_id" &&
+          abs($"x.n_chars" - $"y.n_chars") <= MaxEdit)
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+    // vacuous-threshold fallback: both docs have <= k·q distinct
+    // bigrams — a bounded sliver of the corpus, joined all-pairs
+    val tiny = short.filter($"ng" <= Thresh)
+    val tinyPairs = tiny
+      .select($"doc_id".as("doc_a"), $"lang", $"n_chars".as("ca"))
+      .join(tiny.select($"doc_id".as("doc_b"), $"lang",
+        $"n_chars".as("cb")), "lang")
+      .filter($"doc_a" < $"doc_b" && abs($"ca" - $"cb") <= MaxEdit)
+      .select($"doc_a", $"doc_b")
+    // repartition before the verify: the candidate set is only tens of
+    // KB, so AQE coalesces its shuffle to ~one task — which would run
+    // every O(len²) levenshtein DP serially. The data is tiny but the
+    // COMPUTE is not; spread it across the cluster explicitly.
+    cand.unionByName(tinyPairs).distinct()
+      .repartition(s.sparkContext.defaultParallelism)
+      .join(short.select($"doc_id".as("doc_a"), $"text".as("ta")), "doc_a")
+      .join(short.select($"doc_id".as("doc_b"), $"text".as("tb")), "doc_b")
+      .withColumn("edit_dist", levenshtein($"ta", $"tb").cast("long"))
+      .filter($"edit_dist" <= MaxEdit)
+      .select($"doc_a", $"doc_b", $"edit_dist")
   }
 
   /** The d_line_dedup core over an explicit (doc_id, text) frame —
@@ -800,60 +867,8 @@ object DedupQueries {
     // Docs with <= 10 distinct bigrams (vacuous threshold) fall back to
     // an all-pairs join over that tiny sliver — the whole operator stays
     // exactly equal to the quadratic contract (the oracle).
-    "d_edit_distance" -> ((s: SparkSession, d: String) => {
-      import s.implicits._
-      val MaxEdit = 5
-      val Thresh = MaxEdit * 2 // k edits × q=2 distinct grams per edit
-      // cached: this subtree feeds the prefix explode, the tiny-doc
-      // fallback, and both sides of the verify join — without the cache
-      // the scan + bigram computation runs four times in one job
-      val short = load(s, d, "documents")
-        .filter($"n_chars" < 200)
-        // packed bigrams: the prefix filter only needs gram IDENTITY, so
-        // long keys make the explode/frequency/join stages primitive-wide
-        .select($"doc_id", $"lang", $"text", $"n_chars",
-          GraftText.charNgramLongSet($"text", 2).as("grams"))
-        .withColumn("ng", size($"grams"))
-        .cache()
-      val exploded = short.select($"doc_id", $"lang", $"n_chars", $"ng",
-        explode($"grams").as("g"))
-      // global gram frequencies define the prefix order (freq asc, gram)
-      val freq = exploded.groupBy($"g").agg(count(lit(1)).as("gf"))
-      val wRank = org.apache.spark.sql.expressions.Window
-        .partitionBy($"doc_id").orderBy($"gf", $"g")
-      val prefix = exploded.join(freq, "g")
-        .withColumn("rk", row_number().over(wRank))
-        .filter($"rk" <= Thresh + 1)
-        .select($"doc_id", $"lang", $"n_chars", $"g")
-      // second lossless gate in the join: |len diff| is a levenshtein
-      // lower bound — at sf0.1 it cuts candidates ~14× (267k → 19k)
-      val cand = prefix.as("x").join(prefix.as("y"),
-          $"x.lang" === $"y.lang" && $"x.g" === $"y.g" &&
-            $"x.doc_id" < $"y.doc_id" &&
-            abs($"x.n_chars" - $"y.n_chars") <= MaxEdit)
-        .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
-      // vacuous-threshold fallback: both docs have <= k·q distinct
-      // bigrams — a bounded sliver of the corpus, joined all-pairs
-      val tiny = short.filter($"ng" <= Thresh)
-      val tinyPairs = tiny
-        .select($"doc_id".as("doc_a"), $"lang", $"n_chars".as("ca"))
-        .join(tiny.select($"doc_id".as("doc_b"), $"lang",
-          $"n_chars".as("cb")), "lang")
-        .filter($"doc_a" < $"doc_b" && abs($"ca" - $"cb") <= MaxEdit)
-        .select($"doc_a", $"doc_b")
-      // repartition before the verify: the candidate set is only tens of
-      // KB, so AQE coalesces its shuffle to ~one task — which would run
-      // every O(len²) levenshtein DP serially. The data is tiny but the
-      // COMPUTE is not; spread it across the cluster explicitly.
-      cand.unionByName(tinyPairs).distinct()
-        .repartition(s.sparkContext.defaultParallelism)
-        .join(short.select($"doc_id".as("doc_a"), $"text".as("ta")), "doc_a")
-        .join(short.select($"doc_id".as("doc_b"), $"text".as("tb")), "doc_b")
-        .withColumn("edit_dist", levenshtein($"ta", $"tb").cast("long"))
-        .filter($"edit_dist" <= MaxEdit)
-        .select($"doc_a", $"doc_b", $"edit_dist")
-        .transform(ordered(_, "doc_a", "doc_b"))
-    }),
+    "d_edit_distance" -> ((s: SparkSession, d: String) =>
+      editDistancePairs(s, d).transform(ordered(_, "doc_a", "doc_b"))),
 
     // Deterministic stratified sampling: 20 docs per language, picked in
     // a pseudo-random but fully reproducible order (Knuth multiplicative

@@ -33,10 +33,15 @@ class HnswMaintenanceSpec extends SparkSpec {
   private val DelMod = 17
   private val DelRes = 5
   private def isDelId(v: Long): Boolean = v % DelMod == DelRes
-  private def levelOf(v: Long): Int = {
+  /** Pure-hash mirror of GraphSearch.levelCol, parametric in depth —
+    * the spec must not hardcode the two-layer shape: if the fixture
+    * corpus ever crosses a levelsFor boundary the store gains a layer,
+    * and a hardcoded list would silently test a truncated descent. */
+  private def levelOf(v: Long, maxLevel: Int): Int = {
     val h = (v * 2654435761L) % 1000003L
     val h2 = (h * h + h) % 999983L
-    if (h2 % 64 == 0) 2 else if (h2 % 8 == 0) 1 else 0
+    (maxLevel to 1 by -1).find(l => h2 % math.pow(8, l).toLong == 0)
+      .getOrElse(0)
   }
 
   private lazy val emb: DataFrame =
@@ -52,12 +57,15 @@ class HnswMaintenanceSpec extends SparkSpec {
       .select($"vec_id".as("query_id"), $"embedding".as("qv"))
     def masked(name: String) = spark.read.parquet(s"$hDir/$name")
       .filter(!isDel($"vec_id") && !isDel($"neighbor_id"))
-    val entry = live.filter(GraphSearch.levelAtLeast($"vec_id", 2))
+    // layer list from the store's own meta (the v_hnsw_delete idiom) —
+    // tracks the data-sized depth instead of pinning two layers
+    val levels = GraphSearch.storedLevels(spark, hDir)
+    val entry = live.filter(GraphSearch.levelAtLeast($"vec_id", levels))
       .agg(min($"vec_id").as("node"))
     val stored = spark.read.parquet(s"$gDir/edges")
       .filter(!isDel($"vec_id") && !isDel($"neighbor_id"))
     GraphSearch.hnswSearchFrames(spark,
-        Seq(masked("layer2"), masked("layer1")),
+        (levels to 1 by -1).map(l => masked(s"layer$l")),
         entry, stored, live, q, k = 10, ef = 16, hops = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getDouble(3))).toSeq
@@ -87,7 +95,8 @@ class HnswMaintenanceSpec extends SparkSpec {
       "byte-identical to the base") {
     val hDir = IndexStore.hnsw(spark, fixtureDir)
     val cDir = IndexStore.hnswCompacted(spark, fixtureDir, DelMod, DelRes)
-    for (name <- Seq("layer1", "layer2")) {
+    val levels = GraphSearch.storedLevels(spark, hDir)
+    for (name <- (1 to levels).map(l => s"layer$l")) {
       val base = spark.read.parquet(s"$hDir/$name")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getDouble(3))).toSeq
@@ -115,7 +124,7 @@ class HnswMaintenanceSpec extends SparkSpec {
     }
     val entry = spark.read.parquet(s"$cDir/entry").collect()(0).getLong(0)
     val want = (0L until 400L)
-      .filter(v => levelOf(v) >= 2 && !isDelId(v)).min
+      .filter(v => levelOf(v, levels) >= levels && !isDelId(v)).min
     assert(entry == want, s"compacted entry $entry != $want")
   }
 

@@ -36,12 +36,25 @@ red = sorted(k for k in keys if k in gate and not (
     gate[k].get("ok", False) or
     (gate[k].get("rows_match", False) and gate[k].get("schema_match", False)
      and gate[k].get("values_match", False))))
+# Fail-CLOSED against extraction rot: the gate's key list is RUNTIME
+# truth (close_gate reads it from a Verify dump of SparkEntry.queries).
+# A gate row whose key the source regex cannot find means either the
+# registration idiom drifted past the regex (fix the regex — otherwise
+# future keys in that idiom silently escape this very check) or the
+# entry was removed after the gate ran (gate is stale). Either way the
+# round must not close on it.
+unextracted = sorted(k for k in gate if k not in keys)
 print(f"{len(keys)} queries keys in source, {len(gate)} rows in CLOSE_GATE.json")
-if ungated or red:
+if ungated or red or unextracted:
     if ungated:
         print("GATE FRESHNESS FAIL — keys with NO gate row (gate is stale,"
               " re-run Verify + close_gate at HEAD):", ungated)
     if red:
         print("GATE FRESHNESS FAIL — keys with a FAILED gate row:", red)
+    if unextracted:
+        print("GATE FRESHNESS FAIL — gate rows with no extractable source"
+              " key (registration idiom escaped the regex, or the entry was"
+              " removed after the gate ran):", unextracted)
     sys.exit(1)
-print("GATE FRESHNESS OK: every queries key has a green CLOSE_GATE row")
+print("GATE FRESHNESS OK: every queries key has a green CLOSE_GATE row"
+      " and every gate row maps back to a source key")
