@@ -373,35 +373,132 @@ object GraphSearch {
   /** The expand→score→keep-ef beam loop from a caller-supplied entry
     * beam (query_id, node) — shared by the medoid-entry search, the
     * layered descent, and the insert path. Returns the final scored
-    * frame (query_id, beam: array⟨(score,id)⟩ ranked by (d, node)). */
+    * frame (query_id, beam: array⟨(score,id)⟩ ranked by (d, node)).
+    *
+    * DataFrame wrapper over [[beamRounds]]: collects the entry beam and
+    * the query vectors once (both are the broadcast sides of every
+    * round's joins, i.e. they were ALREADY driver-collected each round
+    * — a broadcast IS a collect), runs the rounds with driver-resident
+    * beam state, and rebuilds the final scored frame as a local
+    * relation (|Q| rows × ef structs — the same bounded frame the old
+    * eager checkpoint materialized). */
   private def beamLoop(edges: DataFrame, vecs: DataFrame, q: DataFrame,
       entry: DataFrame, ef: Int, hops: Int): DataFrame = {
     val s = edges.sparkSession
+    val (rows, schema) = beamRounds(edges, vecs, localDf(q),
+      entry.collect(), ef, hops)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** Collect a bounded frame and re-plant it as a LocalRelation, so
+    * every later broadcast of it is a driver-memory copy instead of a
+    * scheduled re-scan job (the query frame was re-scanned from parquet
+    * once per beam round before this). */
+  private def localDf(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+
+  /** The beam-round engine with DRIVER-RESIDENT beam state. The beam is
+    * |Q|·ef (query_id, node) rows and is by declared shape ALWAYS the
+    * broadcast side of every join — so it lives on the driver whenever
+    * a round runs regardless; keeping it there BETWEEN rounds changes
+    * no data movement, but collapses a round from ~4 scheduler jobs
+    * (beam broadcast build, candidate broadcast build, query re-scan,
+    * eager lineage checkpoint) to 2 (candidate broadcast build + the
+    * scored aggregate), with the corpus-scale edge/vector sides still
+    * only ever PROBED by key, never shuffled. At test scale the
+    * layered family's cost is driver scheduling, not data — this is
+    * what recovers it; at cluster scale the shape is unchanged.
+    *
+    * It also makes the reference's greedy-descent stabilization
+    * (hnsw_index.h:268-330 — the walk stops when the frontier stops
+    * improving) free driver arithmetic: when a round's kept beam is a
+    * SUBSET of the beam it expanded, the next round's candidate set
+    * (newBeam ∪ N(newBeam)) is a subset of this round's AND still
+    * contains this round's top-ef winners, so its top-ef is provably
+    * the SAME set — every remaining round re-derives the identical
+    * scored frame and is skipped. Bit-identical results (the oracle
+    * replays the full unrolled rounds; the skipped ones are no-ops by
+    * the subset argument, per query, since a global subset implies
+    * every per-query subset). */
+  private def beamRounds(edges: DataFrame, vecs: DataFrame,
+      qLocal: DataFrame, entryRows: Array[org.apache.spark.sql.Row],
+      ef: Int, hops: Int)
+      : (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType) = {
+    val s = edges.sparkSession
     import s.implicits._
-    var beam = entry
-    var scored: DataFrame = null
-    for (_ <- 1 to hops) {
-      // candidates = beam ∪ graph-neighbors(beam). The beam is the
-      // broadcast side of BOTH joins: the edge/vector tables are the
-      // corpus-scale sides and are probed by key, never shuffled.
-      val cand = beam.union(
-          edges.join(broadcast(beam), "node")
-            .select($"query_id", $"neighbor_id".as("node")))
-        .distinct()
-      scored = vecs.join(broadcast(cand), "node")
-        .join(broadcast(q), "query_id")
-        .groupBy($"query_id")
-        .agg(topK(l2Sq($"nv", $"qv"), $"node", ef).as("beam"))
-        // cut lineage per hop: the scored beam is |Q|·ef rows, but LAZY
-        // it is a plan containing every earlier hop — hop N re-executes
-        // hops 1..N-1, and each broadcast(beam) materializes the whole
-        // chain AGAIN, so total work grows quadratically in hops. The
-        // checkpoint makes each hop cost exactly one graph probe.
-        .localCheckpoint(true)
-      beam = scored.select($"query_id",
-        explode(transform($"beam", x => x.getField("id"))).as("node"))
+    val qidType = qLocal.schema("query_id").dataType
+    val beamSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id", qidType, nullable = true),
+      org.apache.spark.sql.types.StructField("node",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    // (query_id, node) pairs as driver state; dedup via a Set exactly
+    // as the old plan's cand.distinct() deduped before the aggregate
+    var beam: Array[(Any, Long)] = entryRows.map(r =>
+      (r.get(0), r.get(1) match {
+        case l: Long => l
+        case i: Int => i.toLong
+        case other => other.asInstanceOf[Long]
+      })).distinct
+    // final scored state per query: the ef best (d, node), ascending
+    // (d, node) — TopKByScore's exact order
+    var scored: Array[(Any, Seq[(Double, Long)])] = null
+    var hop = 0
+    var stable = false
+    while (hop < hops && !stable) {
+      hop += 1
+      val beamDf = s.createDataFrame(java.util.Arrays.asList(
+        beam.map { case (q, n) => org.apache.spark.sql.Row(q, n) }: _*),
+        beamSchema)
+      // job A — expand: probe the corpus-scale edge table with the
+      // broadcast beam (map-side BHJ, single stage, no shuffle) and
+      // collect the neighbor pairs: ≤ |beam|·maxDegree rows — exactly
+      // what the old plan's broadcast(cand) exchange collected to the
+      // driver anyway.
+      val nbrs = edges.join(broadcast(beamDf), "node")
+        .select($"query_id", $"neighbor_id".as("node")).collect()
+      val cand = (beam.iterator ++
+          nbrs.iterator.map(r => (r.get(0), r.getLong(1)))).toArray.distinct
+      val candDf = s.createDataFrame(java.util.Arrays.asList(
+        cand.map { case (q, n) => org.apache.spark.sql.Row(q, n) }: _*),
+        beamSchema)
+      // job B — score: probe the corpus-scale vector table with the
+      // broadcast candidates, attach the query vector, compute the
+      // SAME codegen'd l2Sq the aggregate consumed, and collect the
+      // ≤ |Q|·ef·(maxDegree+1) scored rows (again the old broadcast
+      // bound). Single stage, no shuffle: the per-query keep-ef is
+      // driver arithmetic in TopKByScore's exact (d, node) ascending
+      // order over the deduped candidate set.
+      val sc = vecs.join(broadcast(candDf), "node")
+        .join(broadcast(qLocal), "query_id")
+        .select($"query_id", $"node", l2Sq($"nv", $"qv").as("d")).collect()
+      scored = sc.groupBy(_.get(0)).iterator.map { case (qid, rows) =>
+        qid -> rows.map(r => (r.getDouble(2), r.getLong(1)))
+          .sorted(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+          .take(ef).toSeq
+      }.toArray
+      val newBeam = scored.flatMap { case (qid, bs) =>
+        bs.map(b => (qid, b._2)) }
+      if (hop < hops) {
+        val old = beam.toSet
+        stable = newBeam.forall(old)
+      }
+      beam = newBeam
     }
-    scored
+    val scoredSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id", qidType, nullable = true),
+      org.apache.spark.sql.types.StructField("beam",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("score",
+            org.apache.spark.sql.types.DoubleType, nullable = false),
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, nullable = false))),
+          containsNull = false), nullable = true)))
+    val rows = scored.map { case (qid, bs) =>
+      org.apache.spark.sql.Row(qid,
+        bs.map(b => org.apache.spark.sql.Row(b._1, b._2)))
+    }
+    (rows, scoredSchema)
   }
 
   /** (query_id, neighbor_id, rnk, dist) off a scored beam frame. */
@@ -465,17 +562,26 @@ object GraphSearch {
       .select($"vec_id".as("node"), $"neighbor_id")
     val edges = undirected(stored)
     val vecs = e.select($"vec_id".as("node"), $"embedding".as("nv"))
-    val s1 = beamLoop(edges, vecs, q, entryBeam(cent, med, q, entries),
-      efs.max, 1)
+    // queries localize once for the whole sweep; the shared hop-1
+    // scored set and each point's ef-prefix are driver arrays (the
+    // prefix law: one total order, so each ef's hop-1 beam is the
+    // top-ef PREFIX of the max-ef scored array)
+    val qL = localDf(q)
+    val (s1rows, s1schema) = beamRounds(edges, vecs, qL,
+      entryBeam(cent, med, q, entries).collect(), efs.max, 1)
     efs.map { ef =>
       val scored =
-        if (hops <= 1)
-          s1.select($"query_id", slice($"beam", 1, ef).as("beam"))
-        else {
-          val b1 = s1.select($"query_id",
-            explode(transform(slice($"beam", 1, ef), x => x.getField("id")))
-              .as("node"))
-          beamLoop(edges, vecs, q, b1, ef, hops - 1)
+        if (hops <= 1) {
+          val sliced = s1rows.map(r => org.apache.spark.sql.Row(
+            r.get(0), r.getSeq[org.apache.spark.sql.Row](1).take(ef)))
+          s.createDataFrame(java.util.Arrays.asList(sliced: _*), s1schema)
+        } else {
+          val b1 = s1rows.flatMap { r =>
+            r.getSeq[org.apache.spark.sql.Row](1).take(ef).map(c =>
+              org.apache.spark.sql.Row(r.get(0), c.getLong(1)))
+          }
+          val (rr, rs) = beamRounds(edges, vecs, qL, b1, ef, hops - 1)
+          s.createDataFrame(java.util.Arrays.asList(rr: _*), rs)
         }
       ef -> finalTopK(scored, k)
     }
@@ -531,17 +637,30 @@ object GraphSearch {
     val vecs = e.select($"vec_id".as("node"), $"embedding".as("nv"))
     def layerEdges(df: DataFrame) = undirected(
       df.select($"vec_id".as("node"), $"neighbor_id"))
+    // the descent threads the frontier through the layers as DRIVER
+    // state (≤ |Q|·descentEf rows — the broadcast side everywhere, so
+    // driver-resident by definition): queries and entry collect ONCE,
+    // each layer's rounds run on [[beamRounds]], and the surviving
+    // frontier REPLACES the medoid entry for the layer-0 ef-beam with
+    // no per-layer explode/checkpoint plumbing in between.
+    val qL = localDf(q)
     // the global entry point: the min-id node of the top layer (the
     // reference's enter_point_ is "first insert to reach the top
     // level" — insert order doesn't exist distributed, min id does)
-    val entry = q.select($"query_id")
-      .crossJoin(broadcast(entryDf.select($"node")))
-    val b0 = upperLayers.foldLeft(entry) { (beam, layer) =>
-      beamLoop(layerEdges(layer), vecs, q, beam, descentEf, descentHops)
-        .select($"query_id",
-          explode(transform($"beam", x => x.getField("id"))).as("node"))
+    val entryNodes = entryDf.select($"node").collect()
+    val qids = qL.select($"query_id").collect()
+    var frontier = for (qr <- qids; en <- entryNodes)
+      yield org.apache.spark.sql.Row(qr.get(0), en.get(0))
+    for (layer <- upperLayers) {
+      val (rows, _) = beamRounds(layerEdges(layer), vecs, qL, frontier,
+        descentEf, descentHops)
+      frontier = rows.flatMap { r =>
+        r.getSeq[org.apache.spark.sql.Row](1).map(c =>
+          org.apache.spark.sql.Row(r.get(0), c.getLong(1)))
+      }
     }
     val stored = stored0.select($"vec_id".as("node"), $"neighbor_id")
-    finalTopK(beamLoop(undirected(stored), vecs, q, b0, ef, hops), k)
+    val (fr, fs) = beamRounds(undirected(stored), vecs, qL, frontier, ef, hops)
+    finalTopK(s.createDataFrame(java.util.Arrays.asList(fr: _*), fs), k)
   }
 }
