@@ -33,6 +33,9 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // the SIMD distance kernels (functions/VectorSimd.scala) use the JDK
+  // Vector API, an incubator module that must be added explicitly
+  "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // 16g default: at 8g the 128-query bench run sat near the heap

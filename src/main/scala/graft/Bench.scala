@@ -137,8 +137,9 @@ object Bench {
     * distance_bench.cpp:20-48 times the raw L2 kernel over an in-RAM
     * vector batch, no storage in the loop): single-threaded primitive
     * float[] loops with the EXACT per-element op order the codegen'd
-    * expressions emit (float→double subtract/multiply, double
-    * accumulate left to right — VectorExpressions.scala), timed over
+    * expressions emit (float→double subtract/multiply, the lane-4
+    * double accumulation — VectorExpressions.scala's fold contract,
+    * via the shared VectorKernels twins), timed over
     * enough passes to hit `targetEvals`. Million evals/second per
     * kernel. The gap between this and [[distanceBench]]'s scan numbers
     * is the row-decode cost of running a kernel inside a query plan. */
@@ -150,27 +151,27 @@ object Bench {
       .map(_.getSeq[Float](0).toArray)
     require(vecs.nonEmpty, "no embeddings to bench")
     val probe = Array.fill(vecs(0).length)(0.5f)
-    def l2k(a: Array[Float], b: Array[Float]): Double = {
-      var s = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
-      math.sqrt(s)
-    }
-    def dotk(a: Array[Float], b: Array[Float]): Double = {
-      var s = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-      s
-    }
-    def cosk(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) {
-        val x = a(i).toDouble; val y = b(i).toDouble
-        d += x * y; na += x * x; nb += y * y; i += 1
-      }
-      if (na == 0.0 || nb == 0.0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
-    }
+    // primary kernels: the SIMD lane-4 twins (VectorSimd — bit-identical
+    // to the scalar contract, the honest apples-to-apples against the
+    // reference's AVX2 kernel); the *_scalar_* entries time the scalar
+    // lane-4 twins the codegen'd scan path actually runs (generated
+    // Java can't reach the incubator module)
+    val simd = graft.functions.VectorSimd.available
+    def l2k(a: Array[Float], b: Array[Float]): Double =
+      if (simd) math.sqrt(graft.functions.VectorSimd.l2sqV(a, b))
+      else math.sqrt(graft.functions.VectorKernels.l2sqF(a, b))
+    def dotk(a: Array[Float], b: Array[Float]): Double =
+      if (simd) graft.functions.VectorSimd.dotV(a, b)
+      else graft.functions.VectorKernels.dotF(a, b)
+    def cosk(a: Array[Float], b: Array[Float]): Double =
+      if (simd) graft.functions.VectorSimd.cosineV(a, b)
+      else graft.functions.VectorKernels.cosineF(a, b)
+    def l2s(a: Array[Float], b: Array[Float]): Double =
+      math.sqrt(graft.functions.VectorKernels.l2sqF(a, b))
+    def dots(a: Array[Float], b: Array[Float]): Double =
+      graft.functions.VectorKernels.dotF(a, b)
+    def coss(a: Array[Float], b: Array[Float]): Double =
+      graft.functions.VectorKernels.cosineF(a, b)
     // blackhole: fold every result into a sum the caller can't see
     // eliminated — a dead-code'd loop would "measure" nothing
     var sink = 0.0
@@ -192,7 +193,10 @@ object Bench {
     val out = Map(
       time("l2_kernel_meval_per_sec", l2k),
       time("dot_kernel_meval_per_sec", dotk),
-      time("cosine_kernel_meval_per_sec", cosk))
+      time("cosine_kernel_meval_per_sec", cosk),
+      time("l2_scalar_kernel_meval_per_sec", l2s),
+      time("dot_scalar_kernel_meval_per_sec", dots),
+      time("cosine_scalar_kernel_meval_per_sec", coss))
     require(!sink.isNaN) // keep `sink` observably live
     out
   }

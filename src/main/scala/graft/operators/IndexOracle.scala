@@ -22,25 +22,28 @@ object IndexOracle {
   private def lit(v: Seq[Float]): String =
     v.map(_.toDouble.toString).mkString("[", ",", "]")
 
-  /** Exact L2SqDistance replication: sequential left-fold of squared
-    * element diffs (float32 read as exact double), matching the native
-    * expression's loop order — no list_sum (summation order there is
-    * unspecified), no list_distance (sqrt could collapse adjacent
-    * doubles and flip an argmin). `off` = 0-based element offset into
-    * `vexpr` (for PQ subvectors). */
+  /** Exact L2SqDistance replication: the kernels' lane-4 fold of
+    * squared element diffs (float32 read as exact double), matching
+    * the native expression's lane law term for term
+    * ([[graft.functions.FoldSql.lane4]]) — no list_sum (summation
+    * order there is unspecified), no list_distance (sqrt could
+    * collapse adjacent doubles and flip an argmin). `off` = 0-based
+    * element offset into `vexpr` (for PQ subvectors — the engine
+    * slices BEFORE the kernel, so lane position is position within
+    * the subvector, exactly this fold's `i`). */
   private def l2sqLit(vexpr: String, off: Int, cvec: Seq[Float]): String = {
     val c = lit(cvec)
     val idx = if (off == 0) "i" else s"$off+i"
-    s"list_reduce(list_prepend(0.0, " +
-      s"[(($vexpr)[$idx]::DOUBLE - ($c)[i])*(($vexpr)[$idx]::DOUBLE - ($c)[i]) " +
-      s"for i in range(1, ${cvec.length + 1})]), (a, b) -> a + b)"
+    graft.functions.FoldSql.lane4(
+      s"(($vexpr)[$idx]::DOUBLE - ($c)[i])*(($vexpr)[$idx]::DOUBLE - ($c)[i])",
+      cvec.length)
   }
 
   /** Column-vs-column variant of the same fold. */
   private def l2sqCol(a: String, b: String, dim: Int): String =
-    s"list_reduce(list_prepend(0.0, " +
-      s"[(($a)[i]::DOUBLE - ($b)[i]::DOUBLE)*(($a)[i]::DOUBLE - ($b)[i]::DOUBLE) " +
-      s"for i in range(1, ${dim + 1})]), (x, y) -> x + y)"
+    graft.functions.FoldSql.lane4(
+      s"(($a)[i]::DOUBLE - ($b)[i]::DOUBLE)*(($a)[i]::DOUBLE - ($b)[i]::DOUBLE)",
+      dim)
 
   /** CTE `a`: every vector re-assigned to its nearest literal centroid
     * (first-position tie-break == min_by(code, struct(d, code))). */
@@ -729,13 +732,12 @@ object IndexOracle {
        |ORDER BY layer, vec_id, rnk""".stripMargin
   }
 
-  /** The native DotProduct fold: sequential double accumulation of
-    * float32 products in element order (VectorExpressions.DotProduct),
+  /** The native DotProduct fold: the lane-4 double accumulation of
+    * float32 products (VectorExpressions.DotProduct's lane law),
     * mirrored so the augmented coordinate is bit-identical. */
   private def dotSelfSql(vexpr: String, dim: Int): String =
-    s"list_reduce(list_prepend(0.0, " +
-      s"[($vexpr)[i]::DOUBLE * ($vexpr)[i]::DOUBLE " +
-      s"for i in range(1, ${dim + 1})]), (x, y) -> x + y)"
+    graft.functions.FoldSql.lane4(
+      s"($vexpr)[i]::DOUBLE * ($vexpr)[i]::DOUBLE", dim)
 
   /** v_mips_ivf: the Neyshabur–Srebro MIPS reduction re-derived end to
     * end — every vector's augmented coordinate √(m²−‖x‖²) recomputed
@@ -1209,9 +1211,8 @@ object IndexOracle {
     val qdists = centroids.map { case (_, c) => l2sqLit("qv", 0, c) }
       .mkString("[", ",\n ", "]")
     val cids = centroids.map(_._1).mkString("[", ",", "]")
-    val dotFold = "list_reduce(list_prepend(0.0, " +
-      "[cv.embedding[i]::DOUBLE * qq.qv[i]::DOUBLE " +
-      "for i in range(1, 65)]), (x, y) -> x + y)"
+    val dotFold = graft.functions.FoldSql.lane4(
+      "cv.embedding[i]::DOUBLE * qq.qv[i]::DOUBLE", 64)
     s"""WITH ${assignCte(centroids)},
        |qq AS (SELECT vec_id // $groupWidth AS query_group,
        |         vec_id AS q_vec_id, embedding AS qv

@@ -429,7 +429,7 @@ object PipelineQueries {
     // ranking contract as m_feature_knn — every cell of the 4×4 grid
     // is non-empty for w,h >= 8, so the ordered 16-list is total
     "m_image_knn" ->
-      """WITH px AS (
+      s"""WITH px AS (
         |  SELECT doc_id, w, h, i % w AS x, i // w AS y,
         |    (doc_id*31 + (i % w)*7 + (i // w)*13) % 256 AS v
         |  FROM (SELECT doc_id,
@@ -452,10 +452,9 @@ object PipelineQueries {
         |    row_number() OVER (PARTITION BY query_id ORDER BY d, doc_id) AS rnk,
         |    round(sqrt(d), 4) AS dist
         |  FROM (SELECT mq.query_id, mf.doc_id,
-        |          list_reduce(list_prepend(0.0,
-        |            [ (mf.fv[i]::DOUBLE - mq.qv[i]::DOUBLE)
-        |              * (mf.fv[i]::DOUBLE - mq.qv[i]::DOUBLE)
-        |              for i in range(1, 17) ]), (x, y) -> x + y) AS d
+        |          ${graft.functions.FoldSql.lane4(
+              "(mf.fv[i]::DOUBLE - mq.qv[i]::DOUBLE)" +
+                " * (mf.fv[i]::DOUBLE - mq.qv[i]::DOUBLE)", 16)} AS d
         |        FROM mf CROSS JOIN mq)
         |) WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
@@ -551,7 +550,7 @@ object PipelineQueries {
     // same float-exact histogram, then the v_knn ranking contract:
     // shared feature CTE, raw-d² ordering with doc_id tie-break
     "m_feature_knn" ->
-      """WITH mf AS (
+      s"""WITH mf AS (
         |  SELECT doc_id,
         |    [ (len(list_filter(bs, b -> b // 16 = bin))::FLOAT
         |       / greatest(n, 1)::FLOAT) for bin in range(0, 16) ] AS fv
@@ -565,10 +564,9 @@ object PipelineQueries {
         |    row_number() OVER (PARTITION BY query_id ORDER BY d, doc_id) AS rnk,
         |    round(sqrt(d), 4) AS dist
         |  FROM (SELECT mq.query_id, mf.doc_id,
-        |          list_reduce(list_prepend(0.0,
-        |            [ (mf.fv[i]::DOUBLE - mq.qv[i]::DOUBLE)
-        |              * (mf.fv[i]::DOUBLE - mq.qv[i]::DOUBLE)
-        |              for i in range(1, 17) ]), (x, y) -> x + y) AS d
+        |          ${graft.functions.FoldSql.lane4(
+              "(mf.fv[i]::DOUBLE - mq.qv[i]::DOUBLE)" +
+                " * (mf.fv[i]::DOUBLE - mq.qv[i]::DOUBLE)", 16)} AS d
         |        FROM mf CROSS JOIN mq)
         |) WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 

@@ -560,16 +560,16 @@ object VectorQueries {
         |  round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS l2_norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
-    // MaxSim fully re-derived, no literals: dots as the explicit LTR
-    // double fold (raw values feed max and rank, so the fold order
+    // MaxSim fully re-derived, no literals: dots as the kernels'
+    // lane-4 fold (raw values feed max and rank, so the fold law
     // must match the native expression bit-for-bit — the dotSelfSql
     // precedent; list_inner_product's order is unspecified), maxima
-    // summed in q_vec_id order exactly as the engine's bounded fold.
+    // summed in q_vec_id order exactly as the engine's bounded fold
+    // (that one is the plan's own sequential fold, not the kernel).
     "v_maxsim_search" -> {
       import graft.operators.MaxSim.{GroupWidth, NumQueryVecs}
-      val dotFold = "list_reduce(list_prepend(0.0, " +
-        "[c.embedding[i]::DOUBLE * q.qv[i]::DOUBLE " +
-        "for i in range(1, 65)]), (x, y) -> x + y)"
+      val dotFold = graft.functions.FoldSql.lane4(
+        "c.embedding[i]::DOUBLE * q.qv[i]::DOUBLE", 64)
       s"""WITH c AS (SELECT vec_id // $GroupWidth AS doc_group, vec_id, embedding
          |           FROM embeddings),
          |q AS (SELECT vec_id // $GroupWidth AS query_group, vec_id AS q_vec_id,

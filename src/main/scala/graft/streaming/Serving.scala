@@ -99,19 +99,11 @@ final class SearchServer(spark: SparkSession, indexDir: String, k: Int,
     p.future
   }
 
-  // the engine's l2Sq fold order exactly: per-element float->double
-  // subtract, double accumulate left to right — probe ranking must be
+  // the engine's l2Sq lane-4 fold exactly (VectorKernels — the shared
+  // implementation, so it cannot drift): probe ranking must be
   // decision-identical to resolveProbes' (cdist, cluster_id) order
-  private def l2sq(a: Array[Float], b: Array[Float]): Double = {
-    var s = 0.0
-    var i = 0
-    while (i < a.length) {
-      val d = a(i).toDouble - b(i).toDouble
-      s += d * d
-      i += 1
-    }
-    s
-  }
+  private def l2sq(a: Array[Float], b: Array[Float]): Double =
+    graft.functions.VectorKernels.l2sqF(a, b)
 
   private def runBatch(reqs: Seq[Req]): Unit =
     try {

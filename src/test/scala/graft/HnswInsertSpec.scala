@@ -102,11 +102,10 @@ class HnswInsertSpec extends SparkSpec {
       .select($"vec_id", $"embedding", $"cluster_id".cast("long"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray,
         r.getLong(2)))
-    def l2sq(a: Array[Float], b: Array[Float]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
-      s
-    }
+    // the engine's shared lane-4 kernel: rank decisions in this
+    // reference replay must compare the same doubles the plan computed
+    def l2sq(a: Array[Float], b: Array[Float]): Double =
+      graft.functions.VectorKernels.l2sqF(a, b)
     for ((minLvl, np) <- Seq(1 -> 4, 2 -> 16)) {
       val got = insertLayer(minLvl, np)
         .map { case (v, nb, r, _) => (v, nb, r) }.toSet
