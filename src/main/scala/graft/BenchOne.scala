@@ -77,8 +77,8 @@ object BenchOne {
       }
       if (name == "resample_ffill_split") {
         // the q_resample_ffill floor analysis (r11 verdict #7): time the
-        // entry's own stage legs — spine generation, hourly aggregation,
-        // join+ffill window (no final sort), and the full query —
+        // entry's own stage legs — hourly aggregation, the anchor
+        // window, the gap-fill explode, and the full query —
         // separately under the same reset discipline. Legs recompute
         // their inputs (no cross-leg caching: each number is the leg's
         // standalone cost, the dedup_cluster_split convention).
@@ -87,17 +87,17 @@ object BenchOne {
           val keep = Bench.persistedRddIds(spark)
           val ev = resampleEv(Tables.load(spark, sfDir, "events"))
           val t0 = System.nanoTime()
-          Bench.exhaust(resampleSpine(ev))
-          val t1 = System.nanoTime()
           Bench.exhaust(resampleHourly(ev))
+          val t1 = System.nanoTime()
+          Bench.exhaust(resampleAnchors(resampleHourly(ev)))
           val t2 = System.nanoTime()
-          Bench.exhaust(resampleFill(resampleSpine(ev), resampleHourly(ev)))
+          Bench.exhaust(resampleExplode(resampleAnchors(resampleHourly(ev))))
           val t3 = System.nanoTime()
           Bench.exhaust(SparkEntry.queries("q_resample_ffill")(spark, sfDir))
           val t4 = System.nanoTime()
           println(f"BENCHONE resample_ffill_split rep$i " +
-            f"spine=${(t1 - t0) / 1e9}%.2f s hourly=${(t2 - t1) / 1e9}%.2f s " +
-            f"joinfill=${(t3 - t2) / 1e9}%.2f s full_query=${(t4 - t3) / 1e9}%.2f s")
+            f"hourly=${(t1 - t0) / 1e9}%.2f s anchors=${(t2 - t1) / 1e9}%.2f s " +
+            f"explodefill=${(t3 - t2) / 1e9}%.2f s full_query=${(t4 - t3) / 1e9}%.2f s")
           Bench.resetSharedState(spark, keep)
         }
         spark.stop(); return

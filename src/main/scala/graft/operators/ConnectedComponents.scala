@@ -77,9 +77,20 @@ object ConnectedComponents {
     // whole components silently split (observed: a 100-node chain
     // "converged" to 40 components). Contracting the fixed edge set
     // keeps endpoints as original nodes, so no such drift can exist.
+    // EDGE-scale checkpoints go DISK_ONLY: the default level holds the
+    // materialized partitions as deserialized row arrays in the storage
+    // region, and at sf10's 70M-edge near-dup graph two or three
+    // checkpoint generations (eo + a round's alive/e2) are several GiB
+    // each — the named cause of the 16 GiB-heap OOM in the component
+    // store build (store:jcomp, task-side java.lang.OutOfMemoryError).
+    // Each edge frame is scanned at most twice per round and never
+    // joined hot, so disk residency costs one sequential read while
+    // the heap stays bounded by the NODE-scale label frames (which
+    // keep the default level — they are the per-round join side).
+    val DiskOnly = org.apache.spark.storage.StorageLevel.DISK_ONLY
     var eo = edges
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
-      .filter($"a" =!= $"b").distinct().localCheckpoint(false)
+      .filter($"a" =!= $"b").distinct().localCheckpoint(false, DiskOnly)
     // an edge endpoint absent from `nodes` would be silently dropped by
     // the contraction joins below — a partial clustering with no error,
     // against this operator's throw-don't-degrade contract. Costs one
@@ -135,10 +146,11 @@ object ConnectedComponents {
             .join(labels.select($"id".as("a"), $"lab".as("la")), "a")
             .join(labels.select($"id".as("b"), $"lab".as("lb")), "b")
             .filter($"la" =!= $"lb")
-            .localCheckpoint(false)
+            .localCheckpoint(false, DiskOnly)
           eo = alive.select($"a", $"b")
           alive.select($"la".as("a"), $"lb".as("b")).distinct()
-            .localCheckpoint(false) // counted AND scanned twice in sym
+            // counted AND scanned twice in sym
+            .localCheckpoint(false, DiskOnly)
         }
       val nLabelEdges = e2.count()
       if (nLabelEdges == 0L) { converged = true }

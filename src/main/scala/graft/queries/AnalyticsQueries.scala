@@ -70,15 +70,31 @@ object AnalyticsQueries {
     * before the explode can fan out), naming the offending user. */
   private[graft] def resampleFfill(events: DataFrame): DataFrame = {
     val ev = resampleEv(events)
-    resampleFill(resampleSpine(ev), resampleHourly(ev))
+    resampleExplode(resampleAnchors(resampleHourly(ev)))
       .transform(DedupQueries.orderedLarge(_, "user_id", "hour_epoch"))
   }
 
   /** q_resample_ffill's stage legs, factored so BenchOne's
-    * `resample_ffill_split` can attribute the sf10 cost to spine
-    * generation vs hourly aggregation vs the join+ffill window (the
+    * `resample_ffill_split` can attribute the sf10 cost to the hourly
+    * aggregation vs the anchor window vs the gap-fill explode (the
     * dedup_cluster_split precedent) — the composition above IS the
-    * entry, the legs are never an alternate semantics. */
+    * entry, the legs are never an alternate semantics.
+    *
+    * The r11 shape generated the full hourly spine from a per-user
+    * (min, max) aggregate, LEFT-JOINED the hourly values onto it, and
+    * ran an IGNORE-NULLS fill window over the spine — so the
+    * user-hour-LINEAR spine (72M rows at sf10) crossed a join shuffle
+    * AND a window sort. The r12 split measured the join+fill leg at
+    * 10× the hourly aggregate's cost. This shape derives the same
+    * rows from the hourly frame alone: each user-hour WITH events
+    * ("anchor") learns its successor via one lead() window over the
+    * |anchors| frame (≤ |events| rows, data-sized not span-sized),
+    * then explodes sequence(hr, next−1) carrying its own fill value —
+    * every spine row is BORN filled, scan-side, after the one
+    * aggregate. Empty hours inherit the anchor's value = exactly the
+    * IGNORE-NULLS window's pick; the anchor hour itself reports its
+    * count and value unchanged, so the output is row-identical (one
+    * shared oracle). */
   private[graft] def resampleEv(events: DataFrame): DataFrame = {
     val s = events.sparkSession
     import s.implicits._
@@ -86,20 +102,6 @@ object AnalyticsQueries {
       $"user_id", $"event_id", $"value",
       (unix_timestamp($"ts") / lit(3600)).cast("long").as("hr"),
       unix_micros($"ts").as("us"))
-  }
-
-  private[graft] def resampleSpine(ev: DataFrame): DataFrame = {
-    val s = ev.sparkSession
-    import s.implicits._
-    ev.groupBy($"user_id")
-      .agg(min($"hr").as("h0"), max($"hr").as("h1"))
-      .select($"user_id", explode(sequence($"h0",
-        when($"h1" - $"h0" <= lit(MaxSpineHours), $"h1").otherwise(
-          raise_error(concat(lit("q_resample_ffill: user "),
-            $"user_id".cast("string"), lit(" spans "),
-            ($"h1" - $"h0").cast("string"),
-            lit(s" hours > cap $MaxSpineHours — corrupt timestamp?")))
-            .cast("long")))).as("hr"))
   }
 
   private[graft] def resampleHourly(ev: DataFrame): DataFrame = {
@@ -110,17 +112,43 @@ object AnalyticsQueries {
         max_by($"value", struct($"us", $"event_id")).as("lastv"))
   }
 
-  private[graft] def resampleFill(spine: DataFrame,
-      hourly: DataFrame): DataFrame = {
-    val s = spine.sparkSession
+  /** Anchor successor + span guard: one user-keyed shuffle of the
+    * hourly frame, lead() for the next event-hour, min/max for the
+    * fan-out guard (a single corrupt timestamp — epoch-0 sentinel, a
+    * 2106 overflow — would silently fan one user into millions of
+    * generated rows on one task; spans beyond [[MaxSpineHours]] abort
+    * with the user named, the throw-don't-degrade discipline). Both
+    * window specs share the user partitioning — one exchange. */
+  private[graft] def resampleAnchors(hourly: DataFrame): DataFrame = {
+    val s = hourly.sparkSession
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"hr")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(hourly, Seq("user_id", "hr"), "left")
-      .select($"user_id", $"hr".as("hour_epoch"),
-        coalesce($"n", lit(0L)).as("n_events"),
-        round(last($"lastv", ignoreNulls = true).over(w), 4)
-          .as("filled_value"))
+    val wAll = Window.partitionBy($"user_id")
+    hourly
+      .withColumn("nexthr", lead($"hr", 1).over(w))
+      .withColumn("span", max($"hr").over(wAll) - min($"hr").over(wAll))
+  }
+
+  /** The gap-fill explode: anchor hour hr emits hours hr..next−1 (the
+    * last anchor emits itself), each carrying the anchor's count-only-
+    * at-anchor and fill value. Generated scan-side — the spine never
+    * crosses a shuffle. */
+  private[graft] def resampleExplode(anchors: DataFrame): DataFrame = {
+    val s = anchors.sparkSession
+    import s.implicits._
+    anchors
+      .select($"user_id", $"hr", $"n", $"lastv",
+        explode(sequence($"hr",
+          when($"span" <= lit(MaxSpineHours),
+            coalesce($"nexthr" - 1, $"hr")).otherwise(
+            raise_error(concat(lit("q_resample_ffill: user "),
+              $"user_id".cast("string"), lit(" spans "),
+              $"span".cast("string"),
+              lit(s" hours > cap $MaxSpineHours — corrupt timestamp?")))
+              .cast("long")))).as("hour_epoch"))
+      .select($"user_id", $"hour_epoch",
+        when($"hour_epoch" === $"hr", $"n").otherwise(lit(0L)).as("n_events"),
+        round($"lastv", 4).as("filled_value"))
   }
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
