@@ -189,131 +189,137 @@ object VectorKernels {
     else dd / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** Codegen emitter for the lane-4 squared-L2 sum over two ArrayData
-    * locals — the exact Java twin of [[l2sq]]. */
-  def l2sqLanesCode(ctx: CodegenContext, a: String, b: String): Snippet = {
-    val n = ctx.freshName("n"); val i = ctx.freshName("i")
-    val n4 = ctx.freshName("n4")
-    val s0 = ctx.freshName("s0"); val s1 = ctx.freshName("s1")
-    val s2 = ctx.freshName("s2"); val s3 = ctx.freshName("s3")
-    val d0 = ctx.freshName("d0"); val d1 = ctx.freshName("d1")
-    val d2 = ctx.freshName("d2"); val d3 = ctx.freshName("d3")
-    val d = ctx.freshName("d"); val out = ctx.freshName("out")
-    val code =
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s0 = 0.0; double $s1 = 0.0; double $s2 = 0.0; double $s3 = 0.0;
-         |int $n4 = $n - ($n & 3);
-         |int $i = 0;
-         |for (; $i < $n4; $i += 4) {
-         |  double $d0 = (double)$a.getFloat($i) - (double)$b.getFloat($i);
-         |  double $d1 = (double)$a.getFloat($i + 1) - (double)$b.getFloat($i + 1);
-         |  double $d2 = (double)$a.getFloat($i + 2) - (double)$b.getFloat($i + 2);
-         |  double $d3 = (double)$a.getFloat($i + 3) - (double)$b.getFloat($i + 3);
-         |  $s0 += $d0 * $d0; $s1 += $d1 * $d1; $s2 += $d2 * $d2; $s3 += $d3 * $d3;
-         |}
-         |if ($i < $n) { double $d = (double)$a.getFloat($i) - (double)$b.getFloat($i); $s0 += $d * $d; $i++; }
-         |if ($i < $n) { double $d = (double)$a.getFloat($i) - (double)$b.getFloat($i); $s1 += $d * $d; $i++; }
-         |if ($i < $n) { double $d = (double)$a.getFloat($i) - (double)$b.getFloat($i); $s2 += $d * $d; }
-         |double $out = ($s0 + $s1) + ($s2 + $s3);
-       """.stripMargin
-    Snippet(code, out)
+  def normSqF(a: Array[Float]): Double = {
+    val n = a.length
+    val n4 = n - (n & 3)
+    var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+    var i = 0
+    while (i < n4) {
+      val v0 = a(i).toDouble; val v1 = a(i + 1).toDouble
+      val v2 = a(i + 2).toDouble; val v3 = a(i + 3).toDouble
+      s0 += v0 * v0; s1 += v1 * v1; s2 += v2 * v2; s3 += v3 * v3
+      i += 4
+    }
+    if (i < n) { val v = a(i).toDouble; s0 += v * v; i += 1 }
+    if (i < n) { val v = a(i).toDouble; s1 += v * v; i += 1 }
+    if (i < n) { val v = a(i).toDouble; s2 += v * v }
+    (s0 + s1) + (s2 + s3)
   }
 
-  /** Codegen emitter for the lane-4 dot product — the twin of [[dot]]. */
-  def dotLanesCode(ctx: CodegenContext, a: String, b: String): Snippet = {
-    val n = ctx.freshName("n"); val i = ctx.freshName("i")
-    val n4 = ctx.freshName("n4")
-    val s0 = ctx.freshName("s0"); val s1 = ctx.freshName("s1")
-    val s2 = ctx.freshName("s2"); val s3 = ctx.freshName("s3")
+  /** SIMD availability, probed once. Guarded so a JVM without the
+    * incubator module degrades to the scalar twins instead of
+    * propagating VectorSimd's initializer error. */
+  private val useSimd: Boolean =
+    try VectorSimd.available catch { case _: Throwable => false }
+
+  /** Best-available float[] kernels — the dispatch the SCAN PATH's
+    * generated code calls. Pre-r13 the emitters inlined the lane-4
+    * loop over per-element ArrayData virtual access, and the measured
+    * 8× gap between the scan (5.6 Meval/s) and kernel (45.9 Meval/s)
+    * numbers was exactly that row decode. Staging each operand into a
+    * primitive float[] once per row (UnsafeArrayData.toFloatArray is
+    * one bulk Platform.copyMemory) and running the spec-pinned float[]
+    * twin — the SIMD one when the Vector API is usable — closes it.
+    * Generated Java cannot REFERENCE the incubator module (Janino),
+    * but an invokestatic into this pre-compiled dispatcher is plain
+    * bytecode; bit-identity across scalar/SIMD is the lane-4 fold
+    * contract (VectorKernelsSpec pins all paths), so the dispatch is
+    * a pure performance choice and oracles are untouched. */
+  def l2sqBest(a: Array[Float], b: Array[Float]): Double =
+    if (useSimd) VectorSimd.l2sqV(a, b) else l2sqF(a, b)
+
+  def dotBest(a: Array[Float], b: Array[Float]): Double =
+    if (useSimd) VectorSimd.dotV(a, b) else dotF(a, b)
+
+  /** Final cosine (zero-norm → 0.0 rule included on both paths). */
+  def cosineBest(a: Array[Float], b: Array[Float]): Double =
+    if (useSimd) VectorSimd.cosineV(a, b) else cosineF(a, b)
+
+  def normSqBest(a: Array[Float]): Double = normSqF(a)
+
+  /** Row-side staging helper the generated code calls: copy an
+    * ArrayData's floats into `scratch` when it can be reused (right
+    * length), else allocate. For UnsafeArrayData the copy is one bulk
+    * Platform.copyMemory off the row's backing bytes; other layouts
+    * fall back to toFloatArray. Scratch is a per-operand MUTABLE STATE
+    * field of the generated class — task-confined (one instance per
+    * partition task), so reuse is race-free, and at a fixed dim the
+    * steady state is zero allocation per row. */
+  def stageInto(a: ArrayData, scratch: Array[Float]): Array[Float] = a match {
+    case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
+      val n = u.numElements()
+      val dst = if (scratch != null && scratch.length == n) scratch
+                else new Array[Float](n)
+      val header = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .calculateHeaderPortionInBytes(n)
+      org.apache.spark.unsafe.Platform.copyMemory(
+        u.getBaseObject, u.getBaseOffset + header,
+        dst, org.apache.spark.unsafe.Platform.FLOAT_ARRAY_OFFSET,
+        n.toLong * 4)
+      dst
+    case other => other.toFloatArray
+  }
+
+  /** Per-operand staging: a FOLDABLE operand (the serving pattern is
+    * column-vs-literal probe) converts to float[] ONCE at plan compile
+    * and rides the references array — its Literal holds a
+    * GenericArrayData whose toFloatArray is a boxed per-element loop,
+    * and paying that per ROW measured slower than the old inline
+    * emitters. A non-foldable operand stages per row into a reused
+    * scratch field ([[stageInto]]). */
+  private def stageOperand(ctx: CodegenContext, v: String,
+      expr: Option[Expression]): (String, String) = expr match {
+    case Some(e) if e.foldable =>
+      val arr = e.eval(null) match {
+        case null => null
+        case a: ArrayData => a.toFloatArray
+      }
+      ("", ctx.addReferenceObj("constVec", arr, "float[]"))
+    case _ =>
+      val x = ctx.freshName("stagedVec")
+      val scratch = ctx.addMutableState("float[]", "vecScratch")
+      val k = "graft.functions.VectorKernels$.MODULE$"
+      (s"float[] $x = $k.stageInto($v, $scratch); $scratch = $x;\n", x)
+  }
+
+  private def staged2(ctx: CodegenContext, a: String, b: String,
+      method: String, left: Option[Expression],
+      right: Option[Expression]): Snippet = {
+    val (ca, xa) = stageOperand(ctx, a, left)
+    val (cb, yb) = stageOperand(ctx, b, right)
     val out = ctx.freshName("out")
-    val code =
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s0 = 0.0; double $s1 = 0.0; double $s2 = 0.0; double $s3 = 0.0;
-         |int $n4 = $n - ($n & 3);
-         |int $i = 0;
-         |for (; $i < $n4; $i += 4) {
-         |  $s0 += (double)$a.getFloat($i) * (double)$b.getFloat($i);
-         |  $s1 += (double)$a.getFloat($i + 1) * (double)$b.getFloat($i + 1);
-         |  $s2 += (double)$a.getFloat($i + 2) * (double)$b.getFloat($i + 2);
-         |  $s3 += (double)$a.getFloat($i + 3) * (double)$b.getFloat($i + 3);
-         |}
-         |if ($i < $n) { $s0 += (double)$a.getFloat($i) * (double)$b.getFloat($i); $i++; }
-         |if ($i < $n) { $s1 += (double)$a.getFloat($i) * (double)$b.getFloat($i); $i++; }
-         |if ($i < $n) { $s2 += (double)$a.getFloat($i) * (double)$b.getFloat($i); }
-         |double $out = ($s0 + $s1) + ($s2 + $s3);
-       """.stripMargin
-    Snippet(code, out)
+    val k = "graft.functions.VectorKernels$.MODULE$"
+    Snippet(s"$ca$cb double $out = $k.$method($xa, $yb);", out)
   }
 
-  /** Codegen emitter for the three cosine sums — the twin of
-    * [[cosineParts]]; values are (dot, normA, normB). */
-  def cosineLanesCode(ctx: CodegenContext, a: String, b: String)
-      : (String, String, String, String) = {
-    val n = ctx.freshName("n"); val i = ctx.freshName("i")
-    val n4 = ctx.freshName("n4")
-    val xa = ctx.freshName("xa"); val yb = ctx.freshName("yb")
-    val ds = (0 to 3).map(j => ctx.freshName(s"dd$j"))
-    val as = (0 to 3).map(j => ctx.freshName(s"na$j"))
-    val bs = (0 to 3).map(j => ctx.freshName(s"nb$j"))
-    val dd = ctx.freshName("dd"); val na = ctx.freshName("na")
-    val nb = ctx.freshName("nb")
-    def lane(j: Int, idx: String) =
-      s"""double $xa$j = (double)$a.getFloat($idx); double $yb$j = (double)$b.getFloat($idx);
-         |  ${ds(j)} += $xa$j * $yb$j; ${as(j)} += $xa$j * $xa$j; ${bs(j)} += $yb$j * $yb$j;""".stripMargin
-    val code =
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double ${ds(0)} = 0.0, ${ds(1)} = 0.0, ${ds(2)} = 0.0, ${ds(3)} = 0.0;
-         |double ${as(0)} = 0.0, ${as(1)} = 0.0, ${as(2)} = 0.0, ${as(3)} = 0.0;
-         |double ${bs(0)} = 0.0, ${bs(1)} = 0.0, ${bs(2)} = 0.0, ${bs(3)} = 0.0;
-         |int $n4 = $n - ($n & 3);
-         |int $i = 0;
-         |for (; $i < $n4; $i += 4) {
-         |  ${lane(0, s"$i")}
-         |  ${lane(1, s"$i + 1")}
-         |  ${lane(2, s"$i + 2")}
-         |  ${lane(3, s"$i + 3")}
-         |}
-         |if ($i < $n) { ${lane(0, s"$i")} $i++; }
-         |if ($i < $n) { ${lane(1, s"$i")} $i++; }
-         |if ($i < $n) { ${lane(2, s"$i")} }
-         |double $dd = (${ds(0)} + ${ds(1)}) + (${ds(2)} + ${ds(3)});
-         |double $na = (${as(0)} + ${as(1)}) + (${as(2)} + ${as(3)});
-         |double $nb = (${bs(0)} + ${bs(1)}) + (${bs(2)} + ${bs(3)});
-       """.stripMargin
-    (code, dd, na, nb)
-  }
+  /** Codegen emitter for the squared-L2 kernel: stage both operands to
+    * primitive float[] (constant-hoisted when foldable, bulk-copied
+    * per row otherwise), call [[l2sqBest]]. */
+  def l2sqLanesCode(ctx: CodegenContext, a: String, b: String,
+      left: Option[Expression] = None,
+      right: Option[Expression] = None): Snippet =
+    staged2(ctx, a, b, "l2sqBest", left, right)
 
-  /** Codegen emitter for the lane-4 self dot (‖x‖²) — the twin of
-    * [[normSq]]. */
-  def normSqLanesCode(ctx: CodegenContext, a: String): Snippet = {
-    val n = ctx.freshName("n"); val i = ctx.freshName("i")
-    val n4 = ctx.freshName("n4")
-    val s0 = ctx.freshName("s0"); val s1 = ctx.freshName("s1")
-    val s2 = ctx.freshName("s2"); val s3 = ctx.freshName("s3")
-    val v = ctx.freshName("v"); val out = ctx.freshName("out")
-    val code =
-      s"""
-         |int $n = $a.numElements();
-         |double $s0 = 0.0; double $s1 = 0.0; double $s2 = 0.0; double $s3 = 0.0;
-         |int $n4 = $n - ($n & 3);
-         |int $i = 0;
-         |for (; $i < $n4; $i += 4) {
-         |  double ${v}0 = (double)$a.getFloat($i);
-         |  double ${v}1 = (double)$a.getFloat($i + 1);
-         |  double ${v}2 = (double)$a.getFloat($i + 2);
-         |  double ${v}3 = (double)$a.getFloat($i + 3);
-         |  $s0 += ${v}0 * ${v}0; $s1 += ${v}1 * ${v}1;
-         |  $s2 += ${v}2 * ${v}2; $s3 += ${v}3 * ${v}3;
-         |}
-         |if ($i < $n) { double ${v}t = (double)$a.getFloat($i); $s0 += ${v}t * ${v}t; $i++; }
-         |if ($i < $n) { double ${v}t = (double)$a.getFloat($i); $s1 += ${v}t * ${v}t; $i++; }
-         |if ($i < $n) { double ${v}t = (double)$a.getFloat($i); $s2 += ${v}t * ${v}t; }
-         |double $out = ($s0 + $s1) + ($s2 + $s3);
-       """.stripMargin
-    Snippet(code, out)
+  /** Codegen emitter for the dot kernel — the twin of [[dot]]. */
+  def dotLanesCode(ctx: CodegenContext, a: String, b: String,
+      left: Option[Expression] = None,
+      right: Option[Expression] = None): Snippet =
+    staged2(ctx, a, b, "dotBest", left, right)
+
+  /** Codegen emitter for the full cosine (zero-norm rule inside) —
+    * the twin of [[cosineParts]] + the guard. */
+  def cosineLanesCode(ctx: CodegenContext, a: String, b: String,
+      left: Option[Expression] = None,
+      right: Option[Expression] = None): Snippet =
+    staged2(ctx, a, b, "cosineBest", left, right)
+
+  /** Codegen emitter for ‖x‖² — the twin of [[normSq]]. */
+  def normSqLanesCode(ctx: CodegenContext, a: String,
+      child: Option[Expression] = None): Snippet = {
+    val (c, xa) = stageOperand(ctx, a, child)
+    val out = ctx.freshName("out")
+    val k = "graft.functions.VectorKernels$.MODULE$"
+    Snippet(s"$c double $out = $k.normSqBest($xa);", out)
   }
 }
 
@@ -342,7 +348,7 @@ case class L2SqDistance(left: Expression, right: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val s = VectorKernels.l2sqLanesCode(ctx, a, b)
+      val s = VectorKernels.l2sqLanesCode(ctx, a, b, Some(left), Some(right))
       s"""
          |${s.code}
          |${ev.value} = ${s.value};
@@ -365,7 +371,7 @@ case class L2Distance(left: Expression, right: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val s = VectorKernels.l2sqLanesCode(ctx, a, b)
+      val s = VectorKernels.l2sqLanesCode(ctx, a, b, Some(left), Some(right))
       s"""
          |${s.code}
          |${ev.value} = java.lang.Math.sqrt(${s.value});
@@ -387,7 +393,7 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val s = VectorKernels.dotLanesCode(ctx, a, b)
+      val s = VectorKernels.dotLanesCode(ctx, a, b, Some(left), Some(right))
       s"""
          |${s.code}
          |${ev.value} = ${s.value};
@@ -412,11 +418,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val (code, dot, na, nb) = VectorKernels.cosineLanesCode(ctx, a, b)
+      val s = VectorKernels.cosineLanesCode(ctx, a, b, Some(left), Some(right))
       s"""
-         |$code
-         |${ev.value} = ($na == 0.0 || $nb == 0.0)
-         |  ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |${s.code}
+         |${ev.value} = ${s.value};
        """.stripMargin
     })
 
@@ -440,7 +445,7 @@ case class VectorNorm(child: Expression) extends UnaryExpression {
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val s = VectorKernels.normSqLanesCode(ctx, a)
+      val s = VectorKernels.normSqLanesCode(ctx, a, Some(child))
       s"""
          |${s.code}
          |${ev.value} = java.lang.Math.sqrt(${s.value});

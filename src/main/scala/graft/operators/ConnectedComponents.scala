@@ -77,20 +77,28 @@ object ConnectedComponents {
     // whole components silently split (observed: a 100-node chain
     // "converged" to 40 components). Contracting the fixed edge set
     // keeps endpoints as original nodes, so no such drift can exist.
-    // EDGE-scale checkpoints go DISK_ONLY: the default level holds the
-    // materialized partitions as deserialized row arrays in the storage
-    // region, and at sf10's 70M-edge near-dup graph two or three
-    // checkpoint generations (eo + a round's alive/e2) are several GiB
-    // each — the named cause of the 16 GiB-heap OOM in the component
-    // store build (store:jcomp, task-side java.lang.OutOfMemoryError).
-    // Each edge frame is scanned at most twice per round and never
-    // joined hot, so disk residency costs one sequential read while
-    // the heap stays bounded by the NODE-scale label frames (which
-    // keep the default level — they are the per-round join side).
-    val DiskOnly = org.apache.spark.storage.StorageLevel.DISK_ONLY
+    // EDGE-scale checkpoints go MEMORY_AND_DISK_SER: the default level
+    // holds the materialized partitions as DESERIALIZED row arrays in
+    // the storage region, and at sf10's 70M-edge near-dup graph two or
+    // three checkpoint generations (eo + a round's alive/e2) are
+    // several GiB each — the named cause of the 16 GiB-heap OOM in the
+    // component store build (store:jcomp, task-side OutOfMemoryError).
+    // SERIALIZED blocks are the bounded footprint that fixed it (r12
+    // shipped DISK_ONLY); letting those same serialized blocks stay in
+    // the storage region when there's room — spilling under pressure
+    // instead of unconditionally round-tripping every generation
+    // through disk — recovers most of the warm-heap speed (DISK_ONLY
+    // measured 61.0 s cold at 16 g vs 20.8 s warm at 64 g on
+    // d_dedup_cluster's jcomp rebuild) while the heap bound is the
+    // same: blocks are byte arrays either way, and eviction under
+    // memory pressure is Spark's, not the collector's. Each edge frame
+    // is scanned at most twice per round and never joined hot; the
+    // NODE-scale label frames keep the default level — they are the
+    // per-round join side.
+    val EdgeLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     var eo = edges
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
-      .filter($"a" =!= $"b").distinct().localCheckpoint(false, DiskOnly)
+      .filter($"a" =!= $"b").distinct().localCheckpoint(false, EdgeLevel)
     // an edge endpoint absent from `nodes` would be silently dropped by
     // the contraction joins below — a partial clustering with no error,
     // against this operator's throw-don't-degrade contract. Costs one
@@ -146,11 +154,11 @@ object ConnectedComponents {
             .join(labels.select($"id".as("a"), $"lab".as("la")), "a")
             .join(labels.select($"id".as("b"), $"lab".as("lb")), "b")
             .filter($"la" =!= $"lb")
-            .localCheckpoint(false, DiskOnly)
+            .localCheckpoint(false, EdgeLevel)
           eo = alive.select($"a", $"b")
           alive.select($"la".as("a"), $"lb".as("b")).distinct()
             // counted AND scanned twice in sym
-            .localCheckpoint(false, DiskOnly)
+            .localCheckpoint(false, EdgeLevel)
         }
       val nLabelEdges = e2.count()
       if (nLabelEdges == 0L) { converged = true }

@@ -370,33 +370,111 @@ object GraphSearch {
       stored.select($"neighbor_id".as("node"), $"node".as("neighbor_id")))
   }
 
+  /** Driver-resident rounds serve batches up to this many queries; a
+    * larger batch routes to the distributed reduction. Serving batches
+    * are bounded by the request (|Q| ≈ 80 here, a few hundred at most
+    * anywhere), but the INSERT / compact / delta batches scale with
+    * the corpus (4 % of it at the insert entries' contract — 20 k at
+    * sf10, ~2 M at 100×), and per round the driver path materializes
+    * and sorts |Q|·ef·(deg+1) boxed rows on ONE thread: measured at
+    * sf10, v_graph_insert 10.7 → 37.3 s when r12 routed everything
+    * driver-side. The threshold is a sys-prop so the equivalence spec
+    * can force either path on the same input; 1024 comfortably covers
+    * every serving shape while sending corpus-scaled batches to the
+    * distributed aggregate ([[beamLoopDistributed]]). */
+  private[graft] def driverBeamMaxQ: Int =
+    sys.props.get("graft.beam.driverMaxQ").flatMap(_.toIntOption)
+      .getOrElse(1024)
+
+  /** Collect a bounded frame and re-plant it as a LocalRelation, so
+    * every later broadcast of it is a driver-memory copy instead of a
+    * scheduled re-scan job (the query frame was re-scanned from parquet
+    * once per beam round before this). Callers hold bounded frames by
+    * contract (serving query sets). */
+  private def localDf(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+
   /** The expand→score→keep-ef beam loop from a caller-supplied entry
     * beam (query_id, node) — shared by the medoid-entry search, the
     * layered descent, and the insert path. Returns the final scored
     * frame (query_id, beam: array⟨(score,id)⟩ ranked by (d, node)).
     *
-    * DataFrame wrapper over [[beamRounds]]: collects the entry beam and
-    * the query vectors once (both are the broadcast sides of every
-    * round's joins, i.e. they were ALREADY driver-collected each round
-    * — a broadcast IS a collect), runs the rounds with driver-resident
-    * beam state, and rebuilds the final scored frame as a local
-    * relation (|Q| rows × ef structs — the same bounded frame the old
-    * eager checkpoint materialized). */
+    * Routes by |Q| ([[driverBeamMaxQ]]): bounded serving batches run
+    * the driver-resident rounds ([[beamRounds]] — collects the entry
+    * beam and query vectors once; both are the broadcast sides of
+    * every round's joins, i.e. they were ALREADY driver-collected each
+    * round, a broadcast IS a collect), and corpus-scaled batches run
+    * the distributed TopKByScore reduction so no per-round keep-ef
+    * ever runs single-threaded over corpus-sized state. The size probe
+    * is limit(maxQ+1).collect() — bounded work, and when the batch is
+    * small the probe IS the collect the driver path needed anyway, so
+    * the serving job count is unchanged. Both paths implement the same
+    * rounds and the same greedy-stabilization skip; BeamPathLawSpec
+    * pins bit-equality on a forced-path pair. */
   private def beamLoop(edges: DataFrame, vecs: DataFrame, q: DataFrame,
       entry: DataFrame, ef: Int, hops: Int): DataFrame = {
     val s = edges.sparkSession
-    val (rows, schema) = beamRounds(edges, vecs, localDf(q),
-      entry.collect(), ef, hops)
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    val maxQ = driverBeamMaxQ
+    val qHead = q.limit(maxQ + 1).collect()
+    if (qHead.length <= maxQ) {
+      val qLocal = s.createDataFrame(
+        java.util.Arrays.asList(qHead: _*), q.schema)
+      val (rows, schema) = beamRounds(edges, vecs, qLocal,
+        entry.collect(), ef, hops)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    } else beamLoopDistributed(edges, vecs, q, entry, ef, hops)
   }
 
-  /** Collect a bounded frame and re-plant it as a LocalRelation, so
-    * every later broadcast of it is a driver-memory copy instead of a
-    * scheduled re-scan job (the query frame was re-scanned from parquet
-    * once per beam round before this). */
-  private def localDf(df: DataFrame): DataFrame =
-    df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(df.collect(): _*), df.schema)
+  /** The distributed beam rounds — the corpus-scaled-batch path: the
+    * beam/candidate frames stay the broadcast PROBE side of each
+    * round's joins against the corpus-scale edge/vector tables
+    * (map-side BHJ, no shuffle of the big sides), but the per-query
+    * keep-ef is the TopKByScore partial aggregate — map-side heaps,
+    * |Q|-way parallel — instead of driver arithmetic. Lineage is cut
+    * per hop (the scored beam is |Q|·ef rows, but lazy it is a plan
+    * containing every earlier hop). The greedy-stabilization skip
+    * (beamRounds scaladoc: kept beam ⊆ expanded beam ⇒ every later
+    * round re-derives the same frame) costs one bounded anti-join
+    * probe per round here and saves the remaining rounds' corpus
+    * probes. At 100× the insert batch, everything in this loop is
+    * partition-parallel; the broadcast beam is the |batch|-bounded
+    * frame the insert contract already ships to every executor. */
+  private def beamLoopDistributed(edges: DataFrame, vecs: DataFrame,
+      q: DataFrame, entry: DataFrame, ef: Int, hops: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    // the query vectors are re-joined every round: pin them once so
+    // each round is a probe of materialized rows, not a parquet re-scan
+    val qc = q.localCheckpoint(true)
+    var beam = entry.localCheckpoint(true)
+    var scored: DataFrame = null
+    var hop = 0
+    var stable = false
+    while (hop < hops && !stable) {
+      hop += 1
+      val cand = beam.union(
+          edges.join(broadcast(beam), "node")
+            .select($"query_id", $"neighbor_id".as("node")))
+        .distinct()
+      scored = vecs.join(broadcast(cand), "node")
+        .join(broadcast(qc), "query_id")
+        .groupBy($"query_id")
+        .agg(topK(l2Sq($"nv", $"qv"), $"node", ef).as("beam"))
+        .localCheckpoint(true)
+      val newBeam = scored.select($"query_id",
+        explode(transform($"beam", x => x.getField("id"))).as("node"))
+        .localCheckpoint(true)
+      if (hop < hops) {
+        // subset probe: any kept node NOT already in the expanded beam?
+        stable = newBeam
+          .join(beam, Seq("query_id", "node"), "left_anti")
+          .head(1).isEmpty
+      }
+      beam = newBeam
+    }
+    scored
+  }
 
   /** The beam-round engine with DRIVER-RESIDENT beam state. The beam is
     * |Q|·ef (query_id, node) rows and is by declared shape ALWAYS the

@@ -144,17 +144,32 @@ object LshBuckets {
     * table id, so positions align and firstEqIndex is the owner), and
     * the pinned exchange keeps AQE from coalescing the fan-out by its
     * corpus-linear input bytes. */
+  /** `bucketSampleMod` > 1 keeps only buckets with
+    * xxhash64(bk) ≡ 0 (mod it) — the deterministic COMPUTE bound the
+    * sf10 probes use ([[graft.queries.PairProbes]]): per-bucket
+    * candidate fan-out is quadratic in occupancy, so dropping
+    * (mod-1)/mod of the buckets cuts the verify work ~linearly while
+    * the surviving buckets run the identical plan. Emission stays
+    * exactly-once (a pair whose FIRST colliding band is filtered is
+    * dropped, never re-emitted from a later band — firstEqIndex keys
+    * on the full band list). Entries pass the default 1 (no
+    * sampling); only probes sample. */
   def bandedPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       extraKeys: Seq[String] = Nil, nTables: Int = 16,
-      bitsPerTable: Int = 8, seed: Long = 42L): DataFrame = {
+      bitsPerTable: Int = 8, seed: Long = 42L,
+      bucketSampleMod: Int = 1): DataFrame = {
     val spark = df.sparkSession
-    val buckets = df.select(
+    val bucketsAll = df.select(
       (Seq(col(idCol), col(vecCol)) ++ extraKeys.map(col) :+
         bucketBands(col(vecCol), dim, nTables, bitsPerTable, seed)
           .as("bks")): _*)
       .select(
         (Seq(col(idCol), col(vecCol), col("bks")) ++ extraKeys.map(col) :+
           posexplode(col("bks")).as(Seq("t", "bk"))): _*)
+    val buckets = (if (bucketSampleMod > 1)
+        bucketsAll.filter(
+          pmod(xxhash64(col("bk")), lit(bucketSampleMod.toLong)) === 0)
+      else bucketsAll)
       .repartition(spark.sparkContext.defaultParallelism, col("bk"))
     val joinCond = (Seq(col(s"x.bk") === col(s"y.bk"),
         col(s"x.$idCol") < col(s"y.$idCol"),

@@ -295,8 +295,8 @@ object DedupQueries {
     * terminal action). Factored so the sf10 bounded probe
     * ([[PairProbes]]) can run the identical plan shape into a count
     * aggregate instead of a 2.7B-row checkpoint. */
-  private[graft] def jaccardPairsPlan(
-      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[graft] def jaccardPairsPlan(s: SparkSession, d: String,
+      keySampleMod: Int = 1): (DataFrame, DataFrame) = {
     import s.implicits._
     val docs = load(s, d, "documents")
       .select($"doc_id", $"lang",
@@ -304,6 +304,12 @@ object DedupQueries {
           GraftText.wordShingleHashes(toks($"text"), 1))).as("ws"))
       .withColumn("nw", size($"ws").cast("long"))
       .withColumn("band", ($"nw" / 25).cast("long"))
+      // keySampleMod > 1 = the sf10 probes' deterministic compute
+      // bound: keep (lang, band) join groups with hash ≡ 0 (mod it) —
+      // the verify is quadratic per group, so compute falls ~linearly.
+      // Entries pass the default 1 (full plan).
+      .filter(lit(keySampleMod <= 1) ||
+        pmod(xxhash64($"lang", $"band"), lit(keySampleMod.toLong)) === 0)
       // both sides of the banded self-join read this frame; uncached,
       // the tokenize+hash+sort subtree runs TWICE (the d_ngram_jaccard
       // discipline)
@@ -330,7 +336,8 @@ object DedupQueries {
 
   /** d_edit_distance's verified-pair frame (unordered) — the entry
     * sorts it; the sf10 bounded probe ([[PairProbes]]) aggregates it. */
-  private[graft] def editDistancePairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def editDistancePairs(s: SparkSession, d: String,
+      keySampleMod: Int = 1): DataFrame = {
     import s.implicits._
     val MaxEdit = 5
     val Thresh = MaxEdit * 2 // k edits × q=2 distinct grams per edit
@@ -355,6 +362,11 @@ object DedupQueries {
       .withColumn("rk", row_number().over(wRank))
       .filter($"rk" <= Thresh + 1)
       .select($"doc_id", $"lang", $"n_chars", $"g")
+      // keySampleMod > 1 = the sf10 probe's compute bound (gram-keyed
+      // candidate groups sampled deterministically; see
+      // jaccardPairsPlan). Entries pass the default 1.
+      .filter(lit(keySampleMod <= 1) ||
+        pmod(xxhash64($"g"), lit(keySampleMod.toLong)) === 0)
     // second lossless gate in the join: |len diff| is a levenshtein
     // lower bound — at sf0.1 it cuts candidates ~14× (267k → 19k)
     val cand = prefix.as("x").join(prefix.as("y"),

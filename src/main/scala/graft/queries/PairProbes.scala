@@ -25,66 +25,87 @@ import graft.Tables.load
   */
 object PairProbes {
 
+  /** Deterministic join-key sampling modulus — the COMPUTE bound (r12's
+    * probes were output-bounded but compute-unbounded: ~10⁹ verifies on
+    * the duplicate-saturated sf10 corpus, and the 16 g run died in the
+    * probe phase at the round's time budget). Keeping only key groups
+    * with hash ≡ 0 (mod this) cuts the quadratic-per-group verify work
+    * ~linearly; the surviving groups run the identical plan, and the
+    * modulus is REPORTED in the probe row (`sample_mod`) so a recorded
+    * second-decade number always names its own cap. */
+  private def sampleMod: Int = sys.env.get("SPARK_GRAFT_PROBE_MOD")
+    .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(16)
+
   /** metric assumed rounded to 4 dp already: ×1e4 is then exact. */
   private def boundedAgg(pairs: DataFrame, a: String, b: String,
-      metric: String): DataFrame =
+      metric: String, mod: Int): DataFrame =
     pairs.agg(
       count(lit(1)).as("n_pairs"),
       min(col(a)).as("min_a"), max(col(a)).as("max_a"),
       min(col(b)).as("min_b"), max(col(b)).as("max_b"),
       sum((col(metric) * 1e4).cast("long")).as(s"sum_${metric}_e4"))
+      .withColumn("sample_mod", lit(mod.toLong))
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_jaccard_pairs" -> ((s: SparkSession, d: String) => {
-      val (pairs, _) = DedupQueries.jaccardPairsPlan(s, d)
+      val m = sampleMod
+      val (pairs, _) = DedupQueries.jaccardPairsPlan(s, d, keySampleMod = m)
       // the signature cache is dropped by the caller's reset (the
       // probe is bench-only); the checkpoint the entry pays is the
       // very cost the probe exists to avoid
-      boundedAgg(pairs, "doc_a", "doc_b", "jaccard")
+      boundedAgg(pairs, "doc_a", "doc_b", "jaccard", m)
     }),
 
-    "d_edit_distance" -> ((s: SparkSession, d: String) =>
-      boundedAgg(DedupQueries.editDistancePairs(s, d)
+    "d_edit_distance" -> ((s: SparkSession, d: String) => {
+      val m = sampleMod
+      boundedAgg(DedupQueries.editDistancePairs(s, d, keySampleMod = m)
           .withColumn("edit_dist", col("edit_dist").cast("double")),
-        "doc_a", "doc_b", "edit_dist")),
+        "doc_a", "doc_b", "edit_dist", m)
+    }),
 
     "d_embed_lsh" -> ((s: SparkSession, d: String) => {
       import s.implicits._
+      val m = sampleMod
       val e = load(s, d, "embeddings")
       val pairs = graft.operators.LshBuckets
         .bandedPairs(e, "vec_id", "embedding", 64,
           bitsPerTable = graft.operators.LshBuckets.chooseBits(
-            graft.operators.IndexStore.corpusN(s, d)))
+            graft.operators.IndexStore.corpusN(s, d)),
+          bucketSampleMod = m)
         .withColumn("cos_sim", cosine($"va", $"vb"))
         .filter($"cos_sim" > 0.4)
         .select($"vec_a", $"vec_b", round($"cos_sim", 4).as("cos_sim"))
-      boundedAgg(pairs, "vec_a", "vec_b", "cos_sim")
+      boundedAgg(pairs, "vec_a", "vec_b", "cos_sim", m)
     }),
 
     "d_embed_neardup" -> ((s: SparkSession, d: String) => {
       import s.implicits._
+      val m = sampleMod
       val e = load(s, d, "embeddings")
       val pairs = graft.operators.LshBuckets
         .bandedPairs(e, "vec_id", "embedding", 64, extraKeys = Seq("label"),
           bitsPerTable = graft.operators.LshBuckets.chooseBits(
-            graft.operators.IndexStore.corpusN(s, d)))
+            graft.operators.IndexStore.corpusN(s, d)),
+          bucketSampleMod = m)
         .withColumn("cos_sim", cosine($"va", $"vb"))
         .filter($"cos_sim" > 0.4)
         .select($"vec_a", $"vec_b", round($"cos_sim", 4).as("cos_sim"))
-      boundedAgg(pairs, "vec_a", "vec_b", "cos_sim")
+      boundedAgg(pairs, "vec_a", "vec_b", "cos_sim", m)
     }),
 
     "v_knn_self_pairs" -> ((s: SparkSession, d: String) => {
       import s.implicits._
+      val m = sampleMod
       val e = load(s, d, "embeddings")
       val pairs = graft.operators.LshBuckets
         .bandedPairs(e, "vec_id", "embedding", 64,
           bitsPerTable = graft.operators.LshBuckets.chooseBits(
-            graft.operators.IndexStore.corpusN(s, d)))
+            graft.operators.IndexStore.corpusN(s, d)),
+          bucketSampleMod = m)
         .withColumn("dist", round(l2($"va", $"vb"), 4))
         .filter($"dist" < 1.1)
         .select($"vec_a", $"vec_b", $"dist")
-      boundedAgg(pairs, "vec_a", "vec_b", "dist")
+      boundedAgg(pairs, "vec_a", "vec_b", "dist", m)
     })
   )
 }
