@@ -317,9 +317,18 @@ object Bench {
     * the whole sweep: the buffer is append-only, so a prior point's
     * rows never change a later point's append cost. Returns one
     * (clients, inserts, elapsed sec, qps, p99 ms) per depth. */
+  /** One insert-sweep point: offered clients, committed inserts, wall,
+    * QPS, request p99 — plus the WHERE-the-wall-went split from
+    * [[graft.streaming.IngestServer.splitStats]]: group-commit batches
+    * formed, mean per-request queue wait (batch formation), and mean
+    * per-batch commit-job wall (IVF assignment + the two appends). */
+  final case class InsertPoint(clients: Int, inserts: Int, sec: Double,
+      qps: Double, p99Ms: Double, batches: Long, queueWaitMsMean: Double,
+      commitMsMean: Double)
+
   def insertSweep(spark: SparkSession, sfDir: String,
       clientPoints: Seq[Int] = Seq(2, 8, 24), perClient: Int = 8)
-      : Seq[(Int, Int, Double, Double, Double)] = {
+      : Seq[InsertPoint] = {
     import org.apache.spark.sql.functions._
     val src = graft.operators.IndexStore.ivf(spark, sfDir, k = 16)
     val scratch = java.nio.file.Files
@@ -378,8 +387,16 @@ object Bench {
         val xs = lats.asScala.toSeq.sorted
         val p99 = xs(math.max(0, math.min(xs.size - 1,
           math.ceil(0.99 * xs.size).toInt - 1)))
-        (clients, n, sec, math.rint(n / sec * 1000) / 1000,
-          math.rint(p99 * 1000) / 1000)
+        // lifetime stats minus the warm-up request's contribution is
+        // noise at these depths; report means over the whole server
+        // lifetime (warm + timed) — the warm batch is 1 of ≥3.
+        val (batches, reqs, waitSec, commitSec) = ingest.splitStats
+        val waitMs = if (reqs == 0) 0.0
+          else math.rint(waitSec * 1000 / reqs * 1000) / 1000
+        val commitMs = if (batches == 0) 0.0
+          else math.rint(commitSec * 1000 / batches * 1000) / 1000
+        InsertPoint(clients, n, sec, math.rint(n / sec * 1000) / 1000,
+          math.rint(p99 * 1000) / 1000, batches, waitMs, commitMs)
       } finally { pool.shutdownNow(); ingest.close() }
     }
   }
@@ -699,7 +716,7 @@ object Bench {
 
     // the write-path sweep beside the search sweep (r11 verdict #8):
     // group-commit depth vs insert latency, per decade
-    val insSweep: Seq[(Int, Int, Double, Double, Double)] =
+    val insSweep: Seq[InsertPoint] =
       try insertSweep(spark, sfDir)
       catch { case e: Throwable =>
         errors("insert_sweep") = errMsg(e); Seq.empty }
@@ -752,8 +769,11 @@ object Bench {
     val tputBatchedJson = tputBatched.map(sweepPointJson).getOrElse("null")
     val tputSweepJson = tputSweep.map(sweepPointJson)
       .mkString("[", ",", "]")
-    val insSweepJson = insSweep.map { case (c, n, sec, qps, p99) =>
-      s"""{"clients":$c,"inserts":$n,"elapsed_sec":$sec,"qps":$qps,"p99_ms":$p99}"""
+    val insSweepJson = insSweep.map { p =>
+      s"""{"clients":${p.clients},"inserts":${p.inserts},""" +
+        s""""elapsed_sec":${p.sec},"qps":${p.qps},"p99_ms":${p.p99Ms},""" +
+        s""""batches":${p.batches},"queue_wait_ms_mean":${p.queueWaitMsMean},""" +
+        s""""commit_ms_mean":${p.commitMsMean}}"""
     }.mkString("[", ",", "]")
     val distJson = dist.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")

@@ -40,6 +40,54 @@ object BenchOne {
         println(s"BENCHONE insert_sweep ${Bench.insertSweep(spark, sfDir)}")
         spark.stop(); return
       }
+      if (name == "insert_split") {
+        // the insert-path floor analysis (r12 verdict #6): decompose
+        // ONE group-commit batch's commit job into its three legs —
+        // the per-batch IVF assignment pass (resolveBatch: broadcast
+        // centroids × batch, two keep-min aggregates, materialized),
+        // the delta-log append, and the partitioned assignments
+        // append — timed standalone against a scratch store, the
+        // dedup_cluster_split convention. Queue-wait (the OTHER half
+        // of the split) is measured live by insert_sweep's
+        // queue_wait_ms_mean; this leg prices the job side.
+        import org.apache.spark.sql.functions._
+        val src = graft.operators.IndexStore.ivf(spark, sfDir, k = 16)
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft-insert-split-ivf").toString
+        spark.read.parquet(s"$src/centroids")
+          .coalesce(1).write.mode("overwrite").parquet(s"$scratch/centroids")
+        spark.read.parquet(s"$src/assignments")
+          .write.partitionBy("cluster_id").mode("overwrite")
+          .parquet(s"$scratch/assignments")
+        val rows = Tables.load(spark, sfDir, "embeddings")
+          .filter(col("vec_id") < 64).select(col("embedding")).collect()
+          .map(_.getSeq[Float](0))
+        val idBase: Long = Tables.load(spark, sfDir, "embeddings")
+          .agg(max(col("vec_id"))).collect()(0).getLong(0) + 1L
+        (0 until reps).foreach { i =>
+          import spark.implicits._
+          val batch = rows.zipWithIndex.map { case (e, j) =>
+            (idBase + i.toLong * rows.length + j, e) }
+            .toSeq.toDF("vec_id", "embedding")
+          val cent = spark.read.parquet(s"$scratch/centroids")
+          val t0 = System.nanoTime()
+          val assigned = graft.streaming.IvfDeltaIngest
+            .resolveBatch(batch, cent, seq = 1000L + i)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          assigned.count()
+          val t1 = System.nanoTime()
+          assigned.write.mode("append").parquet(s"$scratch/delta_log")
+          val t2 = System.nanoTime()
+          assigned.write.mode("append").partitionBy("cluster_id")
+            .parquet(s"$scratch/assignments")
+          val t3 = System.nanoTime()
+          assigned.unpersist()
+          println(f"BENCHONE insert_split rep$i batch=${rows.length} " +
+            f"assign=${(t1 - t0) / 1e9}%.3f s delta_append=${(t2 - t1) / 1e9}%.3f s " +
+            f"part_append=${(t3 - t2) / 1e9}%.3f s")
+        }
+        spark.stop(); return
+      }
       if (name == "latency") {
         val t0 = System.nanoTime()
         val lat = Bench.latencyBench(spark, sfDir)

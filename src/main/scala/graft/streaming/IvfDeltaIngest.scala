@@ -47,7 +47,7 @@ object IvfDeltaIngest {
     * cluster (a micro-batch has no intra-batch write order; across
     * batches `seq` orders writes). Shared by the raw-vector and IVF-PQ
     * delta paths. Returns (vec_id, embedding, seq, cluster_id). */
-  private[streaming] def resolveBatch(batch: DataFrame, cent: DataFrame,
+  private[graft] def resolveBatch(batch: DataFrame, cent: DataFrame,
       seq: Long): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._

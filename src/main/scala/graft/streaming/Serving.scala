@@ -181,9 +181,25 @@ final class IngestServer(spark: SparkSession, indexDir: String,
     startSeq: Long, maxBatch: Int = 64) extends AutoCloseable {
   import spark.implicits._
 
-  private final case class Req(rows: Seq[(Long, Seq[Float])], p: Promise[Long])
+  private final case class Req(rows: Seq[(Long, Seq[Float])], p: Promise[Long],
+      enq: Long = System.nanoTime())
   private val queue = new LinkedBlockingQueue[Req]()
   private val nextSeq = new AtomicLong(startSeq)
+  // split accounting (cumulative, lifetime of the server): where an
+  // insert request's wall goes — QUEUE WAIT (enqueue → its batch's
+  // dispatch, the group-commit formation time) vs the COMMIT JOB
+  // (appendBatch: the per-batch IVF assignment pass + the two
+  // appends). p99 growth under depth attributes to whichever leg
+  // grows; the bench's insert_sweep records both per sweep point.
+  private val waitNs = new AtomicLong(0)
+  private val commitNs = new AtomicLong(0)
+  private val nBatchesDone = new AtomicLong(0)
+  private val nReqsDone = new AtomicLong(0)
+
+  /** (batches, requests, total queue-wait sec summed over requests,
+    * total commit-job sec summed over batches) since construction. */
+  def splitStats: (Long, Long, Double, Double) =
+    (nBatchesDone.get, nReqsDone.get, waitNs.get / 1e9, commitNs.get / 1e9)
   // see SearchServer.gate: open-check + put atomic vs close()'s flip
   private val gate = new Object
   @volatile private var open = true
@@ -202,9 +218,14 @@ final class IngestServer(spark: SparkSession, indexDir: String,
 
   private def runBatch(reqs: Seq[Req]): Unit =
     try {
+      val t0 = System.nanoTime()
+      reqs.foreach(r => waitNs.addAndGet(t0 - r.enq))
+      nReqsDone.addAndGet(reqs.size)
       val seq = nextSeq.getAndIncrement()
       val batch = reqs.flatMap(_.rows).toDF("vec_id", "embedding")
       IvfDeltaIngest.appendBatch(spark, indexDir, batch, seq)
+      commitNs.addAndGet(System.nanoTime() - t0)
+      nBatchesDone.incrementAndGet()
       reqs.foreach(_.p.success(seq))
     } catch { case e: Throwable => reqs.foreach(_.p.tryFailure(e)) }
 

@@ -116,6 +116,23 @@ class ServingSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("insert splitStats accounts every request and batch") {
+    val dir = scratchStore()
+    val ingest = new IngestServer(spark, dir, startSeq = 1L)
+    val rnd = new scala.util.Random(7)
+    try {
+      val futs = (2000L until 2010L).map { id =>
+        ingest.insert(Seq(id -> Array.fill(64)(rnd.nextGaussian().toFloat).toSeq))
+      }
+      futs.foreach(Await.result(_, Duration(120, "s")))
+      val (batches, reqs, waitSec, commitSec) = ingest.splitStats
+      assert(reqs == 10L)                      // every request counted once
+      assert(batches >= 1L && batches <= 10L)  // group commit coalesces
+      assert(commitSec > 0.0)                  // the append jobs took time
+      assert(waitSec >= 0.0)                   // queue wait is non-negative
+    } finally ingest.close()
+  }
+
   test("close() completes every already-enqueued request") {
     val dir = scratchStore()
     val vecs = vecsOf(0L until 8L)
