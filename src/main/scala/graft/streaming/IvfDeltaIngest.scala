@@ -62,6 +62,74 @@ object IvfDeltaIngest {
         lit(seq).as("seq"), $"r.cluster_id".as("cluster_id"))
   }
 
+  /** Driver-side twin of [[resolveBatch]] for SERVING micro-batches —
+    * bounded by construction (|rows| ≤ maxBatch·8, k centroids), so the
+    * dedup/assign/tie-break law runs as driver arithmetic instead of a
+    * per-batch crossJoin+two-aggregate Spark job whose scheduler floor
+    * dominated the serving commit wall (BENCHONE insert_split at sf10:
+    * the assignment job is ~0.46-0.50 s of a ~1 s commit for 64 rows).
+    * Bit-identical to the plan by construction: distances via the
+    * spec-pinned lane-4 float[] kernel ([[graft.functions.VectorKernels
+    * .l2sqF]]), the tie-break hash via Catalyst's own Murmur3 over the
+    * same ArrayData (seed 42 — what `hash($"embedding")` evaluates),
+    * and embeddings normalized the way Spark's NormalizeFloatingNumbers
+    * rewrites grouping keys (-0.0f → 0.0f, one canonical NaN) before
+    * they reach the aggregate; LocalResolveSpec pins equality on the
+    * dup/tie/-0.0 fixtures. Returns (vec_id, embedding, seq,
+    * cluster_id) rows in ascending vec_id order. */
+  private[graft] def resolveBatchLocal(rows: Seq[(Long, Array[Float])],
+      cent: Seq[(Int, Array[Float])], seq: Long)
+      : Seq[(Long, Array[Float], Long, Int)] = {
+    require(cent.nonEmpty, "resolveBatchLocal: no centroids")
+    def normalized(a: Array[Float]): Array[Float] = a.map { f =>
+      if (f == 0.0f) 0.0f else if (f.isNaN) Float.NaN else f
+    }
+    def catalystHash(a: Array[Float]): Int =
+      org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction.hash(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(a),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType),
+        42L).toInt
+    rows
+      .map { case (id, e) => (id, normalized(e)) }
+      // per (vec_id, embedding): min (d, cluster_id) over centroids
+      .groupBy { case (id, e) => (id, e.toSeq) }
+      .map { case ((id, _), grp) =>
+        val e = grp.head._2
+        var bestD = Double.MaxValue; var bestC = Int.MaxValue
+        cent.foreach { case (c, cv) =>
+          val d = graft.functions.VectorKernels.l2sqF(e, cv)
+          if (d < bestD || (d == bestD && c < bestC)) { bestD = d; bestC = c }
+        }
+        (id, e, bestD, bestC)
+      }
+      // per vec_id: lexicographic min of (d, cluster_id, hash(embedding))
+      .groupBy(_._1)
+      .map { case (id, grp) =>
+        val (_, e, _, c) = grp.minBy { case (_, e, d, c) =>
+          (d, c, catalystHash(e)) }
+        (id, e, seq, c)
+      }
+      .toSeq.sortBy(_._1)
+  }
+
+  /** [[appendBatch]] with the batch already resolved driver-side
+    * ([[resolveBatchLocal]]) — same write order (buffer first), same
+    * tables, no per-batch assignment job. The serving path
+    * ([[graft.streaming.IngestServer]]) commits through this. */
+  private[graft] def appendBatchResolved(spark: SparkSession,
+      indexDir: String, resolved: Seq[(Long, Array[Float], Long, Int)]): Unit = {
+    import spark.implicits._
+    val assigned = resolved
+      .map { case (id, e, s, c) => (id, e.toSeq, s, c) }
+      .toDF("vec_id", "embedding", "seq", "cluster_id")
+      .coalesce(1) // one buffer file per commit; rows are driver-local,
+                   // so re-serializing them for the second write is free
+    assigned.write.mode("append").parquet(s"$indexDir/delta_log")
+    assigned.write.mode("append").partitionBy("cluster_id")
+      .parquet(s"$indexDir/assignments")
+  }
+
   /** Rows written without a seq column (or with nulls) count as seq 0. */
   private[streaming] def ensureSeq(df: DataFrame): DataFrame =
     if (df.columns.contains("seq"))

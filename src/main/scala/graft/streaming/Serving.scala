@@ -216,14 +216,30 @@ final class IngestServer(spark: SparkSession, indexDir: String,
     p.future
   }
 
+  // Centroids collected ONCE per server — the bounded index metadata
+  // the reference server holds in RAM (SearchServer resolves probes
+  // against the same collected rows). Lazy so construction stays
+  // job-free; single-writer discipline means no compactor swaps them
+  // mid-serve (and IVF compaction never rewrites centroids anyway).
+  private lazy val centroids: Seq[(Int, Array[Float])] =
+    spark.read.parquet(s"$indexDir/centroids")
+      .select("cluster_id", "centroid").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).toSeq
+
   private def runBatch(reqs: Seq[Req]): Unit =
     try {
       val t0 = System.nanoTime()
       reqs.foreach(r => waitNs.addAndGet(t0 - r.enq))
       nReqsDone.addAndGet(reqs.size)
       val seq = nextSeq.getAndIncrement()
-      val batch = reqs.flatMap(_.rows).toDF("vec_id", "embedding")
-      IvfDeltaIngest.appendBatch(spark, indexDir, batch, seq)
+      // assignment runs driver-side (resolveBatchLocal — bit-identical
+      // to the resolveBatch plan by spec); the commit job is just the
+      // two bounded appends, which halves the per-batch wall the
+      // insert_sweep split showed dominating p99
+      val resolved = IvfDeltaIngest.resolveBatchLocal(
+        reqs.flatMap(_.rows).map { case (id, e) => (id, e.toArray) },
+        centroids, seq)
+      IvfDeltaIngest.appendBatchResolved(spark, indexDir, resolved)
       commitNs.addAndGet(System.nanoTime() - t0)
       nBatchesDone.incrementAndGet()
       reqs.foreach(_.p.success(seq))
