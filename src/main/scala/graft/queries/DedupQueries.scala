@@ -187,8 +187,9 @@ object DedupQueries {
       s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
     // ONE cached signature frame feeds every consumer: the corpus side
-    // is read by BOTH the exact join and the banded near join, and the
-    // batch side by those plus the final left joins — uncached, the
+    // is read by BOTH the exact join and the part-blocked near join,
+    // and the batch side by those plus the final left joins — uncached,
+    // the
     // tokenize+hash+sort subtree would run twice over ~95 % of the
     // documents (the jaccardPairsRaw discipline, eager populate and
     // all)
@@ -210,9 +211,34 @@ object DedupQueries {
     //    signature-keyed shuffle. The hash is engine-internal (both
     //    probe and build compute xxhash64 of the same array), so the
     //    oracle never sees it.
-    //  - near path: the batch's (lang, band) fan-out set is bounded by
-    //    2×|batch|; as a broadcast LEFT SEMI it prunes corpus rows that
-    //    cannot meet any batch band BEFORE the banded join's exchange.
+    //  - near path: pigeonhole part-blocking (the PartEnum family,
+    //    Arasu et al. VLDB'06). j >= 0.8 bounds the symmetric
+    //    difference: u = |a∪b| = na+nb-i and i >= 0.8u give
+    //    |aΔb| = u-i <= 0.2u <= (na+nb)/9 <= 2·maxNw/9. Splitting
+    //    every word set into np = floor(2·maxNw/9)+1 hash-partitions
+    //    (element pmod np) therefore guarantees at least one
+    //    partition IDENTICAL between any qualifying pair — blocking
+    //    on (lang, p, xxhash64(partition p)) is provably lossless,
+    //    and a candidate now means "shares an exact ~nw/np-word
+    //    subset", not "has a similar length". The retired
+    //    (lang, band) scheme's candidate mass was |batch|·|corpus|
+    //    inside each band (the band-key space is length-shaped, not
+    //    corpus-sized: 180M verify pairs at sf10, growing 100× per
+    //    10× data); part collisions track actual near-dup density
+    //    plus the small-part collision tail. The candidate fan-out
+    //    never carries payload and the corpus never shuffles it: the
+    //    slim exploded batch key set (np·|batch| rows of
+    //    (lang, p, ph, na, doc_id)) broadcasts to the corpus scan,
+    //    the matched stream is 40-byte key rows that a map-side
+    //    partial aggregate collapses per pair, and an agreement-count
+    //    lower bound (a second pigeonhole: agreeing parts >=
+    //    np - (na+nb) div 9) plus the 4·max<=5·min length filter
+    //    leave only near-certain pairs to fetch word arrays and pay
+    //    the full Jaccard merge. maxNw is one bounded agg on the
+    //    shared cache; past broadcast range (batch no longer ≪
+    //    memory) the same plan degrades gracefully: drop the hint
+    //    and the key join becomes a batch-linear shuffle — the
+    //    corpus-side fan-out still never moves.
     val bloomB = batch.agg(
       graft.GraftSketch.bloomFilter(xxhash64($"ws"), numWords = 4096)
         .as("bf"))
@@ -222,34 +248,46 @@ object DedupQueries {
     val exact = batch.select($"doc_id", $"ws")
       .join(corpusExact.select($"doc_id".as("cid"), $"ws"), "ws")
       .groupBy($"doc_id").agg(min($"cid").as("exact_keeper"))
-    val lhs = batch.select($"doc_id", $"lang", $"ws".as("wa"),
-      $"nw".as("na"),
-      explode(sequence(expr("((nw * 4 + 4) div 5) div 25"),
-        expr("(nw * 5 div 4) div 25"))).as("band"))
-    val batchBands = lhs.select($"lang", $"band").distinct()
-    val rhs = corpus.select($"doc_id".as("cid"), $"lang",
-      $"ws".as("wb"), $"nw".as("nb"), expr("nw div 25").as("band"))
-      .join(broadcast(batchBands), Seq("lang", "band"), "left_semi")
-    // SALTED verify join — the (lang, band) blocking key space is
-    // DATA-SIZED, not corpus-sized: a fixed-length single-language
-    // corpus collapses it to a handful of values (the sf10 fixture:
-    // 5 langs × 2 bands → ≤10 join keys, so the billions-of-pairs
-    // verify ran on ≤10 of 32 cores). The corpus side takes a
-    // deterministic salt (pmod of its id), the SMALL side — the batch,
-    // 5 % by contract, already semi-pruned — replicates across all R
-    // salts (R × |batch| rows, bounded), so every true pair still
-    // meets exactly once, now spread over langs × bands × R reducers.
-    // Both sides pinned: the shuffle INPUT is corpus-linear MBs while
-    // the fan-out is the verify volume — AQE's coalesce-by-input-bytes
-    // would re-collapse the parallelism the salt just bought.
-    val nSalt = s.sparkContext.defaultParallelism
-    val lhsS = lhs.withColumn("salt",
-        explode(sequence(lit(0), lit(nSalt - 1))))
-      .repartition(nSalt, $"lang", $"band", $"salt")
-    val rhsS = rhs.withColumn("salt", pmod($"cid", lit(nSalt)).cast("int"))
-      .repartition(nSalt, $"lang", $"band", $"salt")
-    val near = lhsS.join(rhsS, Seq("lang", "band", "salt"))
+    val maxNw = Option(docs.agg(max($"nw")).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val np = (2L * maxNw / 9L + 1L).toInt
+    val partsCol = expr(
+      s"transform(sequence(0, ${np - 1}), p -> " +
+        s"xxhash64(filter(ws, w -> pmod(w, $np) = p)))")
+    val bParts = batch.withColumn("pa", partsCol)
+    val bKeys = bParts.select($"doc_id", $"lang", $"nw".as("na"),
+      posexplode($"pa").as(Seq("p", "ph")))
+    // the candidate stream is SLIM — keys and lengths only, no word
+    // arrays: the fan-out is the quadratic-shaped mass, so every byte
+    // it carries multiplies (90M candidate rows at sf10 — payload
+    // arrays here cost ~18 GB of copies; 40-byte slim rows cost 3.6 GB)
+    val candSlim = corpus
+      .withColumn("pb", partsCol)
+      .select($"doc_id".as("cid"), $"lang", $"nw".as("nb"),
+        posexplode($"pb").as(Seq("p", "ph")))
+      .join(broadcast(bKeys), Seq("lang", "p", "ph"))
       .filter(lit(5) * least($"na", $"nb") >= lit(4) * greatest($"na", $"nb"))
+    // aggregate dedup + a SECOND pigeonhole before any payload moves:
+    // a qualifying pair disagrees on at most (na+nb) div 9 parts (each
+    // differing element dirties one part), so its agreeing-part COUNT
+    // is >= np - (na+nb) div 9 — for short docs (the empty-part
+    // collision mass) that demands most parts agree, killing nearly
+    // all spurious candidates for the price of a count. The groupBy
+    // also dedups multi-part agreements (exactly-once without carrying
+    // both part arrays); all rows of one (batch, corpus) pair originate
+    // from the corpus doc's single source row, so the map-side partial
+    // aggregate collapses the fan-out before the slim shuffle.
+    val veriPairs = candSlim
+      .groupBy($"doc_id", $"cid", $"na", $"nb")
+      .agg(count(lit(1)).as("ac"))
+      .filter($"ac" >= lit(np) - expr("(na + nb) div 9"))
+      .select($"doc_id", $"cid")
+    // only surviving pairs fetch word arrays: corpus payload via one
+    // corpus-linear shuffle join, batch payload via the bounded batch
+    // frame — then the full-array Jaccard merge decides
+    val near = veriPairs
+      .join(corpus.select($"doc_id".as("cid"), $"ws".as("wb")), Seq("cid"))
+      .join(bParts.select($"doc_id", $"ws".as("wa")), Seq("doc_id"))
       .filter(GraftText.jaccardSortedLong($"wa", $"wb") >= 0.8)
       .groupBy($"doc_id").agg(min($"cid").as("near_keeper"))
     val res = batch.select($"doc_id")
@@ -1196,16 +1234,16 @@ object DedupQueries {
     // Per batch doc: reason = 'exact' (identical word SET exists in
     // the corpus — ws-array equality join, the bag-of-words signature
     // of d_dedup_exact), else 'near' (some corpus doc with word-set
-    // j >= 0.8 in the same lang — the d_minhash_eval RANGE-band trick
-    // makes the bipartite join equi-keyed and provably lossless:
-    // j >= 0.8 forces 4·max(na,nb) <= 5·min(na,nb), so the batch side
-    // explodes to the bounded band range a qualifying partner can
-    // occupy while each corpus doc sits in its single length band),
-    // else 'unique'; keeper = the MIN qualifying corpus doc, exact
-    // match winning. Scale shape: batch ≪ corpus, both joins are
-    // hash-keyed (signature array / (lang, band)) — the corpus is
-    // never self-joined and never shuffled wider than its band keys;
-    // same hash-vs-string oracle independence as d_jaccard_pairs.
+    // j >= 0.8 in the same lang — pigeonhole part-blocking makes the
+    // bipartite join equi-keyed and provably lossless: j >= 0.8
+    // bounds |aΔb| <= (na+nb)/9, so with floor(2·maxNw/9)+1 hash-
+    // partitions per word set at least one partition is identical
+    // between any qualifying pair), else 'unique'; keeper = the MIN
+    // qualifying corpus doc, exact match winning. Scale shape:
+    // batch ≪ corpus, both joins are hash-keyed (signature array /
+    // (lang, p, part-hash)) — the corpus is never self-joined and
+    // never shuffles at all in the near path; same hash-vs-string
+    // oracle independence as d_jaccard_pairs.
     "d_dedup_incremental" -> ((s: SparkSession, d: String) => {
       val (res, sigs) = dedupIncrementalRaw(s, d)
       // bounded batch verdicts: materialize, then drop the signatures

@@ -210,6 +210,38 @@ class DedupSpec extends SparkSpec {
     assert(res(47L) === ((-1L, "unique")), s"unique must carry no keeper: $res")
   }
 
+  test("d_dedup_incremental part-blocking is lossless vs the exhaustive quadratic") {
+    import spark.implicits._
+    // pigeonhole completeness law on REAL data: the part-blocked near
+    // join must find exactly the verdicts the unblocked batch×corpus
+    // quadratic finds (sf0.001 is small enough to enumerate)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"lang",
+        sort_array(array_distinct(GraftText.wordShingleHashes(
+          GraftText.whitespaceTokens($"text"), 1))).as("ws"))
+    val batch = docs.filter(pmod($"doc_id", lit(20)) === 7)
+    val corpus = docs.filter(pmod($"doc_id", lit(20)) =!= 7)
+      .select($"doc_id".as("cid"), $"lang".as("cl"), $"ws".as("wb"))
+    val truth = batch.crossJoin(corpus)
+      .select($"doc_id", $"cid", ($"ws" === $"wb").as("ex"),
+        ($"lang" === $"cl" &&
+          GraftText.jaccardSortedLong($"ws", $"wb") >= 0.8).as("nr"))
+      .groupBy($"doc_id").agg(
+        min(when($"ex", $"cid")).as("ek"), min(when($"nr", $"cid")).as("nk"))
+    val expect = batch.select($"doc_id").join(truth, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"ek", $"nk").as("keeper_id"),
+        when($"ek".isNotNull, "exact").when($"nk".isNotNull, "near")
+          .otherwise("unique").as("reason"))
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getString(2))).toMap
+    val got = DedupQueries.all("d_dedup_incremental")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getString(2))).toMap
+    assert(got === expect, "part-blocked verdicts diverge from exhaustive")
+    assert(expect.exists(_._2._2 != "unique"),
+      "fixture must contain at least one dup for the law to bite")
+  }
+
   test("CharNgramSet equals the composed sort/distinct/transform formulation") {
     import spark.implicits._
     val texts = Seq("", "a", "ab", "abc", "abca", "abcabcabc",

@@ -146,7 +146,9 @@ class PlanSpec extends SparkSpec {
     // materialized cross join
     // incremental dedup asserts its PRE-checkpoint plan (the entry's
     // eager checkpoint truncates the executed plan): exact = signature-
-    // array equality join, near = (lang, band) range-banded equi-join
+    // array equality join, near = pigeonhole part-blocked equi-join
+    // with the slim batch key set BROADCAST to the corpus scan (the
+    // corpus side never shuffles in the near path)
     val (incrRaw, incrSigs) =
       graft.queries.DedupQueries.dedupIncrementalRaw(spark, sfDir)
     val incrPlan = freshPlan(incrRaw)
@@ -159,8 +161,10 @@ class PlanSpec extends SparkSpec {
     assert(incrPlan.contains("bloom_might_contain") ||
       incrPlan.contains("BloomMightContain"),
       s"corpus exact side must be Bloom-pruned at the scan:\n$incrPlan")
-    assert(incrPlan.contains("LeftSemi"),
-      s"corpus near side must semi-join the batch's bounded band set:\n$incrPlan")
+    assert(incrPlan.contains("posexplode"),
+      s"near side must explode per-partition hashes:\n$incrPlan")
+    assert(incrPlan.contains("BroadcastHashJoin"),
+      s"batch part-key set must broadcast to the corpus scan:\n$incrPlan")
     for ((block, name) <- Seq(
         (graft.queries.VectorQueries.all, "v_knn_self_pairs"),
         (graft.queries.DedupQueries.all, "d_embed_neardup"),
