@@ -512,14 +512,20 @@ object IndexQueries {
     // rule is the deterministic greedy: a vector is a dup iff a
     // SMALLER-id vector in its cluster is within the cosine ball — an
     // EXISTS semi-join on the cluster key. Per-cluster work is
-    // quadratic BY DESIGN (SemDeDup's own shape): k grows with the
-    // corpus so cluster populations stay bounded, and the equi-join on
-    // cluster_id shuffles each cluster to one place — no global pair
-    // enumeration. Cross-cluster near-dups are missed BY CONTRACT (the
-    // method's documented recall trade; the spec pins it).
+    // quadratic BY DESIGN (SemDeDup's own shape), so the coarse store
+    // must be the corpus-sized one: graphIvf (chooseK + population
+    // bounds past the oracle floor), which keeps cluster populations
+    // bounded and the per-cluster O(pop²) bill flat per decade — a
+    // pinned k=16 measured 9.8× per 10× data (SCALE r12/r13). At
+    // oracle scale chooseK floors at 16, so this rides the SAME
+    // ivf16m store the gate's literal-centroid CTEs embed. The
+    // equi-join on cluster_id shuffles each cluster to one place — no
+    // global pair enumeration. Cross-cluster near-dups are missed BY
+    // CONTRACT (the method's documented recall trade; the spec pins
+    // it).
     "d_semantic_dedup" -> ((s: SparkSession, d: String) => {
       import s.implicits._
-      val dir = IndexStore.ivf(s, d, k = 16)
+      val dir = IndexStore.graphIvf(s, d)
       val asg = s.read.parquet(s"$dir/assignments")
         .select($"vec_id", $"embedding", $"cluster_id")
       val r = asg.select($"vec_id".as("r_id"), $"embedding".as("r_emb"),
@@ -1203,8 +1209,11 @@ object IndexQueries {
       "v_ivfpq_search" -> graft.operators.IndexOracle
         .ivfPqSearchOracle(cent, books, numSub = 8, subDim = 8, K,
           nprobe = 4, NumQueries),
+      // keyed to the GRAPH coarse store (graphIvf) like the graph
+      // family: at oracle scale it resolves to the same ivf16m
+      // centroids, by construction rather than coincidence
       "d_semantic_dedup" -> graft.operators.IndexOracle
-        .semanticDedupOracle(cent, SemDedupTau),
+        .semanticDedupOracle(gcent, SemDedupTau),
       "v_ood_score" -> graft.operators.IndexOracle
         .oodScoreOracle(cent, topN = 50),
       "v_ivf_stats" -> graft.operators.IndexOracle.ivfStatsOracle(cent),

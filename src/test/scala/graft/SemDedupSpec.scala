@@ -25,7 +25,7 @@ class SemDedupSpec extends SparkSpec {
 
     // independent re-derivation of the dup set from the same persisted
     // assignments (pair-join + aggregation instead of a semi-join)
-    val dir = graft.operators.IndexStore.ivf(spark, sfDir, k = 16)
+    val dir = graft.operators.IndexStore.graphIvf(spark, sfDir)
     val a = spark.read.parquet(s"$dir/assignments")
       .select($"vec_id", $"embedding", $"cluster_id")
     val expected = a.as("x").join(a.as("y"), Seq("cluster_id"))
