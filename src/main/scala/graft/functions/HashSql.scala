@@ -12,6 +12,23 @@ package graft.functions
   */
 object HashSql {
 
+  /** Rewrite every plain `name AS (` CTE definition in a DuckDB oracle
+    * to `name AS MATERIALIZED (`. DuckDB RE-INLINES non-MATERIALIZED
+    * CTEs at every reference, so an oracle whose unrolled rounds each
+    * read a shared subtree (t_textrank's `ew`, the components family's
+    * `edges`) re-derives that subtree once PER REFERENCE — measured at
+    * sf0.01: t_textrank 159 s → 0.5 s, d_dedup_cluster 62 s → 6.6 s,
+    * identical results (the hint is an evaluation-strategy note, never
+    * semantics). Applied per oracle, only where profiled to win — a
+    * handful of oracles (tiny CTEs, one-reference chains) run faster
+    * inlined and keep the plain form. The pattern deliberately skips
+    * CTEs with a column list (`reach(node, lab) AS (` — the recursive
+    * members, which cannot be materialized) because the name there is
+    * followed by `(`, not `AS`. */
+  def materializeCtes(sql: String): String =
+    sql.replaceAll(
+      "\\b([A-Za-z_][A-Za-z0-9_]*)(\\s+AS\\s*)\\(", "$1$2MATERIALIZED (")
+
   private val Mod = "18446744073709551616::HUGEINT" // 2^64
   private val SignBit = "9223372036854775808::HUGEINT" // 2^63
   private val FnvOffset = "14695981039346656037::HUGEINT" // 0xcbf29ce484222325

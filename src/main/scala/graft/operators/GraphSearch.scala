@@ -395,6 +395,24 @@ object GraphSearch {
     df.sparkSession.createDataFrame(
       java.util.Arrays.asList(df.collect(): _*), df.schema)
 
+  /** [[localDf]] with the serving-batch contract enforced: the layered
+    * descent and the ef-sweep run their rounds on the driver-resident
+    * engine UNCONDITIONALLY (their callers are bounded serving shapes),
+    * so a corpus-scaled query frame must fail loudly here rather than
+    * funnel single-threaded through driver state — the guard [[beamLoop]]
+    * implements by routing, expressed as a require where no distributed
+    * twin exists. Bounded probe: collects at most maxQ+1 rows. */
+  private def localDfBounded(df: DataFrame, what: String): DataFrame = {
+    val maxQ = driverBeamMaxQ
+    val head = df.limit(maxQ + 1).collect()
+    require(head.length <= maxQ,
+      s"$what: query batch exceeds graft.beam.driverMaxQ=$maxQ rows — " +
+        "the driver-resident beam engine serves bounded batches only; " +
+        "route corpus-scaled batches through the distributed beam loop")
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(head: _*), df.schema)
+  }
+
   /** The expand→score→keep-ef beam loop from a caller-supplied entry
     * beam (query_id, node) — shared by the medoid-entry search, the
     * layered descent, and the insert path. Returns the final scored
@@ -510,7 +528,7 @@ object GraphSearch {
       org.apache.spark.sql.types.StructField("query_id", qidType, nullable = true),
       org.apache.spark.sql.types.StructField("node",
         org.apache.spark.sql.types.LongType, nullable = true)))
-    // (query_id, node) pairs as driver state; dedup via a Set exactly
+    // (query_id, node) pairs as driver state; dedup driver-side exactly
     // as the old plan's cand.distinct() deduped before the aggregate
     var beam: Array[(Any, Long)] = entryRows.map(r =>
       (r.get(0), r.get(1) match {
@@ -528,30 +546,41 @@ object GraphSearch {
       val beamDf = s.createDataFrame(java.util.Arrays.asList(
         beam.map { case (q, n) => org.apache.spark.sql.Row(q, n) }: _*),
         beamSchema)
-      // job A — expand: probe the corpus-scale edge table with the
-      // broadcast beam (map-side BHJ, single stage, no shuffle) and
-      // collect the neighbor pairs: ≤ |beam|·maxDegree rows — exactly
-      // what the old plan's broadcast(cand) exchange collected to the
-      // driver anyway.
-      val nbrs = edges.join(broadcast(beamDf), "node")
-        .select($"query_id", $"neighbor_id".as("node")).collect()
-      val cand = (beam.iterator ++
-          nbrs.iterator.map(r => (r.get(0), r.getLong(1)))).toArray.distinct
-      val candDf = s.createDataFrame(java.util.Arrays.asList(
-        cand.map { case (q, n) => org.apache.spark.sql.Row(q, n) }: _*),
-        beamSchema)
-      // job B — score: probe the corpus-scale vector table with the
-      // broadcast candidates, attach the query vector, compute the
-      // SAME codegen'd l2Sq the aggregate consumed, and collect the
-      // ≤ |Q|·ef·(maxDegree+1) scored rows (again the old broadcast
-      // bound). Single stage, no shuffle: the per-query keep-ef is
-      // driver arithmetic in TopKByScore's exact (d, node) ascending
-      // order over the deduped candidate set.
-      val sc = vecs.join(broadcast(candDf), "node")
+      // ONE action per round (the r13 shape paid two — collect the
+      // expansion, then score it in a second job, each with its own
+      // analysis/planning pass; measured at sf0.1 the layered entries
+      // spent more wall between jobs than in them): the expansion
+      // probes the corpus-scale edge table with the broadcast beam
+      // (map-side BHJ, no shuffle of the big side), feeds the
+      // broadcast build of the score join directly, and the score job
+      // probes the vector table with it — same codegen'd l2Sq, same
+      // ≤ |Q|·ef·(maxDegree+1) collected bound. The beam's own nodes
+      // are scored in-plan only on hop 1; later hops merge the beam's
+      // (d, node) pairs from the previous round's driver state — the
+      // identical doubles the plan would recompute (beam = exactly the
+      // previous scored top-ef). Duplicate (query, node) expansion rows
+      // carry identical d and collapse in the driver map, exactly as
+      // cand.distinct() collapsed them before scoring.
+      val nbrsPlan = edges.join(broadcast(beamDf), "node")
+        .select($"query_id", $"neighbor_id".as("node"))
+      val candPlan = if (hop == 1) beamDf.union(nbrsPlan) else nbrsPlan
+      val sc = vecs.join(broadcast(candPlan), "node")
         .join(broadcast(qLocal), "query_id")
         .select($"query_id", $"node", l2Sq($"nv", $"qv").as("d")).collect()
-      scored = sc.groupBy(_.get(0)).iterator.map { case (qid, rows) =>
-        qid -> rows.map(r => (r.getDouble(2), r.getLong(1)))
+      val merged = scala.collection.mutable.LinkedHashMap
+        .empty[Any, scala.collection.mutable.HashMap[Long, Double]]
+      sc.foreach { r =>
+        merged.getOrElseUpdate(r.get(0),
+            scala.collection.mutable.HashMap.empty[Long, Double])
+          .update(r.getLong(1), r.getDouble(2))
+      }
+      if (hop > 1) scored.foreach { case (qid, bs) =>
+        val m = merged.getOrElseUpdate(qid,
+          scala.collection.mutable.HashMap.empty[Long, Double])
+        bs.foreach { case (d, n) => m.update(n, d) }
+      }
+      scored = merged.iterator.map { case (qid, m) =>
+        qid -> m.iterator.map { case (n, d) => (d, n) }.toSeq
           .sorted(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
           .take(ef).toSeq
       }.toArray
@@ -644,7 +673,7 @@ object GraphSearch {
     // scored set and each point's ef-prefix are driver arrays (the
     // prefix law: one total order, so each ef's hop-1 beam is the
     // top-ef PREFIX of the max-ef scored array)
-    val qL = localDf(q)
+    val qL = localDfBounded(q, "GraphSearch.sweep")
     val (s1rows, s1schema) = beamRounds(edges, vecs, qL,
       entryBeam(cent, med, q, entries).collect(), efs.max, 1)
     efs.map { ef =>
@@ -721,7 +750,7 @@ object GraphSearch {
     // each layer's rounds run on [[beamRounds]], and the surviving
     // frontier REPLACES the medoid entry for the layer-0 ef-beam with
     // no per-layer explode/checkpoint plumbing in between.
-    val qL = localDf(q)
+    val qL = localDfBounded(q, "GraphSearch.hnswSearchFrames")
     // the global entry point: the min-id node of the top layer (the
     // reference's enter_point_ is "first insert to reach the top
     // level" — insert order doesn't exist distributed, min id does)

@@ -125,6 +125,15 @@ object IvfIndex {
     * a tiny broadcast cross join ranked by (distance, cluster_id) — the
     * entry-point resolution shared by every probed search form. */
   def resolveProbes(queries: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame =
+    resolveProbesRanked(queries, centroids, nprobe).drop("crnk")
+
+  /** [[resolveProbes]] with the rank kept: (query_id, qv, cluster_id,
+    * crnk), crnk ∈ 1..nprobe by (cdist, cluster_id). The ranking is
+    * nprobe-independent, so a sweep resolves ONCE at its max width and
+    * each point's probe set is the crnk ≤ np prefix — the ef-sweep
+    * prefix law, applied to the IVF knob. */
+  def resolveProbesRanked(queries: DataFrame, centroids: DataFrame,
       nprobe: Int): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
@@ -134,7 +143,7 @@ object IvfIndex {
         org.apache.spark.sql.expressions.Window
           .partitionBy($"query_id").orderBy($"cdist", $"cluster_id")))
       .filter($"crnk" <= nprobe)
-      .select($"query_id", $"qv", $"cluster_id")
+      .select($"query_id", $"qv", $"cluster_id", $"crnk")
   }
 
   /** The probes' distinct cluster ids, collected driver-side (bounded:

@@ -53,10 +53,29 @@ object MmrSelect {
       .agg(topK(-cosine($"cv", $"qv"), $"cid", nCandidates).as("nn"))
       .select($"query_id", explode($"nn").as("x"))
       .select($"query_id", $"x.id".as("cid"), (-$"x.score").as("rel"))
-    val cand = shortlist
+    val candPlan = shortlist
       .join(embeddings.select(col(idCol).cast("long").as("cid"),
         col(vecCol).as("cv")), "cid")
-      .localCheckpoint(true)
+
+    // Route by |Q| (the GraphSearch.beamLoop law): a bounded serving
+    // batch's candidate frame is |Q|·nCandidates rows — the broadcast
+    // side of every round's join, i.e. ALREADY driver-collected each
+    // round — so the k greedy rounds run as driver arithmetic (one
+    // collect + one result job) instead of k (join + window +
+    // checkpoint) Spark rounds whose scheduling dominated the entry's
+    // sf0.1 wall (JobProbe: 38 jobs, more wall between jobs than in
+    // them). Corpus-scaled query sets keep the distributed rounds: per
+    // round the frame stays |queries|×nCandidates, queries scale out.
+    // The size probe is limit(max+1).collect() — when the batch is
+    // small, the probe IS the collect the driver path needs.
+    // MmrPathLawSpec pins bit-equality on a forced-path pair.
+    val maxCand = GraphSearch.driverBeamMaxQ * nCandidates
+    val candHead = candPlan.limit(maxCand + 1).collect()
+    if (candHead.length <= maxCand)
+      return diversifyLocal(spark, candPlan.schema, candHead, k, lambda,
+        oneMinus)
+
+    val cand = candPlan.localCheckpoint(true)
 
     val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"cid")
     // round 1 argmaxes on rel ITSELF (not λ·rel: multiplying two
@@ -85,6 +104,77 @@ object MmrSelect {
       sel = sel.unionByName(winner).localCheckpoint(true)
     }
     sel.select($"query_id", $"rnk", $"cid".as("vec_id"),
+        round($"score", 4).as("mmr_score"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** The driver-resident greedy rounds over the collected candidate
+    * frame — value-identical to the distributed rounds by construction:
+    * sims via the spec-pinned kernel twin the codegen'd `cosine` calls
+    * ([[graft.functions.VectorKernels.cosineBest]] — zero-norm → 0.0 on
+    * both paths, so no NaN enters any comparison), max-sim is an
+    * order-free max folded with java.lang.Double.compare (Spark's
+    * total order for double aggregates), every argmax breaks ties
+    * (score desc, cid asc) through the same total order the window's
+    * row_number used, and λ·rel − (1−λ)·msim is the identical IEEE
+    * expression over the identical doubles (rel was computed by the
+    * SAME plan the distributed path reads it from). Rounding and the
+    * final sort run through Catalyst on the bounded result frame, so
+    * the output projection is shared code, not a replica. */
+  private def diversifyLocal(spark: org.apache.spark.sql.SparkSession,
+      candSchema: org.apache.spark.sql.types.StructType,
+      candRows: Array[org.apache.spark.sql.Row], k: Int, lambda: Double,
+      oneMinus: Double): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorKernels
+    val rows = java.util.Arrays.asList(candRows.groupBy(_.get(1)).toSeq
+      .flatMap { case (qid, rs) =>
+        // (cid, rel, cv) per candidate; cid ascending for stable argmax
+        val cands = rs.map(r => (r.getLong(0), r.getDouble(2),
+          r.getSeq[Float](3).toArray)).sortBy(_._1)
+        val sel = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Array[Float], Double)] // (cid, cv, score)
+        val selected = scala.collection.mutable.Set.empty[Long]
+        for (round <- 1 to k) {
+          var best: (Long, Array[Float], Double) = null
+          cands.foreach { case (cid, rel, cv) =>
+            if (!selected(cid)) {
+              val score =
+                if (round == 1) rel // argmax on rel itself (λ·rel ties)
+                else {
+                  var msim = Double.NegativeInfinity
+                  sel.foreach { case (_, sv, _) =>
+                    val c = VectorKernels.cosineBest(cv, sv)
+                    if (java.lang.Double.compare(c, msim) > 0) msim = c
+                  }
+                  lambda * rel - oneMinus * msim
+                }
+              if (best == null ||
+                  java.lang.Double.compare(score, best._3) > 0)
+                best = (cid, cv, score)
+            }
+          }
+          if (best != null) {
+            val score = if (round == 1) lambda * best._3 else best._3
+            sel += ((best._1, best._2, score))
+            selected += best._1
+          }
+        }
+        sel.iterator.zipWithIndex.map { case ((cid, _, score), i) =>
+          org.apache.spark.sql.Row(qid, (i + 1).toLong, cid, score)
+        }
+      }: _*)
+    val qidType = candSchema("query_id").dataType
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id", qidType),
+      org.apache.spark.sql.types.StructField("rnk",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(rows, outSchema)
+      .select($"query_id", $"rnk", $"cid".as("vec_id"),
         round($"score", 4).as("mmr_score"))
       .orderBy("query_id", "rnk")
   }

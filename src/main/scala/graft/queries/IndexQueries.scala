@@ -593,8 +593,26 @@ object IndexQueries {
         // neither failure mode.)
         .localCheckpoint(true)
       val nq = q.agg(count(lit(1)).as("n_queries"))
+      // ONE probe resolution at the sweep's max width (the ef-sweep
+      // prefix law on the IVF knob: the (cdist, cluster_id) ranking is
+      // nprobe-independent, so each point's probe set is the crnk ≤ np
+      // PREFIX). The ranked rows collect once — bounded |Q|·max — and
+      // each point re-plants its prefix as a LocalRelation, replacing
+      // four per-point (cross-join rank + distinct-collect) jobs with
+      // one; decision-for-decision identical to four independent
+      // searchPruned calls, which is what the oracle replays.
+      val cent = s.read.parquet(s"$dir/centroids")
+      val ranked = IvfIndex.resolveProbesRanked(q, cent, NprobeSweep.max)
+      val rankedRows = ranked.collect()
+      val probeSchema = org.apache.spark.sql.types.StructType(
+        ranked.schema.fields.take(3))
       NprobeSweep.map { np =>
-        IvfIndex.searchPruned(s, dir, q, K, nprobe = np)
+        val rows = rankedRows.filter(_.getInt(3) <= np)
+        val probesLocal = s.createDataFrame(java.util.Arrays.asList(
+          rows.map(r => org.apache.spark.sql.Row(r.get(0), r.get(1),
+            r.get(2))): _*), probeSchema)
+        val probeIds = rows.map(_.getInt(2)).distinct.sorted.toSeq
+        IvfIndex.searchPrunedFrames(s, dir, q, probesLocal, probeIds, K)
           .join(gt, Seq("query_id", "neighbor_id"))
           .agg(count(lit(1)).as("total_hits"))
           .select(lit(np.toLong).as("nprobe"), $"total_hits")
@@ -1333,7 +1351,23 @@ object IndexQueries {
       Map.empty
   }
 
-  def oracles: Map[String, String] = annOracles ++ staticOracles
+  /** Oracles whose unrolled/shared CTE chains profiled faster under
+    * DuckDB MATERIALIZED hints (HashSql.materializeCtes — measured at
+    * sf0.01, results identical: v_ef_sweep 71→20 s, v_ivf_split 36→9 s,
+    * v_graph_search 33→19 s, v_ivf_merge 28→9 s, v_knn_graph 17→10 s).
+    * Entries NOT listed (v_hnsw_search, v_nprobe_sweep, the quantizer
+    * family…) measured neutral-to-slower materialized and keep the
+    * inlined form. */
+  private val MaterializedOracles = Set(
+    "d_semantic_dedup", "v_ivf_split", "v_ivf_merge", "v_knn_graph",
+    "v_graph_stats", "v_graph_search", "v_ef_sweep", "v_graph_insert",
+    "v_hnsw_delete", "v_hnsw_compact", "v_graph_delete", "v_graph_compact")
+
+  def oracles: Map[String, String] = (annOracles ++ staticOracles).map {
+    case (k, sql) if MaterializedOracles(k) =>
+      k -> graft.functions.HashSql.materializeCtes(sql)
+    case kv => kv
+  }
 
   /** The index-independent oracle entries (safe to evaluate anywhere). */
   def staticOracles: Map[String, String] = Map(

@@ -536,7 +536,17 @@ object VectorQueries {
     v
   }
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = rawOracles.map {
+    // v_mmr's 8 greedy rounds chain sel1..sel8, each re-inlining the
+    // whole shortlist derivation under DuckDB's CTE policy —
+    // MATERIALIZED measured 3.6 → 0.6 s at sf0.01, identical result
+    // (HashSql.materializeCtes scaladoc)
+    case (k, sql) if k == "v_mmr" =>
+      k -> graft.functions.HashSql.materializeCtes(sql)
+    case kv => kv
+  }
+
+  private def rawOracles: Map[String, String] = Map(
     "v_l2_distance" ->
       """SELECT a.vec_id AS vec_id,
         |  round(list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS dist

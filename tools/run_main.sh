@@ -22,5 +22,5 @@ exec java "${ADD_OPENS[@]}" \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-16g}" \
-  -cp "$CLASSES:/opt/spark/jars/*" \
+  -cp "$CLASSES:$REPO/src/main/resources:/opt/spark/jars/*" \
   "$@"
