@@ -61,4 +61,9 @@ object GraftText {
     * gram FNV hashes (array<long>), one pass. */
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =
     Shims.column(WinnowFingerprints(Shims.expression(text), k, w))
+
+  /** Per-pigeonhole-partition content hashes of a bigint set, one pass
+    * (array<long> of length np; see PartSumHashes). */
+  def partSumHashes(ws: Column, np: Column): Column =
+    Shims.column(PartSumHashes(Shims.expression(ws), Shims.expression(np)))
 }

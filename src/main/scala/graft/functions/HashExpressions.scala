@@ -706,3 +706,53 @@ case class WordShingleHashes(child: Expression, width: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** part_sum_hashes(ws, np) → array<bigint>: order-insensitive content
+  * hash of each of the `np` pigeonhole partitions of a bigint SET in
+  * ONE pass — out[p] = Σ fmix64(w) over {w ∈ ws : floorMod(w, np) = p},
+  * wrapping long addition. The d_dedup_incremental blocking primitive:
+  * the r13 form (`transform(sequence(0, np−1), p → xxhash64(filter(ws,
+  * …)))`) re-scanned the word set once per partition index — O(np·nw)
+  * per document, with np sized by the longest document in the corpus, a
+  * heavy-tail coupling one 300 k-word outlier turns into 67 k scans for
+  * EVERY doc. One pass is O(nw + np), and np is now per-length-band
+  * (DedupQueries), so a doc's signature cost is bounded by its OWN
+  * length. Sum-combining is blocking-lossless: equal partition content
+  * ⇒ equal sum; a sum collision only ADDS a candidate, which the exact
+  * Jaccard verify kills. The hash is engine-internal (both join sides
+  * compute it; the oracle never sees it), so the mixer choice is free.
+  * np ≤ 0 ⇒ empty array (no partitions — guarded upstream, never
+  * joined). */
+case class PartSumHashes(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def prettyName: String = "part_sum_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"part_sum_hashes requires (array<bigint>, int), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val ws = a.asInstanceOf[ArrayData]
+    val np = b.asInstanceOf[Int]
+    if (np <= 0) return new GenericArrayData(Array.empty[Long])
+    val acc = new Array[Long](np)
+    val n = ws.numElements()
+    var i = 0
+    while (i < n) {
+      val w = ws.getLong(i)
+      acc(java.lang.Math.floorMod(w, np.toLong).toInt) += GraftHash.fmix64(w)
+      i += 1
+    }
+    new GenericArrayData(acc)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -178,6 +178,60 @@ object DedupQueries {
     (res, tb)
   }
 
+  /** The per-octave partitioning columns of incremental dedup's near
+    * path (see dedupIncrementalRaw's near-path scaladoc), factored so
+    * the heavy-tail spec can observe per-doc signature cost directly:
+    * band = floor(log2 nw) via the exact binary-string length (no
+    * float log), per-octave partition counts CLAMPED to the corpus
+    * term `globalNp` (np = min over two individually-lossless sizes is
+    * lossless — the pigeonhole only needs np > (na+nb)/9, and fewer
+    * partitions still leave one untouched), the boundary up-emission
+    * gate, and the one-pass partition signatures. The partition
+    * assignment is a pure function of np (element pmod np), so two
+    * docs sharing an np value share the partitioning REGARDLESS of
+    * which band derived it — the join keys on (lang, np, p, ph), and
+    * when the clamp collapses np0 == np1 (a length-uniform corpus,
+    * where globalNp is the r13 sizing) a doc emits ONE partitioning,
+    * recovering the r13 plan exactly. Input needs (ws array<bigint>
+    * sorted-distinct, nw long); output adds one exploded
+    * `bk(np, pa)` row per DISTINCT emitted np — np never exceeds the
+    * doc's own-octave bound 2·(2^(band+2)−1) div 9 + 1, so signature
+    * cost is bounded by the doc's OWN length whatever the corpus max. */
+  /** Just the sizing columns (band, np0, np1, upq) — shared by the
+    * signature emission below and the broadcast-gate row estimate,
+    * which must not pay for the hash arrays it never reads. */
+  private[graft] def octaveNpCols(df: DataFrame,
+      globalNp: Long): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df
+      .withColumn("band",
+        when($"nw" > 0, length(bin($"nw")) - 1).otherwise(0).cast("int"))
+      .withColumn("np0", least(
+        expr("cast((shiftleft(1L, band + 1) - 1) * 2 div 9 + 1 as int)"),
+        lit(math.min(globalNp, Int.MaxValue.toLong).toInt)))
+      .withColumn("np1", least(
+        expr("cast((shiftleft(1L, band + 2) - 1) * 2 div 9 + 1 as int)"),
+        lit(math.min(globalNp, Int.MaxValue.toLong).toInt)))
+      .withColumn("upq", expr("5 * nw >= shiftleft(1L, band + 3)"))
+  }
+
+  private[graft] def octavePartKeys(df: DataFrame,
+      globalNp: Long): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    octaveNpCols(df, globalNp)
+      .withColumn("bk", explode(
+        when($"upq" && $"np1" =!= $"np0", array(
+          struct($"np0".as("np"),
+            GraftText.partSumHashes($"ws", $"np0").as("pa")),
+          struct($"np1".as("np"),
+            GraftText.partSumHashes($"ws", $"np1").as("pa"))))
+        .otherwise(array(
+          struct($"np0".as("np"),
+            GraftText.partSumHashes($"ws", $"np0").as("pa"))))))
+  }
+
   /** The UNORDERED-cache pre-checkpoint incremental-dedup plan + its
     * shared signature cache — factored so PlanSpec asserts the
     * production shape (the entry's eager checkpoint truncates the
@@ -212,33 +266,50 @@ object DedupQueries {
     //    probe and build compute xxhash64 of the same array), so the
     //    oracle never sees it.
     //  - near path: pigeonhole part-blocking (the PartEnum family,
-    //    Arasu et al. VLDB'06). j >= 0.8 bounds the symmetric
-    //    difference: u = |a∪b| = na+nb-i and i >= 0.8u give
-    //    |aΔb| = u-i <= 0.2u <= (na+nb)/9 <= 2·maxNw/9. Splitting
-    //    every word set into np = floor(2·maxNw/9)+1 hash-partitions
-    //    (element pmod np) therefore guarantees at least one
-    //    partition IDENTICAL between any qualifying pair — blocking
-    //    on (lang, p, xxhash64(partition p)) is provably lossless,
-    //    and a candidate now means "shares an exact ~nw/np-word
-    //    subset", not "has a similar length". The retired
-    //    (lang, band) scheme's candidate mass was |batch|·|corpus|
-    //    inside each band (the band-key space is length-shaped, not
-    //    corpus-sized: 180M verify pairs at sf10, growing 100× per
-    //    10× data); part collisions track actual near-dup density
-    //    plus the small-part collision tail. The candidate fan-out
-    //    never carries payload and the corpus never shuffles it: the
-    //    slim exploded batch key set (np·|batch| rows of
-    //    (lang, p, ph, na, doc_id)) broadcasts to the corpus scan,
-    //    the matched stream is 40-byte key rows that a map-side
-    //    partial aggregate collapses per pair, and an agreement-count
-    //    lower bound (a second pigeonhole: agreeing parts >=
-    //    np - (na+nb) div 9) plus the 4·max<=5·min length filter
-    //    leave only near-certain pairs to fetch word arrays and pay
-    //    the full Jaccard merge. maxNw is one bounded agg on the
-    //    shared cache; past broadcast range (batch no longer ≪
-    //    memory) the same plan degrades gracefully: drop the hint
-    //    and the key join becomes a batch-linear shuffle — the
-    //    corpus-side fan-out still never moves.
+    //    Arasu et al. VLDB'06), sized PER LENGTH OCTAVE. j >= 0.8
+    //    bounds the symmetric difference: u = |a∪b| = na+nb-i and
+    //    i >= 0.8u give |aΔb| = u-i <= 0.2u <= (na+nb)/9, so np >
+    //    (na+nb)/9 hash-partitions (element pmod np) guarantee at
+    //    least one partition IDENTICAL between any qualifying pair —
+    //    blocking on (lang, octave, p, partHash) is provably
+    //    lossless. The r13 form sized ONE global np from the corpus
+    //    MAX doc length: every doc then paid O(np·nw) signature work
+    //    (np filter re-scans) and np corpus-side exploded rows — a
+    //    single 300 k-word outlier makes np ≈ 67 k and taxes EVERY
+    //    document proportionally (the r13 advice's heavy-tail
+    //    coupling). De-tailed sizing: the qualifying-pair length gate
+    //    4·max <= 5·min caps the pair's length ratio at 1.25, so its
+    //    docs share a length octave b = floor(log2 nw) or sit in
+    //    adjacent ones; each doc's partition count is its octave
+    //    bound CLAMPED to the corpus term,
+    //      np = min(2·U_b div 9 + 1, 2·maxNw div 9 + 1),
+    //    U_b = 2^(b+1)−1 (octavePartKeys scaladoc — min of two
+    //    individually-lossless sizes is lossless). The partitioning
+    //    is a pure function of the np VALUE (element pmod np), so
+    //    blocking keys on (lang, np, p, partHash):
+    //      same-octave pair: both docs derive the same np ✓;
+    //      straddling pair (a ∈ b, b' ∈ b+1): a ALSO emits octave
+    //        b+1's np exactly when the gate lets it qualify upward
+    //        (5·nw >= 4·2^(b+1)) — and only when that np differs
+    //        from its own (the clamp collapses them on any
+    //        length-uniform corpus, recovering the r13 plan
+    //        identically: one partitioning, one emission).
+    //    No doc ever computes parts sized beyond ~2.5× its own
+    //    length, whatever the corpus max. Signatures are ONE pass
+    //    (GraftText.partSumHashes, O(nw+np) per emission — the r13
+    //    transform×filter form re-scanned ws once per partition);
+    //    the agreement-count lower bound (a second pigeonhole:
+    //    agreeing parts >= np - (na+nb) div 9) filters per np key,
+    //    and the 4·max<=5·min gate leaves only near-certain pairs to
+    //    fetch word arrays and pay the full Jaccard merge. The
+    //    candidate fan-out never carries payload and the corpus
+    //    never shuffles it: the slim exploded batch key set
+    //    broadcasts to the corpus scan while its estimated row count
+    //    (Σ np per batch doc, one bounded agg on the shared cache)
+    //    stays under graft.dedup.incrBroadcastMaxRows; past that the
+    //    hint drops and the key join shuffles both slim key streams —
+    //    never the payload arrays (the r13 advice's ungated-broadcast
+    //    fix).
     val bloomB = batch.agg(
       graft.GraftSketch.bloomFilter(xxhash64($"ws"), numWords = 4096)
         .as("bf"))
@@ -248,46 +319,58 @@ object DedupQueries {
     val exact = batch.select($"doc_id", $"ws")
       .join(corpusExact.select($"doc_id".as("cid"), $"ws"), "ws")
       .groupBy($"doc_id").agg(min($"cid").as("exact_keeper"))
+    // the r13 corpus-wide sizing term — one bounded agg on the shared
+    // cache; octavePartKeys CLAMPS each doc's octave np to it, so a
+    // length-uniform corpus (every sf fixture) collapses to exactly
+    // the r13 single-partitioning plan while a heavy-tailed one keeps
+    // every doc's signature cost bounded by its own octave
     val maxNw = Option(docs.agg(max($"nw")).head.get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
-    val np = (2L * maxNw / 9L + 1L).toInt
-    val partsCol = expr(
-      s"transform(sequence(0, ${np - 1}), p -> " +
-        s"xxhash64(filter(ws, w -> pmod(w, $np) = p)))")
-    val bParts = batch.withColumn("pa", partsCol)
-    val bKeys = bParts.select($"doc_id", $"lang", $"nw".as("na"),
-      posexplode($"pa").as(Seq("p", "ph")))
+    val globalNp = 2L * maxNw / 9L + 1L
+    val bKeys = octavePartKeys(batch, globalNp)
+      .select($"doc_id", $"lang", $"nw".as("na"), $"bk.np".as("np"),
+        posexplode($"bk.pa").as(Seq("p", "ph")))
+    // broadcast gate (the r13 advice): the batch key set is Σ np rows
+    // per batch doc — bounded by the batch's OWN lengths now, but
+    // still broadcast only under the row cap; above it the hint drops
+    // and the slim key join shuffles instead of failing at the 8 GB
+    // broadcast wall
+    val bKeyRowsEst = Option(octaveNpCols(batch, globalNp)
+      .agg(sum($"np0".cast("long") +
+        when($"upq" && $"np1" =!= $"np0", $"np1".cast("long"))
+          .otherwise(lit(0L))))
+      .head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val bKeysMaybeB =
+      if (bKeyRowsEst <= sys.props.get("graft.dedup.incrBroadcastMaxRows")
+          .flatMap(_.toLongOption).getOrElse(8_000_000L)) broadcast(bKeys)
+      else bKeys
     // the candidate stream is SLIM — keys and lengths only, no word
     // arrays: the fan-out is the quadratic-shaped mass, so every byte
     // it carries multiplies (90M candidate rows at sf10 — payload
     // arrays here cost ~18 GB of copies; 40-byte slim rows cost 3.6 GB)
-    val candSlim = corpus
-      .withColumn("pb", partsCol)
+    val candSlim = octavePartKeys(corpus, globalNp)
       .select($"doc_id".as("cid"), $"lang", $"nw".as("nb"),
-        posexplode($"pb").as(Seq("p", "ph")))
-      .join(broadcast(bKeys), Seq("lang", "p", "ph"))
+        $"bk.np".as("np"), posexplode($"bk.pa").as(Seq("p", "ph")))
+      .join(bKeysMaybeB, Seq("lang", "np", "p", "ph"))
       .filter(lit(5) * least($"na", $"nb") >= lit(4) * greatest($"na", $"nb"))
-    // aggregate dedup + a SECOND pigeonhole before any payload moves:
-    // a qualifying pair disagrees on at most (na+nb) div 9 parts (each
-    // differing element dirties one part), so its agreeing-part COUNT
-    // is >= np - (na+nb) div 9 — for short docs (the empty-part
-    // collision mass) that demands most parts agree, killing nearly
-    // all spurious candidates for the price of a count. The groupBy
-    // also dedups multi-part agreements (exactly-once without carrying
-    // both part arrays); all rows of one (batch, corpus) pair originate
-    // from the corpus doc's single source row, so the map-side partial
-    // aggregate collapses the fan-out before the slim shuffle.
+    // aggregate dedup + the SECOND pigeonhole before any payload moves
+    // (near-path scaladoc): agreeing-part count per np KEY against that
+    // np; a pair sharing two np values may pass under either —
+    // distinct() collapses it to one verify. All rows of one
+    // (batch, corpus, np) triple originate from the corpus doc's
+    // single source row, so the map-side partial aggregate collapses
+    // the fan-out before the slim shuffle.
     val veriPairs = candSlim
-      .groupBy($"doc_id", $"cid", $"na", $"nb")
+      .groupBy($"doc_id", $"cid", $"na", $"nb", $"np")
       .agg(count(lit(1)).as("ac"))
-      .filter($"ac" >= lit(np) - expr("(na + nb) div 9"))
-      .select($"doc_id", $"cid")
+      .filter($"ac" >= $"np" - expr("(na + nb) div 9"))
+      .select($"doc_id", $"cid").distinct()
     // only surviving pairs fetch word arrays: corpus payload via one
     // corpus-linear shuffle join, batch payload via the bounded batch
     // frame — then the full-array Jaccard merge decides
     val near = veriPairs
       .join(corpus.select($"doc_id".as("cid"), $"ws".as("wb")), Seq("cid"))
-      .join(bParts.select($"doc_id", $"ws".as("wa")), Seq("doc_id"))
+      .join(batch.select($"doc_id", $"ws".as("wa")), Seq("doc_id"))
       .filter(GraftText.jaccardSortedLong($"wa", $"wb") >= 0.8)
       .groupBy($"doc_id").agg(min($"cid").as("near_keeper"))
     val res = batch.select($"doc_id")

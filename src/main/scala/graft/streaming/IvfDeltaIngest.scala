@@ -96,10 +96,20 @@ object IvfDeltaIngest {
       .groupBy { case (id, e) => (id, e.toSeq) }
       .map { case ((id, _), grp) =>
         val e = grp.head._2
-        var bestD = Double.MaxValue; var bestC = Int.MaxValue
+        // min(struct(d, cluster_id)) under Spark's TOTAL order: NaN
+        // compares equal to itself and larger than everything, so an
+        // all-NaN distance row (a NaN client embedding) takes the MIN
+        // cluster id rather than falling through both IEEE branches
+        // into a phantom Int.MaxValue cluster no centroid owns.
+        // java.lang.Double.compare is that order (l2sqF never returns
+        // -0.0, the one value it ranks differently from Spark).
+        var bestD = Double.NaN; var bestC = Int.MaxValue
+        var first = true
         cent.foreach { case (c, cv) =>
           val d = graft.functions.VectorKernels.l2sqF(e, cv)
-          if (d < bestD || (d == bestD && c < bestC)) { bestD = d; bestC = c }
+          val cmp = if (first) -1 else java.lang.Double.compare(d, bestD)
+          if (cmp < 0 || (cmp == 0 && c < bestC)) { bestD = d; bestC = c }
+          first = false
         }
         (id, e, bestD, bestC)
       }

@@ -242,6 +242,58 @@ class DedupSpec extends SparkSpec {
       "fixture must contain at least one dup for the law to bite")
   }
 
+  test("d_dedup_incremental: a 100x-length outlier cannot inflate other docs' signature cost") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_incr_tail").toString
+    def words(pfx: String, n: Int): String =
+      (1 to n).map(i => s"$pfx$i").mkString(" ")
+    Seq(
+      // corpus: a 16-word doc whose near partner (batch doc 7, 15
+      // words) sits in the octave BELOW it — the straddling pair the
+      // up-emission rule must catch — plus a 2000-word outlier 100×
+      // the median length
+      (1L, words("w", 16), "en", "s1"),
+      (2L, words("c", 20), "en", "s1"),
+      (3L, words("big", 2000), "en", "s1"),
+      // batch
+      (7L, words("w", 15), "en", "s1"),     // j = 15/16 vs doc 1, cross-octave
+      (27L, words("u", 20), "en", "s1"))    // unique
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val res = DedupQueries.all("d_dedup_incremental")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((if (r.isNullAt(1)) -1L else r.getLong(1)),
+        r.getString(2))).toMap
+    assert(res(7L) === ((1L, "near")),
+      s"cross-octave near pair missed (up-emission broken): $res")
+    assert(res(27L) === ((-1L, "unique")), s"$res")
+    // the heavy-tail law itself: every doc's emitted signature work is
+    // bounded by its OWN length (np0 + np1 ≤ (4·nw) div 9 + (8·nw)
+    // div 9 + 2) — the r13 global-max scheme would have paid
+    // np = 2·2000/9 + 1 = 445 parts PER DOC with this outlier present
+    val docsWs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id",
+        sort_array(array_distinct(GraftText.wordShingleHashes(
+          GraftText.whitespaceTokens($"text"), 1))).as("ws"))
+      .withColumn("nw", size($"ws").cast("long"))
+    // globalNp exactly as the plan derives it from this fixture — the
+    // 2000-word outlier makes it 445, the clamp must ignore it for
+    // every shorter doc
+    val work = DedupQueries.octavePartKeys(docsWs, 2L * 2000 / 9 + 1)
+      .groupBy($"doc_id").agg(first($"nw").as("nw"),
+        sum(size($"bk.pa")).as("parts"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    work.foreach { case (id, (nw, parts)) =>
+      assert(parts <= (4 * nw) / 9 + (8 * nw) / 9 + 2,
+        s"doc $id (nw=$nw) pays $parts parts — not own-length-bounded")
+    }
+    // the 20-word docs concretely: ≤ 16 parts beside a 2000-word
+    // outlier, where the retired corpus-max sizing charged 445
+    assert(work(2L)._2 <= 16 && work(27L)._2 <= 16,
+      s"short docs' signature cost tracks the outlier: $work")
+  }
+
   test("CharNgramSet equals the composed sort/distinct/transform formulation") {
     import spark.implicits._
     val texts = Seq("", "a", "ab", "abc", "abca", "abcabcabc",

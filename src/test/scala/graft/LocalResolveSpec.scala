@@ -83,6 +83,21 @@ class LocalResolveSpec extends SparkSpec {
     assert(java.lang.Float.floatToRawIntBits(got(40L)._1.head) == 0)
   }
 
+  test("NaN embedding: all-NaN distances take the MIN cluster id, both paths") {
+    // every distance to a NaN vector is NaN; the plan's
+    // min(struct(d, cluster_id)) total order (NaN equal-and-largest)
+    // assigns the smallest cluster id — the local twin must not fall
+    // through its IEEE comparisons into a phantom Int.MaxValue cluster
+    assertSame(Seq(50L -> Array(Float.NaN, 0.5f)), seq = 13L)
+    val got = localRows(Seq(50L -> Array(Float.NaN, 0.5f)), 13L)
+    assert(got(50L)._3 == 0)
+    // mixed batch: a NaN row beside finite rows of the same vec_id —
+    // finite distances rank below NaN, so the finite row wins
+    assertSame(Seq(
+      51L -> Array(Float.NaN, 0.5f),
+      51L -> Array(1.9f, 0.1f)), seq = 13L)
+  }
+
   test("randomized agreement across a mixed batch") {
     val rnd = new scala.util.Random(4242)
     val rows = (0 until 200).map { i =>
