@@ -465,6 +465,19 @@ object GraphSearch {
     // the query vectors are re-joined every round: pin them once so
     // each round is a probe of materialized rows, not a parquet re-scan
     val qc = q.localCheckpoint(true)
+    // Broadcast ceiling (SURVEY §3): each round re-broadcasts the
+    // |Q|·ef beam and its ≤ |Q|·ef·(deg+1) expansion — right for every
+    // measured batch (the insert contract ships the batch to executors
+    // anyway), but a 100× batch (~2 M queries × ef 10) pushes the
+    // per-hop broadcast toward the 8 GB relation cap and driver-memory
+    // limits. Past graft.beam.distBeamMaxRows (on |Q|·ef, counted once
+    // off the pinned query frame) the hints DROP and each round's
+    // joins key-shuffle the beam against the edge/vector tables
+    // instead — slower per hop, memory-safe at any batch size.
+    val beamCap = sys.props.get("graft.beam.distBeamMaxRows")
+      .flatMap(_.toLongOption).getOrElse(50_000_000L)
+    val hintB = qc.count() * ef <= beamCap
+    def maybeB(df: DataFrame): DataFrame = if (hintB) broadcast(df) else df
     var beam = entry.localCheckpoint(true)
     var scored: DataFrame = null
     var hop = 0
@@ -472,11 +485,11 @@ object GraphSearch {
     while (hop < hops && !stable) {
       hop += 1
       val cand = beam.union(
-          edges.join(broadcast(beam), "node")
+          edges.join(maybeB(beam), "node")
             .select($"query_id", $"neighbor_id".as("node")))
         .distinct()
-      scored = vecs.join(broadcast(cand), "node")
-        .join(broadcast(qc), "query_id")
+      scored = vecs.join(maybeB(cand), "node")
+        .join(maybeB(qc), "query_id")
         .groupBy($"query_id")
         .agg(topK(l2Sq($"nv", $"qv"), $"node", ef).as("beam"))
         .localCheckpoint(true)

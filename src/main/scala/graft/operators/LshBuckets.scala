@@ -154,22 +154,28 @@ object LshBuckets {
     * dropped, never re-emitted from a later band — firstEqIndex keys
     * on the full band list). Entries pass the default 1 (no
     * sampling); only probes sample. */
+  /** `occupantCap` > 0 bounds each bucket to its deterministic top-M
+    * occupants (Knuth-hash of the id, id tie-break) — the sf10 probes'
+    * SECOND compute bound beside `bucketSampleMod`: on a duplicate-
+    * saturated corpus the hot buckets are giant and per-bucket verify
+    * mass is quadratic in occupancy, so BUCKET-level sampling keeps
+    * whole giant buckets (v_knn_self_pairs measured 942 s at 1/16
+    * sampling at sf10) while an occupant cap bounds every bucket's
+    * work at M² whatever the saturation. Like the sampling bound, the
+    * cap is probe-only (entries pass 0) and reported in the probe row
+    * beside its spill count ([[cappedSpillCount]]); a pair whose first
+    * colliding band lost an endpoint to the cap is dropped, never
+    * re-emitted from a later band. */
   def bandedPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       extraKeys: Seq[String] = Nil, nTables: Int = 16,
       bitsPerTable: Int = 8, seed: Long = 42L,
-      bucketSampleMod: Int = 1): DataFrame = {
+      bucketSampleMod: Int = 1, occupantCap: Int = 0): DataFrame = {
     val spark = df.sparkSession
-    val bucketsAll = df.select(
-      (Seq(col(idCol), col(vecCol)) ++ extraKeys.map(col) :+
-        bucketBands(col(vecCol), dim, nTables, bitsPerTable, seed)
-          .as("bks")): _*)
-      .select(
-        (Seq(col(idCol), col(vecCol), col("bks")) ++ extraKeys.map(col) :+
-          posexplode(col("bks")).as(Seq("t", "bk"))): _*)
-    val buckets = (if (bucketSampleMod > 1)
-        bucketsAll.filter(
-          pmod(xxhash64(col("bk")), lit(bucketSampleMod.toLong)) === 0)
-      else bucketsAll)
+    val buckets = cappedBucketRows(df, idCol, vecCol, dim, extraKeys,
+        nTables, bitsPerTable, seed, bucketSampleMod, occupantCap)
+      .filter(col("__occ") <= (if (occupantCap > 0) occupantCap
+        else Int.MaxValue))
+      .drop("__occ")
       .repartition(spark.sparkContext.defaultParallelism, col("bk"))
     val joinCond = (Seq(col(s"x.bk") === col(s"y.bk"),
         col(s"x.$idCol") < col(s"y.$idCol"),
@@ -181,6 +187,53 @@ object LshBuckets {
       .select(col(s"x.$idCol").as("vec_a"), col(s"y.$idCol").as("vec_b"),
         col(s"x.$vecCol").as("va"), col(s"y.$vecCol").as("vb"))
   }
+
+  /** The exploded, sampled bucket rows with their deterministic
+    * occupant rank `__occ` (1-based within each bucket, Knuth-hash
+    * order) — shared by [[bandedPairs]] and the probe-side
+    * [[cappedSpillCount]] so cap semantics have one definition. With
+    * occupantCap ≤ 0 the rank is still computed only when a consumer
+    * asks for it (the plain entry path filters on Int.MaxValue, which
+    * Catalyst cannot eliminate — so the no-cap path skips the window
+    * entirely). */
+  private def cappedBucketRows(df: DataFrame, idCol: String,
+      vecCol: String, dim: Int, extraKeys: Seq[String], nTables: Int,
+      bitsPerTable: Int, seed: Long, bucketSampleMod: Int,
+      occupantCap: Int): DataFrame = {
+    val bucketsAll = df.select(
+      (Seq(col(idCol), col(vecCol)) ++ extraKeys.map(col) :+
+        bucketBands(col(vecCol), dim, nTables, bitsPerTable, seed)
+          .as("bks")): _*)
+      .select(
+        (Seq(col(idCol), col(vecCol), col("bks")) ++ extraKeys.map(col) :+
+          posexplode(col("bks")).as(Seq("t", "bk"))): _*)
+    val sampled = if (bucketSampleMod > 1)
+        bucketsAll.filter(
+          pmod(xxhash64(col("bk")), lit(bucketSampleMod.toLong)) === 0)
+      else bucketsAll
+    if (occupantCap <= 0) sampled.withColumn("__occ", lit(1))
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy((col("bk") +: extraKeys.map(col)): _*)
+        .orderBy(pmod(col(idCol) * lit(2654435761L), lit(4294967296L)),
+          col(idCol))
+      sampled.withColumn("__occ", row_number().over(w))
+    }
+  }
+
+  /** One-row (occ_cap, n_spilled) frame for the probe report: how many
+    * bucket rows the occupant cap dropped, over the identical sampled
+    * bucket derivation [[bandedPairs]] ran. Corpus-linear. */
+  def cappedSpillCount(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, extraKeys: Seq[String] = Nil, nTables: Int = 16,
+      bitsPerTable: Int = 8, seed: Long = 42L, bucketSampleMod: Int = 1,
+      occupantCap: Int = 0): DataFrame =
+    cappedBucketRows(df, idCol, vecCol, dim, extraKeys, nTables,
+      bitsPerTable, seed, bucketSampleMod, occupantCap)
+      .agg(sum(when(col("__occ") > (if (occupantCap > 0) occupantCap
+          else Int.MaxValue), 1L).otherwise(0L)).as("n_spilled"))
+      .select(lit(occupantCap.toLong).as("occ_cap"),
+        coalesce(col("n_spilled"), lit(0L)).as("n_spilled"))
 
   /** DuckDB equivalent of [[bandedPairs]]: a `b AS (...), cand AS (...)`
     * CTE fragment producing (vec_a, vec_b) from `tableName`, replicating

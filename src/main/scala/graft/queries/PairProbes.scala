@@ -36,6 +36,16 @@ object PairProbes {
   private def sampleMod: Int = sys.env.get("SPARK_GRAFT_PROBE_MOD")
     .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(16)
 
+  /** Deterministic per-bucket occupant cap for the LSH probes — the
+    * SECOND compute bound (LshBuckets.bandedPairs scaladoc): bucket
+    * sampling keeps whole giant buckets on a duplicate-saturated
+    * corpus, so per-bucket mass stays quadratic in occupancy
+    * (v_knn_self_pairs: 942 s at sf10 even at 1/16 sampling); capping
+    * occupants bounds every bucket at cap² verifies. Reported in the
+    * probe row (occ_cap, n_spilled) the way sample_mod already is. */
+  private def occCap: Int = sys.env.get("SPARK_GRAFT_PROBE_OCC_CAP")
+    .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(64)
+
   /** metric assumed rounded to 4 dp already: ×1e4 is then exact. */
   private def boundedAgg(pairs: DataFrame, a: String, b: String,
       metric: String, mod: Int): DataFrame =
@@ -65,47 +75,56 @@ object PairProbes {
 
     "d_embed_lsh" -> ((s: SparkSession, d: String) => {
       import s.implicits._
-      val m = sampleMod
+      val m = sampleMod; val cap = occCap
+      val bits = graft.operators.LshBuckets.chooseBits(
+        graft.operators.IndexStore.corpusN(s, d))
       val e = load(s, d, "embeddings")
       val pairs = graft.operators.LshBuckets
-        .bandedPairs(e, "vec_id", "embedding", 64,
-          bitsPerTable = graft.operators.LshBuckets.chooseBits(
-            graft.operators.IndexStore.corpusN(s, d)),
-          bucketSampleMod = m)
+        .bandedPairs(e, "vec_id", "embedding", 64, bitsPerTable = bits,
+          bucketSampleMod = m, occupantCap = cap)
         .withColumn("cos_sim", cosine($"va", $"vb"))
         .filter($"cos_sim" > 0.4)
         .select($"vec_a", $"vec_b", round($"cos_sim", 4).as("cos_sim"))
       boundedAgg(pairs, "vec_a", "vec_b", "cos_sim", m)
+        .crossJoin(broadcast(graft.operators.LshBuckets.cappedSpillCount(
+          e, "vec_id", "embedding", 64, bitsPerTable = bits,
+          bucketSampleMod = m, occupantCap = cap)))
     }),
 
     "d_embed_neardup" -> ((s: SparkSession, d: String) => {
       import s.implicits._
-      val m = sampleMod
+      val m = sampleMod; val cap = occCap
+      val bits = graft.operators.LshBuckets.chooseBits(
+        graft.operators.IndexStore.corpusN(s, d))
       val e = load(s, d, "embeddings")
       val pairs = graft.operators.LshBuckets
         .bandedPairs(e, "vec_id", "embedding", 64, extraKeys = Seq("label"),
-          bitsPerTable = graft.operators.LshBuckets.chooseBits(
-            graft.operators.IndexStore.corpusN(s, d)),
-          bucketSampleMod = m)
+          bitsPerTable = bits, bucketSampleMod = m, occupantCap = cap)
         .withColumn("cos_sim", cosine($"va", $"vb"))
         .filter($"cos_sim" > 0.4)
         .select($"vec_a", $"vec_b", round($"cos_sim", 4).as("cos_sim"))
       boundedAgg(pairs, "vec_a", "vec_b", "cos_sim", m)
+        .crossJoin(broadcast(graft.operators.LshBuckets.cappedSpillCount(
+          e, "vec_id", "embedding", 64, extraKeys = Seq("label"),
+          bitsPerTable = bits, bucketSampleMod = m, occupantCap = cap)))
     }),
 
     "v_knn_self_pairs" -> ((s: SparkSession, d: String) => {
       import s.implicits._
-      val m = sampleMod
+      val m = sampleMod; val cap = occCap
+      val bits = graft.operators.LshBuckets.chooseBits(
+        graft.operators.IndexStore.corpusN(s, d))
       val e = load(s, d, "embeddings")
       val pairs = graft.operators.LshBuckets
-        .bandedPairs(e, "vec_id", "embedding", 64,
-          bitsPerTable = graft.operators.LshBuckets.chooseBits(
-            graft.operators.IndexStore.corpusN(s, d)),
-          bucketSampleMod = m)
+        .bandedPairs(e, "vec_id", "embedding", 64, bitsPerTable = bits,
+          bucketSampleMod = m, occupantCap = cap)
         .withColumn("dist", round(l2($"va", $"vb"), 4))
         .filter($"dist" < 1.1)
         .select($"vec_a", $"vec_b", $"dist")
       boundedAgg(pairs, "vec_a", "vec_b", "dist", m)
+        .crossJoin(broadcast(graft.operators.LshBuckets.cappedSpillCount(
+          e, "vec_id", "embedding", 64, bitsPerTable = bits,
+          bucketSampleMod = m, occupantCap = cap)))
     })
   )
 }

@@ -1076,49 +1076,150 @@ object TextQueries {
       val ew = edges.join(
           edges.groupBy($"src").agg(sum($"w").as("wdeg")), "src")
         .localCheckpoint(true)
-      val n = ew.select($"src").distinct().count()
-      var r = ew.select($"src".as("token")).distinct()
-        .select($"token", lit(1.0 / n).as("r"))
-      // Two-level deterministic fold (the v_pca_power discipline): a
-      // hub's in-edge list is vocabulary-sized — a single
-      // collect_list-per-dst fold makes every iteration wait on one
-      // straggler task holding the stopword node. Instead in-edges
-      // first fold WITHIN a 64-way source-hash bucket (sorted by src),
-      // then the ≤64 bucket partials fold across (sorted by bucket), so
-      // no task ever materializes more than one bucket's list and the
-      // hub's work spreads over 64 tasks. Both levels are pinned-order
-      // folds, so the float sum stays bit-reproducible — and the oracle
-      // replays the identical two-level order.
-      // deliberately TWO exchanges per iteration: fusing them by
-      // pre-partitioning on dst would colocate a hub's whole in-edge
-      // set on one task — the exact straggler the bucket level exists
-      // to spread. The extra exchange is a fixed per-stage cost
-      // (~30 ms × 8 rounds on this box), the straggler is O(vocab).
-      for (_ <- 1 to 8) {
-        val parts = ew.join(r.withColumnRenamed("token", "src"), "src")
-          .select($"dst",
-            graft.GraftText.rollingHash64($"src").bitwiseAND(lit(63L)).as("bkt"),
-            struct($"src", (($"r" * $"w") / $"wdeg").as("term")).as("st"))
-          .groupBy($"dst", $"bkt")
-          .agg(sort_array(collect_list($"st")).as("lst"))
-          .select($"dst", $"bkt",
-            aggregate($"lst", lit(0.0), (acc, x) => acc + x("term")).as("part"))
-        r = parts
-          .groupBy($"dst")
-          .agg(sort_array(collect_list(struct($"bkt", $"part"))).as("plst"))
-          .select($"dst".as("token"),
-            (lit(0.15 / n) + lit(0.85) *
-              aggregate($"plst", lit(0.0), (acc, x) => acc + x("part")))
-              .as("r"))
-          .localCheckpoint(true)
+      // Route by |edges| (the beamLoop |Q| law, applied to the edge
+      // frame): a bounded co-occurrence graph runs the 8 damped rounds
+      // as driver arithmetic — replaying the identical two-level fold,
+      // bucket by FNV(src)&63, src-sorted within bucket, bucket-sorted
+      // across — instead of 8 (join + 2 aggregations + checkpoint)
+      // Spark rounds whose per-round scheduling dominated the sf0.1
+      // wall. A corpus whose vocabulary graph outgrows the threshold
+      // keeps the distributed rounds (the 64-way bucket spread exists
+      // for exactly that shape). TextrankPathLawSpec pins the two
+      // paths bit-identical; the probe is limit(max+1) on the already-
+      // checkpointed edge store, so the driver path's collect reads
+      // materialized rows.
+      val maxEdges = sys.props.get("graft.textrank.driverMaxEdges")
+        .flatMap(_.toIntOption).getOrElse(1_000_000)
+      val ewHead = ew.limit(maxEdges + 1).collect()
+      if (ewHead.length <= maxEdges) textrankLocal(s, ewHead)
+      else textrankDistributed(s, ew)
+    })) ++ textQueriesRest
+
+  /** The distributed 8-round damped power iteration over a checkpointed
+    * (src, dst, w, wdeg) edge frame — the corpus-scaled path of the
+    * t_textrank routing (see the entry).
+    *
+    * Two-level deterministic fold (the v_pca_power discipline): a
+    * hub's in-edge list is vocabulary-sized — a single
+    * collect_list-per-dst fold makes every iteration wait on one
+    * straggler task holding the stopword node. Instead in-edges
+    * first fold WITHIN a 64-way source-hash bucket (sorted by src),
+    * then the ≤64 bucket partials fold across (sorted by bucket), so
+    * no task ever materializes more than one bucket's list and the
+    * hub's work spreads over 64 tasks. Both levels are pinned-order
+    * folds, so the float sum stays bit-reproducible — and the oracle
+    * replays the identical two-level order.
+    * Deliberately TWO exchanges per iteration: fusing them by
+    * pre-partitioning on dst would colocate a hub's whole in-edge
+    * set on one task — the exact straggler the bucket level exists
+    * to spread. The extra exchange is a fixed per-stage cost
+    * (~30 ms × 8 rounds on this box), the straggler is O(vocab). */
+  private[graft] def textrankDistributed(s: SparkSession,
+      ew: DataFrame): DataFrame = {
+    import s.implicits._
+    val n = ew.select($"src").distinct().count()
+    var r = ew.select($"src".as("token")).distinct()
+      .select($"token", lit(1.0 / n).as("r"))
+    for (_ <- 1 to 8) {
+      val parts = ew.join(r.withColumnRenamed("token", "src"), "src")
+        .select($"dst",
+          graft.GraftText.rollingHash64($"src").bitwiseAND(lit(63L)).as("bkt"),
+          struct($"src", (($"r" * $"w") / $"wdeg").as("term")).as("st"))
+        .groupBy($"dst", $"bkt")
+        .agg(sort_array(collect_list($"st")).as("lst"))
+        .select($"dst", $"bkt",
+          aggregate($"lst", lit(0.0), (acc, x) => acc + x("term")).as("part"))
+      r = parts
+        .groupBy($"dst")
+        .agg(sort_array(collect_list(struct($"bkt", $"part"))).as("plst"))
+        .select($"dst".as("token"),
+          (lit(0.15 / n) + lit(0.85) *
+            aggregate($"plst", lit(0.0), (acc, x) => acc + x("part")))
+            .as("r"))
+        .localCheckpoint(true)
+    }
+    textrankTop(r)
+  }
+
+  /** The shared top-20 projection off a (token, r) frame — both
+    * textrank paths end here, so ranking/rounding is one definition. */
+  private def textrankTop(r: DataFrame): DataFrame = {
+    val s = r.sparkSession
+    import s.implicits._
+    val wTop = org.apache.spark.sql.expressions.Window
+      .orderBy($"r".desc, $"token")
+    r.orderBy($"r".desc, $"token").limit(20)
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .select($"rnk", $"token", round($"r", 6).as("rank_score"))
+      .orderBy("rnk")
+  }
+
+  /** The driver-resident 8 rounds over a collected bounded edge frame —
+    * value-identical to [[textrankDistributed]] by construction: the
+    * SAME two-level deterministic fold (contributions bucketed by
+    * FNV-1a(src) & 63, summed in UTF-8-binary src order within a
+    * bucket, bucket partials summed in bucket order), the same
+    * (r·w)/wdeg IEEE expression over the same doubles, the same
+    * 0.15/n + 0.85·Σ damping (both literals computed once on the
+    * driver in both paths). The final top-20/round projection is the
+    * shared [[textrankTop]] over a re-planted LocalRelation, so
+    * ranking runs through Catalyst, not a replica.
+    * TextrankPathLawSpec pins both paths bit-identical. */
+  private def textrankLocal(s: SparkSession,
+      ewRows: Array[org.apache.spark.sql.Row]): DataFrame = {
+    import s.implicits._
+    // (src, dst, w, wdeg); sort_array on struct(src, term) orders by
+    // the UTF8String binary comparator — unsigned byte order
+    final case class E(src: String, dst: String, w: Long, wdeg: Long)
+    val es = ewRows.map(r => E(r.getString(0), r.getString(1),
+      r.getLong(2), r.getLong(3)))
+    val utf8Lt: (String, String) => Boolean = (a, b) => {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      var res = x.length < y.length
+      var decided = false
+      while (i < n && !decided) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) { res = c < 0; decided = true }
+        i += 1
       }
-      val wTop = org.apache.spark.sql.expressions.Window
-        .orderBy($"r".desc, $"token")
-      r.orderBy($"r".desc, $"token").limit(20)
-        .withColumn("rnk", row_number().over(wTop).cast("long"))
-        .select($"rnk", $"token", round($"r", 6).as("rank_score"))
-        .orderBy("rnk")
-    }),
+      res
+    }
+    val n = es.iterator.map(_.src).toSet.size
+    val bkt = scala.collection.mutable.HashMap.empty[String, Long]
+    def bktOf(t: String): Long = bkt.getOrElseUpdate(t,
+      graft.functions.GraftHash.fnv1a64(
+        t.getBytes(java.nio.charset.StandardCharsets.UTF_8), 0L) & 63L)
+    val byDst: Map[String, Array[E]] = es.groupBy(_.dst)
+    var r: Map[String, Double] = es.iterator.map(_.src).toSet.iterator
+      .map((t: String) => t -> 1.0 / n).toMap
+    for (_ <- 1 to 8) {
+      r = byDst.iterator.map { case (dst, rows) =>
+        val parts = rows.groupBy(e => bktOf(e.src)).toSeq
+          .map { case (b, rs) =>
+            val sorted = rs.sortWith((x, y) => utf8Lt(x.src, y.src))
+            var acc = 0.0
+            sorted.foreach { e => acc += (r(e.src) * e.w) / e.wdeg }
+            (b, acc)
+          }
+        var sum = 0.0
+        parts.sortBy(_._1).foreach { case (_, p) => sum += p }
+        dst -> (0.15 / n + 0.85 * sum)
+      }.toMap
+    }
+    val rows = java.util.Arrays.asList(
+      r.toSeq.map { case (t, v) => org.apache.spark.sql.Row(t, v) }: _*)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("token",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("r",
+        org.apache.spark.sql.types.DoubleType)))
+    textrankTop(s.createDataFrame(rows, schema))
+  }
+
+  private def textQueriesRest: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Stopword-profile language ID. The fixed tie-break cascade
     // (en > de > fr > es > unknown) makes it deterministic.

@@ -1,0 +1,33 @@
+package graft
+
+/** t_textrank's |edges| routing law (the BeamPathLawSpec pattern): a
+  * bounded co-occurrence graph runs the 8 damped rounds as driver
+  * arithmetic, a corpus-scaled one keeps the distributed rounds — and
+  * the two paths are bit-identical on the same input, because both
+  * implement the identical two-level deterministic fold (FNV(src)&63
+  * buckets, UTF-8-binary src order within a bucket, bucket order
+  * across) and the identical damping arithmetic. The oracle replays
+  * the distributed form; the law ties the driver path to it. */
+class TextrankPathLawSpec extends SparkSpec {
+
+  private def rankRows(maxEdges: Int): Seq[(Long, String, Double)] = {
+    val prev = sys.props.get("graft.textrank.driverMaxEdges")
+    sys.props("graft.textrank.driverMaxEdges") = maxEdges.toString
+    try graft.queries.TextQueries.all("t_textrank")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSeq
+    finally prev match {
+      case Some(v) => sys.props("graft.textrank.driverMaxEdges") = v
+      case None => sys.props.remove("graft.textrank.driverMaxEdges")
+    }
+  }
+
+  test("driver and distributed textrank rounds are bit-identical (forced routing)") {
+    // maxEdges huge ⇒ driver path; maxEdges=0 ⇒ distributed rounds
+    val driver = rankRows(maxEdges = 50_000_000)
+    val dist = rankRows(maxEdges = 0)
+    assert(driver.size === 20)
+    assert(driver === dist)
+  }
+}
