@@ -89,32 +89,129 @@ object TextQueries {
   private[graft] def perceptronQuality(docsIn: DataFrame, rounds: Int): DataFrame = {
     val s = docsIn.sparkSession
     import s.implicits._
-    val feats = perceptronFeats(docsIn).cache()
-    feats.count() // eager populate (the jaccardPairsRaw discipline)
-    val w = perceptronTrainOnFeats(feats, rounds)
-    val out = feats
-      .select($"doc_id", perceptronScoreCol(w).as("score"),
+    // Round-invariant feature frame, materialized ONCE: localCheckpoint
+    // truncates lineage, so each training round's plan is a block scan
+    // instead of a re-analyzed derivation (guide §1.2/§5). Route by doc
+    // count (the beamLoop |Q| law): a bounded feature frame runs the
+    // training rounds AND the final scoring as driver integer
+    // arithmetic — every op is exact bigint, so there is no float-order
+    // pinning to do at all — while a corpus-scale frame keeps the
+    // distributed rounds (one map-side-combined 65-key aggregate per
+    // round). The probe IS the collect: limit(max+1) on materialized
+    // blocks. QualityPathLawSpec pins the two paths identical.
+    val feats = perceptronFeats(docsIn).localCheckpoint(true)
+    val maxDocs = qualityDriverMaxDocs
+    val head = feats.limit(maxDocs + 1).collect()
+    if (head.length <= maxDocs) {
+      val ds = decodePerceptronFeats(head)
+      val w = perceptronTrainLocal(ds, rounds)
+      val rows = java.util.Arrays.asList(ds.map { d =>
+        var sc = 0L
+        var i = 0
+        while (i < d.bkts.length) { sc += d.ms(i) * w(d.bkts(i)); i += 1 }
+        org.apache.spark.sql.Row(d.docId, sc, sc > 0L, d.y == 1L)
+      }: _*)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("pred_hq",
+          org.apache.spark.sql.types.BooleanType),
+        org.apache.spark.sql.types.StructField("is_hq",
+          org.apache.spark.sql.types.BooleanType)))
+      s.createDataFrame(rows, schema)
+    } else {
+      val w = perceptronTrainOnFeats(feats, rounds)
+      feats.select($"doc_id", perceptronScoreCol(w).as("score"),
         (perceptronScoreCol(w) > 0L).as("pred_hq"), ($"y" === 1L).as("is_hq"))
-      .localCheckpoint(true)
-    feats.unpersist(false)
-    out
+    }
   }
 
-  /** Per-doc (bucket, count) feature lists + ±1 seed-domain label. */
+  private def qualityDriverMaxDocs: Int =
+    sys.props.get("graft.quality.driverMaxDocs")
+      .flatMap(_.toIntOption).getOrElse(1_000_000)
+
+  /** Decoded (doc_id, y, sparse bucket counts) feature row — the driver
+    * twin's working form. docId stays boxed/untyped so a null rides
+    * through to the output Row exactly as the distributed select would
+    * carry it. */
+  private final case class PFeat(docId: Any, y: Long,
+      bkts: Array[Int], ms: Array[Long])
+
+  private def decodePerceptronFeats(
+      rows: Array[org.apache.spark.sql.Row]): Array[PFeat] =
+    rows.map { r =>
+      val fs = r.getSeq[org.apache.spark.sql.Row](2)
+      val bk = new Array[Int](fs.length)
+      val ms = new Array[Long](fs.length)
+      var i = 0
+      fs.foreach { f => bk(i) = f.getLong(0).toInt; ms(i) = f.getLong(1); i += 1 }
+      PFeat(r.get(0), r.getLong(1), bk, ms)
+    }
+
+  /** Driver twin of [[perceptronTrainOnFeats]]: the same batch
+    * perceptron over the same integer features — score each doc against
+    * the round's weights, sum y·m per bucket over misclassified docs,
+    * fold into the weight vector. Every operation is exact Long
+    * arithmetic (wrap-on-overflow identical to Spark's bigint), so the
+    * result is the distributed rounds' result by construction. */
+  private def perceptronTrainLocal(ds: Array[PFeat], rounds: Int): Array[Long] = {
+    val w = Array.fill(65)(0L)
+    for (_ <- 1 to rounds) {
+      val g = new Array[Long](65)
+      ds.foreach { d =>
+        var sc = 0L
+        var i = 0
+        while (i < d.bkts.length) { sc += d.ms(i) * w(d.bkts(i)); i += 1 }
+        if (d.y * sc <= 0L) {
+          i = 0
+          while (i < d.bkts.length) { g(d.bkts(i)) += d.y * d.ms(i); i += 1 }
+        }
+      }
+      var i = 0
+      while (i < 65) { w(i) += g(i); i += 1 }
+    }
+    w
+  }
+
+  /** Per-doc (bucket, count) feature lists + ±1 seed-domain label.
+    * Computed entirely SCAN-SIDE: each doc's sorted bucket list is
+    * run-length-encoded by a fold over its own array (the maxRun
+    * idiom) — one row per doc in, one out, ZERO exchanges. Value-
+    * identical to the former explode → per-bucket count → collect_list
+    * shape (counts of each bucket, structs in bucket order — bkt is
+    * unique within a doc so (bkt, m) order ≡ bkt order), without
+    * shuffling a token-exploded corpus twice at 100 TB. */
   private def perceptronFeats(docsIn: DataFrame): DataFrame = {
     val s = docsIn.sparkSession
     import s.implicits._
-    docsIn
-      .select($"doc_id",
-        when($"source".isin("src0", "src1", "src2"), 1L).otherwise(-1L).as("y"),
-        tokens(coalesce($"text", lit(""))).as("toks"))
-      .select($"doc_id", $"y", explode(concat(
-        transform($"toks",
-          t => graft.GraftText.rollingHash64(t).bitwiseAND(lit(63L))),
-        array(lit(64L)))).as("bkt"))
-      .groupBy($"doc_id", $"y", $"bkt").agg(count(lit(1)).as("m"))
-      .groupBy($"doc_id", $"y")
-      .agg(sort_array(collect_list(struct($"bkt", $"m"))).as("fs"))
+    val bkts = sort_array(concat(
+      transform(tokens(coalesce($"text", lit(""))),
+        t => graft.GraftText.rollingHash64(t).bitwiseAND(lit(63L))),
+      array(lit(64L))))
+    val emptyFs = slice(array(struct(lit(0L).as("bkt"), lit(0L).as("m"))),
+      lit(1), lit(0))
+    // fold state: (fs = closed runs, prev = current bucket, m = its run
+    // length); prev = -1 marks "no run open" (buckets are always >= 0,
+    // and the array is never empty — the bias bucket 64 rides every doc)
+    val fs = aggregate(
+      bkts,
+      struct(emptyFs.as("fs"), lit(-1L).as("prev"), lit(0L).as("m")),
+      (st, x) => when(st("prev") === x,
+          struct(st("fs").as("fs"), st("prev").as("prev"),
+            (st("m") + 1L).as("m")))
+        .when(st("prev") === -1L,
+          struct(st("fs").as("fs"), x.as("prev"), lit(1L).as("m")))
+        .otherwise(struct(
+          concat(st("fs"),
+            array(struct(st("prev").as("bkt"), st("m").as("m")))).as("fs"),
+          x.as("prev"), lit(1L).as("m"))),
+      st => concat(st("fs"),
+        array(struct(st("prev").as("bkt"), st("m").as("m")))))
+    docsIn.select($"doc_id",
+      when($"source".isin("src0", "src1", "src2"), 1L).otherwise(-1L).as("y"),
+      fs.as("fs"))
   }
 
   private def perceptronScoreCol(wArr: Array[Long]): Column = {
@@ -141,13 +238,14 @@ object TextQueries {
     w
   }
 
-  /** Train and return just the 65-long integer weight vector. */
+  /** Train and return just the 65-long integer weight vector — routed
+    * by the same doc-count law as [[perceptronQuality]]. */
   private[graft] def perceptronTrain(docsIn: DataFrame, rounds: Int): Array[Long] = {
-    val feats = perceptronFeats(docsIn).cache()
-    feats.count()
-    val w = perceptronTrainOnFeats(feats, rounds)
-    feats.unpersist(false)
-    w
+    val feats = perceptronFeats(docsIn).localCheckpoint(true)
+    val maxDocs = qualityDriverMaxDocs
+    val head = feats.limit(maxDocs + 1).collect()
+    if (head.length <= maxDocs) perceptronTrainLocal(decodePerceptronFeats(head), rounds)
+    else perceptronTrainOnFeats(feats, rounds)
   }
 
   /** FROZEN-model inference: score (doc_id, text) rows against an
@@ -1165,7 +1263,7 @@ object TextQueries {
     * shared [[textrankTop]] over a re-planted LocalRelation, so
     * ranking runs through Catalyst, not a replica.
     * TextrankPathLawSpec pins both paths bit-identical. */
-  private def textrankLocal(s: SparkSession,
+  private[graft] def textrankLocal(s: SparkSession,
       ewRows: Array[org.apache.spark.sql.Row]): DataFrame = {
     import s.implicits._
     // (src, dst, w, wdeg); sort_array on struct(src, term) orders by
@@ -1196,17 +1294,28 @@ object TextQueries {
     var r: Map[String, Double] = es.iterator.map(_.src).toSet.iterator
       .map((t: String) => t -> 1.0 / n).toMap
     for (_ <- 1 to 8) {
-      r = byDst.iterator.map { case (dst, rows) =>
-        val parts = rows.groupBy(e => bktOf(e.src)).toSeq
-          .map { case (b, rs) =>
-            val sorted = rs.sortWith((x, y) => utf8Lt(x.src, y.src))
-            var acc = 0.0
-            sorted.foreach { e => acc += (r(e.src) * e.w) / e.wdeg }
-            (b, acc)
-          }
-        var sum = 0.0
-        parts.sortBy(_._1).foreach { case (_, p) => sum += p }
-        dst -> (0.15 / n + 0.85 * sum)
+      // Mirror the distributed path's INNER join exactly: an edge whose
+      // src carries no rank this round contributes nothing (the join
+      // drops the row), an empty bucket never exists, and a dst whose
+      // whole in-edge set dropped leaves r entirely. Unreachable on the
+      // entry's symmetric co-occurrence graphs, but the driver twin must
+      // match the distributed semantics on ANY edge frame.
+      val rNow = r
+      r = byDst.iterator.flatMap { case (dst, rows0) =>
+        val rows = rows0.filter(e => rNow.contains(e.src))
+        if (rows.isEmpty) None
+        else {
+          val parts = rows.groupBy(e => bktOf(e.src)).toSeq
+            .map { case (b, rs) =>
+              val sorted = rs.sortWith((x, y) => utf8Lt(x.src, y.src))
+              var acc = 0.0
+              sorted.foreach { e => acc += (rNow(e.src) * e.w) / e.wdeg }
+              (b, acc)
+            }
+          var sum = 0.0
+          parts.sortBy(_._1).foreach { case (_, p) => sum += p }
+          Some(dst -> (0.15 / n + 0.85 * sum))
+        }
       }.toMap
     }
     val rows = java.util.Arrays.asList(
