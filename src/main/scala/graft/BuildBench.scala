@@ -16,6 +16,9 @@ object BuildBench {
       .createTempDirectory("graft-buildbench").toString
     sys.props("graft.index.dir") = dir
     val spark = SparkSession.builder()
+      .config("spark.sql.cache.serializer",
+        "graft.functions.GraftCachedBatchSerializer")
+      .config("spark.sql.extensions", "graft.plans.GraftCacheScanExtensions")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

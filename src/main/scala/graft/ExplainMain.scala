@@ -9,6 +9,9 @@ object ExplainMain {
     val names = if (args.length > 1) args.drop(1).toSeq
       else SparkEntry.queries.keys.toSeq.sorted
     val spark = SparkSession.builder()
+      .config("spark.sql.cache.serializer",
+        "graft.functions.GraftCachedBatchSerializer")
+      .config("spark.sql.extensions", "graft.plans.GraftCacheScanExtensions")
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -10,6 +10,9 @@ object IncrProbe {
     val d = if (args.nonEmpty) args(0) else "/tmp/graft-scale/sf10"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val s = SparkSession.builder()
+      .config("spark.sql.cache.serializer",
+        "graft.functions.GraftCachedBatchSerializer")
+      .config("spark.sql.extensions", "graft.plans.GraftCacheScanExtensions")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

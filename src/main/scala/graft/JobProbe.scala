@@ -12,6 +12,9 @@ object JobProbe {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
+      .config("spark.sql.cache.serializer",
+        "graft.functions.GraftCachedBatchSerializer")
+      .config("spark.sql.extensions", "graft.plans.GraftCacheScanExtensions")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

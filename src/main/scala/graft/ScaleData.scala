@@ -55,6 +55,9 @@ object ScaleData {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
+      .config("spark.sql.cache.serializer",
+        "graft.functions.GraftCachedBatchSerializer")
+      .config("spark.sql.extensions", "graft.plans.GraftCacheScanExtensions")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

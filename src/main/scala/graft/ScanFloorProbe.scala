@@ -11,7 +11,10 @@ import org.apache.spark.sql.functions._
 object ScanFloorProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[1]")
+    val spark = SparkSession.builder()
+      .config("spark.sql.cache.serializer",
+        "graft.functions.GraftCachedBatchSerializer")
+      .config("spark.sql.extensions", "graft.plans.GraftCacheScanExtensions").master("local[1]")
       .config("spark.sql.shuffle.partitions", 1)
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -60,20 +60,28 @@ object DedupQueries {
     * exact-`jaccard`-verified (the caller supplies the verify metric:
     * string-set or packed-gram) → smallest verified neighbor is the
     * keeper. Returns (doc_id, keeper_id); linear output, no pair
-    * blowup. `docs` should be cached by the caller (it is read by the
-    * banding pass, both verify joins, and the final left join). */
+    * blowup. `docs` is materialized ONCE in here (callers need not —
+    * and should not — cache it). */
   private[graft] def minhashKeeperAssign(docs: DataFrame,
       jaccard: (Column, Column) => Column,
       threshold: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // buckets feed rep election AND edge building — cached so the
-    // 64-permutation minhash runs once
-    val buckets = docs
+    // Materialize the (doc_id, ws) frame EAGERLY: it feeds the banding
+    // pass, both verify-join legs, and the final left join — with a
+    // lazy cache, AQE materializes the two verify legs CONCURRENTLY
+    // and each computed the full tokenize scan before the cache
+    // populated (the measured equal-duration job pairs). The eager
+    // checkpoint also truncates lineage so every consumer plans
+    // against stored blocks; blocks free with the RDD.
+    val dm = docs.localCheckpoint(true)
+    // buckets feed rep election AND edge building — same discipline,
+    // so the 64-permutation minhash runs exactly once
+    val buckets = dm
       .select($"doc_id",
         posexplode(GraftText.minhashBands($"ws", 1, 64, 16))
           .as(Seq("band_id", "bh")))
-      .cache()
+      .localCheckpoint(true)
     val reps = buckets.groupBy($"band_id", $"bh")
       .agg(min($"doc_id").as("rep"))
     val edges = buckets.join(reps, Seq("band_id", "bh"))
@@ -81,20 +89,16 @@ object DedupQueries {
       .select($"doc_id", $"rep")
       .distinct()
     val verified = edges
-      .join(docs.select($"doc_id", $"ws".as("wa")), "doc_id")
-      .join(docs.select($"doc_id".as("rep"), $"ws".as("wb")), "rep")
+      .join(dm.select($"doc_id", $"ws".as("wa")), "doc_id")
+      .join(dm.select($"doc_id".as("rep"), $"ws".as("wb")), "rep")
       .filter(jaccard($"wa", $"wb") >= threshold)
       .groupBy($"doc_id")
       .agg(min($"rep").as("keeper"))
-    // Materialize the (small, linear) output eagerly and release the
-    // exploded buckets cache before returning — a lingering cache
-    // occupies executor storage for the rest of a 148-query run (the
-    // jaccardPairsRaw discipline). Callers get a self-contained frame.
-    val out = docs.join(verified, Seq("doc_id"), "left")
+    // Materialize the (small, linear) output eagerly — callers get a
+    // self-contained frame (the jaccardPairsRaw discipline).
+    dm.join(verified, Seq("doc_id"), "left")
       .select($"doc_id", coalesce($"keeper", $"doc_id").as("keeper_id"))
       .localCheckpoint(true)
-    buckets.unpersist()
-    out
   }
 
   /** The UNORDERED mixture sample — the entire production plan of
@@ -139,43 +143,65 @@ object DedupQueries {
   /** The UNORDERED pre-checkpoint DSIR plan + its shared token cache —
     * factored so PlanSpec asserts the shape of the real query (the
     * entry's eager checkpoint truncates the executed plan to a scan of
-    * stored blocks); the mixtureSampleRaw pattern. Caller owns the
-    * returned cache: unpersist after the frame materializes. */
+    * stored blocks); the mixtureSampleRaw pattern. The second element
+    * is the per-doc checkpoint the plan reads (blocks free with the
+    * RDD; nothing for the caller to unpersist). */
   private[graft] def dsirWeightsRaw(
       s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
     import graft.functions.DetMath
-    // consumed three times (bucket stats, totals, per-doc counts):
-    // cached so the corpus tokenize+hash scan runs once — the
-    // jaccardPairsRaw discipline
-    val tb = load(s, d, "documents")
-      .select($"doc_id", $"source",
-        explode(toks(coalesce($"text", lit("")))).as("tok"))
+    // Per-doc (bucket, m) counts computed SCAN-SIDE by run-length
+    // encoding each doc's own sorted bucket array (the perceptronFeats
+    // r15 rewrite — shared TextQueries.rleRuns fold): one narrow row
+    // per doc, where the former shape cached a row PER TOKEN and then
+    // shuffled doc-keyed rows twice (groupBy(doc_id, bkt) and the
+    // collect_list per doc). Materialized once, eagerly (lineage
+    // truncation; no concurrent-populate race between the two
+    // consumers). A doc whose toks array is empty folds to an empty
+    // run list and is filtered — the exploded shape emitted no row
+    // for it either.
+    val perDoc = load(s, d, "documents")
       .select($"doc_id",
         $"source".isin("src0", "src1", "src2").as("is_t"),
-        GraftText.rollingHash64($"tok").bitwiseAND(lit(63L)).as("bkt"))
-      .cache()
-    val stats = tb.groupBy($"bkt").agg(
-      sum(when($"is_t", 1L).otherwise(0L)).as("ct"),
-      sum(when(!$"is_t", 1L).otherwise(0L)).as("cr"))
+        TextQueries.rleRuns(sort_array(
+          transform(toks(coalesce($"text", lit(""))),
+            t => GraftText.rollingHash64(t).bitwiseAND(lit(63L))))).as("fs"))
+      .filter(size($"fs") > 0)
+      .localCheckpoint(true)
+    // bucket stats off the <=64-entry run lists: the same integer
+    // counts the per-token aggregate produced, from ~50x fewer
+    // exploded rows
+    val stats = perDoc
+      .select($"is_t", explode($"fs").as("f"))
+      .groupBy($"f.bkt".as("bkt")).agg(
+        sum(when($"is_t", $"f.m").otherwise(0L)).as("ct"),
+        sum(when(!$"is_t", $"f.m").otherwise(0L)).as("cr"))
     val totals = stats.agg(sum($"ct").as("nt"), sum($"cr").as("nr"))
     val bits = stats.crossJoin(broadcast(totals))
       .select($"bkt",
         ((DetMath.log2Det($"ct" + 1) - DetMath.log2Det($"nt" + 64)) -
           DetMath.log2Det($"cr" + 1) + DetMath.log2Det($"nr" + 64))
           .as("bits"))
-    val res = tb.filter(!$"is_t")
-      .groupBy($"doc_id", $"bkt").agg(count(lit(1)).as("m"))
-      .join(broadcast(bits), "bkt")
-      .groupBy($"doc_id")
-      .agg(sort_array(collect_list(struct($"bkt",
-        ($"m".cast("double") * $"bits").as("term")))).as("lst"))
+    // one-row broadcast bkt -> bits map; each doc's weight folds its
+    // own run list against it SCAN-SIDE, so nothing doc-keyed crosses
+    // a shuffle at all (the former shape paid two corpus-scale
+    // exchanges). The fold runs in fs order = bkt ascending = exactly
+    // the former sort_array (bkt, term) order (bkt unique per doc),
+    // and each term is the same m.cast(double) * bits product — the
+    // IEEE sum is bit-identical. Every bkt a doc holds appears in the
+    // map: stats covers all buckets of all docs.
+    val bitsMap = bits.agg(
+      map_from_entries(sort_array(collect_list(struct($"bkt", $"bits"))))
+        .as("bm"))
+    val res = perDoc.filter(!$"is_t")
+      .crossJoin(broadcast(bitsMap))
       .select($"doc_id",
-        aggregate($"lst", lit(0.0), (acc, x) => acc + x("term")).as("w"))
+        aggregate($"fs", lit(0.0), (acc, f) =>
+          acc + f("m").cast("double") * element_at($"bm", f("bkt"))).as("w"))
       .orderBy($"w".desc, $"doc_id")
       .limit(100)
       .select($"doc_id", round($"w", 4).as("li_weight"))
-    (res, tb)
+    (res, perDoc)
   }
 
   /** The per-octave partitioning columns of incremental dedup's near
@@ -458,7 +484,23 @@ object DedupQueries {
   /** d_edit_distance's verified-pair frame (unordered) — the entry
     * sorts it; the sf10 bounded probe ([[PairProbes]]) aggregates it. */
   private[graft] def editDistancePairs(s: SparkSession, d: String,
-      keySampleMod: Int = 1): DataFrame = {
+      keySampleMod: Int = 1): DataFrame =
+    editDistancePlanCapped(s, d, keySampleMod, occupantCap = 0)._1
+
+  /** The edit-distance candidate/verify plan plus a one-row
+    * (occ_cap, n_spilled) report frame. `occupantCap` > 0 is the
+    * PROBE-ONLY second compute bound (the LshBuckets.bandedPairs cap,
+    * applied to gram blocking): gram-key sampling keeps whole giant
+    * gram groups on a duplicate-saturated corpus, where per-group
+    * candidate mass is quadratic in occupancy — the cap keeps each
+    * (lang, gram) group's (and the tiny all-pairs sliver's, per lang)
+    * deterministic top-M occupants (Knuth-hash of doc_id, doc_id
+    * tie-break) so per-group work is bounded at M² whatever the
+    * saturation, and the spilled-row count is disclosed beside the cap
+    * in the probe row. The declared entry passes cap 0: its plan is
+    * the uncapped one, unchanged. */
+  private[graft] def editDistancePlanCapped(s: SparkSession, d: String,
+      keySampleMod: Int, occupantCap: Int): (DataFrame, DataFrame) = {
     import s.implicits._
     val MaxEdit = 5
     val Thresh = MaxEdit * 2 // k edits × q=2 distinct grams per edit
@@ -488,9 +530,17 @@ object DedupQueries {
       // jaccardPairsPlan). Entries pass the default 1.
       .filter(lit(keySampleMod <= 1) ||
         pmod(xxhash64($"g"), lit(keySampleMod.toLong)) === 0)
+    val knuth = (c: org.apache.spark.sql.Column) =>
+      pmod(c * lit(2654435761L), lit(4294967296L))
+    val prefixKept = if (occupantCap <= 0) prefix else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang", $"g").orderBy(knuth($"doc_id"), $"doc_id")
+      prefix.withColumn("__occ", row_number().over(w))
+        .filter($"__occ" <= occupantCap).drop("__occ")
+    }
     // second lossless gate in the join: |len diff| is a levenshtein
     // lower bound — at sf0.1 it cuts candidates ~14× (267k → 19k)
-    val cand = prefix.as("x").join(prefix.as("y"),
+    val cand = prefixKept.as("x").join(prefixKept.as("y"),
         $"x.lang" === $"y.lang" && $"x.g" === $"y.g" &&
           $"x.doc_id" < $"y.doc_id" &&
           abs($"x.n_chars" - $"y.n_chars") <= MaxEdit)
@@ -498,9 +548,15 @@ object DedupQueries {
     // vacuous-threshold fallback: both docs have <= k·q distinct
     // bigrams — a bounded sliver of the corpus, joined all-pairs
     val tiny = short.filter($"ng" <= Thresh)
-    val tinyPairs = tiny
+    val tinyKept = if (occupantCap <= 0) tiny else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy(knuth($"doc_id"), $"doc_id")
+      tiny.withColumn("__occ", row_number().over(w))
+        .filter($"__occ" <= occupantCap).drop("__occ")
+    }
+    val tinyPairs = tinyKept
       .select($"doc_id".as("doc_a"), $"lang", $"n_chars".as("ca"))
-      .join(tiny.select($"doc_id".as("doc_b"), $"lang",
+      .join(tinyKept.select($"doc_id".as("doc_b"), $"lang",
         $"n_chars".as("cb")), "lang")
       .filter($"doc_a" < $"doc_b" && abs($"ca" - $"cb") <= MaxEdit)
       .select($"doc_a", $"doc_b")
@@ -508,13 +564,33 @@ object DedupQueries {
     // KB, so AQE coalesces its shuffle to ~one task — which would run
     // every O(len²) levenshtein DP serially. The data is tiny but the
     // COMPUTE is not; spread it across the cluster explicitly.
-    cand.unionByName(tinyPairs).distinct()
+    val pairs = cand.unionByName(tinyPairs).distinct()
       .repartition(s.sparkContext.defaultParallelism)
       .join(short.select($"doc_id".as("doc_a"), $"text".as("ta")), "doc_a")
       .join(short.select($"doc_id".as("doc_b"), $"text".as("tb")), "doc_b")
       .withColumn("edit_dist", levenshtein($"ta", $"tb").cast("long"))
       .filter($"edit_dist" <= MaxEdit)
       .select($"doc_a", $"doc_b", $"edit_dist")
+    // one-row disclosure frame off the SAME cached subtrees: rows the
+    // cap dropped from gram groups plus the tiny sliver (0 when cap 0)
+    val spill = if (occupantCap <= 0)
+        s.range(1).select(lit(0L).as("occ_cap"), lit(0L).as("n_spilled"))
+      else {
+        val wg = org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang", $"g").orderBy(knuth($"doc_id"), $"doc_id")
+        val wt = org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang").orderBy(knuth($"doc_id"), $"doc_id")
+        val pSpill = prefix.withColumn("__occ", row_number().over(wg))
+          .agg(sum(when($"__occ" > occupantCap, 1L).otherwise(0L))
+            .as("n"))
+        val tSpill = tiny.withColumn("__occ", row_number().over(wt))
+          .agg(sum(when($"__occ" > occupantCap, 1L).otherwise(0L))
+            .as("n"))
+        pSpill.unionAll(tSpill)
+          .agg(coalesce(sum($"n"), lit(0L)).as("n_spilled"))
+          .select(lit(occupantCap.toLong).as("occ_cap"), $"n_spilled")
+      }
+    (pairs, spill)
   }
 
   /** The d_line_dedup core over an explicit (doc_id, text) frame —
@@ -914,7 +990,6 @@ object DedupQueries {
         // them (see CharNgramLongSet scaladoc)
         .select($"doc_id", GraftText.charNgramLongSet($"text", 3).as("gs"))
         .filter(size($"gs") > 0) // <3-char docs have no trigram identity
-        .cache()
       minhashKeeperAssign(docs.select($"doc_id", $"gs".as("ws")),
           GraftText.jaccardSortedLong(_, _), 0.7)
         .select($"doc_id", $"keeper_id",
@@ -933,13 +1008,10 @@ object DedupQueries {
     // Jaccard, and the smallest verified neighbor becomes the keeper.
     "d_dedup_minhash" -> ((s: SparkSession, d: String) => {
       import s.implicits._
-      // cached: word sets feed banding + both verify joins + the final
-      // left join; buckets feed rep-election + edge-building — without
-      // the caches the 64-permutation minhash runs twice and the
-      // tokenize+sort three more times in one job
+      // word sets feed banding + both verify joins + the final left
+      // join — minhashKeeperAssign materializes the frame once
       val docs = load(s, d, "documents")
         .select($"doc_id", sort_array(array_distinct(toks($"text"))).as("ws"))
-        .cache()
       minhashKeeperAssign(docs, GraftText.jaccardSorted(_, _), 0.7)
         .select($"doc_id", $"keeper_id",
           $"keeper_id".=!=($"doc_id").as("is_dup"))
@@ -957,7 +1029,6 @@ object DedupQueries {
       import s.implicits._
       val docs = load(s, d, "documents")
         .select($"doc_id", sort_array(array_distinct(toks($"text"))).as("ws"))
-        .cache()
       val keepers = minhashKeeperAssign(docs, GraftText.jaccardSorted(_, _), 0.7)
       load(s, d, "documents").select($"doc_id", $"source")
         .join(keepers, "doc_id")
@@ -1304,11 +1375,9 @@ object DedupQueries {
     // is its documented no-noise variant — and the one a hash-compared
     // oracle can gate.
     "d_dsir_weights" -> ((s: SparkSession, d: String) => {
-      val (res, tb) = dsirWeightsRaw(s, d)
-      // top-100: materialize, then drop the tokenize+hash cache
-      val out = res.localCheckpoint(true)
-      tb.unpersist(false)
-      out
+      // top-100: materialize eagerly (the per-doc checkpoint inside
+      // dsirWeightsRaw frees with its RDD)
+      dsirWeightsRaw(s, d)._1.localCheckpoint(true)
     }),
 
     // INCREMENTAL dedup — the corpus-ingestion reality at 100 TB: a

@@ -67,10 +67,13 @@ object PairProbes {
     }),
 
     "d_edit_distance" -> ((s: SparkSession, d: String) => {
-      val m = sampleMod
-      boundedAgg(DedupQueries.editDistancePairs(s, d, keySampleMod = m)
+      val m = sampleMod; val cap = occCap
+      val (pairs, spill) = DedupQueries.editDistancePlanCapped(
+        s, d, keySampleMod = m, occupantCap = cap)
+      boundedAgg(pairs
           .withColumn("edit_dist", col("edit_dist").cast("double")),
         "doc_a", "doc_b", "edit_dist", m)
+        .crossJoin(broadcast(spill))
     }),
 
     "d_embed_lsh" -> ((s: SparkSession, d: String) => {

@@ -190,13 +190,25 @@ object TextQueries {
       transform(tokens(coalesce($"text", lit(""))),
         t => graft.GraftText.rollingHash64(t).bitwiseAND(lit(63L))),
       array(lit(64L))))
+    docsIn.select($"doc_id",
+      when($"source".isin("src0", "src1", "src2"), 1L).otherwise(-1L).as("y"),
+      rleRuns(bkts).as("fs"))
+  }
+
+  /** Run-length encode a SORTED array<long> into (bkt, m) structs in
+    * element order — the scan-side twin of
+    * explode → count-per-value → sorted collect_list (values unique
+    * after the sort ⇒ struct order ≡ value order), shared by the
+    * perceptron features and the DSIR per-doc bucket counts. Fold
+    * state: (fs = closed runs, prev = current value, m = its run
+    * length); prev = -1 marks "no run open" (callers pass hash&63
+    * buckets, always >= 0). An EMPTY input folds to an EMPTY run list
+    * — the exploded shape this replaces emits nothing for those rows. */
+  private[graft] def rleRuns(sorted: Column): Column = {
     val emptyFs = slice(array(struct(lit(0L).as("bkt"), lit(0L).as("m"))),
       lit(1), lit(0))
-    // fold state: (fs = closed runs, prev = current bucket, m = its run
-    // length); prev = -1 marks "no run open" (buckets are always >= 0,
-    // and the array is never empty — the bias bucket 64 rides every doc)
-    val fs = aggregate(
-      bkts,
+    aggregate(
+      sorted,
       struct(emptyFs.as("fs"), lit(-1L).as("prev"), lit(0L).as("m")),
       (st, x) => when(st("prev") === x,
           struct(st("fs").as("fs"), st("prev").as("prev"),
@@ -207,11 +219,8 @@ object TextQueries {
           concat(st("fs"),
             array(struct(st("prev").as("bkt"), st("m").as("m")))).as("fs"),
           x.as("prev"), lit(1L).as("m"))),
-      st => concat(st("fs"),
-        array(struct(st("prev").as("bkt"), st("m").as("m")))))
-    docsIn.select($"doc_id",
-      when($"source".isin("src0", "src1", "src2"), 1L).otherwise(-1L).as("y"),
-      fs.as("fs"))
+      st => when(st("prev") === -1L, st("fs")).otherwise(concat(st("fs"),
+        array(struct(st("prev").as("bkt"), st("m").as("m"))))))
   }
 
   private def perceptronScoreCol(wArr: Array[Long]): Column = {

@@ -176,18 +176,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("dsir: 64-row bits frame broadcasts; top-100 is a TakeOrdered, no window") {
+  test("dsir: bits map broadcasts; top-100 is a TakeOrdered, no window, no doc-keyed exchange") {
     // the raw (pre-checkpoint) plan: the entry's eager checkpoint
     // truncates the executed plan to a scan of stored blocks, so the
     // guard must look at the production shape underneath it
-    val (raw, tb) = graft.queries.DedupQueries.dsirWeightsRaw(spark, sfDir)
+    val (raw, _) = graft.queries.DedupQueries.dsirWeightsRaw(spark, sfDir)
     val p = freshPlan(raw)
-    tb.unpersist(false)
-    assert(p.contains("BroadcastHashJoin"),
-      s"bucket-bits frame must broadcast-join the per-doc counts:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the one-row bucket-bits map must broadcast to the per-doc fold:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       "top-100 selection must be a TakeOrdered, not sort-then-limit")
     assert(!p.contains("Window"), "dsir must not rank via a window")
+    // the per-doc weight folds scan-side off the checkpoint: the only
+    // exchanges left are the 64-key stats aggregate and the broadcast
+    assert(!p.contains("hashpartitioning(doc_id"),
+      s"no doc-keyed exchange may remain in the weight plan:\n$p")
   }
 
   test("matryoshka: broadcast queries + partial top-k, no window ranking") {

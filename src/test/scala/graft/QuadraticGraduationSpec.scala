@@ -99,4 +99,28 @@ class QuadraticGraduationSpec extends SparkSpec {
     assert(res === exact,
       s"lossless prefilter violated: missing=${exact -- res} extra=${res -- exact}")
   }
+
+  test("d_edit_distance occupant cap: probe-only bound never invents pairs, discloses spill") {
+    // reuses the planted corpus from the lossless test (runs after it)
+    val (uncapped, spill0) =
+      DedupQueries.editDistancePlanCapped(spark, dir, 1, occupantCap = 0)
+    val full = uncapped.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(spill0.collect().head.getLong(1) === 0L)
+    // a cap far above any group's occupancy is a no-op
+    val (capHuge, spillHuge) =
+      DedupQueries.editDistancePlanCapped(spark, dir, 1, occupantCap = 1 << 20)
+    assert(capHuge.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === full)
+    assert(spillHuge.collect().head.getLong(1) === 0L)
+    // a tight cap bounds the work: subset of the full pairs, spill > 0
+    val (capped, spill) =
+      DedupQueries.editDistancePlanCapped(spark, dir, 1, occupantCap = 2)
+    val cappedPairs = capped.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedPairs.subsetOf(full), "cap must never invent a pair")
+    val sp = spill.collect().head
+    assert(sp.getLong(0) === 2L)
+    assert(sp.getLong(1) > 0L, "tight cap on this corpus must spill rows")
+  }
 }
