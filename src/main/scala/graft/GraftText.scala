@@ -32,6 +32,11 @@ object GraftText {
   def rollingHash64(text: Column): Column =
     Shims.column(RollingHash64(Shims.expression(text)))
 
+  /** One-pass entropy ingredients of a SORTED token array (see
+    * [[graft.functions.EntropyStats]]). */
+  def entropyStats(sortedTokens: Column): Column =
+    Shims.column(EntropyStats(Shims.expression(sortedTokens)))
+
   /** Jaccard of two SORTED distinct string arrays (merge scan). */
   def jaccardSorted(a: Column, b: Column): Column =
     Shims.column(JaccardSorted(Shims.expression(a), Shims.expression(b)))

@@ -123,11 +123,31 @@ object ConnectedComponents {
     // ⊆ nodes known (checked or by declared construction) the two
     // paths are provably identical; otherwise only the loop runs (no
     // size-dependent semantic fork).
-    if (smallFinish > 0 && endpointsKnown && eo.count() <= smallFinish) {
+    val nEdges = eo.count() // rides the checkpoint it forces either way
+    if (smallFinish > 0 && endpointsKnown && nEdges <= smallFinish) {
       val mapDf = unionFindMap(spark, eo.as[(Long, Long)].collect())
       return labels.join(mapDf, Seq("lab"), "left")
         .select($"id", coalesce($"root", $"lab").as("component"))
     }
+    // Scale-adaptive contraction width (guide §2/§5): AQE coalesces
+    // small shuffle stages DOWN but can never split ABOVE
+    // spark.sql.shuffle.partitions — with the session default at the
+    // core count, the second decade's 70 M-edge contraction joins ran
+    // 2 M+ edges of join/sort state per task and a cold 32-task 16 g
+    // run died of heap (the r14 SCALE_sf10 OOM, reproduced at head).
+    // Bound per-task edge mass instead: raise the loop's shuffle width
+    // to nEdges / graft.cc.edgesPerTask (never lowering the session
+    // value), and let AQE coalesce healthy rounds back down. The
+    // fixpoint is partitioning-independent (min-label, exact), so this
+    // is pure memory shaping; restored after the loop.
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevSp = spark.conf.get(spKey)
+    val edgesPerTask = sys.props.get("graft.cc.edgesPerTask")
+      .flatMap(_.toLongOption).filter(_ > 0).getOrElse(500_000L)
+    val wantSp = math.min(20_000L,
+      math.max(prevSp.toLong, nEdges / edgesPerTask + 1)).toInt
+    if (wantSp > prevSp.toInt) spark.conf.set(spKey, wantSp.toString)
+    try {
     var iter = 0
     var converged = false
     while (!converged) {
@@ -202,6 +222,9 @@ object ConnectedComponents {
       }
     }
     labels.select($"id", $"lab".as("component"))
+    } finally {
+      if (wantSp > prevSp.toInt) spark.conf.set(spKey, prevSp)
+    }
   }
 
   /** Driver union-find over a bounded edge list → broadcast (lab, root)

@@ -70,8 +70,19 @@ object AnalyticsQueries {
     * before the explode can fan out), naming the offending user. */
   private[graft] def resampleFfill(events: DataFrame): DataFrame = {
     val ev = resampleEv(events)
-    resampleExplode(resampleAnchors(resampleHourly(ev)))
-      .transform(DedupQueries.orderedLarge(_, "user_id", "hour_epoch"))
+    val anchors = resampleAnchors(resampleHourly(ev))
+    // Total order WITHOUT sorting the spine: one user's anchors emit
+    // contiguous, ascending, non-overlapping hour runs, so range-
+    // sorting the ANCHOR frame on (user_id, hr) and exploding in place
+    // yields rows already globally ordered by (user_id, hour_epoch) —
+    // row-for-row the orderBy's order ((user_id, hour_epoch) is unique).
+    // The sort therefore moves |anchors| rows (data-sized, <= |events|),
+    // where the former orderedLarge materialized the SPAN-SIZED spine
+    // to checkpoint blocks and range-shuffled it again (72 M rows at
+    // sf10 — the measured bulk of this entry's second-decade cost).
+    resampleExplode(anchors
+      .repartitionByRange(col("user_id"), col("hr"))
+      .sortWithinPartitions("user_id", "hr"))
   }
 
   /** q_resample_ffill's stage legs, factored so BenchOne's
