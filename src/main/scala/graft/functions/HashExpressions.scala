@@ -818,3 +818,54 @@ case class EntropyStats(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** rle_runs(sorted_values) → array<struct<bkt:bigint,m:bigint>>: run-
+  * length encode a SORTED bigint array in ONE compiled pass — the
+  * scan-side twin of explode → count-per-value → sorted collect_list
+  * (values unique after the sort ⇒ struct order ≡ value order). Shared
+  * by the perceptron feature lists and the DSIR per-doc bucket counts.
+  * A higher-order-function fold computes the same thing INTERPRETED
+  * per element, and Catalyst inlines a derived column's expression
+  * into every consumer (filter + project ⇒ two full folds per row) —
+  * the compiled loop is what keeps the scan-side shape cheaper than
+  * the shuffle it replaced (the EntropyStats lesson). Empty input →
+  * empty array (the exploded shape emitted nothing for those rows). */
+case class RleRuns(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "rle_runs"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("bkt", LongType, nullable = false),
+    StructField("m", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"rle_runs requires array<bigint>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val vs = a.asInstanceOf[ArrayData]
+    val n = vs.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val out = new scala.collection.mutable.ArrayBuffer[Any](16)
+    var prev = vs.getLong(0)
+    var m = 1L
+    var i = 1
+    while (i < n) {
+      val x = vs.getLong(i)
+      if (x == prev) m += 1L
+      else {
+        out += InternalRow(prev, m)
+        prev = x
+        m = 1L
+      }
+      i += 1
+    }
+    out += InternalRow(prev, m)
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -196,32 +196,14 @@ object TextQueries {
   }
 
   /** Run-length encode a SORTED array<long> into (bkt, m) structs in
-    * element order — the scan-side twin of
-    * explode → count-per-value → sorted collect_list (values unique
-    * after the sort ⇒ struct order ≡ value order), shared by the
-    * perceptron features and the DSIR per-doc bucket counts. Fold
-    * state: (fs = closed runs, prev = current value, m = its run
-    * length); prev = -1 marks "no run open" (callers pass hash&63
-    * buckets, always >= 0). An EMPTY input folds to an EMPTY run list
-    * — the exploded shape this replaces emits nothing for those rows. */
-  private[graft] def rleRuns(sorted: Column): Column = {
-    val emptyFs = slice(array(struct(lit(0L).as("bkt"), lit(0L).as("m"))),
-      lit(1), lit(0))
-    aggregate(
-      sorted,
-      struct(emptyFs.as("fs"), lit(-1L).as("prev"), lit(0L).as("m")),
-      (st, x) => when(st("prev") === x,
-          struct(st("fs").as("fs"), st("prev").as("prev"),
-            (st("m") + 1L).as("m")))
-        .when(st("prev") === -1L,
-          struct(st("fs").as("fs"), x.as("prev"), lit(1L).as("m")))
-        .otherwise(struct(
-          concat(st("fs"),
-            array(struct(st("prev").as("bkt"), st("m").as("m")))).as("fs"),
-          x.as("prev"), lit(1L).as("m"))),
-      st => when(st("prev") === -1L, st("fs")).otherwise(concat(st("fs"),
-        array(struct(st("prev").as("bkt"), st("m").as("m"))))))
-  }
+    * element order — one COMPILED pass (see
+    * [[graft.functions.RleRuns]]; a higher-order fold computes the
+    * same thing interpreted per element, measured as a net loss).
+    * Shared by the perceptron features and the DSIR per-doc bucket
+    * counts. */
+  private[graft] def rleRuns(sorted: Column): Column =
+    org.apache.spark.sql.graft.Shims.column(graft.functions.RleRuns(
+      org.apache.spark.sql.graft.Shims.expression(sorted)))
 
   private def perceptronScoreCol(wArr: Array[Long]): Column = {
     val wl = typedlit(wArr.toSeq)
